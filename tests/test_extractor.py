@@ -1,0 +1,140 @@
+"""Extractor semantics tests — ports the behavioral coverage of
+test/marc_extractor_test.rb (fields/specs iteration, joinable rules, byte
+slices, indicators, 880 handling) onto independently-authored fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark.marc.extractor import marc_extract
+from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+from tests.fixtures import ALT_SCRIPT, BOOK, EMPTY, THE_TITLE
+
+
+def extract(spark, record, spec, **kw):
+    df = spark.createDataFrame([("r", record)], MARC_SOURCE_SCHEMA)
+    out = df.select(marc_extract(F.col("marc"), spec, **kw).alias("v")).collect()
+    return out[0]["v"]
+
+
+def test_joined_subfields(spark):
+    assert extract(spark, BOOK, "245ab") == [
+        "Manufacturing consent : the political economy of the mass media /"
+    ]
+
+
+def test_all_subfields_when_none_given(spark):
+    assert extract(spark, BOOK, "245") == [
+        "Manufacturing consent : the political economy of the mass media / "
+        "Edward S. Herman and Noam Chomsky."
+    ]
+
+
+def test_single_code_one_value_per_subfield(spark):
+    # two 020 fields, single-code spec -> one value per $a occurrence
+    assert extract(spark, BOOK, "020a") == [
+        "0394549260 :",
+        "0394748239 (pbk.) :",
+    ]
+
+
+def test_custom_separator(spark):
+    assert extract(spark, BOOK, "245ab", separator="!! ") == [
+        "Manufacturing consent :!! the political economy of the mass media /"
+    ]
+
+
+def test_separator_none_keeps_values_separate(spark):
+    assert extract(spark, BOOK, "245ab", separator=None) == [
+        "Manufacturing consent :",
+        "the political economy of the mass media /",
+    ]
+
+
+def test_multiple_fields_multiple_values(spark):
+    assert extract(spark, BOOK, "100a:700a") == [
+        "Herman, Edward S.",
+        "Chomsky, Noam.",
+    ]
+
+
+def test_same_tag_twice_spec_order_per_field(spark):
+    # "245a:245ab": each 245 field contributes $a then joined ab
+    assert extract(spark, BOOK, "245a:245ab") == [
+        "Manufacturing consent :",
+        "Manufacturing consent : the political economy of the mass media /",
+    ]
+
+
+def test_controlfield_byte_range(spark):
+    assert extract(spark, BOOK, "008[35-37]") == ["eng"]
+
+
+def test_controlfield_single_byte(spark):
+    # 008 byte 6 (0-based) is date-type 's'
+    assert extract(spark, BOOK, "008[6]") == ["s"]
+
+
+def test_controlfield_out_of_range_yields_null(spark):
+    # reference byteslice out-of-range -> nil stays in accumulator until
+    # add_output drops it (SURVEY §4); raw extract keeps the null
+    rec = marc_record(controlfields=[("008", "short")])
+    assert extract(spark, rec, "008[35-37]") == [None]
+
+
+def test_bare_control_tag_whole_value(spark):
+    # "001" parses as a datafield-pattern spec but matches the control
+    # field and yields its whole value (marc_extractor.rb:210-214)
+    assert extract(spark, BOOK, "001") == ["2710183"]
+
+
+def test_indicator_filter(spark):
+    assert extract(spark, BOOK, "245|10|ab") == [
+        "Manufacturing consent : the political economy of the mass media /"
+    ]
+    assert extract(spark, BOOK, "245|11|ab") == []
+    assert extract(spark, BOOK, "245|*0|ab") == [
+        "Manufacturing consent : the political economy of the mass media /"
+    ]
+
+
+def test_blank_indicator_matches_space(spark):
+    assert extract(spark, BOOK, "650| 0|a") == ["Mass media", "Mass media"]
+
+
+def test_missing_field_empty(spark):
+    assert extract(spark, BOOK, "999z") == []
+    assert extract(spark, EMPTY, "245a") == []
+
+
+def test_field_order_is_record_order(spark):
+    # spec order 700:100 but record order 100 -> 700 wins
+    assert extract(spark, BOOK, "700a:100a") == [
+        "Herman, Edward S.",
+        "Chomsky, Noam.",
+    ]
+
+
+def test_880_include_default(spark):
+    # 880 with $6 245-01 matches a 245 spec; orphan 880 (no $6) does not
+    assert extract(spark, ALT_SCRIPT, "245a") == [
+        "Romanized title",
+        "עברית כותרת",
+    ]
+
+
+def test_880_only(spark):
+    assert extract(spark, ALT_SCRIPT, "245a", alternate_script="only") == [
+        "עברית כותרת"
+    ]
+
+
+def test_880_false(spark):
+    assert extract(spark, ALT_SCRIPT, "245a", alternate_script=False) == [
+        "Romanized title"
+    ]
+
+
+def test_880_no_dollar6_falls_back_to_880_tag(spark):
+    # an 880 without $6 is addressable as tag 880
+    assert extract(spark, ALT_SCRIPT, "880a") == ["orphan 880 no $6"]

@@ -1,0 +1,176 @@
+"""Pipeline/engine tests — the moral port of to_field_test.rb,
+each_record_test.rb, read_write_test.rb behaviors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark import Pipeline, extract_marc, literal, transforms as T
+from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+
+from tests.fixtures import BOOK, EMPTY, THE_TITLE
+
+
+def source_df(spark, *recs):
+    return spark.createDataFrame(list(recs), MARC_SOURCE_SCHEMA)
+
+
+def test_map_record_minimum_slice(spark):
+    # SURVEY §7 M0 acceptance: title from 245ab
+    p = Pipeline().to_field("title", extract_marc("245ab"))
+    out = p.map_record(BOOK, spark)
+    assert out == {
+        "title": ["Manufacturing consent : the political economy of the mass media /"]
+    }
+
+
+def test_empty_record_produces_empty_hash(spark):
+    # the reference's empty-record guard (test_helper.rb:50-54)
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab"))
+        .to_field("author", extract_marc("100a"))
+    )
+    assert p.map_record(EMPTY, spark) == {}
+
+
+def test_macro_chain_within_rule(spark):
+    p = Pipeline().to_field(
+        "title", extract_marc("245a"), T.trim_punctuation(), T.append("!")
+    )
+    assert p.map_record(BOOK, spark) == {"title": ["Manufacturing consent!"]}
+
+
+def test_multiple_to_field_same_name_concat_in_order(spark):
+    p = (
+        Pipeline()
+        .to_field("names", extract_marc("100a"))
+        .to_field("names", extract_marc("700a"))
+    )
+    assert p.map_record(BOOK, spark) == {
+        "names": ["Herman, Edward S.", "Chomsky, Noam."]
+    }
+
+
+def test_to_field_multiple_names(spark):
+    p = Pipeline().to_field(["t1", "t2"], extract_marc("245a"))
+    out = p.map_record(BOOK, spark)
+    assert out["t1"] == out["t2"] == ["Manufacturing consent :"]
+
+
+def test_literal_and_default(spark):
+    p = (
+        Pipeline()
+        .to_field("const", literal("always"))
+        .to_field("missing", extract_marc("999z"), T.default("fallback"))
+    )
+    assert p.map_record(BOOK, spark) == {
+        "const": ["always"],
+        "missing": ["fallback"],
+    }
+
+
+def test_extract_marc_options(spark):
+    p = (
+        Pipeline()
+        .to_field("first_isbn", extract_marc("020a", first=True))
+        .to_field("trimmed", extract_marc("245a", trim_punctuation=True))
+        .to_field("with_default", extract_marc("999a", default="NONE"))
+        .to_field(
+            "translated",
+            extract_marc("008[35-37]", translation_map={"eng": "English"}),
+        )
+    )
+    assert p.map_record(BOOK, spark) == {
+        "first_isbn": ["0394549260 :"],
+        "trimmed": ["Manufacturing consent"],
+        "with_default": ["NONE"],
+        "translated": ["English"],
+    }
+
+
+def test_extract_marc_dedups_by_default(spark):
+    # two 650s with the same $a "Mass media" -> deduped by default,
+    # kept with allow_duplicates (marc21.rb:133-135)
+    p = (
+        Pipeline()
+        .to_field("subj", extract_marc("650a"))
+        .to_field("subj_dup", extract_marc("650a", allow_duplicates=True))
+    )
+    out = p.map_record(BOOK, spark)
+    assert out["subj"] == ["Mass media"]
+    assert out["subj_dup"] == ["Mass media", "Mass media"]
+
+
+def test_unknown_extract_marc_option_raises():
+    with pytest.raises(ValueError):
+        extract_marc("245a", bogus=True)
+
+
+def test_out_of_range_byteslice_nil_dropped_and_no_default(spark):
+    # accumulator holds [nil] -> not empty -> default does NOT fire;
+    # nil then dropped at add_output -> field omitted (SURVEY §4 + §1.2)
+    from traject_spark.marc.schema import marc_record
+
+    p = Pipeline().to_field(
+        "lang", extract_marc("008[35-37]", default="missing")
+    )
+    short_008 = marc_record(controlfields=[("008", "short")])
+    no_008 = marc_record(controlfields=[("001", "x")])
+    # short 008 -> [nil] -> default does NOT fire -> nil dropped -> omitted
+    assert p.map_record(short_008, spark) == {}
+    # absent 008 -> [] -> default DOES fire
+    assert p.map_record(no_008, spark) == {"lang": ["missing"]}
+
+
+def test_each_record_add_output_and_skip(spark):
+    def step(ctx):
+        ctx.add_output("has_title", F.array(F.lit("yes")))
+        ctx.skip_when(F.size(ctx.marc["datafields"]) == 0)
+
+    p = Pipeline().to_field("title", extract_marc("245a")).each_record(step)
+    df = source_df(spark, ("b", BOOK), ("e", EMPTY))
+    rows = p.apply(df).collect()
+    # EMPTY has no datafields -> skipped entirely (produces nothing)
+    assert len(rows) == 1
+    assert rows[0]["record_id"] == "b"
+    assert rows[0]["has_title"] == ["yes"]
+
+
+def test_each_record_reads_earlier_output(spark):
+    def step(ctx):
+        ctx.add_output("title_count", F.array(F.size(ctx.output("title")).cast("string")))
+
+    p = Pipeline().to_field("title", extract_marc("245a:700a", allow_duplicates=True)).each_record(step)
+    out = p.map_record(BOOK, spark)
+    assert out["title_count"] == ["2"]
+
+
+def test_apply_batch_and_order(spark):
+    p = Pipeline().to_field("title", extract_marc("245a", trim_punctuation=True))
+    df = source_df(spark, ("r1", BOOK), ("r2", THE_TITLE), ("r3", EMPTY))
+    rows = p.apply(df).collect()
+    by_id = {r["record_id"]: r for r in rows}
+    assert by_id["r1"]["title"] == ["Manufacturing consent"]
+    assert by_id["r2"]["title"] == ["The fateful triangle"]
+    assert by_id["r3"]["title"] is None  # omitted field -> NULL column
+
+
+def test_settings_allow_duplicate_values_false(spark):
+    p = Pipeline(allow_duplicate_values=False)
+    p.to_field("names", extract_marc("100a", allow_duplicates=True))
+    p.to_field("names", extract_marc("100a", allow_duplicates=True))
+    assert p.map_record(BOOK, spark) == {"names": ["Herman, Edward S."]}
+
+
+def test_plan_is_single_narrow_stage(spark):
+    """The 100 TB property: the whole pipeline is one narrow select —
+    no Exchange (shuffle) anywhere in the physical plan."""
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab", trim_punctuation=True))
+        .to_field("author", extract_marc("100a:110a:111a"))
+        .to_field("lang", extract_marc("008[35-37]"))
+    )
+    df = source_df(spark, ("b", BOOK))
+    plan = p.apply(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,145 @@
+"""Transformation-macro semantics (reference: transformation.rb tests +
+trim_punctuation cases from test/indexer/macros/marc21/ *)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark import transforms as T
+from traject_spark.translation_map import TranslationMap
+
+
+def eval_exprs(spark, **exprs):
+    row = spark.range(1).select(*[e.alias(k) for k, e in exprs.items()]).collect()[0]
+    return row.asDict()
+
+
+def arr(*vals):
+    return F.array(*[F.lit(v) for v in vals]).cast("array<string>")
+
+
+def test_value_macros_batch(spark):
+    out = eval_exprs(
+        spark,
+        default_on_empty=T.default("x")(F.array().cast("array<string>"), None),
+        default_not_applied=T.default("x")(arr("a"), None),
+        first=T.first_only()(arr("a", "b", "c"), None),
+        unique=T.unique()(arr("a", "b", "a"), None),
+        strip=T.strip()(arr("  hi there\t\n", "ok"), None),
+        split=T.split(",")(arr("a,b", "c"), None),
+        append=T.append("!")(arr("a", "b"), None),
+        prepend=T.prepend(">")(arr("a",), None),
+        gsub=T.gsub(r"\d+", "#")(arr("a1b22", "x"), None),
+        delete_list=T.delete_if(["b", "c"])(arr("a", "b", "c", "d"), None),
+        delete_regex=T.delete_if(r"^b")(arr("abc", "bcd"), None),
+        select_list=T.select(["b"])(arr("a", "b"), None),
+        transform=T.transform(lambda v: F.upper(v))(arr("a", "b"), None),
+    )
+    assert out["default_on_empty"] == ["x"]
+    assert out["default_not_applied"] == ["a"]
+    assert out["first"] == ["a"]
+    assert out["unique"] == ["a", "b"]
+    assert out["strip"] == ["hi there", "ok"]
+    assert out["split"] == ["a", "b", "c"]
+    assert out["append"] == ["a!", "b!"]
+    assert out["prepend"] == [">a"]
+    assert out["gsub"] == ["a#b#", "x"]
+    assert out["delete_list"] == ["a", "d"]
+    assert out["delete_regex"] == ["abc"]
+    assert out["select_list"] == ["b"]
+    assert out["transform"] == ["A", "B"]
+
+
+# trim_punctuation cases mirroring the reference's documented behavior
+# (lib/traject/macros/marc21.rb:240-271)
+TRIM_CASES = [
+    ("Manufacturing consent :", "Manufacturing consent"),
+    ("one two three.", "one two three"),
+    ("one two three..", "one two three.."),  # period rule needs exactly one .
+    ("hi.", "hi."),  # fewer than 3 word chars before period
+    ("abc.", "abc"),
+    ("[brackets]", "brackets"),
+    ("[bracket start only", "bracket start only"),
+    ("in[ternal] brackets]", "in[ternal] brackets]"),
+    ("trailing, ", "trailing"),
+    ("trailing/", "trailing"),
+    ("trailing ;", "trailing"),
+    ("  spaced  ", "spaced"),
+    ("semicolon;", "semicolon"),
+    ("one]", "one"),
+    ("hello", "hello"),
+]
+
+
+def test_trim_punctuation_golden(spark):
+    vals = [c[0] for c in TRIM_CASES]
+    expected = [c[1] for c in TRIM_CASES]
+    out = eval_exprs(
+        spark, t=T.trim_punctuation()(arr(*vals), None)
+    )["t"]
+    assert out == expected
+
+
+def test_trim_punctuation_null_passthrough(spark):
+    out = eval_exprs(
+        spark,
+        t=T.trim_punctuation()(
+            F.array(F.lit(None).cast("string"), F.lit("abc.")), None
+        ),
+    )["t"]
+    assert out == [None, "abc"]
+
+
+def test_translation_map_semantics(spark):
+    tm = TranslationMap({"a": "A", "b": ["B1", "B2"], "drop": None})
+    passthrough = TranslationMap(
+        {"a": "A", "__default__": "__passthrough__"}
+    )
+    defaulted = TranslationMap({"a": "A", "__default__": "DFLT"})
+    out = eval_exprs(
+        spark,
+        basic=tm.translate_array_expr(arr("a", "b", "missing", "drop")),
+        passthru=passthrough.translate_array_expr(arr("a", "zz")),
+        dflt=defaulted.translate_array_expr(arr("a", "zz")),
+    )
+    # nil removes, arrays flatten, missing key w/o default removes
+    assert out["basic"] == ["A", "B1", "B2"]
+    assert out["passthru"] == ["A", "zz"]
+    assert out["dflt"] == ["A", "DFLT"]
+
+
+def test_translation_map_merge_layers(spark):
+    tm = TranslationMap({"a": "A", "b": "B"}, {"b": "B2"})
+    out = eval_exprs(spark, m=tm.translate_array_expr(arr("a", "b")))
+    assert out["m"] == ["A", "B2"]
+
+
+def test_translation_map_python_side():
+    tm = TranslationMap({"a": "A", "b": ["B1", None], "drop": None})
+    assert tm.translate_list(["a", "b", "zz", "drop"]) == ["A", "B1"]
+
+
+def test_large_map_udf_path(spark):
+    big = {f"k{i}": f"v{i}" for i in range(600)}
+    big["__default__"] = "__passthrough__"
+    tm = TranslationMap(big)
+    assert len(tm) == 600
+    out = eval_exprs(
+        spark, m=tm.translate_array_expr(arr("k1", "k599", "nope"))
+    )
+    assert out["m"] == ["v1", "v599", "nope"]
+
+
+def test_ruby_to_i(spark):
+    out = eval_exprs(
+        spark,
+        a=T.ruby_to_i_expr(F.lit("1988")),
+        b=T.ruby_to_i_expr(F.lit("19uu")),
+        c=T.ruby_to_i_expr(F.lit("  42abc")),
+        d=T.ruby_to_i_expr(F.lit("abc")),
+        e=T.ruby_to_i_expr(F.lit("-7x")),
+    )
+    assert out["a"] == 1988
+    assert out["b"] == 19
+    assert out["c"] == 42
+    assert out["d"] == 0
+    assert out["e"] == -7

@@ -1,0 +1,182 @@
+"""Pure-python MARC serialization: marc-in-json, MARCXML, ISO 2709 binary.
+
+Used by the ``serialized_marc`` macro (reference:
+lib/traject/macros/marc21.rb:174-198) and the binary/XML ingest sources.
+These run row-at-a-time inside Arrow-batched pandas UDFs — serialization
+is a sink-side concern, not the hot mapping path.
+
+ISO 2709 layout (public spec): 24-byte leader; directory of 12-byte
+entries (3 tag + 4 length + 5 start); field terminator 0x1E; subfield
+delimiter 0x1F; record terminator 0x1D.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+from xml.sax.saxutils import escape
+
+FT = b"\x1e"  # field terminator
+SD = b"\x1f"  # subfield delimiter
+RT = b"\x1d"  # record terminator
+
+
+def struct_json_to_record(text: str) -> dict:
+    """Parse ``F.to_json(marc_struct)`` output back into a record dict
+    (the struct's JSON shape IS the record-dict shape; absent keys filled)."""
+    rec = json.loads(text)
+    rec.setdefault("leader", " " * 24)
+    rec.setdefault("controlfields", [])
+    rec.setdefault("datafields", [])
+    return rec
+
+
+def to_marc_in_json(rec: dict) -> str:
+    """Canonical marc-in-json: {"leader": ..., "fields": [...]} — the shape
+    the reference writes via record.to_hash (marc21.rb:193-194) and reads
+    via NDJReader (ndj_reader.rb:29-35)."""
+    fields = []
+    for cf in rec.get("controlfields") or []:
+        fields.append({cf["tag"]: cf["value"]})
+    for df in rec.get("datafields") or []:
+        fields.append(
+            {
+                df["tag"]: {
+                    "ind1": df.get("ind1") or " ",
+                    "ind2": df.get("ind2") or " ",
+                    "subfields": [
+                        {sf["code"]: sf["value"]}
+                        for sf in (df.get("subfields") or [])
+                    ],
+                }
+            }
+        )
+    return json.dumps(
+        {"leader": rec.get("leader") or " " * 24, "fields": fields},
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+
+
+def from_marc_in_json(text: str) -> dict:
+    """Inverse of to_marc_in_json -> the nested-struct record dict."""
+    obj = json.loads(text)
+    out = {"leader": obj.get("leader") or " " * 24, "controlfields": [], "datafields": []}
+    for fld in obj.get("fields") or []:
+        for tag, body in fld.items():
+            if isinstance(body, str):
+                out["controlfields"].append({"tag": tag, "value": body})
+            else:
+                sfs = []
+                for sf in body.get("subfields") or []:
+                    for code, value in sf.items():
+                        sfs.append({"code": code, "value": value})
+                out["datafields"].append(
+                    {
+                        "tag": tag,
+                        "ind1": body.get("ind1", " "),
+                        "ind2": body.get("ind2", " "),
+                        "subfields": sfs,
+                    }
+                )
+    return out
+
+
+def to_marcxml(rec: dict) -> str:
+    parts = [
+        '<record xmlns="http://www.loc.gov/MARC21/slim">',
+        f"<leader>{escape(rec.get('leader') or ' ' * 24)}</leader>",
+    ]
+    for cf in rec.get("controlfields") or []:
+        parts.append(
+            f'<controlfield tag="{escape(cf["tag"])}">{escape(cf["value"] or "")}</controlfield>'
+        )
+    for df in rec.get("datafields") or []:
+        parts.append(
+            f'<datafield tag="{escape(df["tag"])}" ind1="{escape(df.get("ind1") or " ")}"'
+            f' ind2="{escape(df.get("ind2") or " ")}">'
+        )
+        for sf in df.get("subfields") or []:
+            parts.append(
+                f'<subfield code="{escape(sf["code"])}">{escape(sf["value"] or "")}</subfield>'
+            )
+        parts.append("</datafield>")
+    parts.append("</record>")
+    return "".join(parts)
+
+
+def to_iso2709(rec: dict) -> bytes:
+    """Encode one record as ISO 2709 binary MARC."""
+    field_bytes: list[tuple[str, bytes]] = []
+    for cf in rec.get("controlfields") or []:
+        field_bytes.append((cf["tag"], (cf["value"] or "").encode("utf-8") + FT))
+    for df in rec.get("datafields") or []:
+        body = (df.get("ind1") or " ").encode("utf-8") + (
+            df.get("ind2") or " "
+        ).encode("utf-8")
+        for sf in df.get("subfields") or []:
+            body += SD + sf["code"].encode("utf-8") + (sf["value"] or "").encode("utf-8")
+        field_bytes.append((df["tag"], body + FT))
+
+    directory = b""
+    data = b""
+    for tag, body in field_bytes:
+        directory += f"{tag:>3.3}{len(body):04d}{len(data):05d}".encode("ascii")
+        data += body
+    directory += FT
+    base = 24 + len(directory)
+    total = base + len(data) + 1
+    leader = rec.get("leader") or " " * 24
+    leader = f"{total:05d}" + leader[5:12] + f"{base:05d}" + leader[17:24]
+    return leader.encode("utf-8") + directory + data + RT
+
+
+def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
+    """Decode one ISO 2709 record (lenient: bad fields skipped, mirroring
+    the reference readers' per-record error-skip policy)."""
+    if len(raw) < 24:
+        return None
+    leader = raw[:24].decode(encoding, errors="replace")
+    try:
+        base = int(raw[12:17])
+    except ValueError:
+        return None
+    directory = raw[24 : base - 1]
+    out = {"leader": leader, "controlfields": [], "datafields": []}
+    for i in range(0, len(directory) - 11, 12):
+        entry = directory[i : i + 12]
+        tag = entry[:3].decode(encoding, errors="replace")
+        try:
+            length = int(entry[3:7])
+            start = int(entry[7:12])
+        except ValueError:
+            continue
+        body = raw[base + start : base + start + length]
+        body = body.rstrip(FT)
+        if tag < "010" and tag.isdigit():
+            out["controlfields"].append(
+                {"tag": tag, "value": body.decode(encoding, errors="replace")}
+            )
+        else:
+            ind1 = body[0:1].decode(encoding, errors="replace") or " "
+            ind2 = body[1:2].decode(encoding, errors="replace") or " "
+            sfs = []
+            for chunk in body[2:].split(SD):
+                if not chunk:
+                    continue
+                code = chunk[:1].decode(encoding, errors="replace")
+                value = chunk[1:].decode(encoding, errors="replace")
+                sfs.append({"code": code, "value": value})
+            out["datafields"].append(
+                {"tag": tag, "ind1": ind1, "ind2": ind2, "subfields": sfs}
+            )
+    return out
+
+
+def split_iso2709_stream(raw: bytes) -> list[bytes]:
+    """Split a concatenated ISO 2709 stream on record terminators."""
+    out = []
+    for chunk in raw.split(RT):
+        if chunk.strip(b"\x00\r\n "):
+            out.append(chunk + RT)
+    return out

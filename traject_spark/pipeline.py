@@ -1,0 +1,210 @@
+"""Pipeline: the traject Indexer re-expressed as a Spark plan compiler.
+
+The reference interprets an ordered list of step objects per record on a
+thread pool (lib/traject/indexer.rb:348-355,531-619).  Here, the same DSL
+*compiles*: each ``to_field`` rule becomes one Column expression (macros
+composed over a fresh accumulator), the whole pipeline becomes ONE
+``select`` + optional ``filter`` — a single narrow stage with no shuffle,
+executed by Catalyst/Tungsten with whole-stage codegen.  Thread pools,
+bounded queues and backpressure (lib/traject/thread_pool.rb) disappear into
+Spark task parallelism.
+
+Fidelity notes (SURVEY §4 traps):
+- output post-processing per add_output: drop nil values, omit empty
+  fields, optional de-dup — lib/traject/indexer/context.rb:117-129 with
+  defaults at lib/traject/indexer.rb:293-296;
+- multiple ``to_field`` calls on one name concatenate in registration
+  order; de-dup (when enabled) applies to the accumulated whole;
+- ``skip!`` means the record produces *nothing* — compiled to a final
+  ``filter`` (lib/traject/indexer.rb:591-595).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+
+_EMPTY = "array<string>"
+
+
+class PipelineContext:
+    """Per-compilation context handed to macros and each_record steps.
+
+    The reference Context carries source_record / output_hash / clipboard /
+    skip (lib/traject/indexer/context.rb:7-43); here those become: the
+    source struct Column, the field-expression table, a dict of named
+    intermediate Columns, and accumulated skip predicates.
+    """
+
+    def __init__(self, pipeline: "Pipeline"):
+        self._pipeline = pipeline
+        self.clipboard: dict[str, Column] = {}
+
+    @property
+    def marc(self) -> Column:
+        return F.col(self._pipeline.source_col)
+
+    # alias for non-MARC pipelines
+    @property
+    def record(self) -> Column:
+        return F.col(self._pipeline.source_col)
+
+    def output(self, name: str) -> Column:
+        """Expression for field ``name`` as accumulated so far (lets later
+        steps read earlier fields, doc/indexing_rules.md:210-257)."""
+        exprs = self._pipeline._field_exprs.get(name)
+        if not exprs:
+            return F.array().cast(_EMPTY)
+        return exprs[0] if len(exprs) == 1 else F.concat(*exprs)
+
+    def add_output(self, name: str, values: Column) -> None:
+        """each_record-style write to any output field
+        (lib/traject/indexer/context.rb:117-129)."""
+        self._pipeline._add_field_expr(name, values)
+
+    def skip_when(self, cond: Column) -> None:
+        """context.skip! analog (lib/traject/indexer/context.rb:35-43)."""
+        self._pipeline._skip_conds.append(cond)
+
+
+class Pipeline:
+    """Ordered to_field / each_record rule set compiling to one select."""
+
+    def __init__(
+        self,
+        source_col: str = "marc",
+        id_col: Optional[str] = "record_id",
+        **settings,
+    ):
+        self.source_col = source_col
+        self.id_col = id_col
+        # defaults per lib/traject/indexer.rb:293-296
+        self.settings_dict = {
+            "allow_nil_values": False,
+            "allow_empty_fields": False,
+            "allow_duplicate_values": True,
+        }
+        self.settings_dict.update(settings)
+        self._steps: list = []
+        # compile state
+        self._field_exprs: dict[str, list[Column]] = {}
+        self._skip_conds: list[Column] = []
+        self._compiled: Optional[list] = None
+
+    # -- DSL ---------------------------------------------------------------
+    def settings(self, **kwargs) -> "Pipeline":
+        self.settings_dict.update(kwargs)
+        return self
+
+    def provide(self, key: str, value) -> "Pipeline":
+        """First-set-wins write mode (lib/traject/indexer/settings.rb:23-96)."""
+        self.settings_dict.setdefault(key, value)
+        return self
+
+    def to_field(
+        self,
+        field_name: Union[str, Sequence[str]],
+        *macros: Callable[[Column, PipelineContext], Column],
+    ) -> "Pipeline":
+        names = [field_name] if isinstance(field_name, str) else list(field_name)
+        for n in names:
+            if not isinstance(n, str) or not n:
+                raise ValueError(f"to_field needs a non-empty string field name, got {n!r}")
+        self._steps.append(("to_field", names, macros))
+        self._compiled = None
+        return self
+
+    def each_record(self, fn: Callable[[PipelineContext], None]) -> "Pipeline":
+        self._steps.append(("each_record", fn))
+        self._compiled = None
+        return self
+
+    # -- compilation -------------------------------------------------------
+    def _add_field_expr(self, name: str, expr: Column) -> None:
+        self._field_exprs.setdefault(name, []).append(expr)
+
+    def _post_process(self, acc: Column) -> Column:
+        """add_output invariants (context.rb:117-129): drop nils, then
+        de-dup (when allow_duplicate_values=False), then omit-if-empty
+        (=> NULL column; writers drop nulls)."""
+        out = acc
+        if not self.settings_dict.get("allow_nil_values", False):
+            out = F.filter(out, lambda x: x.isNotNull())
+        if not self.settings_dict.get("allow_duplicate_values", True):
+            out = F.array_distinct(out)
+        if not self.settings_dict.get("allow_empty_fields", False):
+            out = F.when(F.size(out) > 0, out)
+        return out
+
+    def compile(self) -> tuple[list[tuple[str, Column]], Optional[Column]]:
+        """Run every step once, building the field-expression table.
+
+        Returns ([(field_name, final Column)], skip_condition_or_None).
+        """
+        self._field_exprs = {}
+        self._skip_conds = []
+        ctx = PipelineContext(self)
+        for step in self._steps:
+            if step[0] == "to_field":
+                _, names, macros = step
+                acc = F.array().cast(_EMPTY)
+                for macro in macros:
+                    acc = macro(acc, ctx)
+                for n in names:
+                    self._add_field_expr(n, acc)
+            else:
+                _, fn = step
+                fn(ctx)
+
+        fields = []
+        for name, exprs in self._field_exprs.items():
+            raw = exprs[0] if len(exprs) == 1 else F.concat(*exprs)
+            fields.append((name, self._post_process(raw).alias(name)))
+        skip = None
+        for cond in self._skip_conds:
+            skip = cond if skip is None else (skip | cond)
+        return fields, skip
+
+    # -- execution ---------------------------------------------------------
+    def apply(
+        self,
+        df: DataFrame,
+        keep: Optional[Sequence[str]] = None,
+        keep_source: bool = False,
+    ) -> DataFrame:
+        """Compile and apply: one narrow select (+ skip filter)."""
+        fields, skip = self.compile()
+        cols: list[Column] = []
+        if self.id_col and self.id_col in df.columns:
+            cols.append(F.col(self.id_col))
+        for k in keep or []:
+            cols.append(F.col(k))
+        if keep_source:
+            cols.append(F.col(self.source_col))
+        cols.extend(expr for _, expr in fields)
+        out = df
+        if skip is not None:
+            # skip! => record produces nothing (indexer.rb:591-595)
+            out = out.filter(~F.coalesce(skip, F.lit(False)))
+        return out.select(*cols)
+
+    process = apply  # reference naming (indexer.rb:531)
+
+    def map_record(self, record: dict, spark: SparkSession) -> dict:
+        """Single-record correctness entry point, mirroring
+        Indexer#map_record (lib/traject/indexer.rb:429-433): returns the
+        output_hash as {field: [values]} with omitted fields absent.
+        """
+        df = spark.createDataFrame(
+            [("__single__", record)], schema=MARC_SOURCE_SCHEMA
+        )
+        out = self.apply(df).collect()
+        if not out:  # skipped
+            return {}
+        row = out[0].asDict()
+        row.pop(self.id_col, None)
+        return {k: list(v) for k, v in row.items() if v is not None}

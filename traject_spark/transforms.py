@@ -1,0 +1,220 @@
+"""Value-level transformation macros (reference: lib/traject/macros/transformation.rb).
+
+Every macro here is a *Column-expression builder* with the uniform shape
+
+    macro(acc: Column, ctx: PipelineContext) -> Column
+
+where ``acc`` is the rule's accumulator (``array<string>``).  ``to_field``
+composes macros left-to-right over one fresh accumulator, exactly like the
+reference runs its procs in order over one shared array
+(lib/traject/indexer/step.rb:131-146).
+
+All of these are intra-row array algebra (higher-order functions): they
+execute JVM-side inside whole-stage codegen — no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Callable, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from traject_spark.translation_map import TranslationMap
+
+Macro = Callable[[Column, "PipelineContext"], Column]
+
+_EMPTY = "array<string>"
+
+
+# --------------------------------------------------------------------------
+# shared string expressions
+# --------------------------------------------------------------------------
+
+def ruby_strip_expr(v: Column) -> Column:
+    """Ruby String#strip: leading/trailing whitespace AND NULs."""
+    return F.regexp_replace(v, r"\A[\s\x00]+|[\s\x00]+\Z", "")
+
+
+def trim_punctuation_expr(v: Column) -> Column:
+    """AACR2 punctuation-trimming heuristics.
+
+    Port of Traject::Macros::Marc21.trim_punctuation
+    (lib/traject/macros/marc21.rb:252-271), regex-for-regex:
+    1. trailing comma/slash/semicolon/colon (w/ surrounding spaces)
+    2. trailing period when preceded by >= 3 word chars ([[:word:]] is
+       unicode-aware in Ruby -> Java (?U)\\w)
+    3. single bracketing [ ] when no internal brackets
+    4. strip whitespace
+    NULL passes through untouched (reference returns nil as-is).
+    """
+    v1 = F.regexp_replace(v, r" *[ ,/;:] *\Z", "")
+    v2 = F.regexp_replace(v1, r"(?U)( *\w{3,})\. *\Z", "$1")
+    v3 = F.regexp_replace(v2, r"\A\[?([^\[\]]+)\]?\Z", "$1")
+    return ruby_strip_expr(v3)
+
+
+def ruby_to_i_expr(v: Column) -> Column:
+    """Ruby String#to_i: parse leading integer prefix, else 0."""
+    digits = F.regexp_extract(v, r"\A\s*([+-]?\d+)", 1)
+    return F.coalesce(
+        F.when(digits != "", digits).cast("long"), F.lit(0).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# transformation macros (transformation.rb)
+# --------------------------------------------------------------------------
+
+def translation_map(*maps, **kwargs) -> Macro:
+    """Per-value dict lookup; nil removes, arrays flatten in; later maps
+    merge over earlier (transformation.rb:34-42, translation_map.rb:245-248)."""
+    tmap = maps[0] if len(maps) == 1 and isinstance(maps[0], TranslationMap) else TranslationMap(*maps, **kwargs)
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return tmap.translate_array_expr(acc)
+
+    return macro
+
+
+def transform(fn: Callable[[Column], Column]) -> Macro:
+    """Map each value through a Column-expression function
+    (transformation.rb:60-79; arbitrary-python variant: transform_udf)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, fn)
+
+    return macro
+
+
+def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
+    """Escape hatch: arbitrary per-value python, Arrow-batched.
+
+    The moral equivalent of passing an arbitrary proc to the reference's
+    ``transform`` — the slow path, kept off the hot path by default.
+    """
+
+    @pandas_udf("array<string>")
+    def _apply(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda vs: None if vs is None else [py_fn(v) for v in vs]
+        )
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return _apply(acc)
+
+    return macro
+
+
+def default(value: str) -> Macro:
+    """If accumulator empty, add literal (transformation.rb:85-91)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.when(F.size(acc) == 0, F.array(F.lit(value))).otherwise(acc)
+
+    return macro
+
+
+def first_only() -> Macro:
+    """Keep only first value (transformation.rb:97-102)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.slice(acc, 1, 1)
+
+    return macro
+
+
+def unique() -> Macro:
+    """De-duplicate, keeping first occurrences (transformation.rb:109-113)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.array_distinct(acc)
+
+    return macro
+
+
+def strip() -> Macro:
+    """Unicode-aware trim of each value (transformation.rb:121-128)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, ruby_strip_expr)
+
+    return macro
+
+
+def split(separator: str) -> Macro:
+    """Split each value on literal separator, flatten (transformation.rb:134-138)."""
+    pat = _re.escape(separator)
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.flatten(F.transform(acc, lambda v: F.split(v, pat)))
+
+    return macro
+
+
+def append(suffix: str) -> Macro:
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, lambda v: F.concat(v, F.lit(suffix)))
+
+    return macro
+
+
+def prepend(prefix: str) -> Macro:
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, lambda v: F.concat(F.lit(prefix), v))
+
+    return macro
+
+
+def gsub(pattern: str, replacement: str) -> Macro:
+    """Regex replace-all in each value (transformation.rb:155-159).
+
+    ``pattern`` is a Java regex; Ruby ``\\1`` backrefs become ``$1``.
+    """
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, lambda v: F.regexp_replace(v, pattern, replacement))
+
+    return macro
+
+
+def _match_pred(arg) -> Callable[[Column], Column]:
+    """array/set membership, regex, or Column-fn predicate
+    (transformation.rb:166-189 supports array/regexp/proc)."""
+    if callable(arg):
+        return arg
+    if isinstance(arg, (list, tuple, set, frozenset)):
+        vals = [str(x) for x in arg]
+        return lambda v: v.isin(vals)
+    # treat as regex (Ruby Regexp#match? semantics: search anywhere)
+    return lambda v: v.rlike(str(arg))
+
+
+def delete_if(arg) -> Macro:
+    pred = _match_pred(arg)
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.filter(acc, lambda v: ~pred(v))
+
+    return macro
+
+
+def select(arg) -> Macro:
+    pred = _match_pred(arg)
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.filter(acc, pred)
+
+    return macro
+
+
+def trim_punctuation() -> Macro:
+    """Macro form of trim_punctuation (lib/traject/macros/marc21.rb:144-148)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.transform(acc, trim_punctuation_expr)
+
+    return macro

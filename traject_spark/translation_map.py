@@ -1,0 +1,223 @@
+"""Translation maps: string -> (string | list-of-strings | None) dictionaries.
+
+Semantics mirrored from lib/traject/translation_map.rb:
+- lookup of a missing key falls back to ``__default__``; the special
+  default ``__passthrough__`` returns the input key itself (:46-68,187-198)
+- translating an array: each value is looked up; ``None`` results are
+  removed; list results are flattened in (:217-226)
+- ``merge`` layers override maps (:245-248)
+
+Loads ``.yaml`` / ``.properties`` / python-dict definitions from an
+explicit path or a load-path list (:124-149).  The lookup compiles to a
+Column expression two ways:
+
+- small maps (<= ``LITERAL_MAP_MAX`` entries): a ``create_map`` literal —
+  evaluated JVM-side inside whole-stage codegen, zero shuffle;
+- large maps: a broadcast python dict applied in an Arrow-batched pandas
+  UDF (still map-side; no shuffle, no join).
+
+Both paths are map-side lookups, the Spark analog of the reference's
+driver-loaded, thread-shared frozen maps (translation_map.rb:107-155).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Mapping, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+PASSTHROUGH = "__passthrough__"
+DEFAULT_KEY = "__default__"
+
+#: above this entry count, switch from a create_map literal to a pandas UDF
+LITERAL_MAP_MAX = 512
+
+
+def _parse_properties(text: str) -> dict:
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or line.startswith("!"):
+            continue
+        m = re.match(r"([^=:\s]+)\s*[=:]\s*(.*)", line)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+def _load_yaml(path: str) -> dict:
+    try:
+        import yaml  # type: ignore
+
+        with open(path, "r", encoding="utf-8") as fh:
+            return yaml.safe_load(fh) or {}
+    except ImportError:
+        # minimal fallback: flat "key: value" YAML subset
+        out: dict = {}
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.lstrip().startswith("#"):
+                    continue
+                m = re.match(r"^(['\"]?)(.*?)\1\s*:\s*(['\"]?)(.*?)\3\s*$", line)
+                if m and m.group(2):
+                    out[m.group(2)] = m.group(4)
+        return out
+
+
+class TranslationMap:
+    """A merged, frozen lookup dictionary with traject default semantics."""
+
+    def __init__(
+        self,
+        *sources: Union[str, Mapping],
+        load_path: Optional[Iterable[str]] = None,
+    ):
+        self._map: dict = {}
+        load_path = list(load_path or [])
+        for src in sources:
+            if isinstance(src, Mapping):
+                self._merge(dict(src))
+            else:
+                self._merge(self._load_named(str(src), load_path))
+        self._default = self._map.pop(DEFAULT_KEY, None)
+
+    def _merge(self, other: dict) -> None:
+        self._map.update(other)
+
+    @staticmethod
+    def _load_named(name: str, load_path: list) -> dict:
+        candidates = []
+        if os.path.isabs(name) or os.path.exists(name):
+            candidates.append(name)
+        for base in load_path:
+            for ext in ("", ".yaml", ".yml", ".properties"):
+                candidates.append(os.path.join(base, name + ext))
+        here = os.path.join(os.path.dirname(__file__), "translation_maps")
+        for ext in ("", ".yaml", ".yml", ".properties"):
+            candidates.append(os.path.join(here, name + ext))
+        for cand in candidates:
+            if os.path.exists(cand):
+                if cand.endswith(".properties"):
+                    with open(cand, "r", encoding="utf-8") as fh:
+                        return _parse_properties(fh.read())
+                return _load_yaml(cand)
+        raise FileNotFoundError(f"translation map not found: {name!r}")
+
+    # -- python-side lookup (used by tests and the pandas-UDF path) -------
+    def lookup(self, key):
+        """translation_map.rb:187-198: hash hit, else __default__ handling."""
+        if key in self._map:
+            return self._map[key]
+        if self._default == PASSTHROUGH:
+            return key
+        return self._default
+
+    def translate_list(self, values: list) -> list:
+        out: list = []
+        for v in values:
+            r = self.lookup(v)
+            if r is None:
+                continue
+            if isinstance(r, list):
+                out.extend(x for x in r if x is not None)
+            else:
+                out.append(r)
+        return out
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+    # -- column-expression compilation ------------------------------------
+    def _as_array_dict(self) -> dict:
+        """Normalize values to lists-of-strings (None stays None: removal)."""
+        out = {}
+        for k, v in self._map.items():
+            if v is None:
+                out[k] = None
+            elif isinstance(v, list):
+                out[k] = [str(x) for x in v if x is not None]
+            else:
+                out[k] = [str(v)]
+        return out
+
+    def lookup_expr(self, value: Column) -> Column:
+        """value -> array<string> of translations, NULL => remove value."""
+        norm = self._as_array_dict()
+        entries = []
+        for k, v in norm.items():
+            if v is None:
+                continue  # explicit-nil entries removed below via when-chain
+            entries.append(F.lit(str(k)))
+            entries.append(F.array(*[F.lit(x) for x in v]))
+        nil_keys = [str(k) for k, v in norm.items() if v is None]
+
+        if self._default == PASSTHROUGH:
+            fallback = F.array(value)
+        elif self._default is not None:
+            d = self._default
+            d_list = d if isinstance(d, list) else [d]
+            fallback = F.array(*[F.lit(str(x)) for x in d_list])
+        else:
+            fallback = F.lit(None).cast("array<string>")
+
+        if entries:
+            mp = F.create_map(*entries)
+            # try_element_at: null on missing key (ANSI-mode safe)
+            hit = F.try_element_at(mp, value)
+        else:
+            hit = F.lit(None).cast("array<string>")
+        result = F.coalesce(hit, fallback)
+        if nil_keys:
+            result = F.when(value.isin(nil_keys), F.lit(None).cast("array<string>")).otherwise(result)
+        return F.when(value.isNull(), F.lit(None).cast("array<string>")).otherwise(result)
+
+    def translate_array_expr(self, acc: Column, spark: Optional[SparkSession] = None) -> Column:
+        """array<string> -> translated array (flatten lists, drop nils).
+
+        Chooses the literal-map or broadcast-pandas-UDF strategy by size.
+        """
+        if len(self._map) <= LITERAL_MAP_MAX:
+            mapped = F.transform(acc, lambda v: self.lookup_expr(v))
+            return F.flatten(F.filter(mapped, lambda x: x.isNotNull()))
+        return self._translate_array_udf()(acc)
+
+    def _translate_array_udf(self):
+        """Arrow-batched pandas UDF over a broadcast dict — the scale path
+        for large maps (e.g. an 8k-entry language map): per-executor dict,
+        no shuffle, vectorized batches."""
+        norm = self._as_array_dict()
+        default = self._default
+        default_list = (
+            None
+            if default is None or default == PASSTHROUGH
+            else [str(x) for x in (default if isinstance(default, list) else [default])]
+        )
+        passthrough = default == PASSTHROUGH
+
+        @pandas_udf("array<string>")
+        def _translate(col: pd.Series) -> pd.Series:
+            def one(values):
+                if values is None:
+                    return None
+                out = []
+                for v in values:
+                    if v in norm:
+                        r = norm[v]
+                        if r is not None:
+                            out.extend(r)
+                    elif passthrough:
+                        if v is not None:
+                            out.append(v)
+                    elif default_list is not None:
+                        out.extend(default_list)
+                return out
+
+            return col.map(one)
+
+        return _translate
