@@ -7,6 +7,7 @@ def spark():
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("traject_spark-tests")
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

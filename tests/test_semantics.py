@@ -1,0 +1,292 @@
+"""Semantic macro golden tests — the behavioral port of
+test/indexer/macros/macros_marc21_semantics_test.rb and
+marc_format_classifier_test.rb, on independently-authored fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark import Pipeline
+from traject_spark.macros import (
+    extract_marc_filing_version,
+    marc_era_facet,
+    marc_formats,
+    marc_geo_facet,
+    marc_instrument_codes_normalized,
+    marc_instrumentation_humanized,
+    marc_languages,
+    marc_lcc_to_broad_category,
+    marc_lcsh_formatted,
+    marc_publication_date,
+    marc_series_facet,
+    marc_sortable_author,
+    marc_sortable_title,
+    oclcnum,
+)
+from traject_spark.marc.schema import marc_record
+
+from tests.fixtures import BOOK, EMPTY, THE_TITLE
+
+
+def run(spark, record, *macros):
+    p = Pipeline().to_field("out", *macros)
+    return p.map_record(record, spark).get("out")
+
+
+def run_many(spark, cases):
+    """cases: list of (record, macro) -> list of output arrays (one action)."""
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+
+    outs = []
+    for i, (record, macro) in enumerate(cases):
+        p = Pipeline().to_field("out", macro)
+        outs.append(p.map_record(record, spark).get("out"))
+    return outs
+
+
+def test_oclcnum(spark):
+    # (OCoLC) prefix, ocm prefix kept with leading zeros, non-OCLC dropped
+    assert run(spark, BOOK, oclcnum()) == ["17508918", "00000123"]
+
+
+def test_oclcnum_variants(spark):
+    rec = marc_record(
+        datafields=[
+            ("035", " ", " ", [("a", "(OCoLC)ocn123456")]),
+            ("035", " ", " ", [("a", "on9876")]),
+            ("035", " ", " ", [("a", "(OCoLC)111")]),
+            ("035", " ", " ", [("a", "(OCoLC)111")]),  # dup -> deduped
+            ("035", " ", " ", [("a", "ISSN 444")]),
+        ]
+    )
+    assert run(spark, rec, oclcnum()) == ["123456", "9876", "111"]
+
+
+def test_sortable_title(spark):
+    assert run(spark, BOOK, marc_sortable_title()) == [
+        "Manufacturing consent : the political economy of the mass media"
+    ]
+    # non-filing chars stripped via ind2=4
+    assert run(spark, THE_TITLE, marc_sortable_title()) == [
+        "fateful triangle : essays"
+    ]
+    assert run(spark, EMPTY, marc_sortable_title()) is None
+
+
+def test_sortable_title_k_fallback(spark):
+    rec = marc_record(
+        datafields=[("245", "1", "0", [("k", "Papers,"), ("f", "1950-1960.")])]
+    )
+    assert run(spark, rec, marc_sortable_title()) == ["Papers"]
+
+
+def test_sortable_author(spark):
+    assert run(spark, BOOK, marc_sortable_author()) == [
+        "Herman, Edward S.   Manufacturing consent the political economy "
+        "of the mass media Edward S. Herman and Noam Chomsky"
+    ]
+    # no author, no title -> single empty string (reference appends '')
+    assert run(spark, EMPTY, marc_sortable_author()) == [""]
+
+
+def test_filing_version(spark):
+    assert run(spark, THE_TITLE, extract_marc_filing_version()) == [
+        "fateful triangle : essays."
+    ]
+    out = run(
+        spark, THE_TITLE, extract_marc_filing_version(include_original=True)
+    )
+    assert out == [
+        "The fateful triangle : essays.",
+        "fateful triangle : essays.",
+    ]
+    # ind2=0 -> unchanged
+    assert run(spark, BOOK, extract_marc_filing_version("245ab")) == [
+        "Manufacturing consent : the political economy of the mass media /"
+    ]
+
+
+def test_languages_packed_and_translated(spark):
+    rec = marc_record(
+        controlfields=[("008", " " * 35 + "eng  ")],
+        datafields=[
+            ("041", "1", " ", [("a", "engfrespa")]),
+            ("041", "1", " ", [("d", "ger")]),
+        ],
+    )
+    assert run(spark, rec, marc_languages()) == [
+        "English",
+        "French",
+        "Spanish",
+        "German",
+    ]
+
+
+def test_series_facet_skips_traced_490(spark):
+    rec = marc_record(
+        datafields=[
+            ("440", " ", "0", [("a", "Lecture notes in physics ;")]),
+            ("490", "1", " ", [("a", "Traced series.")]),
+            ("490", "0", " ", [("a", "Untraced series.")]),
+        ]
+    )
+    assert run(spark, rec, marc_series_facet()) == [
+        "Lecture notes in physics",
+        "Untraced series",
+    ]
+
+
+def test_instrumentation_humanized(spark):
+    rec = marc_record(
+        datafields=[
+            ("048", " ", " ", [("a", "ka01"), ("b", "sa02")]),
+        ]
+    )
+    assert run(spark, rec, marc_instrumentation_humanized()) == [
+        "Piano",
+        "Violin",
+    ]
+
+
+def test_instrument_codes_normalized(spark):
+    rec = marc_record(
+        datafields=[("048", " ", " ", [("a", "ka01"), ("b", "sa02")])]
+    )
+    assert run(spark, rec, marc_instrument_codes_normalized()) == [
+        "ka01",
+        "ka",
+        "sa02",
+        "sa02.s",
+        "sa",
+        "sa.s",
+    ]
+
+
+PUBDATE_CASES = [
+    # (008 content, extra fields, expected)
+    ("880520s1988    nyu", [], 1988),  # plain single date
+    ("      q19701980   ", [], 1975),  # questionable range -> midpoint
+    ("      q19001980   ", [], None),  # range too wide, no fallback
+    ("      s197u       ", [], 1975),  # u-digit -> midpoint of decade
+    ("      s19uu       ", [], None),  # 100-year delta > tolerance
+    ("      r19851939   ", [], 1939),  # reprint prefers date2
+    ("      p19851939   ", [], 1939),
+    ("      r1985000    ", [], 1985),  # date2 zero -> date1 (length 15: d2=d1? no)
+    ("      n0000       ", [("260", " ", " ", [("c", "c1988.")])], 1988),
+    ("      nuuuu       ", [("264", " ", "1", [("c", "[2012]")]),
+                            ("260", " ", " ", [("c", "1776")])], 2012),
+    ("      s0001       ", [], None),  # below min_year
+]
+
+
+def test_publication_date_cases(spark):
+    recs = [
+        marc_record(controlfields=[("008", f008)], datafields=extra)
+        for f008, extra, _ in PUBDATE_CASES
+    ]
+    p = Pipeline().to_field("out", marc_publication_date())
+    outs = p.map_records(recs, spark)
+    for (f008, _, expected), out in zip(PUBDATE_CASES, outs):
+        got = out.get("out")
+        want = None if expected is None else [str(expected)]
+        assert got == want, f"008={f008!r}: got {got}, want {want}"
+
+
+def test_publication_date_no_008_fallback_260(spark):
+    rec = marc_record(datafields=[("260", " ", " ", [("c", "circa 1923?")])])
+    assert run(spark, rec, marc_publication_date()) == ["1923"]
+
+
+def test_lcc_broad_category(spark):
+    assert run(spark, BOOK, marc_lcc_to_broad_category()) == [
+        "Language & Literature"
+    ]
+    rec = marc_record(datafields=[("050", "0", "0", [("a", "Film no. 123")])])
+    assert run(spark, rec, marc_lcc_to_broad_category()) == ["Unknown"]
+    assert run(spark, EMPTY, marc_lcc_to_broad_category(default=None)) is None
+
+
+def test_geo_facet(spark):
+    rec = marc_record(
+        datafields=[
+            ("043", " ", " ", [("a", "n-us---")]),
+            ("651", " ", "0", [("a", "France.")]),
+            (
+                "650",
+                " ",
+                "0",
+                [("a", "History"), ("z", "Germany"), ("z", "Berlin.")],
+            ),
+        ]
+    )
+    assert run(spark, rec, marc_geo_facet()) == [
+        "United States",
+        "France",
+        "Berlin (Germany)",
+        "Germany",
+    ]
+
+
+def test_era_facet(spark):
+    rec = marc_record(
+        datafields=[
+            ("650", " ", "0", [("a", "Art"), ("y", "20th century.")]),
+            (
+                "651",
+                " ",
+                "0",
+                [("a", "United States"), ("y", "Civil War, 1861-1865.")],
+            ),
+        ]
+    )
+    assert run(spark, rec, marc_era_facet()) == [
+        "20th century",
+        "United States: Civil War, 1861-1865",
+    ]
+
+
+def test_lcsh_formatted(spark):
+    out = run(spark, BOOK, marc_lcsh_formatted())
+    assert out == [
+        "Mass media — Political aspects — United States",
+        "Mass media — Economic aspects",
+    ]
+
+
+def test_lcsh_formatted_custom_separator(spark):
+    out = run(spark, BOOK, marc_lcsh_formatted(subdivision_separator="--"))
+    assert out[0] == "Mass media--Political aspects--United States"
+
+
+def test_formats_book_print(spark):
+    assert run(spark, BOOK, marc_formats()) == ["Book", "Print"]
+
+
+def test_formats_thesis_replaces_book(spark):
+    rec = marc_record(
+        leader="01234cam a2200301 a 4500",
+        datafields=[("502", " ", " ", [("a", "Thesis (Ph.D.)")])],
+    )
+    assert run(spark, rec, marc_formats()) == ["Print", "Dissertation/Thesis"]
+
+
+def test_formats_conference_online_microform(spark):
+    rec = marc_record(
+        leader="01234cam a2200301 a 4500",
+        controlfields=[("007", "cr an 008mamaa")],
+        datafields=[
+            ("650", " ", "0", [("a", "Physics"), ("v", "Congresses.")]),
+        ],
+    )
+    assert run(spark, rec, marc_formats()) == [
+        "Book",
+        "Online",
+        "Print",
+        "Conference",
+    ]
+
+
+def test_formats_video_and_default(spark):
+    video = marc_record(leader="01234cgm a2200301 a 4500")
+    assert run(spark, video, marc_formats()) == ["Video/Film", "Print"]
+    unknown = marc_record(leader="01234czz a2200301 a 4500")
+    assert run(spark, unknown, marc_formats()) == ["Print"]

@@ -1,0 +1,193 @@
+"""MARC format/genre classification (reference:
+lib/traject/macros/marc_format_classifier.rb).
+
+The classifier is a stack of boolean predicates over leader bytes, 007
+control fields, and a few data fields, assembled into a 1..N-element
+format vocabulary.  Everything compiles to Column predicates
+(``F.exists`` / ``substring(leader, ...)``) — intra-row, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from traject_spark.expr import let
+from traject_spark.translation_map import TranslationMap
+
+_EMPTY = "array<string>"
+
+
+def _empty() -> Column:
+    return F.array().cast(_EMPTY)
+
+
+def _normalized_gmd(marc: Column) -> Column:
+    """Lower-cased first 245$h, else '' (marc_format_classifier.rb:188-193)."""
+    f245 = F.get(F.filter(marc["datafields"], lambda f: f["tag"] == "245"), 0)
+    h = F.get(
+        F.filter(f245["subfields"], lambda sf: sf["code"] == "h"), 0
+    )["value"]
+    return F.coalesce(F.lower(h), F.lit(""))
+
+
+def _has_007_starting(marc: Column, ch: str) -> Column:
+    return F.exists(
+        marc["controlfields"],
+        lambda f: (f["tag"] == "007") & (F.substring(f["value"], 1, 1) == ch),
+    )
+
+
+def genre_expr(marc: Column, leader_map=None, f007_map=None) -> Column:
+    """Leader bytes 6-7 pair, else leader byte 6, else each 007 byte 0
+    through the genre maps — lookup misses on the 007 path stay NULL,
+    matching the reference's collect-with-nils
+    (marc_format_classifier.rb:86-95)."""
+    lmap = leader_map or TranslationMap("marc_genre_leader")
+    cmap = f007_map or TranslationMap("marc_genre_007")
+    leader = F.coalesce(marc["leader"], F.lit(""))
+    two = F.get(lmap.lookup_expr(F.substring(leader, 7, 2)), 0)
+    one = F.get(lmap.lookup_expr(F.substring(leader, 7, 1)), 0)
+    from_007 = F.transform(
+        F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
+        lambda f: F.get(cmap.lookup_expr(F.substring(f["value"], 1, 1)), 0),
+    )
+    return (
+        F.when(two.isNotNull(), F.array(two))
+        .when(one.isNotNull(), F.array(one))
+        .otherwise(from_007)
+    )
+
+
+def thesis_expr(marc: Column) -> Column:
+    """Has a 502 (marc_format_classifier.rb:98-102)."""
+    return F.exists(marc["datafields"], lambda f: f["tag"] == "502")
+
+
+def proceeding_expr(marc: Column) -> Column:
+    """Any 6xx with $v ~= 'Congresses' (marc_format_classifier.rb:105-112)."""
+    return F.exists(
+        marc["datafields"],
+        lambda f: (F.substring(f["tag"], 1, 1) == "6")
+        & F.exists(
+            f["subfields"],
+            lambda sf: (sf["code"] == "v")
+            & sf["value"].rlike(r"^\s*(C|c)ongresses\.?\s*$"),
+        ),
+    )
+
+
+def print_expr(marc: Column) -> Column:
+    """RDA 338 (with $2=rdacarrier) says volume/sheet/card ($a) or
+    nc/no/nb ($b); with no RDA 338, print iff no 245$h GMD
+    (marc_format_classifier.rb:129-146)."""
+    rda338 = F.filter(
+        marc["datafields"],
+        lambda f: (f["tag"] == "338")
+        & (
+            F.coalesce(
+                F.get(
+                    F.filter(f["subfields"], lambda sf: sf["code"] == "2"), 0
+                )["value"],
+                F.lit(""),
+            )
+            == "rdacarrier"
+        ),
+    )
+    rda_hit = F.exists(
+        rda338,
+        lambda f: F.exists(
+            f["subfields"],
+            lambda sf: ((sf["code"] == "a") & sf["value"].isin(["volume", "card", "sheet"]))
+            | ((sf["code"] == "b") & sf["value"].isin(["nc", "no", "nb"])),
+        ),
+    )
+    return F.when(F.size(rda338) > 0, rda_hit).otherwise(
+        F.length(_normalized_gmd(marc)) == 0
+    )
+
+
+def online_expr(marc: Column) -> Column:
+    """007 'cr' => online; else GMD '[electronic resource]' counts only
+    when NO 007 starts with 'c' (marc_format_classifier.rb:150-163)."""
+    cr = F.exists(
+        marc["controlfields"],
+        lambda f: (f["tag"] == "007") & (F.substring(f["value"], 1, 2) == "cr"),
+    )
+    gmd_online = _normalized_gmd(marc).startswith("[electronic resource]") & ~_has_007_starting(marc, "c")
+    return cr | gmd_online
+
+
+def microform_expr(marc: Column) -> Column:
+    """GMD '[microform]', leader byte 6 'h' (obsolete), or 007 'h'
+    (marc_format_classifier.rb:168-172)."""
+    return (
+        _normalized_gmd(marc).startswith("[microform]")
+        | (F.substring(F.coalesce(marc["leader"], F.lit("")), 7, 1) == "h")
+        | _has_007_starting(marc, "h")
+    )
+
+
+def manuscript_archive_expr(marc: Column) -> Column:
+    """Leader byte 6 in t/d/f/b, or leader byte 8 'a'
+    (marc_format_classifier.rb:175-186)."""
+    leader = F.coalesce(marc["leader"], F.lit(""))
+    return F.substring(leader, 7, 1).isin(["t", "d", "f", "b"]) | (
+        F.substring(leader, 9, 1) == "a"
+    )
+
+
+def formats_expr(marc: Column, default: str = "Other") -> Column:
+    """The opinionated grab-bag assembly (marc_format_classifier.rb:44-74):
+    genre + Manuscript/Archive + Microform + Online + Print (unless a
+    recording) ; thesis replaces Book with Dissertation/Thesis; proceeding
+    appends Conference; empty -> default."""
+    genre = genre_expr(marc)
+
+    def flag(cond: Column, label: str) -> Column:
+        return F.when(cond, F.array(F.lit(label))).otherwise(_empty())
+
+    def stage1(base: Column) -> Column:
+        is_recording = F.arrays_overlap(
+            F.filter(base, lambda x: x.isNotNull()),
+            F.array(F.lit("Non-musical Recording"), F.lit("Musical Recording")),
+        )
+        return F.concat(base, flag(print_expr(marc) & ~is_recording, "Print"))
+
+    def stage2(base: Column) -> Column:
+        return F.when(
+            thesis_expr(marc),
+            F.concat(
+                F.filter(base, lambda x: x.isNull() | (x != "Book")),
+                F.array(F.lit("Dissertation/Thesis")),
+            ),
+        ).otherwise(base)
+
+    def stage3(base: Column) -> Column:
+        # [nil] from unmapped 007s is non-empty -> default does NOT fire,
+        # replicating the reference's nil-in-formats quirk
+        return F.when(F.size(base) == 0, F.array(F.lit(default))).otherwise(base)
+
+    base0 = F.concat(
+        genre,
+        flag(manuscript_archive_expr(marc), "Manuscript/Archive"),
+        flag(microform_expr(marc), "Microform"),
+        flag(online_expr(marc), "Online"),
+    )
+    # let-bind between stages: each stage references its input 2-3 times
+    return let(
+        let(
+            let(base0, stage1),
+            stage2,
+        ),
+        lambda b: stage3(F.concat(b, flag(proceeding_expr(marc), "Conference"))),
+    )
+
+
+def marc_formats(default: str = "Other"):
+    """Macro form (marc_format_classifier.rb:17-22)."""
+
+    def macro(acc: Column, ctx=None) -> Column:
+        return F.concat(acc, formats_expr(ctx.marc, default=default))
+
+    return macro

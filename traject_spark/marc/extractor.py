@@ -35,6 +35,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from traject_spark.expr import let, let2
 from traject_spark.marc.spec import ALTERNATE_SCRIPT_TAG, MarcSpec, parse_marc_spec
 
 EMPTY_STR_ARRAY = "array<string>"
@@ -64,47 +65,6 @@ def _byteslice(value: Column, spec: MarcSpec) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
-def _control_contribution(f: Column, spec: MarcSpec) -> Column:
-    """One control FIELD x one spec -> array (0/1 elements, may hold null).
-
-    Matching against control fields is by tag only; the control branch uses
-    the spec's byte range if present, else the whole value — even for
-    subfield-carrying specs (lib/traject/marc_extractor.rb:210-214 checks
-    the FIELD kind, not the spec kind).
-    """
-    if spec.is_byte_spec:
-        val = _byteslice(f["value"], spec)
-    else:
-        val = f["value"]
-    return F.when(f["tag"] == spec.tag, F.array(val)).otherwise(_empty())
-
-
-def _data_contribution(
-    f: Column, eff_tag: Column, spec: MarcSpec, separator: Optional[str]
-) -> Column:
-    """One data FIELD x one spec -> array of extracted strings."""
-    cond = eff_tag == spec.tag
-    if spec.ind1 is not None:
-        cond = cond & (f["ind1"] == spec.ind1)
-    if spec.ind2 is not None:
-        cond = cond & (f["ind2"] == spec.ind2)
-
-    if spec.subfields is None:
-        kept = f["subfields"]
-    else:
-        codes = list(spec.subfields)
-        kept = F.filter(f["subfields"], lambda sf: sf["code"].isin(codes))
-    vals = F.transform(kept, lambda sf: sf["value"])
-
-    if separator is not None and spec.joinable:
-        # join values of ONE field into ONE string; an empty match stays an
-        # empty array, not [''] (lib/traject/marc_extractor.rb:258-270)
-        vals = F.when(
-            F.size(vals) > 0, F.array(F.array_join(vals, separator))
-        ).otherwise(_empty())
-    return F.when(cond, vals).otherwise(_empty())
-
-
 def _effective_tag(f: Column) -> Column:
     """880 -> first 3 bytes of first $6, falling back to '880' when absent
     (lib/traject/marc_extractor_spec.rb:58-67)."""
@@ -126,6 +86,113 @@ def _concat_arrays(parts: list[Column]) -> Column:
     return F.concat(*parts)
 
 
+def collect_subfields_expr(
+    f: Column, spec: MarcSpec, separator: Optional[str]
+) -> Column:
+    """Subfield values of one data FIELD per spec (code filter + join rule),
+    without the tag/indicator match — the reuse point for semantic macros
+    (mirrors MarcExtractor#collect_subfields, marc_extractor.rb:258-270)."""
+    if spec.subfields is None:
+        kept = f["subfields"]
+    else:
+        codes = list(spec.subfields)
+        kept = F.filter(f["subfields"], lambda sf: sf["code"].isin(codes))
+    vals = F.transform(kept, lambda sf: sf["value"])
+    if separator is not None and spec.joinable:
+        vals = let(
+            vals,
+            lambda v: F.when(
+                F.size(v) > 0, F.array(F.array_join(v, separator))
+            ).otherwise(_empty()),
+        )
+    return vals
+
+
+def spec_match_cond(f: Column, eff_tag: Column, spec: MarcSpec) -> Column:
+    cond = eff_tag == spec.tag
+    if spec.ind1 is not None:
+        cond = cond & (f["ind1"] == spec.ind1)
+    if spec.ind2 is not None:
+        cond = cond & (f["ind2"] == spec.ind2)
+    return cond
+
+
+def _resolve_specs(spec) -> list:
+    if isinstance(spec, list) and spec and isinstance(spec[0], MarcSpec):
+        return spec
+    return parse_marc_spec(spec)
+
+
+def collect_matching_lines(
+    marc: Column,
+    spec,
+    data_fn,
+    ctrl_fn=None,
+    alternate_script: Union[str, bool] = "include",
+    element_type: str = "string",
+) -> Column:
+    """Generalized each_matching_line (marc_extractor.rb:226-235): iterate
+    fields in record order; for each field, every spec for its (effective)
+    tag contributes via the callback, results flattened in order.
+
+    ``data_fn(field, spec) -> array Column`` — contribution of one data
+    field x one matching spec.  ``ctrl_fn(field, spec) -> array Column`` —
+    same for control fields (default: byte-slice/whole-value extract).
+    """
+    specs = _resolve_specs(spec)
+    empty = F.array().cast(f"array<{element_type}>")
+
+    if ctrl_fn is None:
+        ctrl_fn = lambda f, s: F.array(  # noqa: E731
+            _byteslice(f["value"], s) if s.is_byte_spec else f["value"]
+        )
+
+    control_tags = sorted({s.tag for s in specs})
+    ctrl_fields = F.filter(
+        marc["controlfields"],
+        lambda f: reduce(
+            lambda a, b: a | b, [f["tag"] == t for t in control_tags]
+        ),
+    )
+
+    def ctrl_per_field(f: Column) -> Column:
+        parts = [
+            F.when(f["tag"] == s.tag, ctrl_fn(f, s)).otherwise(empty)
+            for s in specs
+        ]
+        return _concat_arrays(parts) if parts else empty
+
+    ctrl_part = F.flatten(F.transform(ctrl_fields, ctrl_per_field))
+
+    if alternate_script == "only":
+        considered = F.filter(
+            marc["datafields"], lambda f: f["tag"] == ALTERNATE_SCRIPT_TAG
+        )
+    else:
+        considered = marc["datafields"]
+    use_alt = alternate_script in ("include", "only")
+
+    def data_per_field(f: Column) -> Column:
+        def body(eff: Column) -> Column:
+            parts = [
+                F.when(spec_match_cond(f, eff, s), data_fn(f, s)).otherwise(empty)
+                for s in specs
+            ]
+            return _concat_arrays(parts) if parts else empty
+
+        # bind the effective tag once: its $6-probe subtree would otherwise
+        # be copied into every spec's match condition
+        return let(_effective_tag(f), body) if use_alt else body(f["tag"])
+
+    data_part = F.flatten(F.transform(considered, data_per_field))
+
+    return let2(
+        ctrl_part,
+        data_part,
+        lambda c, d: F.coalesce(F.concat(c, d), c, d, empty),
+    )
+
+
 def marc_extract(
     marc: Column,
     spec: Union[str, Sequence[str], list],
@@ -139,46 +206,9 @@ def marc_extract(
     ``add_output`` drops them (lib/traject/indexer/context.rb:117-129);
     ``Pipeline`` applies that drop at output time.
     """
-    if isinstance(spec, list) and spec and isinstance(spec[0], MarcSpec):
-        specs = spec
-    else:
-        specs = parse_marc_spec(spec)
-
-    control_tags = {s.tag for s in specs}
-
-    # --- control fields: match by tag, byte-slice or whole value ---------
-    ctrl_fields = F.filter(
-        marc["controlfields"],
-        lambda f: reduce(
-            lambda a, b: a | b, [f["tag"] == t for t in sorted(control_tags)]
-        ),
-    )
-    ctrl_per_field = lambda f: _concat_arrays(  # noqa: E731
-        [_control_contribution(f, s) for s in specs]
-    )
-    ctrl_part = F.flatten(F.transform(ctrl_fields, ctrl_per_field))
-
-    # --- data fields: effective-tag match, indicator filter, collect -----
-    if alternate_script == "only":
-        considered = F.filter(
-            marc["datafields"], lambda f: f["tag"] == ALTERNATE_SCRIPT_TAG
-        )
-    else:
-        considered = marc["datafields"]
-
-    use_alt = alternate_script in ("include", "only")
-
-    def data_per_field(f: Column) -> Column:
-        eff = _effective_tag(f) if use_alt else f["tag"]
-        return _concat_arrays(
-            [_data_contribution(f, eff, s, separator) for s in specs]
-        )
-
-    data_part = F.flatten(F.transform(considered, data_per_field))
-
-    return F.coalesce(
-        F.concat(ctrl_part, data_part),
-        ctrl_part,
-        data_part,
-        _empty(),
+    return collect_matching_lines(
+        marc,
+        spec,
+        data_fn=lambda f, s: collect_subfields_expr(f, s, separator),
+        alternate_script=alternate_script,
     )

@@ -26,6 +26,7 @@ from typing import Callable, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from traject_spark.expr import let
 from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
 
 _EMPTY = "array<string>"
@@ -137,7 +138,9 @@ class Pipeline:
         if not self.settings_dict.get("allow_duplicate_values", True):
             out = F.array_distinct(out)
         if not self.settings_dict.get("allow_empty_fields", False):
-            out = F.when(F.size(out) > 0, out)
+            # let-bind: the naive when(size(out)>0, out) would copy the
+            # entire accumulated field expression twice
+            out = let(out, lambda o: F.when(F.size(o) > 0, o))
         return out
 
     def compile(self) -> tuple[list[tuple[str, Column]], Optional[Column]]:
@@ -199,12 +202,17 @@ class Pipeline:
         Indexer#map_record (lib/traject/indexer.rb:429-433): returns the
         output_hash as {field: [values]} with omitted fields absent.
         """
-        df = spark.createDataFrame(
-            [("__single__", record)], schema=MARC_SOURCE_SCHEMA
-        )
-        out = self.apply(df).collect()
-        if not out:  # skipped
-            return {}
-        row = out[0].asDict()
-        row.pop(self.id_col, None)
-        return {k: list(v) for k, v in row.items() if v is not None}
+        out = self.map_records([record], spark)
+        return out[0] if out else {}
+
+    def map_records(self, records: Sequence[dict], spark: SparkSession) -> list[dict]:
+        """Batch variant of map_record: ONE Spark job for N records,
+        preserving input order. Skipped records come back as {}."""
+        rows = [(f"__r{i}__", rec) for i, rec in enumerate(records)]
+        df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
+        by_id = {}
+        for row in self.apply(df).collect():
+            d = row.asDict()
+            rid = d.pop(self.id_col, None)
+            by_id[rid] = {k: list(v) for k, v in d.items() if v is not None}
+        return [by_id.get(f"__r{i}__", {}) for i in range(len(records))]

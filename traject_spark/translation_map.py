@@ -92,6 +92,13 @@ class TranslationMap:
 
     @staticmethod
     def _load_named(name: str, load_path: list) -> dict:
+        try:
+            from traject_spark.translation_maps.builtin import BUILTIN_MAPS
+
+            if name in BUILTIN_MAPS:
+                return dict(BUILTIN_MAPS[name])
+        except ImportError:
+            pass
         candidates = []
         if os.path.isabs(name) or os.path.exists(name):
             candidates.append(name)
