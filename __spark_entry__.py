@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the engine's operator surface (SURVEY.md §2) over
+the driver's synthetic tables; ``oracle_sql()`` gives each query's ANSI-SQL
+twin for the DuckDB correctness gate. MARC-engine queries run the real
+Pipeline/extractor machinery over records deterministically synthesized
+from the ``documents`` table (traject_spark/synth.py) so the oracle can
+re-derive expected outputs with plain SQL over the same parquet.
+
+Column-name and value-format parity rules:
+- every computed column is aliased identically on both sides;
+- array outputs are '|'-joined to strings (no list-representation skew);
+- float outputs are rounded identically on both sides; money sums go
+  through DECIMAL(18,2) (exact, order-independent) then cast to DOUBLE.
 """
 
 from __future__ import annotations
@@ -12,27 +19,590 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from traject_spark import Pipeline
+from traject_spark.corpus import (
+    brute_force_topk,
+    exact_dedup,
+    fingerprint_expr,
+    langid_expr,
+    lsh_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    quality_score_expr,
+    simhash_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from traject_spark.macros import (
+    extract_all_marc_values,
+    extract_marc,
+    literal,
+    marc_formats,
+    marc_geo_facet,
+    marc_languages,
+    marc_lcc_to_broad_category,
+    marc_lcsh_formatted,
+    marc_publication_date,
+    marc_sortable_author,
+    marc_sortable_title,
+    oclcnum,
+)
+from traject_spark.synth import (
+    SQL_GENRE,
+    SQL_LANG3,
+    SQL_LETTER,
+    SQL_OCLC,
+    SQL_TITLE,
+    SQL_TITLE_A,
+    SQL_TITLE_B,
+    SQL_YEAR,
+    marc_from_documents,
+)
+from traject_spark.translation_maps.builtin import BUILTIN_MAPS
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _marc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return marc_from_documents(_docs(spark, sf_dir))
+
+
+def _field(spark, sf_dir, name: str, *macros, joined: bool = True) -> DataFrame:
+    """Apply a one-rule pipeline to synthesized MARC; '|'-join the array."""
+    p = Pipeline().to_field(name, *macros)
+    out = p.apply(_marc(spark, sf_dir))
+    col = F.array_join(F.col(name), "|") if joined else F.col(name)
+    return out.select(F.col("record_id"), col.alias(name))
+
+
+def _case_map(expr: str, mapping: dict, default: str | None) -> str:
+    """Build a SQL CASE translating ``expr`` through a python dict."""
+    arms = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items() if v is not None
+    )
+    dflt = "NULL" if default is None else f"'{default}'"
+    return f"CASE {expr} {arms} ELSE {dflt} END"
+
+
+_LANG_NAME = {
+    k: BUILTIN_MAPS["marc_languages"].get(k)
+    for k in ("eng", "ger", "fre", "spa", "chi")
+}
+SQL_LANG_NAME = _case_map(SQL_LANG3, _LANG_NAME, None)
+
+
+# ---------------------------------------------------------------------------
+# MARC-engine queries
+# ---------------------------------------------------------------------------
+
+def q_marc_title_join(spark, sf_dir):
+    return _field(spark, sf_dir, "title", extract_marc("245ab"))
+
+
+def q_marc_title_first_trim(spark, sf_dir):
+    return _field(
+        spark, sf_dir, "title",
+        extract_marc("245ab", first=True, trim_punctuation=True),
+    )
+
+
+def q_marc_ctrl_byteslice(spark, sf_dir):
+    return _field(spark, sf_dir, "lang_code", extract_marc("008[35-37]"))
+
+
+def q_marc_pubyear_slice(spark, sf_dir):
+    return _field(spark, sf_dir, "pub_year", extract_marc("008[7-10]"))
+
+
+def q_marc_untraced_series(spark, sf_dir):
+    return _field(spark, sf_dir, "series", extract_marc("490|0*|a"))
+
+
+def q_marc_languages(spark, sf_dir):
+    return _field(spark, sf_dir, "language", marc_languages())
+
+
+def q_marc_oclcnum(spark, sf_dir):
+    return _field(spark, sf_dir, "oclc", oclcnum())
+
+
+def q_marc_lcc_category(spark, sf_dir):
+    return _field(spark, sf_dir, "category", marc_lcc_to_broad_category())
+
+
+def q_marc_pubdate(spark, sf_dir):
+    return _field(spark, sf_dir, "pub_date", marc_publication_date())
+
+
+def q_marc_sortable_title(spark, sf_dir):
+    return _field(spark, sf_dir, "title_sort", marc_sortable_title())
+
+
+def q_marc_sortable_author(spark, sf_dir):
+    return _field(spark, sf_dir, "author_sort", marc_sortable_author())
+
+
+def q_marc_lcsh(spark, sf_dir):
+    return _field(spark, sf_dir, "subject", marc_lcsh_formatted())
+
+
+def q_marc_geo(spark, sf_dir):
+    return _field(spark, sf_dir, "geo", marc_geo_facet())
+
+
+def q_marc_formats(spark, sf_dir):
+    return _field(spark, sf_dir, "format", marc_formats())
+
+
+def q_marc_all_values(spark, sf_dir):
+    return _field(spark, sf_dir, "all_text", extract_all_marc_values())
+
+
+def q_pipeline_skip(spark, sf_dir):
+    src = marc_from_documents(_docs(spark, sf_dir), keep=("n_chars",))
+    p = Pipeline().to_field("title", extract_marc("245a", first=True))
+    p.each_record(lambda ctx: ctx.skip_when(F.col("n_chars") < 200))
+    return p.apply(src).select(
+        "record_id", F.array_join("title", "|").alias("title")
+    )
+
+
+def q_pipeline_two_rules(spark, sf_dir):
+    p = (
+        Pipeline()
+        .settings(allow_duplicate_values=False)
+        .to_field("subjects", extract_marc("650a"))
+        .to_field("subjects", literal("Topic 0"))
+    )
+    out = p.apply(_marc(spark, sf_dir))
+    return out.select("record_id", F.array_join("subjects", "|").alias("subjects"))
+
+
+# ---------------------------------------------------------------------------
+# corpus / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        stopword_ratio_expr(F.col("text")).alias("stopword_ratio"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", langid_expr(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard_adjacent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # the inner join inside ngram_jaccard_pairs drops the final dangling pair
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_jaccard_pairs(docs, pairs=pairs)
+
+
+def q_embed_norm(spark, sf_dir):
+    from traject_spark.corpus.similarity import norm_expr
+
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.round(norm_expr(F.col("embedding")), 4).alias("norm")
+    )
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational sanity (scale posture: broadcast dims, decimal-exact sums)
+# ---------------------------------------------------------------------------
+
+def q_rel_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sum_base"),
+    )
+
+
+def q_rel_top_nations(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+def q_rel_events_hourly(spark, sf_dir):
+    # events.ts is parquet timestamp[ns], which Spark only reads as a long
+    # via the legacy conf; convert ns -> timestamp for the window operator
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=32, bands=8
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash_expr(F.col("text")).alias("simhash")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        dim=64,
+        bits=6,
+        tables=4,
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from traject_spark.corpus.multimodal import attach_media_metadata, extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    with_meta = attach_media_metadata(media, "payload", kind="image")
+    feats = extract_features(with_meta, "payload", id_col="media_id", fake=True, dim=8)
+    return feats.select(
+        "media_id", "kind", F.size("feature").cast("long").alias("feat_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full multi-field indexing pipeline (the reference's
+    demo_config.rb shape) over sf0.001, one narrow select."""
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab", trim_punctuation=True))
+        .to_field("title_sort", marc_sortable_title())
+        .to_field("author", extract_marc("100a:110a:111a"))
+        .to_field("author_sort", marc_sortable_author())
+        .to_field("language", marc_languages())
+        .to_field("oclc", oclcnum())
+        .to_field("lcc_category", marc_lcc_to_broad_category())
+        .to_field("subject", marc_lcsh_formatted())
+        .to_field("geo", marc_geo_facet())
+        .to_field("format", marc_formats())
+        .to_field("pub_date", marc_publication_date())
+        .to_field("all_text", extract_all_marc_values())
+    )
+    return p.apply(_marc(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "marc_title_join": q_marc_title_join,
+        "marc_title_first_trim": q_marc_title_first_trim,
+        "marc_ctrl_byteslice": q_marc_ctrl_byteslice,
+        "marc_pubyear_slice": q_marc_pubyear_slice,
+        "marc_untraced_series": q_marc_untraced_series,
+        "marc_languages": q_marc_languages,
+        "marc_oclcnum": q_marc_oclcnum,
+        "marc_lcc_category": q_marc_lcc_category,
+        "marc_pubdate": q_marc_pubdate,
+        "marc_sortable_title": q_marc_sortable_title,
+        "marc_sortable_author": q_marc_sortable_author,
+        "marc_lcsh": q_marc_lcsh,
+        "marc_geo": q_marc_geo,
+        "marc_formats": q_marc_formats,
+        "marc_all_values": q_marc_all_values,
+        "pipeline_skip": q_pipeline_skip,
+        "pipeline_two_rules": q_pipeline_two_rules,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_adjacent": q_dedup_jaccard_adjacent,
+        "embed_norm": q_embed_norm,
+        "embed_topk": q_embed_topk,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_nations": q_rel_top_nations,
+        "rel_events_hourly": q_rel_events_hourly,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rid = "CAST(doc_id AS VARCHAR) AS record_id"
+    title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
+    sql_lcc = _case_map(SQL_LETTER, BUILTIN_MAPS["lcc_top_level"], "Unknown")
+    sql_genre_fmt = (
+        f"CASE {SQL_GENRE} WHEN 'am' THEN 'Book|Print' "
+        "WHEN 'gm' THEN 'Video/Film|Print' WHEN 'em' THEN 'Map/Globe|Print' "
+        "ELSE 'Print' END"
+    )
+    return {
+        "marc_title_join": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 4 = 0
+                THEN {title_value} || '|Alt ' || {SQL_TITLE}
+                ELSE {title_value} END AS title
+            FROM documents""",
+        "marc_title_first_trim": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 5 = 0 THEN 'The ' ELSE '' END
+                || {SQL_TITLE} || ' : a ' || source || ' study' AS title
+            FROM documents""",
+        "marc_ctrl_byteslice": f"""
+            SELECT {rid}, {SQL_LANG3} AS lang_code FROM documents""",
+        "marc_pubyear_slice": f"""
+            SELECT {rid}, {SQL_YEAR} AS pub_year FROM documents""",
+        "marc_untraced_series": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 2 = 1
+                THEN 'Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'
+                ELSE NULL END AS series
+            FROM documents""",
+        "marc_languages": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 10 = 0 THEN
+                -- packed 041a 'engfre' joins the 008 code, then de-dup
+                CASE WHEN lang = 'en' THEN 'English|French'
+                     WHEN lang = 'fr' THEN 'French|English'
+                     ELSE {SQL_LANG_NAME} || '|English|French' END
+              ELSE {SQL_LANG_NAME} END AS language
+            FROM documents""",
+        "marc_oclcnum": """
+            SELECT CAST(doc_id AS VARCHAR) AS record_id,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id + 1000000 AS VARCHAR)
+                   WHEN doc_id % 3 = 1 THEN lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                   ELSE NULL END AS oclc
+            FROM documents""",
+        "marc_lcc_category": f"""
+            SELECT {rid}, {sql_lcc} AS category FROM documents""",
+        "marc_pubdate": f"""
+            SELECT {rid}, {SQL_YEAR} AS pub_date FROM documents""",
+        "marc_sortable_title": f"""
+            SELECT {rid},
+              {SQL_TITLE} || ' : a ' || source || ' study' AS title_sort
+            FROM documents""",
+        "marc_sortable_author": f"""
+            SELECT {rid},
+              'Author, ' || {SQL_LETTER} || '.' || '   '
+                || {SQL_TITLE} || ' a ' || source || ' study by Author '
+                || {SQL_LETTER} || '.' AS author_sort
+            FROM documents""",
+        "marc_lcsh": f"""
+            SELECT {rid},
+              'Topic ' || CAST(doc_id % 10 AS VARCHAR)
+                || ' — History — Region ' || CAST(doc_id % 5 AS VARCHAR)
+                AS subject
+            FROM documents""",
+        "marc_geo": f"""
+            SELECT {rid},
+              'Region ' || CAST(doc_id % 5 AS VARCHAR) AS geo
+            FROM documents""",
+        "marc_formats": f"""
+            SELECT {rid}, {sql_genre_fmt} AS format FROM documents""",
+        "marc_all_values": f"""
+            SELECT {rid},
+              'Author, ' || {SQL_LETTER} || '.'
+              || '|' || {title_value} || ' by Author ' || {SQL_LETTER} || '.'
+              || '|' || source || ' Press, c' || {SQL_YEAR} || '.'
+              || '|Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'
+              || '|Topic ' || CAST(doc_id % 10 AS VARCHAR)
+                 || ' History Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'
+              || CASE WHEN doc_id % 4 = 0
+                   THEN '|245-01 Alt ' || {SQL_TITLE} ELSE '' END
+              AS all_text
+            FROM documents""",
+        "pipeline_skip": f"""
+            SELECT {rid}, {SQL_TITLE_A} AS title
+            FROM documents WHERE n_chars >= 200""",
+        "pipeline_two_rules": """
+            SELECT CAST(doc_id AS VARCHAR) AS record_id,
+              CASE WHEN doc_id % 10 = 0 THEN 'Topic 0'
+                   ELSE 'Topic ' || CAST(doc_id % 10 AS VARCHAR) || '|Topic 0'
+              END AS subjects
+            FROM documents""",
+        "text_token_count": """
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "text_fingerprint": r"""
+            SELECT doc_id,
+              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents""",
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), r AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                  AS n_stop,
+                CAST(greatest(len(toks), 1) AS BIGINT) AS n_tok,
+                len(toks) AS raw_tok
+              FROM t
+            )
+            SELECT doc_id,
+              round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+              round(
+                (CASE WHEN raw_tok BETWEEN 50 AND 100000 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN round(CAST(n_stop AS DOUBLE)/n_tok, 4)
+                     BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END), 4)
+                AS quality
+            FROM r""",
+        "text_langid": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr,
+                len(list_filter(toks, x -> x IN ('el','los','las','es','una','y'))) AS es
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                   WHEN en = greatest(en,de,fr,es) THEN 'en'
+                   WHEN de = greatest(en,de,fr,es) THEN 'de'
+                   WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM s""",
+        "dedup_exact": r"""
+            SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+              min(doc_id) AS keep_id,
+              count(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        "dedup_jaccard_adjacent": """
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                  THEN list_transform(
+                    range(1, len(string_split(text,' ')) - 1),
+                    i -> array_to_string(
+                      list_slice(string_split(text,' '), i, i + 2), ' '))
+                  ELSE [text] END) AS sh
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+        "embed_norm": """
+            SELECT vec_id,
+              round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+            FROM embeddings""",
+        "embed_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(q.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(c.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 8 AND c.vec_id >= 8
+            ), ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+              ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, score, rank
+            FROM ranked WHERE rank <= 5""",
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              count(*) AS cnt,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rel_top_nations": """
+            SELECT n_name,
+              count(*) AS n_customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "rel_events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2""",
+    }

@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md targets B1-B5 + corpus operators).
+
+Runs headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+B1 map_full_pipeline   600k synthetic MARC x full multi-field pipeline
+B2 map_minimum_slice   600k x extract_marc("245ab") + NDJSON sink
+B3 map_translation     600k x marc_languages (translation-map heavy)
+B4 sink_solr_mock      600k docs batched POSTs to a local mock Solr
+B5 rel_*               relational sanity on lineitem/customer/events
+plus dedup/simhash/minhash/similarity/text-stats corpus operators.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_RECORDS = 600_000
+
+
+def session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("traject_spark-bench")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # smaller input splits -> parallel scan of single-file tables
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .getOrCreate()
+    )
+
+
+def noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+_MARC_PATH: str | None = None
+
+
+def synth_marc(spark, n_target: int = TARGET_RECORDS):
+    """~n_target synthetic MARC records as a NESTED-PARQUET scan.
+
+    Materialized once per bench run (setup, untimed): reading the struct
+    from parquet is the honest workload shape — mapping cost can't be
+    constant-folded away against the literal synthesis expressions, and
+    nested-schema pruning at the scan is exercised for real.
+    """
+    global _MARC_PATH
+    if _MARC_PATH is None:
+        from traject_spark.synth import marc_from_documents
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        reps = max(1, n_target // max(n_docs, 1))
+        replicated = docs.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_rep")
+        ).select(
+            (F.col("doc_id") * reps + F.col("_rep")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        _MARC_PATH = tempfile.mkdtemp(prefix="bench_marc_") + "/marc"
+        marc_from_documents(replicated).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(_MARC_PATH)
+    return spark.read.parquet(_MARC_PATH)
+
+
+def b_map_full(spark):
+    from traject_spark import Pipeline
+    from traject_spark.macros import (
+        extract_all_marc_values, extract_marc, marc_formats, marc_geo_facet,
+        marc_languages, marc_lcc_to_broad_category, marc_lcsh_formatted,
+        marc_publication_date, marc_sortable_author, marc_sortable_title,
+        oclcnum,
+    )
+
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab", trim_punctuation=True))
+        .to_field("title_sort", marc_sortable_title())
+        .to_field("author", extract_marc("100a:110a:111a"))
+        .to_field("author_sort", marc_sortable_author())
+        .to_field("language", marc_languages())
+        .to_field("oclc", oclcnum())
+        .to_field("lcc_category", marc_lcc_to_broad_category())
+        .to_field("subject", marc_lcsh_formatted())
+        .to_field("geo", marc_geo_facet())
+        .to_field("format", marc_formats())
+        .to_field("pub_date", marc_publication_date())
+        .to_field("all_text", extract_all_marc_values())
+    )
+    noop(p.apply(synth_marc(spark)))
+
+
+def b_map_minimum(spark):
+    from traject_spark import Pipeline
+    from traject_spark.macros import extract_marc
+
+    p = Pipeline().to_field("title", extract_marc("245ab"))
+    out = p.apply(synth_marc(spark))
+    with tempfile.TemporaryDirectory() as d:
+        out.write.mode("overwrite").json(f"{d}/out")
+
+
+def b_map_translation(spark):
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_languages
+
+    p = Pipeline().to_field("language", marc_languages())
+    noop(p.apply(synth_marc(spark)))
+
+
+class _NullSolr(http.server.BaseHTTPRequestHandler):
+    def do_POST(self):
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):
+        pass
+
+
+def b_sink_solr(spark):
+    from traject_spark import Pipeline
+    from traject_spark.macros import extract_marc
+    from traject_spark.writers import solr_json_writer
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _NullSolr)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        p = Pipeline().to_field("title", extract_marc("245ab"))
+        out = p.apply(synth_marc(spark))
+        solr_json_writer(
+            out,
+            f"http://127.0.0.1:{srv.server_address[1]}/solr/core",
+            batch_size=100,
+            max_skipped=None,
+        )
+    finally:
+        srv.shutdown()
+
+
+def b_dedup_exact(spark):
+    from traject_spark.corpus import exact_dedup
+
+    noop(exact_dedup(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
+
+
+def b_dedup_minhash(spark):
+    from traject_spark.corpus import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(minhash_lsh_candidates(docs, num_hashes=32, bands=8))
+
+
+def b_dedup_simhash(spark):
+    from traject_spark.corpus import simhash_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(docs.select("doc_id", simhash_expr(F.col("text")).alias("sig")))
+
+
+def b_text_stats(spark):
+    from traject_spark.corpus import (
+        fingerprint_expr, langid_expr, quality_score_expr, token_count_expr,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(
+        docs.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("n_tokens"),
+            quality_score_expr(F.col("text")).alias("quality"),
+            langid_expr(F.col("text")).alias("lang_guess"),
+            fingerprint_expr(F.col("text")).alias("fp"),
+        )
+    )
+
+
+def b_embed_topk(spark):
+    from traject_spark.corpus import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    noop(
+        brute_force_topk(
+            emb.filter(F.col("vec_id") >= 8),
+            emb.filter(F.col("vec_id") < 8),
+            k=10,
+        )
+    )
+
+
+def b_rel_pricing(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    noop(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base"),
+        )
+    )
+
+
+def b_rel_top_nations(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    noop(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_acctbal").alias("bal"))
+    )
+
+
+def b_rel_events_hourly(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    noop(
+        ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+        )
+    )
+
+
+BENCHES = {
+    "map_full_pipeline": b_map_full,
+    "map_minimum_slice": b_map_minimum,
+    "map_translation": b_map_translation,
+    "sink_solr_mock": b_sink_solr,
+    "dedup_exact": b_dedup_exact,
+    "dedup_minhash_lsh": b_dedup_minhash,
+    "dedup_simhash": b_dedup_simhash,
+    "text_stats": b_text_stats,
+    "embed_topk": b_embed_topk,
+    "rel_pricing_summary": b_rel_pricing,
+    "rel_top_nations": b_rel_top_nations,
+    "rel_events_hourly": b_rel_events_hourly,
+}
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = session()
+    synth_marc(spark)  # untimed setup: materialize the synthetic corpus
+    timings: dict[str, float] = {}
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        try:
+            fn(spark)
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the harness alive; flag the failure
+            timings[name] = -1.0
+            print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

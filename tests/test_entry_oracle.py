@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on sf0.001 and compare against its
+``oracle_sql()`` DuckDB twin (sorted rows, NaN-safe float compare)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return str(round(v, 9))
+    return str(v)
+
+
+def _rows(df_rows, cols):
+    return sorted(
+        tuple(_norm(r[c]) for c in sorted(cols)) for r in df_rows
+    )
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    q = QUERIES[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+
+    con = _duck()
+    ddf = con.execute(ORACLES[name]).df()
+    dcols = list(ddf.columns)
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    drows = ddf.to_dict("records")
+
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sn, dn = _rows(srows, scols), _rows(drows, dcols)
+    mismatches = [
+        (a, b) for a, b in zip(sn, dn) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,179 @@
+"""Reader/writer tests: cross-format ingest parity (the reference's
+marc_reader_test pattern — same records via json/binary/xml must map
+identically) and the Solr sink semantics against a mock HTTP server
+(solr_json_writer_test.rb pattern)."""
+
+import glob
+import http.server
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark import Pipeline
+from traject_spark.macros import extract_marc
+from traject_spark.marc.io import (
+    read_iso2709,
+    read_marc_json,
+    read_marcxml,
+)
+from traject_spark.marc.serialize import (
+    to_iso2709,
+    to_marc_in_json,
+    to_marcxml,
+)
+from traject_spark.writers import (
+    MaxSkippedExceeded,
+    debug_lines,
+    solr_json_writer,
+    write_csv,
+    write_delimited,
+    write_json,
+)
+from tests.fixtures import ALT_SCRIPT, BOOK, THE_TITLE
+
+
+RECORDS = [BOOK, THE_TITLE, ALT_SCRIPT]
+
+
+@pytest.fixture(scope="module")
+def format_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("marcio")
+    ndj = d / "records.ndjson"
+    ndj.write_text(
+        "\n".join(to_marc_in_json(r) for r in RECORDS) + "\nnot json\n"
+    )
+    binary = d / "records.mrc"
+    binary.write_bytes(b"".join(to_iso2709(r) for r in RECORDS))
+    xml = d / "records.xml"
+    xml.write_text(
+        '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+        + "".join(to_marcxml(r) for r in RECORDS)
+        + "</collection>"
+    )
+    return d
+
+
+def _titles(spark, df):
+    p = Pipeline().to_field("title", extract_marc("245ab", alternate_script=False))
+    out = p.apply(df).select("record_id", F.array_join("title", "|").alias("t"))
+    return sorted((r.record_id, r.t) for r in out.collect())
+
+
+def test_cross_format_parity(spark, format_files):
+    d = str(format_files)
+    js = _titles(spark, read_marc_json(spark, f"{d}/records.ndjson"))
+    bi = _titles(spark, read_iso2709(spark, f"{d}/records.mrc"))
+    xm = _titles(spark, read_marcxml(spark, f"{d}/records.xml"))
+    assert len(js) == 3  # bad line skipped
+    assert js == bi == xm
+
+
+def test_json_writer_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("r1", ["a", "b"]), ("r2", None)], "record_id string, vals array<string>"
+    )
+    out = str(tmp_path / "out")
+    write_json(df, out)
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(lines, key=lambda x: x["record_id"]) == [
+        {"record_id": "r1", "vals": ["a", "b"]},
+        {"record_id": "r2"},
+    ]
+
+
+def test_delimited_and_csv_writers(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("r1", ["a", "b"], ["x\ty"])],
+        "record_id string, vals array<string>, tabs array<string>",
+    )
+    out = str(tmp_path / "delim")
+    write_delimited(df, out, ["record_id", "vals", "tabs"])
+    body = ""
+    for f in glob.glob(out + "/part-*"):
+        body += open(f).read()
+    assert "a|b" in body
+    assert "x y" in body  # embedded tab escaped
+
+    out2 = str(tmp_path / "csv")
+    write_csv(df, out2, ["record_id", "vals"])
+    body2 = "".join(open(f).read() for f in glob.glob(out2 + "/part-*"))
+    assert "a|b" in body2
+
+
+def test_debug_lines(spark):
+    df = spark.createDataFrame(
+        [("r1", ["t1", "t2"], ["a1"])],
+        "record_id string, title array<string>, author array<string>",
+    )
+    lines = sorted(r.value for r in debug_lines(df).collect())
+    assert lines[0].startswith("r1")
+    assert "author" in lines[0] and "a1" in lines[0]
+    assert "title" in lines[1] and "t1 | t2" in lines[1]
+
+
+class _MockSolr(http.server.BaseHTTPRequestHandler):
+    fail_ids: set = set()
+    received: list = []
+    lock = threading.Lock()
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        docs = json.loads(body)
+        with _MockSolr.lock:
+            if any(d.get("id") in _MockSolr.fail_ids for d in docs):
+                self.send_response(500)
+                self.end_headers()
+                return
+            _MockSolr.received.extend(docs)
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def mock_solr():
+    _MockSolr.received = []
+    _MockSolr.fail_ids = set()
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockSolr)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/solr/core"
+    srv.shutdown()
+
+
+def test_solr_writer_batches(spark, mock_solr):
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(25)],
+        "record_id string, title array<string>",
+    ).repartition(2)
+    skipped = solr_json_writer(df, mock_solr, batch_size=10)
+    assert skipped == 0
+    assert len(_MockSolr.received) == 25
+    assert {d["id"] for d in _MockSolr.received} == {f"r{i}" for i in range(25)}
+    assert _MockSolr.received[0]["title"][0].startswith("t")
+
+
+def test_solr_writer_retries_individually(spark, mock_solr):
+    _MockSolr.fail_ids = {"r3"}
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(10)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    # batch containing r3 fails -> other 9 docs recovered one-by-one,
+    # r3 counted skipped; max_skipped=0 -> raises
+    with pytest.raises(MaxSkippedExceeded):
+        solr_json_writer(df, mock_solr, batch_size=10, max_skipped=0)
+    assert len(_MockSolr.received) == 9
+    skipped_ids = {f"r{i}" for i in range(10)} - {
+        d["id"] for d in _MockSolr.received
+    }
+    assert skipped_ids == {"r3"}

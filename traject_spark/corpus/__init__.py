@@ -1,0 +1,50 @@
+"""Large-scale training-data pipeline operators (beyond the reference
+surface): deduplication, similarity search, text analysis, multimodal
+column plumbing.
+
+These are first-class engine components designed for the 100 TB path:
+- text statistics are pure narrow Column expressions (no shuffle);
+- exact dedup is one hash-aggregate shuffle on a 128-bit fingerprint;
+- MinHash-LSH near-dup is shingle->minhash (narrow) + band explode +
+  bucket self-join (shuffle bounded by band buckets, not n^2 pairs);
+- brute-force cosine top-k broadcasts the (small) query set so the corpus
+  side stays a narrow scan; the LSH variant buckets candidates first.
+"""
+
+from traject_spark.corpus.textstats import (
+    token_count_expr,
+    stopword_ratio_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    langid_expr,
+    fingerprint_expr,
+)
+from traject_spark.corpus.dedup import (
+    exact_dedup,
+    minhash_signature_expr,
+    minhash_lsh_candidates,
+    simhash_expr,
+    ngram_jaccard_pairs,
+)
+from traject_spark.corpus.similarity import (
+    cosine_similarity_expr,
+    brute_force_topk,
+    lsh_topk,
+)
+
+__all__ = [
+    "token_count_expr",
+    "stopword_ratio_expr",
+    "punct_ratio_expr",
+    "quality_score_expr",
+    "langid_expr",
+    "fingerprint_expr",
+    "exact_dedup",
+    "minhash_signature_expr",
+    "minhash_lsh_candidates",
+    "simhash_expr",
+    "ngram_jaccard_pairs",
+    "cosine_similarity_expr",
+    "brute_force_topk",
+    "lsh_topk",
+]

@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+- ``exact_dedup``: ONE hash-aggregate shuffle keyed on a 128-bit md5
+  fingerprint; with AQE on, skewed fingerprints (boilerplate dups) are
+  split at runtime. Output is the canonical-survivor mapping.
+- MinHash: signatures are computed narrowly per row (xxhash64 with k
+  seeds over shingles — no UDF); LSH banding explodes each row into
+  ``bands`` rows and self-joins on (band, band_hash) buckets, so shuffle
+  volume is rows x bands, never the n^2 pair space.
+- SimHash: 64-bit signature via per-bit majority vote over token hashes,
+  computed with array algebra; near-dup = hamming distance <= t on a
+  band-bucketed join (here: exact-signature grouping as the first cut).
+- ``ngram_jaccard_pairs``: exact Jaccard on shingle sets for a bounded
+  candidate pair set — the verifier stage after LSH, not a full cross
+  product.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from traject_spark.expr import let
+from traject_spark.corpus.textstats import tokens_expr, fingerprint_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Group by content fingerprint; keep the min-id row as survivor.
+
+    Returns (fingerprint, keep_id, n_docs) — join back on fingerprint to
+    filter the corpus, or use n_docs>1 to audit duplicate clusters.
+    """
+    return (
+        df.select(
+            fingerprint_expr(F.col(text_col), normalize).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    return let(
+        tokens_expr(text),
+        lambda toks: F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " ")))
+        ),
+    )
+
+
+def minhash_signature_expr(text: Column, num_hashes: int = 64, ngram: int = 3) -> Column:
+    """array<bigint> MinHash signature: per seed, min over shingle hashes.
+
+    xxhash64(shingle, seed) is a JVM built-in — the whole signature is
+    narrow array algebra, no UDF, no shuffle.
+    """
+    return let(
+        shingles_expr(text, ngram),
+        lambda sh: F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+                for seed in range(num_hashes)
+            ]
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows -> (id, signature) -> explode to ``bands`` band-hash rows ->
+    self-join per (band, band_hash) bucket -> distinct (a < b) pairs with
+    estimated Jaccard (signature agreement fraction).
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "sig", "bh.band", "bh.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash as bigint: per-bit majority vote over token hashes.
+
+    For each bit position i, count tokens whose xxhash64 has bit i set;
+    bit i of the signature is 1 when the count exceeds half the tokens.
+    Bit positions are unrolled statically (shiftright needs literal shift
+    amounts); the whole signature is intra-row array algebra, JVM-side.
+    """
+
+    def body(hashes: Column, n: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            ones = F.size(
+                F.filter(
+                    hashes,
+                    lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's-complement top bit
+            sig = sig + F.when(
+                ones * 2 > n, F.lit(bit_val).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return let(
+        F.transform(tokens_expr(text), lambda t: F.xxhash64(t)),
+        lambda hashes: let(F.size(hashes), lambda n: body(hashes, n)),
+    )
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier stage)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    bucket_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets.
+
+    ``pairs`` (id_a, id_b) bounds the comparison set (e.g. LSH output).
+    Without ``pairs``, compares within ``bucket_col`` groups only — never
+    the full cross product (that's the non-scalable shape).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(text_col), ngram).alias("sh"),
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
+    )
+    if pairs is None:
+        if bucket_col is None:
+            raise ValueError("need pairs or bucket_col to bound the pair space")
+        a, b = sh.alias("a"), sh.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        joined = (
+            pairs.select(
+                F.col(pairs.columns[0]).alias("pid_a"),
+                F.col(pairs.columns[1]).alias("pid_b"),
+            )
+            .join(a, F.col("pid_a") == F.col("a.id"))
+            .join(b, F.col("pid_b") == F.col("b.id"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )

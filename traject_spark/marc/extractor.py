@@ -29,6 +29,7 @@ deviation for pathological out-of-order records.
 
 from __future__ import annotations
 
+from collections import Counter
 from functools import reduce
 from typing import Optional, Sequence, Union
 
@@ -65,16 +66,20 @@ def _byteslice(value: Column, spec: MarcSpec) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+def _first_6(f: Column) -> Column:
+    """Value of the first $6 subfield (linkage), NULL when absent."""
+    # F.get is null-safe on empty arrays (ANSI mode: element_at throws)
+    return F.get(
+        F.filter(f["subfields"], lambda sf: sf["code"] == "6"), 0
+    )["value"]
+
+
 def _effective_tag(f: Column) -> Column:
     """880 -> first 3 bytes of first $6, falling back to '880' when absent
     (lib/traject/marc_extractor_spec.rb:58-67)."""
-    # F.get is null-safe on empty arrays (ANSI mode: element_at throws)
-    six = F.get(
-        F.filter(f["subfields"], lambda sf: sf["code"] == "6"), 0
-    )["value"]
     return F.when(
         f["tag"] == ALTERNATE_SCRIPT_TAG,
-        F.coalesce(F.substring(six, 1, 3), F.lit(ALTERNATE_SCRIPT_TAG)),
+        F.coalesce(F.substring(_first_6(f), 1, 3), F.lit(ALTERNATE_SCRIPT_TAG)),
     ).otherwise(f["tag"])
 
 
@@ -147,22 +152,29 @@ def collect_matching_lines(
             _byteslice(f["value"], s) if s.is_byte_spec else f["value"]
         )
 
-    control_tags = sorted({s.tag for s in specs})
-    ctrl_fields = F.filter(
-        marc["controlfields"],
-        lambda f: reduce(
-            lambda a, b: a | b, [f["tag"] == t for t in control_tags]
-        ),
-    )
+    # control fields can only carry tags 001-009 (the reference dispatches
+    # on the FIELD's kind, lib/traject/marc_extractor.rb:283-287) — build
+    # the control branch only when a spec could actually match one, so a
+    # datafield-only pipeline prunes marc.controlfields at the scan
+    ctrl_specs = [s for s in specs if s.tag < "010"]
+    ctrl_part = None
+    if ctrl_specs:
+        control_tags = sorted({s.tag for s in ctrl_specs})
+        ctrl_fields = F.filter(
+            marc["controlfields"],
+            lambda f: reduce(
+                lambda a, b: a | b, [f["tag"] == t for t in control_tags]
+            ),
+        )
 
-    def ctrl_per_field(f: Column) -> Column:
-        parts = [
-            F.when(f["tag"] == s.tag, ctrl_fn(f, s)).otherwise(empty)
-            for s in specs
-        ]
-        return _concat_arrays(parts) if parts else empty
+        def ctrl_per_field(f: Column) -> Column:
+            parts = [
+                F.when(f["tag"] == s.tag, ctrl_fn(f, s)).otherwise(empty)
+                for s in ctrl_specs
+            ]
+            return _concat_arrays(parts)
 
-    ctrl_part = F.flatten(F.transform(ctrl_fields, ctrl_per_field))
+        ctrl_part = F.flatten(F.transform(ctrl_fields, ctrl_per_field))
 
     if alternate_script == "only":
         considered = F.filter(
@@ -172,20 +184,67 @@ def collect_matching_lines(
         considered = marc["datafields"]
     use_alt = alternate_script in ("include", "only")
 
-    def data_per_field(f: Column) -> Column:
-        def body(eff: Column) -> Column:
-            parts = [
-                F.when(spec_match_cond(f, eff, s), data_fn(f, s)).otherwise(empty)
-                for s in specs
-            ]
-            return _concat_arrays(parts) if parts else empty
+    def match_cond(f: Column, tags: list[str], s) -> Column:
+        """Tag(s) match with the 880 rewrite inlined as short-circuit
+        disjuncts: for the common non-880 field the $6 probe never runs
+        (cheaper than binding an effective tag per field). Faithful to
+        effective_tag = coalesce(substr($6,1,3), '880')
+        (marc_extractor_spec.rb:58-67): an 880 WITH a $6 matches its
+        linked tag only; an 880 without $6 matches spec tag '880'."""
+        if not use_alt:
+            tag_cond = f["tag"].isin(tags)
+        elif tags == [ALTERNATE_SCRIPT_TAG]:
+            tag_cond = (f["tag"] == ALTERNATE_SCRIPT_TAG) & (
+                F.coalesce(
+                    F.substring(_first_6(f), 1, 3), F.lit(ALTERNATE_SCRIPT_TAG)
+                )
+                == ALTERNATE_SCRIPT_TAG
+            )
+        else:
+            tag_cond = f["tag"].isin(tags) | (
+                (f["tag"] == ALTERNATE_SCRIPT_TAG)
+                & F.substring(_first_6(f), 1, 3).isin(tags)
+            )
+        if s.ind1 is not None:
+            tag_cond = tag_cond & (f["ind1"] == s.ind1)
+        if s.ind2 is not None:
+            tag_cond = tag_cond & (f["ind2"] == s.ind2)
+        return tag_cond
 
-        # bind the effective tag once: its $6-probe subtree would otherwise
-        # be copied into every spec's match condition
-        return let(_effective_tag(f), body) if use_alt else body(f["tag"])
+    # Merge specs that differ only by tag into one isin() group: a spec
+    # list like 600:610:611:650:651 (geo/era/lcsh shapes) costs ONE match
+    # + extraction per field instead of N. Safe only when no tag appears
+    # in two specs (then a field matches at most one spec, so per-field
+    # contribution order is unaffected); '880' specs stay unmerged (their
+    # match rule differs).
+    tag_counts = Counter(s.tag for s in specs)
+    mergeable = all(c == 1 for c in tag_counts.values())
+    groups: list[tuple[list[str], MarcSpec]] = []
+    if mergeable:
+        by_key: dict = {}
+        for s in specs:
+            key = (s.ind1, s.ind2, s.subfields, s.tag == ALTERNATE_SCRIPT_TAG)
+            if s.tag != ALTERNATE_SCRIPT_TAG and key in by_key:
+                by_key[key][0].append(s.tag)
+            else:
+                g = ([s.tag], s)
+                if s.tag != ALTERNATE_SCRIPT_TAG:
+                    by_key[key] = g
+                groups.append(g)
+    else:
+        groups = [([s.tag], s) for s in specs]
+
+    def data_per_field(f: Column) -> Column:
+        parts = [
+            F.when(match_cond(f, tags, s), data_fn(f, s)).otherwise(empty)
+            for tags, s in groups
+        ]
+        return _concat_arrays(parts) if parts else empty
 
     data_part = F.flatten(F.transform(considered, data_per_field))
 
+    if ctrl_part is None:
+        return F.coalesce(data_part, empty)
     return let2(
         ctrl_part,
         data_part,

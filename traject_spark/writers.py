@@ -1,0 +1,227 @@
+"""Output sinks (reference: writer classes under lib/traject/*_writer.rb).
+
+The reference's writer contract is init/put/close over a mutex-guarded
+stream (lib/traject/indexer.rb:60-69). In Spark every file sink is just a
+``df.write`` action — distributed, partition-parallel, no mutexes. The one
+genuinely custom sink is the Solr JSON writer: an HTTP POST sink built on
+``foreachPartition`` with the reference's batching + batch-failure
+fallback + max-skipped abort semantics (lib/traject/solr_json_writer.rb).
+
+Multi-valued fields: output columns are array<string>; file writers that
+need flat text join them with an internal delimiter
+(lib/traject/delimited_writer.rb:24-110).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# file writers
+# ---------------------------------------------------------------------------
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON, one document per line (lib/traject/json_writer.rb:40-51);
+    array-valued fields serialize natively."""
+    df.write.mode(mode).json(path)
+
+
+def _flatten_cols(
+    df: DataFrame, fields: Sequence[str], internal_delimiter: str
+) -> list[Column]:
+    cols = []
+    for name in fields:
+        c = F.col(name)
+        if dict(df.dtypes)[name].startswith("array"):
+            c = F.array_join(c, internal_delimiter)
+        cols.append(c.alias(name))
+    return cols
+
+
+def write_delimited(
+    df: DataFrame,
+    path: str,
+    fields: Sequence[str],
+    delimiter: str = "\t",
+    internal_delimiter: str = "|",
+    edelim: str = " ",
+    mode: str = "overwrite",
+) -> None:
+    """Fixed field list; multi-values joined by ``internal_delimiter``;
+    delimiters embedded IN values replaced by ``edelim`` before joining,
+    header row (lib/traject/delimited_writer.rb:24-110)."""
+    import re as _re
+
+    esc_class = "[" + _re.escape(delimiter + internal_delimiter) + "]"
+
+    def esc(c: Column) -> Column:
+        return F.regexp_replace(c, esc_class, edelim)
+
+    cols = []
+    for name in fields:
+        c = F.col(name)
+        if dict(df.dtypes)[name].startswith("array"):
+            c = F.array_join(F.transform(c, esc), internal_delimiter)
+        else:
+            c = esc(c.cast("string"))
+        cols.append(c.alias(name))
+    df.select(*cols).write.mode(mode).option("header", True).option(
+        "sep", delimiter
+    ).option("emptyValue", "").csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    fields: Sequence[str],
+    internal_delimiter: str = "|",
+    mode: str = "overwrite",
+) -> None:
+    """Proper CSV quoting (lib/traject/csv_writer.rb:9-34)."""
+    flat = df.select(*_flatten_cols(df, fields, internal_delimiter))
+    flat.write.mode(mode).option("header", True).csv(path)
+
+
+def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
+    """Human/grep format ``id  field  v1 | v2`` sorted by field name per
+    record (lib/traject/debug_writer.rb:34-70) — returned as a 1-column
+    DataFrame of lines; write with ``.write.text``."""
+    fields = [c for c in df.columns if c != id_col]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field"),
+                F.array_join(F.col(name), " | ").alias("vals"),
+                F.col(name).isNotNull().alias("present"),
+            )
+            for name in sorted(fields)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.filter(pairs, lambda p: p["present"])).alias("p")
+    )
+    return exploded.select(
+        F.format_string(
+            "%-12s %-25s %s", F.col(id_col), F.col("p.field"), F.col("p.vals")
+        ).alias("value")
+    )
+
+
+def write_debug(df: DataFrame, path: str, id_col: str = "record_id",
+                mode: str = "overwrite") -> None:
+    debug_lines(df, id_col).write.mode(mode).text(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """Materialize and drop (lib/traject/null_writer.rb) — benchmarking."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+# ---------------------------------------------------------------------------
+# Solr JSON sink
+# ---------------------------------------------------------------------------
+
+class MaxSkippedExceeded(RuntimeError):
+    pass
+
+
+def _rows_to_solr_docs(rows, array_cols: set, id_col: Optional[str]) -> list:
+    docs = []
+    for row in rows:
+        d = row.asDict()
+        doc = {}
+        for k, v in d.items():
+            if v is None:
+                continue
+            if id_col and k == id_col:
+                doc["id"] = v
+            else:
+                doc[k] = list(v) if k in array_cols else v
+        docs.append(doc)
+    return docs
+
+
+def solr_json_writer(
+    df: DataFrame,
+    url: str,
+    batch_size: int = 100,
+    max_skipped: Optional[int] = 0,
+    id_col: Optional[str] = "record_id",
+    commit_on_close: bool = False,
+    timeout: float = 30.0,
+) -> int:
+    """POST documents to Solr's /update/json in batches via
+    ``foreachPartition`` (the Spark shape of
+    lib/traject/solr_json_writer.rb:92-474):
+
+    - buffer ``batch_size`` docs per POST (solr_json_writer.rb:51-53);
+    - on batch failure, retry documents ONE BY ONE, counting failures
+      (solr_json_writer.rb:208-231);
+    - skipped docs counted on a Spark accumulator; when the total exceeds
+      ``max_skipped`` raise MaxSkippedExceeded (solr_json_writer.rb:236-267;
+      max_skipped=None disables);
+    - optional commit request after the job (solr_json_writer.rb:311-341).
+
+    Returns the number of skipped (failed) documents. At-least-once on
+    task retry — idempotent because Solr add is upsert-by-id.
+    """
+    spark = df.sparkSession
+    skipped_acc = spark.sparkContext.accumulator(0)
+    array_cols = {
+        name for name, dtype in df.dtypes if dtype.startswith("array")
+    }
+    update_url = url.rstrip("/") + "/update/json"
+
+    def post(docs: list) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            update_url,
+            data=json.dumps(docs).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=timeout).read()
+
+    def handle_partition(rows) -> None:
+        buf = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            docs = _rows_to_solr_docs(buf, array_cols, id_col)
+            buf.clear()
+            try:
+                post(docs)
+            except Exception:
+                # batch failed: retry each doc individually, count failures
+                for doc in docs:
+                    try:
+                        post([doc])
+                    except Exception:
+                        skipped_acc.add(1)
+
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(handle_partition)
+
+    skipped = skipped_acc.value
+    if max_skipped is not None and skipped > max_skipped:
+        raise MaxSkippedExceeded(
+            f"{skipped} skipped records exceed max_skipped={max_skipped}"
+        )
+    if commit_on_close:
+        import urllib.request
+
+        urllib.request.urlopen(
+            url.rstrip("/") + "/update?commit=true", timeout=timeout
+        ).read()
+    return skipped
