@@ -261,13 +261,16 @@ BENCHES = {
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = session()
+    t0 = time.time()
     synth_marc(spark)  # untimed setup: materialize the synthetic corpus
+    print(f"BENCH setup synth_marc: {time.time() - t0:.1f}s", file=sys.stderr)
     timings: dict[str, float] = {}
     for name, fn in BENCHES.items():
         t0 = time.time()
         try:
             fn(spark)
             timings[name] = round(time.time() - t0, 3)
+            print(f"BENCH {name}: {timings[name]}s", file=sys.stderr)
         except Exception as e:  # keep the harness alive; flag the failure
             timings[name] = -1.0
             print(f"BENCH FAIL {name}: {e}", file=sys.stderr)

@@ -1,0 +1,128 @@
+"""XML path: read_xml_records splitting, extract_xpath macro, OAI-PMH
+harvest pagination.  Mirrors test/nokogiri_reader_test.rb and
+test/oai_pmh_nokogiri_reader_test.rb shapes (golden values inline)."""
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark import Pipeline
+from traject_spark.xmlrec import (
+    extract_xpath,
+    harvest_oai_pmh,
+    localname_path,
+    read_xml_records,
+)
+
+DOC = textwrap.dedent("""\
+    <collection xmlns:dc="http://purl.org/dc/elements/1.1/">
+      <item id="r1">
+        <dc:title>First   Title</dc:title>
+        <dc:creator>Alice</dc:creator>
+        <dc:creator>Bob</dc:creator>
+      </item>
+      <item id="r2">
+        <dc:title>
+          Second
+          Title
+        </dc:title>
+      </item>
+    </collection>
+""")
+
+
+@pytest.fixture(scope="module")
+def xml_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml")
+    (d / "a.xml").write_text(DOC)
+    return read_xml_records(spark, str(d), each_record_tag="item").cache()
+
+
+def test_split_into_records(xml_df):
+    rows = xml_df.orderBy("position_in_input").collect()
+    assert len(rows) == 2
+    assert rows[0].position_in_input == 1
+    assert "First" in rows[0].xml and "Second" in rows[1].xml
+    assert rows[0].input_name.endswith("a.xml")
+
+
+def test_whole_doc_is_one_record(spark, tmp_path):
+    (tmp_path / "b.xml").write_text(DOC)
+    df = read_xml_records(spark, str(tmp_path))
+    assert df.count() == 1
+
+
+def test_localname_rewrite():
+    assert (
+        localname_path("//dc:title", {"dc": "http://purl.org/dc/elements/1.1/"})
+        == "//*[local-name()='title']"
+    )
+    assert localname_path("//@xsi:type") == "//@*[local-name()='type']"
+    with pytest.raises(ValueError):
+        localname_path("//dc:title", {})
+
+
+def test_extract_xpath_pipeline(xml_df):
+    ns = {"dc": "http://purl.org/dc/elements/1.1/"}
+    p = (
+        Pipeline(source_col="xml", id_col="position_in_input")
+        .to_field("title", extract_xpath("//dc:title", ns=ns))
+        .to_field("creator", extract_xpath("//dc:creator", ns=ns))
+        .to_field("rec_id", extract_xpath("/item/@id"))
+    )
+    out = {
+        r.position_in_input: r
+        for r in p.apply(xml_df).collect()
+    }
+    # whitespace normalized: internal runs collapse, edges trimmed
+    assert out[1].title == ["First Title"]
+    assert out[2].title == ["Second Title"]
+    assert out[1].creator == ["Alice", "Bob"]
+    # empty field omitted -> NULL (allow_empty_fields=False default)
+    assert out[2].creator is None
+    assert out[1].rec_id == ["r1"]
+
+
+def test_extract_xpath_to_text_false_unsupported():
+    with pytest.raises(NotImplementedError):
+        extract_xpath("//x", to_text=False)
+
+
+def _oai_page(ids, token):
+    recs = "".join(
+        f"<record><header><identifier>{i}</identifier></header>"
+        f"<metadata><title>T{i}</title></metadata></record>"
+        for i in ids
+    )
+    tok = f"<resumptionToken>{token}</resumptionToken>" if token else ""
+    return (
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">'
+        f"<ListRecords>{recs}{tok}</ListRecords></OAI-PMH>"
+    )
+
+
+def test_oai_pmh_pagination(spark):
+    pages = {
+        "verb=ListRecords&metadataPrefix=oai_dc": _oai_page([1, 2], "tokA"),
+        "verb=ListRecords&resumptionToken=tokA": _oai_page([3], None),
+    }
+    urls = []
+
+    def fetch(url):
+        urls.append(url)
+        return pages[url.split("?", 1)[1]]
+
+    df = harvest_oai_pmh(spark, "http://x/oai", fetch=fetch)
+    assert len(urls) == 2
+    ids = (
+        df.select(F.xpath("xml", F.lit("//identifier/text()")).alias("i"))
+        .collect()
+    )
+    assert sorted(r.i[0] for r in ids) == ["1", "2", "3"]
+    # harvested records flow into the same pipeline machinery
+    p = Pipeline(source_col="xml", id_col="position").to_field(
+        "title", extract_xpath("//title")
+    )
+    titles = {r.position: r.title for r in p.apply(df).collect()}
+    assert titles == {1: ["T1"], 2: ["T2"], 3: ["T3"]}

@@ -180,6 +180,12 @@ class Pipeline:
         keep_source: bool = False,
     ) -> DataFrame:
         """Compile and apply: one narrow select (+ skip filter)."""
+        if self.source_col not in df.columns:
+            # the two indexer flavors (marc_indexer.rb / nokogiri_indexer.rb)
+            # differ only in record column; adapt when unambiguous
+            present = [c for c in ("marc", "xml") if c in df.columns]
+            if len(present) == 1:
+                self.source_col = present[0]
         fields, skip = self.compile()
         cols: list[Column] = []
         if self.id_col and self.id_col in df.columns:

@@ -1,0 +1,141 @@
+"""XML record sources (reference: lib/traject/nokogiri_reader.rb:61-177,
+lib/traject/oai_pmh_nokogiri_reader.rb:28-164).
+
+``read_xml_records`` is the NokogiriReader equivalent: each input file is
+DOM-parsed and split into one row per element matching
+``each_record_tag`` (the reference's ``nokogiri.each_record_xpath``,
+nokogiri_reader.rb:101-114), re-serialized into its own XML string.  The
+parse/split runs executor-side over Arrow batches (``mapInPandas``) so a
+directory of many files splits in parallel; within one file the DOM parse
+is sequential, exactly like the reference — feed many medium files, not
+one giant one. Stdlib ElementTree only (no lxml dependency).
+
+``harvest_oai_pmh`` follows ``resumptionToken`` pagination on the driver
+(the protocol is inherently sequential, oai_pmh_nokogiri_reader.rb:72-99)
+and returns the harvested records as a DataFrame for distributed mapping.
+At scale the harvest is the bottleneck by design — the mapping of millions
+of harvested records is where Spark parallelism applies.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SCHEMA = "xml string, input_name string, position_in_input long"
+
+
+def _local(tag) -> str:
+    """Strip the ``{uri}`` prefix ElementTree puts on namespaced tags."""
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
+    if not each_record_tag:
+        return [text]
+    root = ET.fromstring(text)
+    matches = [
+        el for el in root.iter()
+        if _local(el.tag) == each_record_tag or el.tag == each_record_tag
+    ]
+    # re-root each match into its own document (nokogiri_reader.rb:101-114)
+    return [ET.tostring(el, encoding="unicode") for el in matches]
+
+
+def read_xml_records(
+    spark: SparkSession,
+    paths,
+    each_record_tag: Optional[str] = None,
+) -> DataFrame:
+    """One row per record element across all input files.
+
+    ``each_record_tag`` matches by local name (namespace-agnostic, like the
+    extract_xpath rewrite) or by full ``{uri}name``. ``None`` yields each
+    whole document as one record (nokogiri_reader.rb default).
+    Columns: ``xml``, ``input_name``, ``position_in_input`` (1-based within
+    each file, mirroring Context#position_in_input, context.rb:24-28).
+    """
+    raw = spark.read.text(paths, wholetext=True).select(
+        F.col("value"), F.input_file_name().alias("input_name")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for text, name in zip(pdf["value"], pdf["input_name"]):
+                for i, xml in enumerate(_split_doc(text, each_record_tag)):
+                    rows.append((xml, name, i + 1))
+            yield pd.DataFrame(
+                rows, columns=["xml", "input_name", "position_in_input"]
+            )
+
+    return raw.mapInPandas(gen, RECORD_SCHEMA)
+
+
+def _default_fetch(url: str) -> str:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def harvest_oai_pmh(
+    spark: SparkSession,
+    base_url: str,
+    metadata_prefix: str = "oai_dc",
+    set_spec: Optional[str] = None,
+    verb: str = "ListRecords",
+    fetch: Optional[Callable[[str], str]] = None,
+    max_pages: Optional[int] = None,
+) -> DataFrame:
+    """Harvest an OAI-PMH endpoint into a DataFrame of record XML strings.
+
+    Follows ``resumptionToken`` until exhausted
+    (oai_pmh_nokogiri_reader.rb:72-99); ``fetch`` is injectable for tests
+    and for custom HTTP (auth, retry, gzip — the reference's persistent
+    HTTP adapter concerns live there). Returns columns ``xml``,
+    ``position`` (1-based harvest order).
+    """
+    import urllib.parse
+
+    fetch = fetch or _default_fetch
+    record_tag = "record" if verb == "ListRecords" else "header"
+    records: list[str] = []
+    token: Optional[str] = None
+    pages = 0
+    while True:
+        params = {"verb": verb}
+        if token:
+            # token-only request per the protocol (reference :60-70)
+            params["resumptionToken"] = token
+        else:
+            params["metadataPrefix"] = metadata_prefix
+            if set_spec:
+                params["set"] = set_spec
+        page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
+        root = ET.fromstring(page_xml)
+        records.extend(
+            ET.tostring(el, encoding="unicode")
+            for el in root.iter()
+            if _local(el.tag) == record_tag
+        )
+        token = next(
+            (
+                (el.text or "").strip()
+                for el in root.iter()
+                if _local(el.tag) == "resumptionToken"
+            ),
+            "",
+        ) or None
+        pages += 1
+        if token is None or (max_pages is not None and pages >= max_pages):
+            break
+    return spark.createDataFrame(
+        [(xml, i + 1) for i, xml in enumerate(records)],
+        "xml string, position long",
+    )

@@ -1,0 +1,105 @@
+"""extract_xpath macro (reference: lib/traject/macros/nokogiri_macros.rb:13-46).
+
+The reference evaluates an XPath per record with registered namespaces and,
+for each match, joins the non-blank descendant text nodes with single
+spaces (or yields the attribute value).  Here the same evaluation compiles
+to the built-in ``xpath()`` SQL function (javax.xml.xpath on the JVM —
+whole-stage-codegen'd, no Python round trip), which returns the XPath
+string-value of every matched node as ``array<string>``.
+
+Namespace handling deviation (documented): Spark's ``xpath()`` has no
+namespace-context registration, so prefixed name tests are rewritten to
+``*[local-name()='name']`` predicates — matching by local name and ignoring
+the namespace URI.  For real-world metadata vocabularies (oai_dc, MODS,
+MARCXML) local names are unambiguous; exotic documents that reuse one local
+name across namespaces would over-match relative to the reference.
+
+Text-node deviation: Spark's ``xpath()`` yields node *values* (element
+nodes have none), so element selections are rewritten to select their
+descendant text nodes.  A matched element containing several text nodes
+(mixed content / nested children) therefore emits one value per non-blank
+text node, where the reference joins them with ``' '`` into one value per
+match; for leaf metadata elements (oai_dc, MODS leaves — the common case)
+the two are identical.  Values are whitespace-normalized (trim + collapse
+runs), matching the reference's blank-skipping join.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_QNAME = re.compile(r"(@?)([A-Za-z_][\w.-]*):([A-Za-z_][\w.-]*)")
+
+
+def localname_path(path: str, namespaces: dict | None = None) -> str:
+    """Rewrite ``prefix:name`` steps to ``*[local-name()='name']`` form.
+
+    Only prefixes present in ``namespaces`` are rewritten when a mapping is
+    given (mirroring the reference's requirement that every prefix used be
+    registered, lib/traject/nokogiri_reader.rb:153-169); with no mapping,
+    every prefixed QName is rewritten.
+    """
+
+    def sub(m: re.Match) -> str:
+        at, prefix, name = m.groups()
+        if namespaces is not None and prefix not in namespaces:
+            raise ValueError(
+                f"xpath prefix {prefix!r} not registered in namespaces "
+                f"{sorted(namespaces)}"
+            )
+        if at:
+            return f"@*[local-name()='{name}']"
+        return f"*[local-name()='{name}']"
+
+    return _QNAME.sub(sub, path)
+
+
+def _normalize(v: Column) -> Column:
+    return F.trim(F.regexp_replace(v, r"\s+", " "))
+
+
+def extract_xpath(
+    path: str,
+    ns: dict | None = None,
+    to_text: bool = True,
+    source_col: str | None = None,
+):
+    """Macro: evaluate ``path`` against the record's XML string; append the
+    whitespace-normalized string-value of each non-blank match to the
+    accumulator (nokogiri_macros.rb:13-46).
+
+    ``to_text=False`` (raw node objects) has no Spark analog — the engine
+    exchanges strings, not DOM handles; re-extract with a deeper XPath
+    instead.
+    """
+    if not to_text:
+        raise NotImplementedError(
+            "extract_xpath(to_text=False) yields DOM nodes in the reference; "
+            "the Spark engine exchanges strings — use a more specific xpath"
+        )
+    compiled = localname_path(path, ns)
+    # element selections must target text nodes explicitly — xpath() returns
+    # Node.getNodeValue(), which is null for elements (see module docstring)
+    last_step = compiled.rsplit("/", 1)[-1]
+    if not (
+        last_step.endswith("text()")
+        or last_step.startswith("@")
+        or "@" in last_step  # attribute inside a rewritten predicate form
+    ):
+        compiled += "/descendant-or-self::text()"
+
+    def macro(acc: Column, ctx=None) -> Column:
+        src = F.col(source_col) if source_col else (
+            ctx.record if ctx is not None else F.col("xml")
+        )
+        vals = F.xpath(src, F.lit(compiled))
+        vals = F.filter(
+            F.transform(vals, _normalize),
+            lambda x: x.isNotNull() & (x != ""),
+        )
+        return F.concat(acc, vals)
+
+    return macro
