@@ -57,9 +57,12 @@ from traject_spark.synth import (
     SQL_TITLE,
     SQL_TITLE_A,
     SQL_TITLE_B,
+    SQL_XML_CREATORS,
     SQL_YEAR,
     marc_from_documents,
+    xml_from_documents,
 )
+from traject_spark.xmlrec import extract_xpath
 from traject_spark.translation_maps.builtin import BUILTIN_MAPS
 
 
@@ -184,6 +187,27 @@ def q_pipeline_two_rules(spark, sf_dir):
     )
     out = p.apply(_marc(spark, sf_dir))
     return out.select("record_id", F.array_join("subjects", "|").alias("subjects"))
+
+
+def q_xml_extract(spark, sf_dir):
+    """NokogiriIndexer equivalent: extract_xpath over per-record XML
+    (namespaced elements, attribute, repeated element, whitespace norm)."""
+    ns = {"dc": "http://purl.org/dc/elements/1.1/"}
+    p = (
+        Pipeline(source_col="xml")
+        .to_field("title", extract_xpath("//dc:title", ns=ns))
+        .to_field("creators", extract_xpath("//dc:creator", ns=ns))
+        .to_field("rec_ref", extract_xpath("/record/@id"))
+        .to_field("date", extract_xpath("//dc:date", ns=ns))
+    )
+    out = p.apply(xml_from_documents(_docs(spark, sf_dir)))
+    return out.select(
+        "record_id",
+        F.array_join("title", "|").alias("title"),
+        F.array_join("creators", "|").alias("creators"),
+        F.array_join("rec_ref", "|").alias("rec_ref"),
+        F.array_join("date", "|").alias("date"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_all_values": q_marc_all_values,
         "pipeline_skip": q_pipeline_skip,
         "pipeline_two_rules": q_pipeline_two_rules,
+        "xml_extract": q_xml_extract,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -495,6 +520,13 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 10 = 0 THEN 'Topic 0'
                    ELSE 'Topic ' || CAST(doc_id % 10 AS VARCHAR) || '|Topic 0'
               END AS subjects
+            FROM documents""",
+        "xml_extract": f"""
+            SELECT {rid},
+              {SQL_TITLE} AS title,
+              {SQL_XML_CREATORS} AS creators,
+              'rec-' || CAST(doc_id AS VARCHAR) AS rec_ref,
+              {SQL_YEAR} AS date
             FROM documents""",
         "text_token_count": """
             SELECT doc_id,

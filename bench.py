@@ -84,7 +84,7 @@ def synth_marc(spark, n_target: int = TARGET_RECORDS):
     return spark.read.parquet(_MARC_PATH)
 
 
-def b_map_full(spark):
+def _full_pipeline():
     from traject_spark import Pipeline
     from traject_spark.macros import (
         extract_all_marc_values, extract_marc, marc_formats, marc_geo_facet,
@@ -93,7 +93,7 @@ def b_map_full(spark):
         oclcnum,
     )
 
-    p = (
+    return (
         Pipeline()
         .to_field("title", extract_marc("245ab", trim_punctuation=True))
         .to_field("title_sort", marc_sortable_title())
@@ -108,7 +108,10 @@ def b_map_full(spark):
         .to_field("pub_date", marc_publication_date())
         .to_field("all_text", extract_all_marc_values())
     )
-    noop(p.apply(synth_marc(spark)))
+
+
+def b_map_full(spark):
+    noop(_full_pipeline().apply(synth_marc(spark)))
 
 
 def b_map_minimum(spark):
@@ -264,6 +267,17 @@ def main() -> None:
     t0 = time.time()
     synth_marc(spark)  # untimed setup: materialize the synthetic corpus
     print(f"BENCH setup synth_marc: {time.time() - t0:.1f}s", file=sys.stderr)
+    # untimed warmup (the reference harness does the same: benchmark-ips
+    # 2s warmup phase, index_bench/index_bench.rb:18-30) — JIT-compile the
+    # interpreted HOF expression paths before the first timed query
+    t0 = time.time()
+    _full_pipeline().apply(synth_marc(spark).limit(5000)).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.range(100_000).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
+        "overwrite"
+    ).format("noop").save()  # initialize shuffle machinery off the clock
+    print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
     timings: dict[str, float] = {}
     for name, fn in BENCHES.items():
         t0 = time.time()

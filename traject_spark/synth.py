@@ -149,6 +149,35 @@ def _lang3_col(lang: Column) -> Column:
     return m.otherwise(F.lit("und"))
 
 
+def xml_from_documents(df: DataFrame) -> DataFrame:
+    """documents table -> (record_id string, xml string) DataFrame.
+
+    Per-record oai_dc-ish XML derived purely from ``documents`` columns so
+    the DuckDB oracle can re-derive the extracted values (SQL_XML_* below).
+    Exercises what extract_xpath must handle: namespace prefixes, an
+    attribute, repeated elements (2nd creator every 3rd doc), and
+    whitespace needing normalization.
+    """
+    doc_id = F.col("doc_id")
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    letter = F.char(F.lit(65) + (doc_id % 26).cast("int"))
+    creator = F.concat(F.lit("Author, "), letter, F.lit("."))
+    second = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit("<dc:creator>Co-Author, "), letter, F.lit(".</dc:creator>")),
+    ).otherwise(F.lit(""))
+    year = (F.lit(1980) + doc_id % 45).cast("string")
+    xml = F.concat(
+        F.lit('<record id="rec-'), doc_id.cast("string"),
+        F.lit('" xmlns:dc="http://purl.org/dc/elements/1.1/">'),
+        F.lit("<dc:title>\n  "), title, F.lit("  \n</dc:title>"),
+        F.lit("<dc:creator>"), creator, F.lit("</dc:creator>"), second,
+        F.lit("<dc:date>"), year, F.lit("</dc:date>"),
+        F.lit("</record>"),
+    )
+    return df.select(doc_id.cast("string").alias("record_id"), xml.alias("xml"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB side — SQL fragments mirroring the Spark expressions above.
 # All operate on a `documents` relation with the same columns.
@@ -170,3 +199,10 @@ SQL_OCLC = (
 )
 SQL_GENRE = ("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'am' WHEN 1 THEN 'gm' "
              "WHEN 2 THEN 'em' ELSE 'at' END")
+
+# xml_from_documents twins: extracted (whitespace-normalized) values
+SQL_XML_CREATORS = (
+    f"CASE WHEN doc_id % 3 = 0 "
+    f"THEN 'Author, ' || {SQL_LETTER} || '.|Co-Author, ' || {SQL_LETTER} || '.' "
+    f"ELSE 'Author, ' || {SQL_LETTER} || '.' END"
+)
