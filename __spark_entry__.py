@@ -304,7 +304,7 @@ def q_rel_events_hourly(spark, sf_dir):
     # via the legacy conf; convert ns -> timestamp for the window operator
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -320,6 +320,75 @@ def q_rel_events_hourly(spark, sf_dir):
             "n_events",
             "total_value",
         )
+    )
+
+
+def q_rel_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rel_sessionize(spark, sf_dir):
+    from traject_spark.streaming import batch_sessionize
+
+    return batch_sessionize(spark, sf_dir)
+
+
+def _memtable(sf_dir: str, base: str) -> str:
+    import re
+
+    return base + re.sub(r"\W", "_", sf_dir)
+
+
+def q_stream_events_hourly(spark, sf_dir):
+    """Streaming twin of rel_events_hourly: file-source stream, event-time
+    tumbling windows, bounded availableNow run (the 100 TB backfill shape)."""
+    from traject_spark.streaming import (
+        hourly_rollup,
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    return run_stream_to_table(
+        hourly_rollup(read_events_stream(spark, sf_dir)),
+        _memtable(sf_dir, "t_hourly"),
+    )
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Native session_window sessionization over a stream; keyed session
+    state merged by the streaming state store."""
+    from traject_spark.streaming import run_stream_to_table, sessionize_stream
+
+    return run_stream_to_table(
+        sessionize_stream(spark, sf_dir), _memtable(sf_dir, "t_sessions")
+    )
+
+
+def q_stream_dedup_fingerprint(spark, sf_dir):
+    """Streaming exact-dedup: keyed state drops repeat fingerprints as
+    they arrive (first occurrence wins)."""
+    from traject_spark.streaming import run_stream_to_table, stream_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(f"{sf_dir}/documents.[p]arquet")
+        .select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+    )
+    return run_stream_to_table(
+        stream_dedup(stream, "fingerprint"),
+        _memtable(sf_dir, "t_dedup"),
+        output_mode="append",
     )
 
 
@@ -421,11 +490,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,
         "rel_events_hourly": q_rel_events_hourly,
+        "rel_top_orders": q_rel_top_orders,
+        "rel_sessionize": q_rel_sessionize,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_fingerprint": q_stream_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+# session_window oracle: classic gaps-and-islands over exact microsecond
+# timestamps (epoch_ns//1000 mirrors the engine's `ts div 1000` exactly;
+# a >= 30-min gap opens a new session, session end = last event + gap)
+_SQL_SESSIONIZE = """
+    WITH e AS (
+      SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events
+    ), f AS (
+      SELECT user_id, value, us,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  >= 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, value, us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    )
+    SELECT user_id,
+      CAST(min(us) // 1000000 AS BIGINT) AS session_start,
+      CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -637,4 +738,27 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n_events,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2""",
+        "rel_top_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                ) AS BIGINT) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice, rn
+            FROM r WHERE rn <= 2""",
+        "rel_sessionize": _SQL_SESSIONIZE,
+        "stream_events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "stream_sessionize": _SQL_SESSIONIZE,
+        "stream_dedup_fingerprint": r"""
+            SELECT DISTINCT
+              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents""",
     }

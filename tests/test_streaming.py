@@ -1,0 +1,82 @@
+"""Structured Streaming ops: each streaming run must equal its batch twin
+on the same bounded input (the Structured Streaming contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark.corpus import fingerprint_expr
+from traject_spark.streaming import (
+    batch_sessionize,
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_stream,
+    stream_dedup,
+    stream_user_totals,
+)
+from traject_spark.streaming.ops import read_events_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_hourly_rollup_stream_matches_batch(spark):
+    got = run_stream_to_table(
+        hourly_rollup(read_events_stream(spark, SF)), "t_hourly"
+    )
+    want = hourly_rollup(read_events_batch(spark, SF))
+    cols = ["hour_epoch", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_sessionize_stream_matches_batch(spark):
+    got = run_stream_to_table(sessionize_stream(spark, SF), "t_sessions")
+    want = batch_sessionize(spark, SF)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # gap splitting really happened: more sessions than users
+    n_users = want.select("user_id").distinct().count()
+    assert want.count() > n_users
+
+
+def test_stream_dedup_fingerprints(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(f"{SF}/documents.[p]arquet")
+        .select(fingerprint_expr(F.col("text")).alias("fingerprint"))
+    )
+    got = run_stream_to_table(
+        stream_dedup(stream, "fingerprint"), "t_dedup", output_mode="append"
+    )
+    want = docs.select(
+        fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).distinct()
+    assert _rows(got, ["fingerprint"]) == _rows(want, ["fingerprint"])
+
+
+def test_stream_user_totals_stateful(spark, tmp_path):
+    got = run_stream_to_table(
+        stream_user_totals(read_events_stream(spark, SF)),
+        "t_totals",
+        output_mode="update",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    # latest update per user must equal the batch aggregate
+    want = (
+        read_events_batch(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+         for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+         for r in want.collect()}
+    assert g == w

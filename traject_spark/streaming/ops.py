@@ -1,0 +1,202 @@
+"""Streaming operators over the driver's `events` table.
+
+Every operator here is expressed once as a DataFrame transform usable in
+BOTH batch and streaming mode (the Structured Streaming promise): the
+correctness gate checks the batch twin against DuckDB, and the streaming
+tests assert stream-run == batch-run on the same input.
+
+ts note: the driver's parquet stores `ts` as timestamp[ns]; Spark reads
+nanos only via ``spark.sql.legacy.parquet.nanosAsLong``, so the schemas
+here declare it LONG and convert to a real timestamp column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def events_schema() -> StructType:
+    """Schema of events.parquet with ts as raw nanos (see module note)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # integer div, not double /: ns-since-epoch exceeds double's 53-bit
+    # mantissa, so float division can mis-round the microsecond value
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    ``maxFilesPerTrigger`` would bound micro-batch size on a real tail;
+    with ``availableNow`` the source plans one bounded backfill run.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream source wants a directory or glob, not a bare file path
+    raw = (
+        spark.readStream.schema(events_schema())
+        .format("parquet")
+        .load(f"{sf_dir}/events.[p]arquet")
+    )
+    return _with_event_time(raw)
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def hourly_rollup(events: DataFrame, late: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window rollup (streaming twin of the batch
+    ``rel_events_hourly`` query). Watermark bounds window state: late
+    events beyond ``late`` are dropped, finalized windows are evicted."""
+    ev = events.withWatermark("ts", late) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_GAP = "30 minutes"
+
+
+def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Native ``session_window`` gaps-and-islands sessionization — one
+    expression valid in batch and streaming. Events of one user separated
+    by < gap merge into one session; state is keyed by (user, session) and
+    merged by the streaming session-window state store."""
+    ev = events.withWatermark("ts", "1 hour") if events.isStreaming else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def batch_sessionize(spark: SparkSession, sf_dir: str,
+                     gap: str = SESSION_GAP) -> DataFrame:
+    return sessionize(read_events_batch(spark, sf_dir), gap)
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str,
+                      gap: str = SESSION_GAP) -> DataFrame:
+    return sessionize(read_events_stream(spark, sf_dir), gap)
+
+
+def stream_dedup(df: DataFrame, *keys: str) -> DataFrame:
+    """Streaming exact-dedup: keyed state holds one entry per seen key,
+    first arrival wins (the streaming twin of corpus.exact_dedup). On an
+    unbounded stream pair with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` to bound state."""
+    return df.dropDuplicates(list(keys))
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) carried across micro-batches.
+
+    Demonstrates the arbitrary-stateful escape hatch the reference's
+    ``each_record`` closures would need (reference has no analog — its
+    state is per-record only). State is sharded by user hash; Arrow
+    batches keep the Python boundary vectorized.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_table(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint: Optional[str] = None,
+) -> DataFrame:
+    """Run a bounded stream to completion (availableNow) into an in-memory
+    table and return it. Production sinks swap format for parquet/Kafka or
+    ``foreachBatch`` into a batch writer (e.g. writers.solr_json_writer);
+    the memory sink is the local test/correctness harness."""
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
