@@ -420,6 +420,37 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with an explicit (SQL-mirrorable) coarse quantizer: the four
+    lowest-id corpus vectors act as centroids, nprobe=2. Production use
+    trains centroids with corpus.train_centroids (k-means on a sample)."""
+    from traject_spark.corpus import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).orderBy("vec_id").collect()
+    ]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        cents,
+        k=5,
+        nprobe=2,
+    )
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline (the
+    LSH-bucketed scale path is cosine_near_dup(mode='lsh'))."""
+    from traject_spark.corpus import cosine_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup(emb, threshold=0.35)
+
+
 def q_multimodal_features(spark, sf_dir):
     from traject_spark.corpus.multimodal import attach_media_metadata, extract_features
 
@@ -498,8 +529,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine-similarity fragment between two FLOAT[] expressions,
+    summing in the same element order / double precision as dot_expr."""
+    def sq(v):
+        return (f"sqrt(list_sum(list_transform({v}, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return (
+        f"(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+        f"/ ({sq(a)} * {sq(b)}))"
+    )
+
+
+# IVF oracle: same centroid set (corpus vec_ids 8..11), same rounded-score
+# argmax assignment, nprobe=2 probe, exact rescoring of probed cells only
+_SQL_IVF = f"""
+    WITH cen AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 8 AND 11
+    ), corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+    ), qry AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY round({_sql_cos('v.embedding', 'c.cvec')}, 9) DESC,
+                     c.cid) AS r
+        FROM corp v CROSS JOIN cen c
+      ) WHERE r = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT q.vec_id, q.embedding, c.cid,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round({_sql_cos('q.embedding', 'c.cvec')}, 9) DESC,
+                     c.cid) AS r
+        FROM qry q CROSS JOIN cen c
+      ) WHERE r <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+        round({_sql_cos('p.qvec', 'a.embedding')}, 6) AS score
+      FROM probe p JOIN assign a ON a.cid = p.cid
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS BIGINT) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5"""
+
+
+_SQL_NEAR_DUP = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(round({_sql_cos('a.embedding', 'b.embedding')}, 9), 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.35"""
 
 
 # session_window oracle: classic gaps-and-islands over exact microsecond
@@ -761,4 +852,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT
               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
+        "ann_ivf_topk": _SQL_IVF,
+        "embed_near_dup": _SQL_NEAR_DUP,
     }

@@ -236,13 +236,45 @@ def b_rel_top_nations(spark):
 
 def b_rel_events_hourly(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     noop(
         ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
         )
     )
+
+
+def b_rel_sessionize(spark):
+    from traject_spark.streaming import batch_sessionize
+
+    noop(batch_sessionize(spark, SF_DIR))
+
+
+def b_stream_hourly(spark):
+    from traject_spark.streaming import (
+        hourly_rollup, read_events_stream, run_stream_to_table,
+    )
+
+    run_stream_to_table(
+        hourly_rollup(read_events_stream(spark, SF_DIR)), "bench_hourly"
+    )
+
+
+def b_ann_ivf(spark):
+    from traject_spark.corpus import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    cents = train_centroids(corpus, n_centroids=8, iters=5)
+    noop(ivf_topk(corpus, emb.filter(F.col("vec_id") < 8), cents, k=10, nprobe=2))
+
+
+def b_embed_near_dup_lsh(spark):
+    from traject_spark.corpus import cosine_near_dup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    noop(cosine_near_dup(emb, threshold=0.35, mode="lsh", bits=4, tables=4))
 
 
 BENCHES = {
@@ -258,6 +290,10 @@ BENCHES = {
     "rel_pricing_summary": b_rel_pricing,
     "rel_top_nations": b_rel_top_nations,
     "rel_events_hourly": b_rel_events_hourly,
+    "rel_sessionize": b_rel_sessionize,
+    "stream_events_hourly": b_stream_hourly,
+    "ann_ivf_topk": b_ann_ivf,
+    "embed_near_dup_lsh": b_embed_near_dup_lsh,
 }
 
 

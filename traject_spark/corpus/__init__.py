@@ -28,8 +28,11 @@ from traject_spark.corpus.dedup import (
 )
 from traject_spark.corpus.similarity import (
     cosine_similarity_expr,
+    cosine_near_dup,
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
+    train_centroids,
 )
 
 __all__ = [
@@ -45,6 +48,9 @@ __all__ = [
     "simhash_expr",
     "ngram_jaccard_pairs",
     "cosine_similarity_expr",
+    "cosine_near_dup",
     "brute_force_topk",
+    "ivf_topk",
     "lsh_topk",
+    "train_centroids",
 ]

@@ -116,6 +116,199 @@ def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
     return bucket
 
 
+def _lit_vec(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _centroid_scores(vec: Column, centroids: list) -> Column:
+    """array<struct<cid,score>> of cosine(vec, centroid) per centroid."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                # round: argmax must not hinge on the last ulp (keeps the
+                # assignment reproducible across summation engines)
+                F.round(
+                    cosine_similarity_expr(vec, _lit_vec(cvec)), 9
+                ).alias("score"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def assign_cell_expr(vec: Column, centroids: list) -> Column:
+    """Coarse-quantizer assignment: id of the nearest centroid by cosine
+    (ties -> lowest centroid id). Pure per-row expression — assignment of
+    a 100 TB corpus is a narrow scan, no shuffle."""
+    pairs = _centroid_scores(vec, centroids)
+    best = F.aggregate(
+        F.slice(pairs, 2, len(centroids) - 1) if len(centroids) > 1 else F.array(),
+        F.element_at(pairs, 1),
+        lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids (score desc, cid asc)."""
+    pairs = _centroid_scores(vec, centroids)
+    ordered = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .otherwise(
+            F.when(a["cid"] < b["cid"], F.lit(-1))
+            .when(a["cid"] > b["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    return F.transform(F.slice(ordered, 1, nprobe), lambda p: p["cid"])
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    sample: int = 100_000,
+) -> list:
+    """Deterministic k-means coarse quantizer trained on a driver-side
+    sample (standard IVF practice — the quantizer needs only a sketch of
+    the distribution, never the full corpus). Init = lowest-id vectors;
+    fixed iteration count; float64 accumulation. Returns [(cid, center)].
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        # cosine assignment
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(k):
+            members = X[cells == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [(i, C[i].tolist()) for i in range(k)]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid's cell (narrow scan); each query probes its ``nprobe``
+    nearest cells and exactly rescores only those candidates.
+
+    Scale path: persist the corpus partitioned/bucketed by ``cell`` so a
+    query's probe set prunes to nprobe/n_centroids of the data at the
+    file level; the per-query candidate join stays broadcast as long as
+    the query batch is small. Returns (query_id, neighbor_id, score,
+    rank) — ANN, not guaranteed equal to brute force."""
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        assign_cell_expr(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            probe_cells_expr(F.col(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    scored = corp.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_expr(F.col("qvec"), F.col("cvec")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "exact",
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a < id_b, cosine >= threshold).
+
+    ``mode='exact'`` scores all pairs — the correctness baseline, O(n^2).
+    ``mode='lsh'`` is the scale path: only pairs sharing a random-
+    hyperplane bucket in any of ``tables`` hash tables are scored, so
+    candidate volume is ~n^2/2^bits per table; output is a (deterministic)
+    subset of the exact result."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if mode == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        def bucketed(side: DataFrame, idn: str, vn: str) -> DataFrame:
+            parts = [
+                side.select(
+                    idn,
+                    vn,
+                    F.lit(t).alias("table"),
+                    signs_expr(F.col(vn), dim, bits, t).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+
+        pairs = (
+            bucketed(a, "id_a", "va")
+            .join(bucketed(b, "id_b", "vb"), ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        # threshold on the 9-decimal rounding: keeps the boundary decision
+        # reproducible across summation engines (same rationale as argmax)
+        pairs.withColumn(
+            "cos",
+            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 9),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("score"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
