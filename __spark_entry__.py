@@ -38,9 +38,13 @@ from traject_spark.corpus import (
 from traject_spark.macros import (
     extract_all_marc_values,
     extract_marc,
+    extract_marc_filing_version,
     literal,
+    marc_era_facet,
     marc_formats,
     marc_geo_facet,
+    marc_instrument_codes_normalized,
+    marc_instrumentation_humanized,
     marc_languages,
     marc_lcc_to_broad_category,
     marc_lcsh_formatted,
@@ -50,7 +54,9 @@ from traject_spark.macros import (
     oclcnum,
 )
 from traject_spark.synth import (
+    SQL_ERA,
     SQL_GENRE,
+    SQL_INSTR_A,
     SQL_LANG3,
     SQL_LETTER,
     SQL_OCLC,
@@ -93,6 +99,15 @@ def _case_map(expr: str, mapping: dict, default: str | None) -> str:
     )
     dflt = "NULL" if default is None else f"'{default}'"
     return f"CASE {expr} {arms} ELSE {dflt} END"
+
+
+# 048 $a first-2-chars -> marc_instruments map name (values the synth hits)
+_SQL_INSTR_NAME = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Horn' WHEN 1 THEN 'Trumpet' "
+    "WHEN 2 THEN 'Choruses, Mixed' ELSE 'Trombone' END"
+)
+# filing-version oracle: the joined 245ab value without the 'The ' prefix
+_SQL_FILING_T = f"{SQL_TITLE} || ' : a ' || source || ' study /'"
 
 
 _LANG_NAME = {
@@ -159,6 +174,29 @@ def q_marc_lcsh(spark, sf_dir):
 
 def q_marc_geo(spark, sf_dir):
     return _field(spark, sf_dir, "geo", marc_geo_facet())
+
+
+def q_marc_era(spark, sf_dir):
+    return _field(spark, sf_dir, "era", marc_era_facet())
+
+
+def q_marc_instruments(spark, sf_dir):
+    return _field(
+        spark, sf_dir, "instrument", marc_instrumentation_humanized()
+    )
+
+
+def q_marc_instrument_codes(spark, sf_dir):
+    return _field(
+        spark, sf_dir, "instrument_code", marc_instrument_codes_normalized()
+    )
+
+
+def q_marc_filing_title(spark, sf_dir):
+    return _field(
+        spark, sf_dir, "title_filing",
+        extract_marc_filing_version("245ab", include_original=True),
+    )
 
 
 def q_marc_formats(spark, sf_dir):
@@ -505,6 +543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_sortable_author": q_marc_sortable_author,
         "marc_lcsh": q_marc_lcsh,
         "marc_geo": q_marc_geo,
+        "marc_era": q_marc_era,
+        "marc_instruments": q_marc_instruments,
+        "marc_instrument_codes": q_marc_instrument_codes,
+        "marc_filing_title": q_marc_filing_title,
         "marc_formats": q_marc_formats,
         "marc_all_values": q_marc_all_values,
         "pipeline_skip": q_pipeline_skip,
@@ -683,12 +725,40 @@ def oracle_sql() -> dict[str, str]:
         "marc_lcsh": f"""
             SELECT {rid},
               'Topic ' || CAST(doc_id % 10 AS VARCHAR)
-                || ' — History — Region ' || CAST(doc_id % 5 AS VARCHAR)
+                || ' — History — ' || {SQL_ERA}
+                || ' — Region ' || CAST(doc_id % 5 AS VARCHAR)
                 AS subject
             FROM documents""",
         "marc_geo": f"""
             SELECT {rid},
               'Region ' || CAST(doc_id % 5 AS VARCHAR) AS geo
+            FROM documents""",
+        "marc_era": f"""
+            SELECT {rid},
+              CAST(18 + doc_id % 3 AS VARCHAR) || 'th century' AS era
+            FROM documents""",
+        "marc_instruments": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 3 THEN 'Trombone'
+                   WHEN doc_id % 3 = 0 THEN {_SQL_INSTR_NAME} || '|Trombone'
+                   ELSE {_SQL_INSTR_NAME} END AS instrument
+            FROM documents""",
+        "marc_instrument_codes": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 3 != 0
+                     THEN {SQL_INSTR_A} || '|' || substr({SQL_INSTR_A}, 1, 2)
+                   WHEN doc_id % 4 = 3 THEN 'bd01|bd|bd01.s|bd.s'
+                   ELSE {SQL_INSTR_A} || '|' || substr({SQL_INSTR_A}, 1, 2)
+                     || '|bd01|bd01.s|bd|bd.s'
+              END AS instrument_code
+            FROM documents""",
+        "marc_filing_title": f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 5 = 0
+                THEN 'The ' || {_SQL_FILING_T} || '|' || {_SQL_FILING_T}
+                ELSE {_SQL_FILING_T} END
+              || CASE WHEN doc_id % 4 = 0
+                   THEN '|Alt ' || {SQL_TITLE} ELSE '' END AS title_filing
             FROM documents""",
         "marc_formats": f"""
             SELECT {rid}, {sql_genre_fmt} AS format FROM documents""",
@@ -699,7 +769,8 @@ def oracle_sql() -> dict[str, str]:
               || '|' || source || ' Press, c' || {SQL_YEAR} || '.'
               || '|Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'
               || '|Topic ' || CAST(doc_id % 10 AS VARCHAR)
-                 || ' History Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'
+                 || ' History ' || {SQL_ERA}
+                 || ' Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'
               || CASE WHEN doc_id % 4 = 0
                    THEN '|245-01 Alt ' || {SQL_TITLE} ELSE '' END
               AS all_text

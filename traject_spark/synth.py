@@ -15,12 +15,15 @@ n_chars):
 - 008   : '880520s' + year(=1980+doc_id%45) + '    xxu' + 17 spaces + lang3
 - 035a  : OCLC-prefixed for doc_id%3 in (0,1), non-OCLC otherwise
 - 041a  : packed 'engfre' every 10th doc, else lang3
+- 048   : $a instrument code cycles ba01/bb01/ca07/bd01 by doc_id%4,
+          plus $b 'bd01' (soloist) every 3rd doc
 - 050a  : LCC-ish call number, letter cycles by doc_id%26
 - 100a  : author name, letter cycles
 - 245   : ind2=4 + 'The ' prefix every 5th doc (non-filing test), $a/$b/$c
 - 260   : $b publisher, $c 'c'+year+'.'
 - 490   : ind1 '1'/'0' alternating (series-traced test)
-- 650   : $a topic + $x 'History' + $z geo subdivision (LCSH/geo/era tests)
+- 650   : $a topic + $x 'History' + $y era ('(18+id%3)th century.') + $z
+          geo subdivision (LCSH/geo/era tests)
 - 880   : alternate-script pair for 245 every 4th doc
 """
 
@@ -106,10 +109,27 @@ def marc_from_documents(df: DataFrame, keep: tuple = ()) -> DataFrame:
     geo = F.concat(F.lit("Region "), (doc_id % 5).cast("string"), F.lit("."))
     series_ind1 = F.when(doc_id % 2 == 0, F.lit("1")).otherwise(F.lit("0"))
     series_a = F.concat(F.lit("Series "), (doc_id % 20).cast("string"), F.lit(" ;"))
+    era = F.concat(
+        (F.lit(18) + doc_id % 3).cast("string"), F.lit("th century.")
+    )
+    instr_a = F.element_at(
+        F.array(F.lit("ba01"), F.lit("bb01"), F.lit("ca07"), F.lit("bd01")),
+        mod4 + 1,
+    )
+    instr_sfs = F.when(
+        doc_id % 3 == 0,
+        F.array(_sf("a", instr_a), _sf("b", F.lit("bd01"))),
+    ).otherwise(F.array(_sf("a", instr_a)))
 
     base_datafields = [
         _df_struct("035", " ", " ", [_sf("a", oclc)]),
         _df_struct("041", "0", " ", [_sf("a", packed041)]),
+        F.struct(
+            F.lit("048").alias("tag"),
+            F.lit(" ").alias("ind1"),
+            F.lit(" ").alias("ind2"),
+            instr_sfs.alias("subfields"),
+        ),
         _df_struct("050", "0", "0", [_sf("a", lcc)]),
         _df_struct("100", "1", " ", [_sf("a", author)]),
         _df_struct("245", "1", t_ind2, [_sf("a", t_a), _sf("b", t_b), _sf("c", t_c)]),
@@ -119,7 +139,7 @@ def marc_from_documents(df: DataFrame, keep: tuple = ()) -> DataFrame:
         ]),
         _df_struct("490", series_ind1, " ", [_sf("a", series_a)]),
         _df_struct("650", " ", "0", [_sf("a", topic), _sf("x", F.lit("History")),
-                                     _sf("z", geo)]),
+                                     _sf("y", era), _sf("z", geo)]),
     ]
     alt880 = _df_struct(
         "880", "1", t_ind2,
@@ -199,6 +219,9 @@ SQL_OCLC = (
 )
 SQL_GENRE = ("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'am' WHEN 1 THEN 'gm' "
              "WHEN 2 THEN 'em' ELSE 'at' END")
+SQL_ERA = "CAST(18 + doc_id % 3 AS VARCHAR) || 'th century.'"
+SQL_INSTR_A = ("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ba01' "
+               "WHEN 1 THEN 'bb01' WHEN 2 THEN 'ca07' ELSE 'bd01' END")
 
 # xml_from_documents twins: extracted (whitespace-normalized) values
 SQL_XML_CREATORS = (
