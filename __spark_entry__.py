@@ -52,7 +52,9 @@ from traject_spark.macros import (
     marc_sortable_author,
     marc_sortable_title,
     oclcnum,
+    serialized_marc,
 )
+from traject_spark import transforms as T
 from traject_spark.synth import (
     SQL_ERA,
     SQL_GENRE,
@@ -108,6 +110,77 @@ _SQL_INSTR_NAME = (
 )
 # filing-version oracle: the joined 245ab value without the 'The ' prefix
 _SQL_FILING_T = f"{SQL_TITLE} || ' : a ' || source || ' study /'"
+
+
+def _sql_marc_json() -> str:
+    """DuckDB expression reproducing serialized_marc('json') output for the
+    synthesized record, byte-for-byte.  Literal JSON scaffolding is emitted
+    as SQL string literals; every subfield value goes through DuckDB
+    ``to_json`` (same minimal escaping as json.dumps(ensure_ascii=False))."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def js(expr: str) -> str:
+        return f"to_json({expr})::VARCHAR"
+
+    def dfld(tag: str, ind1: str, ind2: str, subs, raw_tail: str = "") -> str:
+        """One datafield JSON object; ``subs`` = [(code, value_sql)];
+        ``ind*`` are SQL exprs; ``raw_tail`` appends extra subfield JSON."""
+        frags = [lit('{"%s":{"ind1":"' % tag), ind1, lit('","ind2":"'), ind2,
+                 lit('","subfields":[')]
+        for i, (code, val) in enumerate(subs):
+            frags.append(lit((',' if i else '') + '{"%s":' % code))
+            frags.append(js(val))
+            frags.append(lit("}"))
+        if raw_tail:
+            frags.append(raw_tail)
+        frags.append(lit("]}}"))
+        return " || ".join(frags)
+
+    t_ind2 = "CASE WHEN doc_id % 5 = 0 THEN '4' ELSE '0' END"
+    ser_ind1 = "CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '0' END"
+    lcc = (f"{SQL_LETTER} || CAST(doc_id % 900 + 1 AS VARCHAR) || '.5 .A' "
+           "|| CAST(doc_id % 9 + 1 AS VARCHAR)")
+    author = f"'Author, ' || {SQL_LETTER} || '.'"
+    packed041 = f"CASE WHEN doc_id % 10 = 0 THEN 'engfre' ELSE {SQL_LANG3} END"
+    instr_b = (
+        "CASE WHEN doc_id % 3 = 0 THEN ',{\"b\":\"bd01\"}' ELSE '' END"
+    )
+    fields = [
+        lit('{"001":') + " || " + js("CAST(doc_id AS VARCHAR)") + " || " + lit("}"),
+        lit('{"008":') + " || "
+        + js(f"'880520s' || {SQL_YEAR} || '    xxu{' ' * 17}' || {SQL_LANG3}")
+        + " || " + lit("}"),
+        dfld("035", "' '", "' '", [("a", SQL_OCLC)]),
+        dfld("041", "'0'", "' '", [("a", packed041)]),
+        dfld("048", "' '", "' '", [("a", SQL_INSTR_A)], raw_tail=instr_b),
+        dfld("050", "'0'", "'0'", [("a", lcc)]),
+        dfld("100", "'1'", "' '", [("a", author)]),
+        dfld("245", "'1'", t_ind2, [
+            ("a", SQL_TITLE_A), ("b", SQL_TITLE_B),
+            ("c", f"'by Author ' || {SQL_LETTER} || '.'"),
+        ]),
+        dfld("260", "' '", "' '", [
+            ("b", "source || ' Press,'"), ("c", f"'c' || {SQL_YEAR} || '.'"),
+        ]),
+        dfld("490", ser_ind1, "' '", [
+            ("a", "'Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'"),
+        ]),
+        dfld("650", "' '", "'0'", [
+            ("a", "'Topic ' || CAST(doc_id % 10 AS VARCHAR)"),
+            ("x", "'History'"), ("y", SQL_ERA),
+            ("z", "'Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'"),
+        ]),
+    ]
+    f880 = dfld("880", "'1'", t_ind2, [
+        ("6", "'245-01'"), ("a", f"'Alt ' || {SQL_TITLE}"),
+    ])
+    head = (lit('{"leader":"01234c') + " || " + SQL_GENRE
+            + " || " + lit(' a2200301 a 4500","fields":['))
+    body = (" || " + lit(",") + " || ").join(fields)
+    tail = f"CASE WHEN doc_id % 4 = 0 THEN ',' || {f880} ELSE '' END"
+    return f"{head} || {body} || {tail} || ']}}'"
 
 
 _LANG_NAME = {
@@ -225,6 +298,44 @@ def q_pipeline_two_rules(spark, sf_dir):
     )
     out = p.apply(_marc(spark, sf_dir))
     return out.select("record_id", F.array_join("subjects", "|").alias("subjects"))
+
+
+def q_pipeline_transforms(spark, sf_dir):
+    """Transformation-operator chain (transformation.rb, SURVEY §2.4):
+    split / gsub / select+default / delete_if+prepend+append / strip."""
+    p = (
+        Pipeline()
+        .to_field("topic_words", extract_marc("650a"), T.split(" "))
+        .to_field("year_digits", extract_marc("260c"), T.gsub("[^0-9]", ""))
+        .to_field(
+            "oclc_only", extract_marc("035a"),
+            T.select(r"^\(OCoLC\)"), T.default("none"),
+        )
+        .to_field(
+            "tagged", extract_marc("035a"),
+            T.delete_if(r"^ABC"), T.prepend("#"), T.append("!"),
+        )
+        .to_field("stripped", extract_marc("100a"), T.prepend("  "), T.strip())
+    )
+    out = p.apply(_marc(spark, sf_dir))
+    cols = ("topic_words", "year_digits", "oclc_only", "tagged", "stripped")
+    return out.select(
+        "record_id", *[F.array_join(c, "|").alias(c) for c in cols]
+    )
+
+
+def q_marc_serialize_json(spark, sf_dir):
+    """serialized_marc('json') (marc21.rb:174-198): whole-record
+    re-serialization to canonical marc-in-json, oracle-checked
+    byte-for-byte against a DuckDB-constructed JSON string."""
+    return _field(spark, sf_dir, "marc_json", serialized_marc("json"))
+
+
+def q_marc_serialize_binary(spark, sf_dir):
+    """serialized_marc('binary'): ISO 2709 + base64 (rows-only check —
+    the directory/offset arithmetic is not practically SQL-expressible;
+    round-trip correctness is covered by tests/test_io_writers.py)."""
+    return _field(spark, sf_dir, "marc_b64", serialized_marc("binary"))
 
 
 def q_xml_extract(spark, sf_dir):
@@ -551,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_all_values": q_marc_all_values,
         "pipeline_skip": q_pipeline_skip,
         "pipeline_two_rules": q_pipeline_two_rules,
+        "pipeline_transforms": q_pipeline_transforms,
+        "marc_serialize_json": q_marc_serialize_json,
+        "marc_serialize_binary": q_marc_serialize_binary,
         "xml_extract": q_xml_extract,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
@@ -783,6 +897,20 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 10 = 0 THEN 'Topic 0'
                    ELSE 'Topic ' || CAST(doc_id % 10 AS VARCHAR) || '|Topic 0'
               END AS subjects
+            FROM documents""",
+        "pipeline_transforms": f"""
+            SELECT {rid},
+              'Topic|' || CAST(doc_id % 10 AS VARCHAR) AS topic_words,
+              {SQL_YEAR} AS year_digits,
+              CASE WHEN doc_id % 3 = 0
+                THEN '(OCoLC)' || CAST(doc_id + 1000000 AS VARCHAR)
+                ELSE 'none' END AS oclc_only,
+              CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE '#' || {SQL_OCLC} || '!' END AS tagged,
+              'Author, ' || {SQL_LETTER} || '.' AS stripped
+            FROM documents""",
+        "marc_serialize_json": f"""
+            SELECT {rid}, {_sql_marc_json()} AS marc_json
             FROM documents""",
         "xml_extract": f"""
             SELECT {rid},
