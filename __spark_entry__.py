@@ -449,12 +449,11 @@ def q_rel_top_nations(spark, sf_dir):
 
 
 def q_rel_events_hourly(spark, sf_dir):
-    # events.ts is parquet timestamp[ns], which Spark only reads as a long
-    # via the legacy conf; convert ns -> timestamp for the window operator
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # events.ts is naive parquet timestamp[us]; read via explicit LONG
+    # schema to get raw micros (timezone-free) — see streaming/ops.py note
+    from traject_spark.streaming.ops import read_events_batch
+
+    ev = read_events_batch(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -750,7 +749,7 @@ _SQL_NEAR_DUP = f"""
 
 
 # session_window oracle: classic gaps-and-islands over exact microsecond
-# timestamps (epoch_ns//1000 mirrors the engine's `ts div 1000` exactly;
+# timestamps (epoch_ns//1000 yields the same raw micros the engine reads;
 # a >= 30-min gap opens a new session, session end = last event + gap)
 _SQL_SESSIONIZE = """
     WITH e AS (

@@ -42,7 +42,6 @@ def session() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # smaller input splits -> parallel scan of single-file tables
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
@@ -235,9 +234,9 @@ def b_rel_top_nations(spark):
 
 
 def b_rel_events_hourly(spark):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from traject_spark.streaming.ops import read_events_batch
+
+    ev = read_events_batch(spark, SF_DIR)
     noop(
         ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")

@@ -5,9 +5,12 @@ BOTH batch and streaming mode (the Structured Streaming promise): the
 correctness gate checks the batch twin against DuckDB, and the streaming
 tests assert stream-run == batch-run on the same input.
 
-ts note: the driver's parquet stores `ts` as timestamp[ns]; Spark reads
-nanos only via ``spark.sql.legacy.parquet.nanosAsLong``, so the schemas
-here declare it LONG and convert to a real timestamp column.
+ts note: the driver's parquet stores `ts` as naive timestamp[us]; Spark
+would read it as TIMESTAMP_NTZ, whose epoch extraction is session-timezone
+dependent. The schemas here instead declare the column LONG, which the
+parquet reader fills with the raw INT64 micros-since-epoch — a
+timezone-free instant we convert with ``timestamp_micros`` (UTC semantics,
+matching DuckDB's naive-as-UTC reading in the oracle).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from pyspark.sql.types import (
 
 
 def events_schema() -> StructType:
-    """Schema of events.parquet with ts as raw nanos (see module note)."""
+    """Schema of events.parquet with ts as raw micros (see module note)."""
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -40,9 +43,7 @@ def events_schema() -> StructType:
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # integer div, not double /: ns-since-epoch exceeds double's 53-bit
-    # mantissa, so float division can mis-round the microsecond value
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +52,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxFilesPerTrigger`` would bound micro-batch size on a real tail;
     with ``availableNow`` the source plans one bounded backfill run.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream source wants a directory or glob, not a bare file path
     raw = (
         spark.readStream.schema(events_schema())
@@ -62,8 +62,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    raw = spark.read.schema(events_schema()).parquet(f"{sf_dir}/events.parquet")
+    return _with_event_time(raw)
 
 
 def hourly_rollup(events: DataFrame, late: str = "2 hours") -> DataFrame:

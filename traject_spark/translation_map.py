@@ -13,11 +13,17 @@ Column expression two ways:
 
 - small maps (<= ``LITERAL_MAP_MAX`` entries): a ``create_map`` literal —
   evaluated JVM-side inside whole-stage codegen, zero shuffle;
-- large maps: a broadcast python dict applied in an Arrow-batched pandas
-  UDF (still map-side; no shuffle, no join).
+- large maps (e.g. the ~8k-entry LoC language list): the whole map encoded
+  as ONE string literal + ``str_to_map`` — constant-folded to a map
+  literal once at optimization time, so the plan carries a single node
+  instead of 2N literal children, stays JVM-side, and (unlike a Python
+  UDF) remains legal inside higher-order-function lambdas such as the
+  ``let()`` combinator's ``transform``.
 
 Both paths are map-side lookups, the Spark analog of the reference's
 driver-loaded, thread-shared frozen maps (translation_map.rb:107-155).
+An Arrow-batched pandas-UDF strategy remains available for maps whose
+keys/values collide with the encoding separators.
 """
 
 from __future__ import annotations
@@ -34,8 +40,14 @@ from pyspark.sql.functions import pandas_udf
 PASSTHROUGH = "__passthrough__"
 DEFAULT_KEY = "__default__"
 
-#: above this entry count, switch from a create_map literal to a pandas UDF
+#: above this entry count, switch from a create_map literal to str_to_map
 LITERAL_MAP_MAX = 512
+
+#: separators for the large-map single-literal encoding (C0 control chars,
+#: absent from real map data; collisions fall back to the pandas-UDF path)
+_SEP_ENTRY = "\x1e"
+_SEP_KV = "\x1c"
+_SEP_VAL = "\x1f"
 
 
 def _parse_properties(text: str) -> dict:
@@ -153,15 +165,47 @@ class TranslationMap:
                 out[k] = [str(v)]
         return out
 
+    def _encodable(self, norm: dict) -> bool:
+        seps = (_SEP_ENTRY, _SEP_KV, _SEP_VAL)
+        for k, v in norm.items():
+            if any(s in str(k) for s in seps):
+                return False
+            for x in v or []:
+                if any(s in x for s in seps):
+                    return False
+        return True
+
+    def _hit_expr(self, norm: dict, value: Column) -> Optional[Column]:
+        """Probe the dict for ``value`` -> array<string> (null on miss).
+
+        Small maps: ``try_element_at`` on a ``create_map`` literal.  Large
+        maps: the whole dict is packed into ONE string literal parsed by
+        ``str_to_map`` — a single plan node, constant-folded to a map
+        literal at optimization time, legal inside higher-order-function
+        lambdas where Python UDFs are not; only the matched value is
+        unpacked (``split`` on the hit, never the whole map).
+        """
+        present = {k: v for k, v in norm.items() if v is not None}
+        if not present:
+            return None
+        if len(self._map) <= LITERAL_MAP_MAX:
+            entries = []
+            for k, v in present.items():
+                entries.append(F.lit(str(k)))
+                entries.append(F.array(*[F.lit(x) for x in v]))
+            # try_element_at: null on missing key (ANSI-mode safe)
+            return F.try_element_at(F.create_map(*entries), value)
+        encoded = _SEP_ENTRY.join(
+            str(k) + _SEP_KV + _SEP_VAL.join(v) for k, v in present.items()
+        )
+        packed = F.str_to_map(
+            F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
+        )
+        return F.split(F.try_element_at(packed, value), _SEP_VAL)
+
     def lookup_expr(self, value: Column) -> Column:
         """value -> array<string> of translations, NULL => remove value."""
         norm = self._as_array_dict()
-        entries = []
-        for k, v in norm.items():
-            if v is None:
-                continue  # explicit-nil entries removed below via when-chain
-            entries.append(F.lit(str(k)))
-            entries.append(F.array(*[F.lit(x) for x in v]))
         nil_keys = [str(k) for k, v in norm.items() if v is None]
 
         if self._default == PASSTHROUGH:
@@ -173,11 +217,8 @@ class TranslationMap:
         else:
             fallback = F.lit(None).cast("array<string>")
 
-        if entries:
-            mp = F.create_map(*entries)
-            # try_element_at: null on missing key (ANSI-mode safe)
-            hit = F.try_element_at(mp, value)
-        else:
+        hit = self._hit_expr(norm, value)
+        if hit is None:
             hit = F.lit(None).cast("array<string>")
         result = F.coalesce(hit, fallback)
         if nil_keys:
@@ -187,9 +228,13 @@ class TranslationMap:
     def translate_array_expr(self, acc: Column, spark: Optional[SparkSession] = None) -> Column:
         """array<string> -> translated array (flatten lists, drop nils).
 
-        Chooses the literal-map or broadcast-pandas-UDF strategy by size.
+        Pure Column expression at any map size (see ``_map_expr``); the
+        pandas-UDF strategy is only used when map data collides with the
+        large-map encoding separators (never true of the builtin maps).
         """
-        if len(self._map) <= LITERAL_MAP_MAX:
+        if len(self._map) <= LITERAL_MAP_MAX or self._encodable(
+            self._as_array_dict()
+        ):
             mapped = F.transform(acc, lambda v: self.lookup_expr(v))
             return F.flatten(F.filter(mapped, lambda x: x.isNotNull()))
         return self._translate_array_udf()(acc)

@@ -4,10 +4,11 @@ codes, LCC top-level classes, leader/007 genre bytes).
 
 The reference ships these as YAML under lib/translation_maps/ — the
 semantics (lookup/default/merge) live in traject_spark.translation_map;
-this module only carries data.  The language and geographic lists here are
-common-code SUBSETS of the full LoC lists (the reference's marc_languages
-has ~8000 entries); pass your own full map to the macros when you need
-complete coverage — the TranslationMap large-map path broadcasts it.
+this module only carries data.  The language, geographic, and
+instrument lists are the complete public LoC code lists (same data the
+reference bundles); the ~8k-entry language map exercises TranslationMap's
+broadcast-pandas-UDF large-map path, the small maps compile to literal
+``create_map`` expressions.
 """
 
 # LCC first letter -> broad category (reference: lcc_top_level.yaml;
@@ -68,180 +69,24 @@ MARC_GENRE_007 = {
     "m": "Video/Film",
 }
 
-# 048 two-char instrument/voice code prefixes -> display label
-# (subset of the LoC 048 code list; reference: marc_instruments.yaml)
-MARC_INSTRUMENTS = {
-    "ba": "Horn",
-    "bb": "Trumpet",
-    "bc": "Cornet",
-    "bd": "Trombone",
-    "be": "Tuba",
-    "bn": "Brass, Unspecified",
-    "ca": "Choruses, Mixed",
-    "cb": "Chorus, Women's",
-    "cc": "Choruses, Men's",
-    "cd": "Choruses, Children's",
-    "ea": "Synthesizer",
-    "ka": "Piano",
-    "kb": "Organ",
-    "kc": "Harpsichord",
-    "kd": "Clavichord",
-    "oa": "Full orchestra",
-    "ob": "Chamber orchestra",
-    "oc": "String orchestra",
-    "od": "Band",
-    "pa": "Timpani",
-    "pb": "Xylophone",
-    "sa": "Violin",
-    "sb": "Viola",
-    "sc": "Violoncello",
-    "sd": "Double bass",
-    "ta": "Harp",
-    "tb": "Guitar",
-    "tc": "Lute",
-    "va": "Soprano voice",
-    "vb": "Mezzo soprano voice",
-    "vc": "Alto voice",
-    "vd": "Tenor voice",
-    "ve": "Baritone voice",
-    "vf": "Bass voice",
-    "wa": "Flute",
-    "wb": "Oboe",
-    "wc": "Clarinet",
-    "wd": "Bassoon",
-    "we": "Piccolo",
-    "wf": "English horn",
-    "wg": "Saxophone",
-    "za": "Unspecified instruments",
-}
+# 048 instrument/voice codes -> display label (full public LoC 048 list;
+# reference bundles the same list as marc_instruments.yaml)
+from traject_spark.translation_maps.marc_instruments_data import (  # noqa: E402
+    MARC_INSTRUMENTS_FULL as MARC_INSTRUMENTS,
+)
 
-# MARC geographic area codes -> place name (subset of the LoC GAC list;
-# reference: marc_geographic.yaml)
-MARC_GEOGRAPHIC = {
-    "a": "Asia",
-    "a-af": "Afghanistan",
-    "a-cc": "China",
-    "a-ii": "India",
-    "a-ja": "Japan",
-    "a-kr": "Korea",
-    "a-ls": "Laos",
-    "a-vt": "Vietnam",
-    "aa": "Amur River (China and Russia)",
-    "e": "Europe",
-    "e-fr": "France",
-    "e-gr": "Greece",
-    "e-gx": "Germany",
-    "e-ie": "Ireland",
-    "e-it": "Italy",
-    "e-pl": "Poland",
-    "e-ru": "Russia (Federation)",
-    "e-sp": "Spain",
-    "e-sw": "Sweden",
-    "e-uk": "Great Britain",
-    "e-uk-en": "England",
-    "e-ur": "Soviet Union",
-    "f": "Africa",
-    "f-ke": "Kenya",
-    "f-nr": "Nigeria",
-    "f-sa": "South Africa",
-    "n": "North America",
-    "n-cn": "Canada",
-    "n-mx": "Mexico",
-    "n-us": "United States",
-    "n-us-ca": "California",
-    "n-us-il": "Illinois",
-    "n-us-md": "Maryland",
-    "n-us-ny": "New York (State)",
-    "n-us-tx": "Texas",
-    "s": "South America",
-    "s-ag": "Argentina",
-    "s-bl": "Brazil",
-    "s-ck": "Colombia",
-    "u-at": "Australia",
-    "u-nz": "New Zealand",
-}
+# MARC geographic area codes -> place name (full public LoC GAC list,
+# incl. discontinued codes; reference: marc_geographic.yaml)
+from traject_spark.translation_maps.marc_geographic_data import (  # noqa: E402
+    MARC_GEOGRAPHIC_FULL as MARC_GEOGRAPHIC,
+)
 
-# MARC language codes -> display name (common-code subset of the LoC
-# language code list; reference: marc_languages.yaml, ~8000 entries)
-MARC_LANGUAGES = {
-    "afr": "Afrikaans",
-    "alb": "Albanian",
-    "amh": "Amharic",
-    "ara": "Arabic",
-    "arm": "Armenian",
-    "aze": "Azerbaijani",
-    "baq": "Basque",
-    "bel": "Belarusian",
-    "ben": "Bengali",
-    "bos": "Bosnian",
-    "bul": "Bulgarian",
-    "bur": "Burmese",
-    "cat": "Catalan",
-    "chi": "Chinese",
-    "cze": "Czech",
-    "dan": "Danish",
-    "dut": "Dutch",
-    "eng": "English",
-    "est": "Estonian",
-    "fin": "Finnish",
-    "fre": "French",
-    "geo": "Georgian",
-    "ger": "German",
-    "grc": "Greek, Ancient (to 1453)",
-    "gre": "Greek, Modern (1453-)",
-    "guj": "Gujarati",
-    "heb": "Hebrew",
-    "hin": "Hindi",
-    "hrv": "Croatian",
-    "hun": "Hungarian",
-    "ice": "Icelandic",
-    "ind": "Indonesian",
-    "ita": "Italian",
-    "jpn": "Japanese",
-    "kan": "Kannada",
-    "kaz": "Kazakh",
-    "khm": "Khmer",
-    "kor": "Korean",
-    "kur": "Kurdish",
-    "lao": "Lao",
-    "lat": "Latin",
-    "lav": "Latvian",
-    "lit": "Lithuanian",
-    "mac": "Macedonian",
-    "mal": "Malayalam",
-    "mao": "Maori",
-    "mar": "Marathi",
-    "may": "Malay",
-    "mon": "Mongolian",
-    "nep": "Nepali",
-    "nor": "Norwegian",
-    "pan": "Panjabi",
-    "per": "Persian",
-    "pol": "Polish",
-    "por": "Portuguese",
-    "rum": "Romanian",
-    "rus": "Russian",
-    "san": "Sanskrit",
-    "slo": "Slovak",
-    "slv": "Slovenian",
-    "som": "Somali",
-    "spa": "Spanish",
-    "srp": "Serbian",
-    "swa": "Swahili",
-    "swe": "Swedish",
-    "tam": "Tamil",
-    "tel": "Telugu",
-    "tha": "Thai",
-    "tib": "Tibetan",
-    "tur": "Turkish",
-    "ukr": "Ukrainian",
-    "urd": "Urdu",
-    "uzb": "Uzbek",
-    "vie": "Vietnamese",
-    "wel": "Welsh",
-    "yid": "Yiddish",
-    "zul": "Zulu",
-}
+# MARC language codes -> display name (full public LoC language code
+# list, incl. obsolete + ISO 639-3 codes; reference: marc_languages.yaml).
+# ~8k entries: TranslationMap picks the broadcast-pandas-UDF path for it.
+from traject_spark.translation_maps.marc_languages_data import (  # noqa: E402
+    MARC_LANGUAGES_FULL as MARC_LANGUAGES,
+)
 
 BUILTIN_MAPS = {
     "lcc_top_level": LCC_TOP_LEVEL,
