@@ -162,6 +162,39 @@ def b_sink_solr(spark):
         srv.shutdown()
 
 
+_NDJSON_PATH: str | None = None
+
+
+def _ndjson_path(spark) -> str:
+    """Materialize the synthetic corpus once as marc-in-json NDJSON
+    (untimed setup) so ingest parsing itself can be timed."""
+    global _NDJSON_PATH
+    if _NDJSON_PATH is None:
+        from traject_spark import Pipeline
+        from traject_spark.macros import serialized_marc
+
+        out = Pipeline().to_field("json", serialized_marc("json")).apply(
+            synth_marc(spark)
+        )
+        line = (
+            F.element_at(F.col("json"), 1)
+            if out.schema["json"].dataType.simpleString().startswith("array")
+            else F.col("json")
+        )
+        _NDJSON_PATH = tempfile.mkdtemp(prefix="bench_ndj_") + "/ndj"
+        out.select(line.alias("value")).write.mode("overwrite").text(
+            _NDJSON_PATH
+        )
+    return _NDJSON_PATH
+
+
+def b_ingest_ndjson(spark):
+    """600k-record marc-in-json parse through the Arrow-batched reader."""
+    from traject_spark.marc.io import read_marc_json
+
+    noop(read_marc_json(spark, _ndjson_path(spark)))
+
+
 def b_dedup_exact(spark):
     from traject_spark.corpus import exact_dedup
 
@@ -280,6 +313,7 @@ BENCHES = {
     "map_full_pipeline": b_map_full,
     "map_minimum_slice": b_map_minimum,
     "map_translation": b_map_translation,
+    "ingest_ndjson": b_ingest_ndjson,
     "sink_solr_mock": b_sink_solr,
     "dedup_exact": b_dedup_exact,
     "dedup_minhash_lsh": b_dedup_minhash,
@@ -301,7 +335,8 @@ def main() -> None:
     spark = session()
     t0 = time.time()
     synth_marc(spark)  # untimed setup: materialize the synthetic corpus
-    print(f"BENCH setup synth_marc: {time.time() - t0:.1f}s", file=sys.stderr)
+    _ndjson_path(spark)  # untimed setup: NDJSON twin for the ingest bench
+    print(f"BENCH setup synth_marc+ndjson: {time.time() - t0:.1f}s", file=sys.stderr)
     # untimed warmup (the reference harness does the same: benchmark-ips
     # 2s warmup phase, index_bench/index_bench.rb:18-30) — JIT-compile the
     # interpreted HOF expression paths before the first timed query

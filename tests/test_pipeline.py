@@ -174,3 +174,91 @@ def test_plan_is_single_narrow_stage(spark):
     df = source_df(spark, ("b", BOOK))
     plan = p.apply(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- mapping_rescue (indexer.rb:483-517, doc/settings.md:35-58) -----------
+
+def _make_poison():
+    # defined per-test as a closure so cloudpickle ships it by value
+    # (module-level test functions aren't importable on executors)
+    def _poison(v):
+        if "poison" in v:
+            raise ValueError("boom")
+        return v.upper()
+    return _poison
+
+
+def test_mapping_rescue_halt_default_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    p = Pipeline().to_field(
+        "title", extract_marc("245ab"), T.transform_udf(_make_poison())
+    )
+    poison = dict(BOOK)
+    poison = {
+        **BOOK,
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "a poison title"}]}
+        ],
+    }
+    with pytest.raises((Py4JJavaError, PythonException)):
+        p.map_record(poison, spark)
+
+
+def test_mapping_rescue_skip_quarantines(spark):
+    poison = {
+        **BOOK,
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "a poison title"}]}
+        ],
+    }
+    p = (
+        Pipeline()
+        .settings(mapping_rescue="skip")
+        .to_field("title", extract_marc("245a"), T.transform_udf(_make_poison()))
+    )
+    df = source_df(spark, ("good", BOOK), ("bad", poison))
+    good, bad = p.apply_with_quarantine(df)
+    good_rows = {r["record_id"]: list(r["title"]) for r in good.collect()}
+    assert good_rows == {"good": ["MANUFACTURING CONSENT :"]}
+    bad_rows = bad.collect()
+    assert [r["record_id"] for r in bad_rows] == ["bad"]
+    assert "ValueError: boom" in bad_rows[0]["_error"]
+    assert "to_field ['title']" in bad_rows[0]["_error"]
+    # quarantine keeps the raw source record for later re-processing
+    assert bad_rows[0]["marc"]["datafields"][0]["subfields"][0]["value"] == (
+        "a poison title"
+    )
+
+
+def test_mapping_rescue_skip_plain_apply_drops_errored(spark):
+    poison = {
+        **BOOK,
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "a poison title"}]}
+        ],
+    }
+    p = (
+        Pipeline()
+        .settings(mapping_rescue="skip")
+        .to_field("title", extract_marc("245a"), T.transform_udf(_make_poison()))
+    )
+    out = p.apply(source_df(spark, ("good", BOOK), ("bad", poison)))
+    assert [r["record_id"] for r in out.collect()] == ["good"]
+
+
+def test_after_processing_runs_in_order(spark):
+    calls = []
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab"))
+        .after_processing(lambda: calls.append("first"))
+        .after_processing(lambda: calls.append("second"))
+    )
+    p.apply(source_df(spark, ("b", BOOK))).collect()
+    p.run_after_processing()
+    assert calls == ["first", "second"]

@@ -44,6 +44,7 @@ class PipelineContext:
     def __init__(self, pipeline: "Pipeline"):
         self._pipeline = pipeline
         self.clipboard: dict[str, Column] = {}
+        self.current_step: Optional[str] = None
 
     @property
     def marc(self) -> Column:
@@ -71,6 +72,27 @@ class PipelineContext:
         """context.skip! analog (lib/traject/indexer/context.rb:35-43)."""
         self._pipeline._skip_conds.append(cond)
 
+    @property
+    def rescue_mode(self) -> str:
+        """The ``mapping_rescue`` setting (doc/settings.md:35-58):
+        ``halt`` (default — errors abort the job, the reference's
+        log+re-raise) or ``skip`` (errored records are quarantined out,
+        the reference's ``context.skip!``-in-handler pattern)."""
+        return str(self._pipeline.settings_dict.get("mapping_rescue", "halt"))
+
+    def record_error(self, err: Column) -> None:
+        """Report a per-record error Column (null = ok) from a rescued
+        step; the pipeline routes errored records per ``mapping_rescue``
+        (indexer.rb:483-517 handle_mapping_errors)."""
+        if self.current_step:
+            err = F.when(
+                err.isNotNull(),
+                F.concat(
+                    err, F.lit(f" (while executing {self.current_step})")
+                ),
+            )
+        self._pipeline._error_exprs.append(err)
+
 
 class Pipeline:
     """Ordered to_field / each_record rule set compiling to one select."""
@@ -91,9 +113,11 @@ class Pipeline:
         }
         self.settings_dict.update(settings)
         self._steps: list = []
+        self._after_processing: list[Callable] = []
         # compile state
         self._field_exprs: dict[str, list[Column]] = {}
         self._skip_conds: list[Column] = []
+        self._error_exprs: list[Column] = []
         self._compiled: Optional[list] = None
 
     # -- DSL ---------------------------------------------------------------
@@ -124,6 +148,20 @@ class Pipeline:
         self._compiled = None
         return self
 
+    def after_processing(self, fn: Callable[[], None]) -> "Pipeline":
+        """Register a post-run callback (lib/traject/indexer.rb:359-361);
+        callbacks run in registration order after the sink finishes
+        (indexer.rb:646-655), e.g. a Solr commit or cleanup."""
+        self._after_processing.append(fn)
+        return self
+
+    def run_after_processing(self) -> None:
+        """Invoke registered callbacks; called by ``process_with`` and the
+        CLI after the write completes, or manually after ``apply`` +
+        custom sink."""
+        for fn in self._after_processing:
+            fn()
+
     # -- compilation -------------------------------------------------------
     def _add_field_expr(self, name: str, expr: Column) -> None:
         self._field_exprs.setdefault(name, []).append(expr)
@@ -150,10 +188,12 @@ class Pipeline:
         """
         self._field_exprs = {}
         self._skip_conds = []
+        self._error_exprs = []
         ctx = PipelineContext(self)
         for step in self._steps:
             if step[0] == "to_field":
                 _, names, macros = step
+                ctx.current_step = f"to_field {names}"
                 acc = F.array().cast(_EMPTY)
                 for macro in macros:
                     acc = macro(acc, ctx)
@@ -161,7 +201,9 @@ class Pipeline:
                     self._add_field_expr(n, acc)
             else:
                 _, fn = step
+                ctx.current_step = "each_record"
                 fn(ctx)
+        ctx.current_step = None
 
         fields = []
         for name, exprs in self._field_exprs.items():
@@ -199,9 +241,58 @@ class Pipeline:
         if skip is not None:
             # skip! => record produces nothing (indexer.rb:591-595)
             out = out.filter(~F.coalesce(skip, F.lit(False)))
+        err = self._error_col()
+        if err is not None and self.settings_dict.get("mapping_rescue") == "skip":
+            # rescued-step errors quarantine the record out of the output
+            # (doc/settings.md:35-58 skip!-in-handler); use
+            # apply_with_quarantine to also capture the errored rows
+            out = out.filter(err.isNull())
         return out.select(*cols)
 
     process = apply  # reference naming (indexer.rb:531)
+
+    def _error_col(self) -> Optional[Column]:
+        if not self._error_exprs:
+            return None
+        e = self._error_exprs[0]
+        for nxt in self._error_exprs[1:]:
+            e = F.coalesce(e, nxt)
+        return e
+
+    def apply_with_quarantine(
+        self, df: DataFrame, keep: Optional[Sequence[str]] = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """``apply`` + the errored rows as a second DataFrame.
+
+        The quarantine frame carries the record id, the first error
+        message, and the raw source record (so poisoned records can be
+        re-processed after a fix) — the production shape of the
+        reference's custom ``mapping_rescue`` handler that logs and
+        skips (doc/settings.md:35-58). Requires
+        ``settings(mapping_rescue="skip")``.
+        """
+        if self.settings_dict.get("mapping_rescue") != "skip":
+            raise ValueError(
+                'apply_with_quarantine requires settings(mapping_rescue="skip")'
+            )
+        good = self.apply(df, keep=keep)
+        err = self._error_col()
+        if err is None:
+            bad = df.filter(F.lit(False)).select(
+                F.col(self.id_col) if self.id_col in df.columns else F.lit(None).alias(self.id_col),
+                F.lit(None).cast("string").alias("_error"),
+                F.col(self.source_col),
+            )
+            return good, bad
+        cols = []
+        if self.id_col and self.id_col in df.columns:
+            cols.append(F.col(self.id_col))
+        for k in keep or []:
+            cols.append(F.col(k))
+        cols.append(err.alias("_error"))
+        cols.append(F.col(self.source_col))
+        bad = df.select(*cols).filter(F.col("_error").isNotNull())
+        return good, bad
 
     def map_record(self, record: dict, spark: SparkSession) -> dict:
         """Single-record correctness entry point, mirroring

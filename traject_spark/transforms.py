@@ -95,6 +95,14 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
 
     The moral equivalent of passing an arbitrary proc to the reference's
     ``transform`` — the slow path, kept off the hot path by default.
+
+    Error handling follows the pipeline's ``mapping_rescue`` setting
+    (indexer.rb:483-517, doc/settings.md:35-58): under the default
+    ``halt`` a raising ``py_fn`` aborts the job (the reference's
+    log+re-raise); under ``skip`` the exception is captured per record
+    into the pipeline's error channel and the record is quarantined —
+    the UDF returns a (value, error) struct so the error ride-along
+    costs no second evaluation.
     """
 
     @pandas_udf("array<string>")
@@ -103,7 +111,27 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
             lambda vs: None if vs is None else [py_fn(v) for v in vs]
         )
 
+    @pandas_udf("struct<value:array<string>,error:string>")
+    def _apply_rescued(col: pd.Series) -> pd.DataFrame:
+        values, errors = [], []
+        for vs in col:
+            if vs is None:
+                values.append(None)
+                errors.append(None)
+                continue
+            try:
+                values.append([py_fn(v) for v in vs])
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — the rescue boundary
+                values.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame({"value": values, "error": errors})
+
     def macro(acc: Column, ctx=None) -> Column:
+        if ctx is not None and ctx.rescue_mode == "skip":
+            s = _apply_rescued(acc)
+            ctx.record_error(s["error"])
+            return s["value"]
         return _apply(acc)
 
     return macro

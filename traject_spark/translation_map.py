@@ -195,13 +195,38 @@ class TranslationMap:
                 entries.append(F.array(*[F.lit(x) for x in v]))
             # try_element_at: null on missing key (ANSI-mode safe)
             return F.try_element_at(F.create_map(*entries), value)
-        encoded = _SEP_ENTRY.join(
-            str(k) + _SEP_KV + _SEP_VAL.join(v) for k, v in present.items()
-        )
-        packed = F.str_to_map(
-            F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
-        )
-        return F.split(F.try_element_at(packed, value), _SEP_VAL)
+
+        # Spark's map-literal probe is a linear key scan, so one flat
+        # 8k-entry map costs ~8k string compares per lookup. Shard by the
+        # key's first character into ~30 sub-map literals dispatched by a
+        # when-chain: one cheap 1-char compare chain, then a ~30x smaller
+        # probe. Each shard is a single encoded string literal parsed by
+        # str_to_map — constant-folded once, evaluable inside HOF lambdas.
+        from collections import defaultdict
+
+        shards: dict[str, list] = defaultdict(list)
+        for k, v in present.items():
+            shards[str(k)[:1]].append((str(k), v))
+
+        def shard_probe(items: list) -> Column:
+            encoded = _SEP_ENTRY.join(
+                k + _SEP_KV + _SEP_VAL.join(v) for k, v in items
+            )
+            packed = F.str_to_map(
+                F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
+            )
+            return F.try_element_at(packed, value)
+
+        prefix = F.substring(value, 1, 1)
+        probe: Optional[Column] = None
+        for p, items in sorted(shards.items()):
+            arm = shard_probe(items)
+            probe = (
+                F.when(prefix == p, arm)
+                if probe is None
+                else probe.when(prefix == p, arm)
+            )
+        return F.split(probe, _SEP_VAL)
 
     def lookup_expr(self, value: Column) -> Column:
         """value -> array<string> of translations, NULL => remove value."""
