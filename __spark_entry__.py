@@ -183,6 +183,67 @@ def _sql_marc_json() -> str:
     return f"{head} || {body} || {tail} || ']}}'"
 
 
+def _sql_marc_binary() -> str:
+    """DuckDB twin of the ISO 2709 framing arithmetic (serialize.py
+    to_iso2709): per-field byte lengths from the same synthesized values,
+    base address = 24 + 12*nfields + 1, total = base + data + 1, and the
+    leader with its zero-padded length/base digits spliced in."""
+
+    def ctrl(v: str) -> str:
+        # DuckDB octet_length takes BLOB: encode() -> UTF-8 bytes
+        return f"(octet_length(encode({v})) + 1)"
+
+    def dat(subs) -> str:
+        terms = " + ".join(
+            f"(2 + octet_length(encode({v})))" for _, v in subs
+        )
+        return f"(3 + {terms})"
+
+    lcc = (f"{SQL_LETTER} || CAST(doc_id % 900 + 1 AS VARCHAR) || '.5 .A' "
+           "|| CAST(doc_id % 9 + 1 AS VARCHAR)")
+    author = f"'Author, ' || {SQL_LETTER} || '.'"
+    packed041 = f"CASE WHEN doc_id % 10 = 0 THEN 'engfre' ELSE {SQL_LANG3} END"
+    f008 = f"'880520s' || {SQL_YEAR} || '    xxu{' ' * 17}' || {SQL_LANG3}"
+    field_lens = [
+        ctrl("CAST(doc_id AS VARCHAR)"),
+        ctrl(f008),
+        dat([("a", SQL_OCLC)]),
+        dat([("a", packed041)]),
+        dat([("a", SQL_INSTR_A)])
+        + " + CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END",  # $b 'bd01'
+        dat([("a", lcc)]),
+        dat([("a", author)]),
+        dat([
+            ("a", SQL_TITLE_A), ("b", SQL_TITLE_B),
+            ("c", f"'by Author ' || {SQL_LETTER} || '.'"),
+        ]),
+        dat([("b", "source || ' Press,'"), ("c", f"'c' || {SQL_YEAR} || '.'")]),
+        dat([("a", "'Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'")]),
+        dat([
+            ("a", "'Topic ' || CAST(doc_id % 10 AS VARCHAR)"),
+            ("x", "'History'"), ("y", SQL_ERA),
+            ("z", "'Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'"),
+        ]),
+    ]
+    f880 = dat([("6", "'245-01'"), ("a", f"'Alt ' || {SQL_TITLE}")])
+    data_len = (
+        "(" + " + ".join(field_lens)
+        + f" + CASE WHEN doc_id % 4 = 0 THEN {f880} ELSE 0 END)"
+    )
+    nfields = "(CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 11 END)"
+    base = f"(25 + 12 * {nfields})"
+    total = f"({base} + {data_len} + 1)"
+    leader = (
+        f"lpad(CAST({total} AS VARCHAR), 5, '0') || 'c' || {SQL_GENRE} "
+        f"|| ' a22' || lpad(CAST({base} AS VARCHAR), 5, '0') || ' a 4500'"
+    )
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS record_id,
+          CAST({total} AS BIGINT) AS bin_len,
+          {leader} AS leader
+        FROM documents"""
+
+
 _LANG_NAME = {
     k: BUILTIN_MAPS["marc_languages"].get(k)
     for k in ("eng", "ger", "fre", "spa", "chi")
@@ -324,6 +385,54 @@ def q_pipeline_transforms(spark, sf_dir):
     )
 
 
+def q_pipeline_rescue(spark, sf_dir):
+    """mapping_rescue='skip' (indexer.rb:483-517, doc/settings.md:35-58):
+    a transform_udf that raises on planted poison records; errored records
+    quarantine OUT of the main output, the rest map through unchanged."""
+
+    def upper_or_boom(v):
+        # closure (cloudpickle by-value): poison = title length % 7 == 0
+        if len(v) % 7 == 0:
+            raise ValueError("bad title")
+        return v.upper()
+
+    p = (
+        Pipeline()
+        .settings(mapping_rescue="skip")
+        .to_field(
+            "title",
+            extract_marc("245a", alternate_script=False),
+            T.transform_udf(upper_or_boom),
+        )
+    )
+    out = p.apply(_marc(spark, sf_dir))
+    return out.select(
+        "record_id", F.array_join("title", "|").alias("title")
+    )
+
+
+def q_pipeline_rescue_quarantine(spark, sf_dir):
+    """The quarantine side of q_pipeline_rescue: errored records with
+    their deterministic error message (value + step context)."""
+
+    def upper_or_boom(v):
+        if len(v) % 7 == 0:
+            raise ValueError("bad title")
+        return v.upper()
+
+    p = (
+        Pipeline()
+        .settings(mapping_rescue="skip")
+        .to_field(
+            "title",
+            extract_marc("245a", alternate_script=False),
+            T.transform_udf(upper_or_boom),
+        )
+    )
+    _good, bad = p.apply_with_quarantine(_marc(spark, sf_dir))
+    return bad.select("record_id", F.col("_error").alias("error"))
+
+
 def q_marc_serialize_json(spark, sf_dir):
     """serialized_marc('json') (marc21.rb:174-198): whole-record
     re-serialization to canonical marc-in-json, oracle-checked
@@ -332,10 +441,19 @@ def q_marc_serialize_json(spark, sf_dir):
 
 
 def q_marc_serialize_binary(spark, sf_dir):
-    """serialized_marc('binary'): ISO 2709 + base64 (rows-only check —
-    the directory/offset arithmetic is not practically SQL-expressible;
-    round-trip correctness is covered by tests/test_io_writers.py)."""
-    return _field(spark, sf_dir, "marc_b64", serialized_marc("binary"))
+    """serialized_marc('binary'): ISO 2709 encoding, oracle-checked on
+    the ISO 2709 framing — total record byte length (leader+directory+
+    data+terminators) and the materialized 24-byte leader (record length
+    and base address digits) recomputed independently in SQL from the
+    synthesized field values. Full-byte round-trip stays in
+    tests/test_io_writers.py (base64 payload has no SQL twin)."""
+    df = _field(spark, sf_dir, "marc_b64", serialized_marc("binary"))
+    raw = F.unbase64(F.col("marc_b64"))
+    return df.select(
+        "record_id",
+        F.length(raw).cast("long").alias("bin_len"),
+        F.decode(F.substring(raw, 1, 24), "utf-8").alias("leader"),
+    )
 
 
 def q_xml_extract(spark, sf_dir):
@@ -556,6 +674,49 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_exact_pairs(spark, sf_dir):
+    """Fully-agreeing MinHash+LSH pairs (est_jaccard = 1.0): planted
+    exact-copy docs (every 25th doc re-id'd +1000000) MUST surface
+    through the banding join with full 64-hash agreement — an
+    oracle-checkable slice of the LSH pipeline (identical texts have
+    identical signatures, and a fully-equal signature matches in every
+    band). The general candidate set stays rows-only (xxhash64 has no
+    DuckDB twin)."""
+    from traject_spark.corpus import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    cands = minhash_lsh_candidates(
+        docs.unionAll(copies), num_hashes=64, bands=16
+    )
+    # restrict to the planted pairs: natural near-dups can reach full
+    # 64-hash agreement by chance (hash-dependent, not SQL-predictable);
+    # the oracle claim is completeness — every planted copy MUST surface
+    # with est_jaccard exactly 1.0
+    return cands.filter(
+        (F.col("id_b") == F.col("id_a") + 1000000)
+        & (F.col("est_jaccard") >= 1.0)
+    )
+
+
+def q_dedup_simhash_near(spark, sf_dir):
+    """Banded SimHash near-dup retrieval (hamming <= 3 via 4-band
+    pigeonhole buckets — candidates rows x bands, never n^2). Planted
+    near-identical docs (one appended token on every 50th doc) must
+    surface as (doc_id, doc_id+1000000) pairs; no SQL oracle (xxhash64
+    has no DuckDB twin), covered rows-only + pytest planted-distance."""
+    from traject_spark.corpus import simhash_near_dup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tweaked = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    return simhash_near_dup(docs.unionAll(tweaked), max_distance=3, bands=4)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(
@@ -591,12 +752,18 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embed_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, exact O(n^2) baseline (the
-    LSH-bucketed scale path is cosine_near_dup(mode='lsh'))."""
+    """Embedding-cosine near-duplicate pairs via the LSH-bucketed scale
+    path (candidates = pairs sharing a random-hyperplane bucket in any of
+    4 tables — shuffle volume ~n^2/2^bits per table, never all pairs).
+    The oracle mirrors the identical hyperplane constants in SQL; the
+    exact O(n^2) baseline stays a pytest subset/recall check
+    (tests/test_similarity.py)."""
     from traject_spark.corpus import cosine_near_dup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_near_dup(emb, threshold=0.35)
+    return cosine_near_dup(
+        emb, threshold=0.35, mode="lsh", dim=64, bits=6, tables=4
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -662,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_skip": q_pipeline_skip,
         "pipeline_two_rules": q_pipeline_two_rules,
         "pipeline_transforms": q_pipeline_transforms,
+        "pipeline_rescue": q_pipeline_rescue,
+        "pipeline_rescue_quarantine": q_pipeline_rescue_quarantine,
         "marc_serialize_json": q_marc_serialize_json,
         "marc_serialize_binary": q_marc_serialize_binary,
         "xml_extract": q_xml_extract,
@@ -683,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_fingerprint": q_stream_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_minhash_exact_pairs": q_dedup_minhash_exact_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_near_dup": q_embed_near_dup,
@@ -741,10 +912,39 @@ _SQL_IVF = f"""
     SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5"""
 
 
+def _sql_lsh_bucket(vexpr: str, table: int, bits: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of similarity.signs_expr: the same deterministic
+    splitmix hyperplanes as double literals, same >= 0 sign rule."""
+    from traject_spark.corpus.similarity import _hyperplane
+
+    terms = []
+    for b in range(bits):
+        lit = "[" + ", ".join(repr(x) for x in _hyperplane(dim, b, table)) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vexpr}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 _SQL_NEAR_DUP = f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH buckets AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sql_lsh_bucket('embedding', t)} AS bucket FROM embeddings"
+        for t in range(4)
+    )}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
       round(round({_sql_cos('a.embedding', 'b.embedding')}, 9), 6) AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
     WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.35"""
 
 
@@ -891,6 +1091,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_skip": f"""
             SELECT {rid}, {SQL_TITLE_A} AS title
             FROM documents WHERE n_chars >= 200""",
+        "pipeline_rescue": f"""
+            SELECT {rid}, upper({SQL_TITLE_A}) AS title
+            FROM documents WHERE length({SQL_TITLE_A}) % 7 <> 0""",
+        "pipeline_rescue_quarantine": f"""
+            SELECT {rid},
+              'ValueError: bad title (while executing to_field [''title''])'
+                AS error
+            FROM documents WHERE length({SQL_TITLE_A}) % 7 = 0""",
         "pipeline_two_rules": """
             SELECT CAST(doc_id AS VARCHAR) AS record_id,
               CASE WHEN doc_id % 10 = 0 THEN 'Topic 0'
@@ -911,6 +1119,11 @@ def oracle_sql() -> dict[str, str]:
         "marc_serialize_json": f"""
             SELECT {rid}, {_sql_marc_json()} AS marc_json
             FROM documents""",
+        "marc_serialize_binary": _sql_marc_binary(),
+        "dedup_minhash_exact_pairs": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+              CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM documents WHERE doc_id % 25 = 0""",
         "xml_extract": f"""
             SELECT {rid},
               {SQL_TITLE} AS title,

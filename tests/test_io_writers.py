@@ -177,3 +177,51 @@ def test_solr_writer_retries_individually(spark, mock_solr):
         d["id"] for d in _MockSolr.received
     }
     assert skipped_ids == {"r3"}
+
+
+def test_solr_writer_basic_auth_header(spark):
+    import http.server
+    import threading
+
+    seen_auth = []
+
+    class AuthSolr(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            seen_auth.append(self.headers.get("Authorization"))
+            if not self.headers.get("Authorization"):
+                self.send_response(401)
+            else:
+                self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), AuthSolr)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("r1", ["t1"])], "record_id string, title array<string>"
+        ).coalesce(1)
+        url = f"http://127.0.0.1:{srv.server_address[1]}/solr/core"
+        skipped = solr_json_writer(
+            df, url, basic_auth_user="alice", basic_auth_password="secret"
+        )
+        assert skipped == 0
+        import base64
+
+        expected = "Basic " + base64.b64encode(b"alice:secret").decode()
+        assert seen_auth == [expected]
+        # URL userinfo form too (solr_json_writer.rb:393-415)
+        seen_auth.clear()
+        userinfo_url = (
+            f"http://bob:pw@127.0.0.1:{srv.server_address[1]}/solr/core"
+        )
+        assert solr_json_writer(df, userinfo_url) == 0
+        assert seen_auth == [
+            "Basic " + base64.b64encode(b"bob:pw").decode()
+        ]
+    finally:
+        srv.shutdown()

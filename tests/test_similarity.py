@@ -71,3 +71,59 @@ def test_near_dup_lsh_subset_of_exact(emb):
                            bits=4, tables=8).collect()}
     assert lsh <= exact
     assert len(lsh) > 0
+
+
+# --- banded SimHash near-dup (corpus/dedup.py simhash_near_dup) -----------
+
+def test_simhash_near_dup_planted_distances(spark):
+    """Pigeonhole guarantee: with 4 bands, EVERY pair at hamming <= 3 is
+    found; pairs above the threshold are excluded."""
+    from traject_spark.corpus import simhash_near_dup
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base),                      # distance 0
+        (3, base ^ 0b1),                # distance 1
+        (4, base ^ 0b111),              # distance 3 (all in band 0)
+        (5, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40)),  # d=3 across bands
+        (6, base ^ 0xF),                # distance 4 -> excluded
+        (7, ~base & 0xFFFFFFFFFFFFFFFF - (1 << 63)),   # far away
+    ]
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in rows],
+        "doc_id: long, sig: long",
+    )
+    out = simhash_near_dup(df, sig_col="sig", max_distance=3, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 3
+    assert got[(1, 5)] == 3
+    assert (1, 6) not in got  # distance 4 > max_distance
+    assert (2, 3) in got and (3, 4) in got  # transitively near pairs too
+
+
+def test_simhash_near_dup_from_text_finds_tweaked_copy(spark):
+    from traject_spark.corpus import simhash_near_dup
+
+    long_text = " ".join(f"token{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text + " extra"), (3, "something else entirely unrelated words")],
+        "doc_id: long, text: string",
+    )
+    out = simhash_near_dup(df, max_distance=3, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_dup_validates_params(spark):
+    import pytest as _pytest
+    from traject_spark.corpus import simhash_near_dup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        simhash_near_dup(df, max_distance=4, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_near_dup(df, max_distance=2, bands=5)

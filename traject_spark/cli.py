@@ -1,0 +1,281 @@
+"""Command-line entry point, mirroring the reference's ``traject`` command
+(lib/traject/command_line.rb:28-36,95-142 and bin/traject).
+
+    traject-spark -c config.py file.mrc
+    traject-spark -c config.py -t json -o out/ file.ndj
+    traject-spark -x marcout -t xml -o out.xml file.mrc
+    traject-spark -x commit -u http://solr:8983/solr/core
+
+Configuration files are Python scripts executed with the traject DSL in
+scope (``to_field``, ``each_record``, ``after_processing``, ``settings``,
+``provide``, every marc21/semantics/formats macro, and ``transforms`` as
+``T``) — the moral equivalent of the reference's instance_eval'd config.rb
+(indexer.rb load_config_file). The CLI builds one SparkSession, routes the
+input through the format reader chosen by ``marc_source.type`` (``-t``),
+applies the compiled pipeline, and writes via the writer selected by
+``writer_class_name`` (``-w``) — json (NDJSON, default), csv, delimited,
+debug, or solr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+WRITER_SHORTCUTS = {
+    "json": "json",
+    "jsonwriter": "json",
+    "csv": "csv",
+    "csvwriter": "csv",
+    "delimited": "delimited",
+    "delimitedwriter": "delimited",
+    "debug": "debug",
+    "debugwriter": "debug",
+    "solr": "solr",
+    "solrjsonwriter": "solr",
+    "null": "null",
+    "nullwriter": "null",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="traject-spark",
+        description="traject-compatible MARC/XML indexing on Spark",
+    )
+    p.add_argument("-c", "--conf", action="append", default=[],
+                   help="configuration file path (repeatable)")
+    p.add_argument("-s", "--setting", action="append", default=[],
+                   help="settings: -s key=value (repeatable)")
+    p.add_argument("-i", "--indexer", default="marc",
+                   choices=["basic", "marc", "xml"],
+                   help="indexer flavor (record column)")
+    p.add_argument("-r", "--reader", default=None,
+                   help="shortcut for -s reader_class_name=")
+    p.add_argument("-o", "--output_file", default=None,
+                   help="output path for file writers")
+    p.add_argument("-w", "--writer", default=None,
+                   help="writer: json/csv/delimited/debug/solr/null")
+    p.add_argument("-u", "--solr", default=None,
+                   help="shortcut for -s solr.url=")
+    p.add_argument("-t", "--marc_type", default=None,
+                   choices=["xml", "json", "binary"],
+                   help="shortcut for -s marc_source.type=")
+    p.add_argument("-x", "--command", default="process",
+                   choices=["process", "marcout", "commit"])
+    p.add_argument("-d", "--debug-mode", dest="debug_mode",
+                   action="store_true",
+                   help="human-readable debug output writer")
+    p.add_argument("--master", default="local[*]", help="Spark master")
+    p.add_argument("files", nargs="*", help="input files")
+    return p
+
+
+def assemble_settings(args) -> dict:
+    """-s pairs + option shortcuts (command_line.rb:192-235)."""
+    settings: dict = {}
+    for pair in args.setting:
+        if "=" not in pair:
+            raise SystemExit(
+                f"Unrecognized setting argument {pair!r}: use -s key=value"
+            )
+        key, value = pair.split("=", 1)
+        settings[key] = value
+    if args.writer:
+        settings["writer_class_name"] = args.writer
+    if args.reader:
+        settings["reader_class_name"] = args.reader
+    if args.solr:
+        settings["solr.url"] = args.solr
+    if args.marc_type:
+        settings["marc_source.type"] = args.marc_type
+    if args.output_file:
+        settings["output_file"] = args.output_file
+    if args.debug_mode:
+        settings["writer_class_name"] = "debug"
+    return settings
+
+
+def config_scope(pipeline) -> dict:
+    """The DSL namespace for exec'ing config files — the analog of the
+    reference's config.rb instance_eval context (indexer.rb:388-406)."""
+    from traject_spark import macros as M
+    from traject_spark import transforms as T
+    from traject_spark.translation_map import TranslationMap
+    from traject_spark.xmlrec import extract_xpath
+
+    scope = {
+        "to_field": pipeline.to_field,
+        "each_record": pipeline.each_record,
+        "after_processing": pipeline.after_processing,
+        "settings": pipeline.settings,
+        "provide": pipeline.provide,
+        "pipeline": pipeline,
+        "T": T,
+        "transforms": T,
+        "TranslationMap": TranslationMap,
+        "extract_xpath": extract_xpath,
+    }
+    for name in dir(M):
+        if not name.startswith("_"):
+            scope[name] = getattr(M, name)
+    return scope
+
+
+def load_config_files(pipeline, conf_paths: list) -> None:
+    for path in conf_paths:
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                src = fh.read()
+        except OSError as e:
+            raise SystemExit(
+                f"Could not read configuration file {path!r}: {e}"
+            )
+        code = compile(src, path, "exec")
+        exec(code, config_scope(pipeline))  # noqa: S102 — the config DSL
+
+
+def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
+    from traject_spark.marc.io import (
+        read_iso2709,
+        read_marc_json,
+        read_marcxml,
+    )
+    from traject_spark.xmlrec.io import read_xml_records
+
+    if not files:
+        raise SystemExit("No input files given")
+    src_type = str(settings.get("marc_source.type", "binary"))
+    reader = str(settings.get("reader_class_name", "")).lower()
+    if reader in ("nokogirireader", "xml_records") or settings.get(
+        "nokogiri.each_record_xpath"
+    ):
+        tag = settings.get("nokogiri.each_record_xpath")
+        if tag:
+            tag = str(tag).rsplit("/", 1)[-1].split(":")[-1]
+        return read_xml_records(spark, files, each_record_tag=tag)
+    if src_type == "json":
+        return read_marc_json(spark, files)
+    if src_type == "xml":
+        return read_marcxml(spark, files)
+    return read_iso2709(spark, files)
+
+
+def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
+    from traject_spark import writers as W
+
+    name = str(settings.get("writer_class_name", "json"))
+    kind = WRITER_SHORTCUTS.get(name.lower().rsplit(".", 1)[-1], name)
+    out = settings.get("output_file")
+    if kind == "solr":
+        url = str(settings.get("solr.url", ""))
+        if not url:
+            raise SystemExit("solr writer needs -u/-s solr.url=")
+        batch = int(settings.get("solr_writer.batch_size", 100))
+        W.solr_json_writer(df, url, batch_size=batch)
+        return True
+    if kind == "null":
+        W.write_noop(df)
+        return True
+    if not out:
+        # stream driver-side to stdout (small runs / pipes); file writers
+        # are the distributed path
+        if kind == "debug":
+            for row in W.debug_lines(df).toLocalIterator():
+                print(row[0])
+        else:
+            for line in df.toJSON().toLocalIterator():
+                print(line)
+        return True
+    if kind == "csv":
+        W.write_csv(df, out)
+    elif kind == "delimited":
+        W.write_delimited(df, out)
+    elif kind == "debug":
+        W.write_debug(df, out)
+    else:
+        W.write_json(df, out)
+    return True
+
+
+def command_marcout(spark, settings: dict, files: list) -> bool:
+    """Read MARC, re-serialize, write — no mapping (command_line.rb:102-142)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.macros import serialized_marc
+    from traject_spark.pipeline import Pipeline
+
+    out_type = str(settings.get("marcout.type", "binary"))
+    if out_type not in ("binary", "xml", "json"):
+        raise SystemExit(f"marcout unrecognized marcout.type: {out_type}")
+    df = read_input(spark, settings, files)
+    p = Pipeline().to_field("serialized", serialized_marc(out_type))
+    ser = p.apply(df).select(F.element_at("serialized", 1).alias("value"))
+    out = settings.get("output_file")
+    if out:
+        ser.write.mode("overwrite").text(out)
+        return True
+    for row in ser.toLocalIterator():
+        print(row[0])
+    return True
+
+
+def command_commit(settings: dict) -> bool:
+    import urllib.request
+
+    url = str(settings.get("solr.url", ""))
+    if not url:
+        raise SystemExit("No solr.url setting provided")
+    with urllib.request.urlopen(f"{url}/update?commit=true") as resp:  # noqa: S310
+        sys.stderr.write(resp.read().decode("utf-8", "replace") + "\n")
+    return True
+
+
+def make_session(master: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(master)
+        .appName("traject-spark")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> int:
+    from traject_spark.pipeline import Pipeline
+
+    args = build_parser().parse_args(argv)
+    settings = assemble_settings(args)
+
+    if args.command == "commit":
+        return 0 if command_commit(settings) else 1
+
+    owns_session = spark is None
+    if owns_session:
+        spark = make_session(args.master)
+    try:
+        if args.command == "marcout":
+            return 0 if command_marcout(spark, settings, args.files) else 1
+
+        if not args.conf:
+            raise SystemExit("Error: Missing required configuration file (-c)")
+        source_col = "xml" if args.indexer == "xml" else "marc"
+        pipeline = Pipeline(source_col=source_col, **settings)
+        load_config_files(pipeline, args.conf)
+        settings = pipeline.settings_dict  # config files may add settings
+        df = read_input(spark, settings, args.files)
+        ok = write_output(pipeline.apply(df), pipeline, settings)
+        pipeline.run_after_processing()  # indexer.rb:646-655 ordering
+        return 0 if ok else 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,7 @@ from traject_spark.corpus.dedup import (
     minhash_signature_expr,
     minhash_lsh_candidates,
     simhash_expr,
+    simhash_near_dup,
     ngram_jaccard_pairs,
 )
 from traject_spark.corpus.similarity import (
@@ -46,6 +47,7 @@ __all__ = [
     "minhash_signature_expr",
     "minhash_lsh_candidates",
     "simhash_expr",
+    "simhash_near_dup",
     "ngram_jaccard_pairs",
     "cosine_similarity_expr",
     "cosine_near_dup",

@@ -199,6 +199,84 @@ def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    sig_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash_a, simhash_b) <= t.
+
+    Pigeonhole banding: the 64-bit signature splits into ``bands``
+    contiguous equal-width bands; any pair within hamming distance
+    < ``bands`` must agree EXACTLY on at least one band, so the candidate
+    set is pairs sharing a (band, band_bits) bucket — shuffle volume is
+    rows x bands, never the n^2 pair space — and the exact hamming filter
+    then verifies. Requires ``max_distance < bands`` for the guarantee.
+
+    ``sig_col`` uses a precomputed signature column instead of computing
+    SimHash from ``text_col``. Returns (id_a, id_b, distance).
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"pigeonhole banding needs max_distance < bands "
+            f"(got {max_distance} >= {bands})"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig_src = (
+        F.col(sig_col)
+        if sig_col
+        else simhash_expr(F.col(text_col))
+    )
+    sig = df.select(F.col(id_col).alias("id"), sig_src.alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "distance",
+            hamming64_expr(F.col("sig_a"), F.col("sig_b")).cast("long"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verifier stage)
 # ---------------------------------------------------------------------------

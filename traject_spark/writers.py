@@ -146,6 +146,11 @@ def _rows_to_solr_docs(rows, array_cols: set, id_col: Optional[str]) -> list:
     return docs
 
 
+class SolrHTTPError(RuntimeError):
+    """Non-2xx response from Solr (no transport retry — the document batch
+    itself is the suspect, so it goes to the one-by-one path)."""
+
+
 def solr_json_writer(
     df: DataFrame,
     url: str,
@@ -154,14 +159,23 @@ def solr_json_writer(
     id_col: Optional[str] = "record_id",
     commit_on_close: bool = False,
     timeout: float = 30.0,
+    basic_auth_user: Optional[str] = None,
+    basic_auth_password: Optional[str] = None,
+    max_retries: int = 2,
+    retry_backoff: float = 0.5,
 ) -> int:
     """POST documents to Solr's /update/json in batches via
     ``foreachPartition`` (the Spark shape of
     lib/traject/solr_json_writer.rb:92-474):
 
     - buffer ``batch_size`` docs per POST (solr_json_writer.rb:51-53);
-    - on batch failure, retry documents ONE BY ONE, counting failures
-      (solr_json_writer.rb:208-231);
+    - ONE persistent keep-alive connection per partition (the reference's
+      persistent HTTPClient adapter, solr_json_writer.rb:397-432), basic
+      auth from args or URL userinfo (solr_json_writer.rb:393-415);
+    - connection-level failures retry with exponential backoff
+      (``max_retries``/``retry_backoff``); HTTP-level errors do NOT —
+      the batch is the suspect, so documents retry ONE BY ONE, counting
+      failures (solr_json_writer.rb:208-231);
     - skipped docs counted on a Spark accumulator; when the total exceeds
       ``max_skipped`` raise MaxSkippedExceeded (solr_json_writer.rb:236-267;
       max_skipped=None disables);
@@ -177,17 +191,67 @@ def solr_json_writer(
     }
     update_url = url.rstrip("/") + "/update/json"
 
-    def post(docs: list) -> None:
-        import urllib.request
-
-        req = urllib.request.Request(
-            update_url,
-            data=json.dumps(docs).encode("utf-8"),
-            headers={"Content-Type": "application/json"},
-        )
-        urllib.request.urlopen(req, timeout=timeout).read()
-
     def handle_partition(rows) -> None:
+        import base64
+        import http.client
+        import time as _time
+        import urllib.parse
+
+        parsed = urllib.parse.urlsplit(update_url)
+        conn_cls = (
+            http.client.HTTPSConnection
+            if parsed.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        path = parsed.path + (f"?{parsed.query}" if parsed.query else "")
+        headers = {"Content-Type": "application/json"}
+        user = basic_auth_user or parsed.username
+        if user:
+            password = (
+                basic_auth_password
+                if basic_auth_user
+                else (parsed.password or "")
+            )
+            cred = f"{user}:{password or ''}".encode("utf-8")
+            headers["Authorization"] = (
+                "Basic " + base64.b64encode(cred).decode("ascii")
+            )
+        conn_box: list = [None]
+
+        def post(docs: list) -> None:
+            payload = json.dumps(docs).encode("utf-8")
+            delay = retry_backoff
+            for attempt in range(max_retries + 1):
+                try:
+                    if conn_box[0] is None:
+                        conn_box[0] = conn_cls(
+                            parsed.hostname, parsed.port, timeout=timeout
+                        )
+                    conn_box[0].request(
+                        "POST", path, body=payload, headers=headers
+                    )
+                    resp = conn_box[0].getresponse()
+                    body = resp.read()
+                    if resp.status >= 400:
+                        raise SolrHTTPError(
+                            f"Solr HTTP {resp.status}: {body[:200]!r}"
+                        )
+                    return
+                except SolrHTTPError:
+                    raise  # server judged the docs — no transport retry
+                except Exception:
+                    # connection-level: drop the connection, back off
+                    try:
+                        if conn_box[0] is not None:
+                            conn_box[0].close()
+                    except Exception:
+                        pass
+                    conn_box[0] = None
+                    if attempt == max_retries:
+                        raise
+                    _time.sleep(delay)
+                    delay *= 2
+
         buf = []
 
         def flush() -> None:
@@ -205,11 +269,18 @@ def solr_json_writer(
                     except Exception:
                         skipped_acc.add(1)
 
-        for row in rows:
-            buf.append(row)
-            if len(buf) >= batch_size:
-                flush()
-        flush()
+        try:
+            for row in rows:
+                buf.append(row)
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+        finally:
+            if conn_box[0] is not None:
+                try:
+                    conn_box[0].close()
+                except Exception:
+                    pass
 
     df.foreachPartition(handle_partition)
 
