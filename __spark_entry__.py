@@ -433,6 +433,80 @@ def q_pipeline_rescue_quarantine(spark, sf_dir):
     return bad.select("record_id", F.col("_error").alias("error"))
 
 
+def q_marc_edge_shapes(spark, sf_dir):
+    """Edge-record shapes from the reference's curated fixtures, oracle-
+    checked (test_support/date_with_u.marc, 880_with_no_6.utf8.marc,
+    packed_041a_lang.marc analogs):
+
+    - doc_id%4==0: 008 date1 '198u' (u-range midpoint -> 1985);
+    - doc_id%4==1: 008 date_type 'q' range 191u..1920 (midpoint 1915);
+    - doc_id%4==2: an 880 field with NO $6 — must be ignored, not crash;
+    - doc_id%4==3: odd-length packed 041a 'engfregerm' (chunks to
+      eng/fre/ger + a trailing 'm' that is no language code and drops).
+    """
+
+    def cf(tag, value):
+        return F.struct(F.lit(tag).alias("tag"), value.alias("value"))
+
+    def sf(code, value):
+        return F.struct(F.lit(code).alias("code"), value.alias("value"))
+
+    def dfld(tag, ind1, ind2, subs):
+        return F.struct(
+            F.lit(tag).alias("tag"),
+            F.lit(ind1).alias("ind1"),
+            F.lit(ind2).alias("ind2"),
+            F.array(*subs).alias("subfields"),
+        )
+
+    doc_id = F.col("doc_id")
+    mod4 = doc_id % 4
+    dtype = F.when(mod4 == 1, F.lit("q")).otherwise(F.lit("s"))
+    date1 = (
+        F.when(mod4 == 0, F.lit("198u"))
+        .when(mod4 == 1, F.lit("191u"))
+        .otherwise(F.concat(F.lit("19"), F.lpad((doc_id % 50).cast("string"), 2, "0")))
+    )
+    date2 = F.when(mod4 == 1, F.lit("1920")).otherwise(F.lit("    "))
+    f008 = F.concat(
+        F.lit("880520"), dtype, date1, date2, F.lit(" " * 20), F.lit("eng")
+    )
+    packed = F.when(mod4 == 3, F.lit("engfregerm")).otherwise(
+        F.lit("fre")
+    )
+    title = F.concat(F.lit("Edge title "), doc_id.cast("string"))
+    base = [
+        dfld("041", "0", " ", [sf("a", packed)]),
+        dfld("245", "1", "0", [sf("a", title)]),
+    ]
+    bad880 = dfld("880", "1", "0", [sf("a", F.lit("SHOULD NOT APPEAR"))])
+    marc = F.struct(
+        F.lit("01234cam a2200301 a 4500").alias("leader"),
+        F.array(
+            cf("001", doc_id.cast("string")), cf("008", f008)
+        ).alias("controlfields"),
+        F.when(mod4 == 2, F.array(*base, bad880))
+        .otherwise(F.array(*base))
+        .alias("datafields"),
+    )
+    src = _docs(spark, sf_dir).select(
+        doc_id.cast("string").alias("record_id"), marc.alias("marc")
+    )
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245a"))
+        .to_field("pub_date", marc_publication_date())
+        .to_field("language", marc_languages())
+    )
+    out = p.apply(src)
+    return out.select(
+        "record_id",
+        F.array_join("title", "|").alias("title"),
+        F.array_join("pub_date", "|").alias("pub_date"),
+        F.array_join("language", "|").alias("language"),
+    )
+
+
 def q_marc_serialize_json(spark, sf_dir):
     """serialized_marc('json') (marc21.rb:174-198): whole-record
     re-serialization to canonical marc-in-json, oracle-checked
@@ -831,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_transforms": q_pipeline_transforms,
         "pipeline_rescue": q_pipeline_rescue,
         "pipeline_rescue_quarantine": q_pipeline_rescue_quarantine,
+        "marc_edge_shapes": q_marc_edge_shapes,
         "marc_serialize_json": q_marc_serialize_json,
         "marc_serialize_binary": q_marc_serialize_binary,
         "xml_extract": q_xml_extract,
@@ -1099,6 +1174,17 @@ def oracle_sql() -> dict[str, str]:
               'ValueError: bad title (while executing to_field [''title''])'
                 AS error
             FROM documents WHERE length({SQL_TITLE_A}) % 7 = 0""",
+        "marc_edge_shapes": f"""
+            SELECT {rid},
+              'Edge title ' || CAST(doc_id AS VARCHAR) AS title,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN '1985'  -- 198u: (1980+1989)/2 rounded
+                WHEN 1 THEN '1915'  -- type q: (1910+1920)/2
+                ELSE CAST(1900 + doc_id % 50 AS VARCHAR)
+              END AS pub_date,
+              CASE WHEN doc_id % 4 = 3 THEN 'English|French|German'
+                   ELSE 'English|French' END AS language
+            FROM documents""",
         "pipeline_two_rules": """
             SELECT CAST(doc_id AS VARCHAR) AS record_id,
               CASE WHEN doc_id % 10 = 0 THEN 'Topic 0'

@@ -225,3 +225,77 @@ def test_solr_writer_basic_auth_header(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_yaml_writer_format(spark, tmp_path):
+    from traject_spark.writers import write_yaml
+
+    df = spark.createDataFrame(
+        [("r1", ["Title A", "it's quoted"], "scalar"), ("r2", None, None)],
+        "record_id string, title array<string>, note string",
+    ).coalesce(1)
+    out = str(tmp_path / "yaml")
+    write_yaml(df, out)
+    text = "".join(
+        open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out))
+        if f.startswith("part-")
+    )
+    docs = [d for d in text.split("---") if d.strip()]
+    assert len(docs) == 2
+    d1 = next(d for d in docs if "'r1'" in d)
+    assert "title:\n   - 'Title A'\n   - 'it''s quoted'" in d1
+    assert "note: 'scalar'" in d1
+    d2 = next(d for d in docs if "'r2'" in d)
+    assert "title" not in d2  # null fields omitted
+
+
+def test_process_with_destination_rescue_on_skipped(spark):
+    from pyspark.sql import functions as F
+
+    from traject_spark import Pipeline, extract_marc, transforms as T
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    def rec(title):
+        return marc_record(
+            datafields=[("245", "1", "0", [("a", title)])]
+        )
+
+    df = spark.createDataFrame(
+        [("good", rec("A fine title")),
+         ("poison", rec("a poison title")),
+         ("short", rec("tiny"))],
+        MARC_SOURCE_SCHEMA,
+    )
+
+    def boom(v):
+        if "poison" in v:
+            raise ValueError("boom")
+        return v
+
+    written, rescued, skipped = [], [], []
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245a"), T.transform_udf(boom))
+    )
+    # skip! predicate: drop records whose title value is 'tiny'
+    p.each_record(lambda ctx: ctx.skip_when(
+        F.exists(ctx.output("title"), lambda v: v == "tiny")))
+
+    out = p.process_with(
+        df,
+        destination=lambda d: written.extend(
+            r["record_id"] for r in d.collect()
+        ),
+        rescue_with=lambda bad: rescued.extend(
+            r["record_id"] for r in bad.collect()
+        ),
+        on_skipped=lambda s: skipped.extend(
+            r["record_id"] for r in s.collect()
+        ),
+    )
+    assert sorted(written) == ["good"]
+    assert rescued == ["poison"]
+    assert skipped == ["short"]
+    # rescue_with did not permanently flip the setting
+    assert "mapping_rescue" not in p.settings_dict

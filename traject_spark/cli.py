@@ -35,6 +35,8 @@ WRITER_SHORTCUTS = {
     "delimitedwriter": "delimited",
     "debug": "debug",
     "debugwriter": "debug",
+    "yaml": "yaml",
+    "yamlwriter": "yaml",
     "solr": "solr",
     "solrjsonwriter": "solr",
     "null": "null",
@@ -187,6 +189,9 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
         if kind == "debug":
             for row in W.debug_lines(df).toLocalIterator():
                 print(row[0])
+        elif kind == "yaml":
+            for row in W.yaml_lines(df).toLocalIterator():
+                print(row[0])
         else:
             for line in df.toJSON().toLocalIterator():
                 print(line)
@@ -197,6 +202,8 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
         W.write_delimited(df, out)
     elif kind == "debug":
         W.write_debug(df, out)
+    elif kind == "yaml":
+        W.write_yaml(df, out)
     else:
         W.write_json(df, out)
     return True

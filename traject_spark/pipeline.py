@@ -294,6 +294,60 @@ class Pipeline:
         bad = df.select(*cols).filter(F.col("_error").isNotNull())
         return good, bad
 
+    def process_with(
+        self,
+        df: DataFrame,
+        destination: Optional[Callable[[DataFrame], None]] = None,
+        rescue_with=None,
+        on_skipped: Optional[Callable[[DataFrame], None]] = None,
+        run_after_processing: bool = True,
+    ) -> DataFrame:
+        """Programmatic processing entry (indexer.rb:700-744), re-shaped
+        for Spark: the reference's per-record callbacks become DataFrame
+        callbacks (a driver-side per-record loop is the anti-scale shape).
+
+        - ``destination``: callable given the mapped output DataFrame —
+          the writer (e.g. ``lambda out: write_json(out, path)``);
+        - ``rescue_with``: ``"skip"`` quarantines errored records
+          silently; a callable additionally receives the quarantine
+          DataFrame (record_id, _error, source record). ``None`` = halt
+          on error, the reference default;
+        - ``on_skipped``: callable given the records removed by ``skip!``
+          predicates (indexer.rb:735 on_skipped.call);
+        - ``after_processing`` callbacks run at the end
+          (indexer.rb:646-655).
+
+        Returns the mapped output DataFrame.
+        """
+        prev = self.settings_dict.get("mapping_rescue")
+        if rescue_with is not None:
+            self.settings_dict["mapping_rescue"] = "skip"
+        try:
+            if callable(rescue_with):
+                good, bad = self.apply_with_quarantine(df)
+                rescue_with(bad)
+            else:
+                good = self.apply(df)
+            if on_skipped is not None:
+                skip = None
+                for cond in self._skip_conds:
+                    skip = cond if skip is None else (skip | cond)
+                if skip is not None:
+                    on_skipped(df.filter(F.coalesce(skip, F.lit(False))))
+                else:
+                    on_skipped(df.filter(F.lit(False)))
+            if destination is not None:
+                destination(good)
+            if run_after_processing:
+                self.run_after_processing()
+            return good
+        finally:
+            if rescue_with is not None:
+                if prev is None:
+                    self.settings_dict.pop("mapping_rescue", None)
+                else:
+                    self.settings_dict["mapping_rescue"] = prev
+
     def map_record(self, record: dict, spark: SparkSession) -> dict:
         """Single-record correctness entry point, mirroring
         Indexer#map_record (lib/traject/indexer.rb:429-433): returns the

@@ -197,36 +197,35 @@ class TranslationMap:
             return F.try_element_at(F.create_map(*entries), value)
 
         # Spark's map-literal probe is a linear key scan, so one flat
-        # 8k-entry map costs ~8k string compares per lookup. Shard by the
-        # key's first character into ~30 sub-map literals dispatched by a
-        # when-chain: one cheap 1-char compare chain, then a ~30x smaller
-        # probe. Each shard is a single encoded string literal parsed by
-        # str_to_map — constant-folded once, evaluable inside HOF lambdas.
+        # 8k-entry map costs ~8k string compares per lookup. Two-level
+        # dispatch instead: an outer map from the key's first char to a
+        # per-shard sub-map, each shard one encoded string literal parsed
+        # by str_to_map. The whole nested structure constant-folds to a
+        # single map literal (evaluable inside HOF lambdas, unlike a
+        # Python UDF); a lookup costs one substring + ~30 outer probes on
+        # 1-char keys + a ~30x smaller in-shard scan.
         from collections import defaultdict
 
         shards: dict[str, list] = defaultdict(list)
         for k, v in present.items():
             shards[str(k)[:1]].append((str(k), v))
 
-        def shard_probe(items: list) -> Column:
+        outer_entries: list[Column] = []
+        for p, items in sorted(shards.items()):
             encoded = _SEP_ENTRY.join(
                 k + _SEP_KV + _SEP_VAL.join(v) for k, v in items
             )
-            packed = F.str_to_map(
-                F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
+            outer_entries.append(F.lit(p))
+            outer_entries.append(
+                F.str_to_map(
+                    F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
+                )
             )
-            return F.try_element_at(packed, value)
-
-        prefix = F.substring(value, 1, 1)
-        probe: Optional[Column] = None
-        for p, items in sorted(shards.items()):
-            arm = shard_probe(items)
-            probe = (
-                F.when(prefix == p, arm)
-                if probe is None
-                else probe.when(prefix == p, arm)
-            )
-        return F.split(probe, _SEP_VAL)
+        outer = F.create_map(*outer_entries)
+        hit = F.try_element_at(
+            F.try_element_at(outer, F.substring(value, 1, 1)), value
+        )
+        return F.split(hit, _SEP_VAL)
 
     def lookup_expr(self, value: Column) -> Column:
         """value -> array<string> of translations, NULL => remove value."""

@@ -31,6 +31,43 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def yaml_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
+    """One YAML document per record (lib/traject/yaml_writer.rb:4-8):
+    ``---`` header, ``field:`` keys, 3-space-indented ``- value`` items,
+    blank-line separated. Built from Column expressions (concat/transform)
+    — no UDF, no external YAML lib; values are single-quoted with quote
+    doubling, the YAML-safe universal scalar form."""
+
+    def yq(v: Column) -> Column:
+        return F.concat(
+            F.lit("'"), F.regexp_replace(v, "'", "''"), F.lit("'")
+        )
+
+    parts: list[Column] = [F.lit("---")]
+    if id_col in df.columns:
+        parts.append(F.concat(F.lit(f"{id_col}: "), yq(F.col(id_col))))
+    for name, dtype in df.dtypes:
+        if name == id_col:
+            continue
+        col = F.col(name)
+        if dtype.startswith("array"):
+            body = F.array_join(
+                F.transform(col, lambda v: F.concat(F.lit("   - "), yq(v))),
+                "\n",
+            )
+            block = F.concat(F.lit(f"{name}:\n"), body)
+        else:
+            block = F.concat(F.lit(f"{name}: "), yq(col.cast("string")))
+        parts.append(F.when(col.isNotNull(), block))
+    doc = F.concat_ws("\n", *parts)
+    return df.select(F.concat(doc, F.lit("\n")).alias("value"))
+
+
+def write_yaml(df: DataFrame, path: str, id_col: str = "record_id",
+               mode: str = "overwrite") -> None:
+    yaml_lines(df, id_col).write.mode(mode).text(path)
+
+
 def _flatten_cols(
     df: DataFrame, fields: Sequence[str], internal_delimiter: str
 ) -> list[Column]:
