@@ -126,3 +126,80 @@ def test_oai_pmh_pagination(spark):
     )
     titles = {r.position: r.title for r in p.apply(df).collect()}
     assert titles == {1: ["T1"], 2: ["T2"], 3: ["T3"]}
+
+
+# --- reference-fixture golden: extra_xpath_hooks + namespaces -------------
+
+OAI_SAMPLE = "/root/reference/test/test_support/sample-oai-pmh.xml"
+NS_SAMPLE = "/root/reference/test/test_support/namespace-test.xml"
+
+
+def test_extra_xpath_hooks_resumption_token(spark):
+    """nokogiri_reader_test.rb:59-72 on the reference's own OAI sample."""
+    from traject_spark.xmlrec.io import read_xml_records
+
+    df = read_xml_records(
+        spark,
+        OAI_SAMPLE,
+        each_record_tag="record",
+        extra_xpath_hooks={"resumptionToken": "//oai:resumptionToken"},
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    expected = (
+        "oai_dc.f(2018-05-03T18:09:08Z).u(2018-06-15T19:25:21Z).t(6387):100"
+    )
+    # clipboard repeats on every record row of the file
+    for r in rows:
+        assert list(r["clipboard"]["resumptionToken"]) == [expected]
+
+
+def test_namespace_test_records_split(spark):
+    """nokogiri_reader_test.rb outer-namespaces case: records under a
+    namespaced root split out and stay parseable with their namespace."""
+    import xml.etree.ElementTree as ET
+
+    from traject_spark.xmlrec.io import read_xml_records
+
+    rows = read_xml_records(spark, NS_SAMPLE, each_record_tag="record").collect()
+    assert len(rows) > 0
+    for r in rows:
+        root = ET.fromstring(r["xml"])
+        assert root.tag.endswith("}record") or root.tag == "record"
+
+
+def test_harvest_oai_pmh_reference_fixtures(spark):
+    """Two-page harvest over the reference's own OAI-PMH fixture pages
+    (oai-pmh-one-record-first.xml follows 'dummy_resumption' to
+    oai-pmh-one-record-2.xml, which ends the list)."""
+    from traject_spark.xmlrec.io import harvest_oai_pmh
+
+    pages = {
+        None: open(
+            "/root/reference/test/test_support/oai-pmh-one-record-first.xml"
+        ).read(),
+        "dummy_resumption": open(
+            "/root/reference/test/test_support/oai-pmh-one-record-2.xml"
+        ).read(),
+    }
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        token = None
+        if "resumptionToken=" in url:
+            token = url.split("resumptionToken=")[1].split("&")[0]
+        return pages[token]
+
+    df = harvest_oai_pmh(spark, "http://x/oai", fetch=fetch)
+    rows = df.collect()
+    assert len(calls) == 2
+    assert "resumptionToken=dummy_resumption" in calls[1]
+    assert len(rows) == 2  # one record per page
+    import xml.etree.ElementTree as ET
+    for r in rows:
+        root = ET.fromstring(r["xml"])
+        assert root.tag.rsplit("}", 1)[-1] == "record"
+        assert any(
+            el.tag.rsplit("}", 1)[-1] == "title" for el in root.iter()
+        )

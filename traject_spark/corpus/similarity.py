@@ -176,17 +176,31 @@ def train_centroids(
 ) -> list:
     """Deterministic k-means coarse quantizer trained on a driver-side
     sample (standard IVF practice — the quantizer needs only a sketch of
-    the distribution, never the full corpus). Init = lowest-id vectors;
-    fixed iteration count; float64 accumulation. Returns [(cid, center)].
+    the distribution, never the full corpus). Init = lowest-id vectors of
+    the sample; fixed iteration count; float64 accumulation. Returns
+    [(cid, center)].
+
+    Sampling is a deterministic hash filter (xxhash64(id) mod k), NOT a
+    global orderBy — a full sort of a 100 TB corpus just to take 100k
+    rows would be the dominant cost. The filter is a narrow scan; the
+    driver holds only ``sample`` vectors (document the memory bound:
+    sample x dim x 8 bytes).
     """
     import numpy as np
 
-    rows = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample)
-        .collect()
-    )
+    from pyspark.sql import functions as F2
+
+    n = df.count()
+    # choose modulus so the expected pass-through is ~`sample` rows
+    mod = max(1, n // max(sample, 1))
+    sampled = df.select(id_col, vec_col)
+    if mod > 1:
+        sampled = sampled.filter(
+            F2.pmod(F2.xxhash64(F2.col(id_col)), F2.lit(mod)) == 0
+        )
+    # in-partition-stable small sort of the SAMPLE only (<= ~sample rows),
+    # for deterministic init regardless of partitioning
+    rows = sampled.orderBy(id_col).limit(sample).collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(X))
     C = X[:k].copy()

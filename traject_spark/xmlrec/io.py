@@ -45,10 +45,23 @@ def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
     return [ET.tostring(el, encoding="unicode") for el in matches]
 
 
+def _scrape(root, xpath: str) -> list[str]:
+    """Match an ``//[ns:]tag``-style hook xpath by local element name and
+    return the matched nodes' text (the useful subset of the reference's
+    arbitrary-xpath hooks — resumption tokens, header counts)."""
+    tag = xpath.rsplit("/", 1)[-1].split(":")[-1].strip()
+    return [
+        "".join(el.itertext())
+        for el in root.iter()
+        if _local(el.tag) == tag
+    ]
+
+
 def read_xml_records(
     spark: SparkSession,
     paths,
     each_record_tag: Optional[str] = None,
+    extra_xpath_hooks: Optional[dict] = None,
 ) -> DataFrame:
     """One row per record element across all input files.
 
@@ -57,9 +70,20 @@ def read_xml_records(
     whole document as one record (nokogiri_reader.rb default).
     Columns: ``xml``, ``input_name``, ``position_in_input`` (1-based within
     each file, mirroring Context#position_in_input, context.rb:24-28).
+
+    ``extra_xpath_hooks`` ({name: xpath}) is the out-of-band scraping hook
+    (nokogiri_reader.rb:171-177): nodes matched OUTSIDE the per-record
+    split — e.g. an OAI-PMH ``resumptionToken`` — land in a ``clipboard``
+    map<string,array<string>> column repeated on every record row of that
+    file (the distributed analog of the reference's reader-level clipboard
+    dict, which driver code can read back with one ``first()``).
     """
     raw = spark.read.text(paths, wholetext=True).select(
         F.col("value"), F.input_file_name().alias("input_name")
+    )
+    hooks = dict(extra_xpath_hooks or {})
+    schema = RECORD_SCHEMA + (
+        ", clipboard map<string,array<string>>" if hooks else ""
     )
 
     def gen(batches):
@@ -68,13 +92,19 @@ def read_xml_records(
         for pdf in batches:
             rows = []
             for text, name in zip(pdf["value"], pdf["input_name"]):
+                clip = None
+                if hooks:
+                    root = ET.fromstring(text)
+                    clip = {k: _scrape(root, xp) for k, xp in hooks.items()}
                 for i, xml in enumerate(_split_doc(text, each_record_tag)):
-                    rows.append((xml, name, i + 1))
-            yield pd.DataFrame(
-                rows, columns=["xml", "input_name", "position_in_input"]
-            )
+                    row = (xml, name, i + 1)
+                    rows.append(row + (clip,) if hooks else row)
+            cols = ["xml", "input_name", "position_in_input"]
+            if hooks:
+                cols.append("clipboard")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return raw.mapInPandas(gen, RECORD_SCHEMA)
+    return raw.mapInPandas(gen, schema)
 
 
 def _default_fetch(url: str) -> str:
