@@ -37,6 +37,7 @@ from traject_spark.macros import (
     marc_sortable_author,
     marc_sortable_title,
     oclcnum,
+    serialized_marc,
 )
 from traject_spark.marc.io import read_iso2709
 
@@ -118,6 +119,10 @@ def golden(spark):
         .to_field("filing_245h", extract_marc_filing_version("245h"))
         .to_field("all_values", extract_all_marc_values())
         .to_field("formats", marc_formats())
+        .to_field("ser_xml", serialized_marc("xml"))
+        .to_field("ser_b64", serialized_marc("binary"))
+        .to_field("ser_raw", serialized_marc("binary", binary_escape=False))
+        .to_field("ser_json", serialized_marc("json"))
     )
     rows = {}
     for row in p.apply(df).collect():
@@ -395,3 +400,49 @@ def test_formats_microform_online_conference(golden):
 def test_bad_subfield_code_record_parses(golden):
     # record with a malformed subfield code must still load and map
     assert golden["bad_subfield_code.marc"]["f001"] == ["1174999"]
+
+
+# --- serialize_marc_test.rb -----------------------------------------------
+
+def test_serialized_binary_header(golden):
+    """serialize_marc_test.rb: binary (b64 and raw) leader starts
+    '02067cam a2200469' for manufacturing_consent."""
+    import base64
+
+    mc = golden["manufacturing_consent.marc"]
+    decoded = base64.b64decode(mc["ser_b64"][0])
+    assert decoded.decode("utf-8").startswith("02067cam a2200469")
+    assert mc["ser_raw"][0].startswith("02067cam a2200469")
+
+
+def test_serialized_json_roundtrip(golden):
+    import json as _json
+
+    from traject_spark.marc.serialize import from_marc_in_json
+
+    mc = golden["manufacturing_consent.marc"]
+    rec = from_marc_in_json(mc["ser_json"][0])
+    assert rec["leader"].startswith("02067cam a2200469")
+    f245 = next(d for d in rec["datafields"] if d["tag"] == "245")
+    assert f245["subfields"][0]["value"] == "Manufacturing consent :"
+    # raw json object shape is marc-in-json ({leader, fields:[...]})
+    obj = _json.loads(mc["ser_json"][0])
+    assert set(obj) == {"leader", "fields"}
+
+
+def test_serialized_xml_roundtrip(golden):
+    from traject_spark.marc.io import parse_marcxml
+
+    mc = golden["manufacturing_consent.marc"]
+    recs = parse_marcxml(mc["ser_xml"][0])
+    assert len(recs) == 1
+    assert recs[0]["leader"].startswith("02067cam a2200469")
+    tags = [d["tag"] for d in recs[0]["datafields"]]
+    assert "245" in tags and "100" in tags
+
+
+# --- extract_all_marc_values_test.rb --------------------------------------
+
+def test_all_values_count(golden):
+    # reference asserts exactly 13 values for manufacturing_consent
+    assert len(golden["manufacturing_consent.marc"]["all_values"]) == 13

@@ -67,6 +67,22 @@ TRIM_CASES = [
     ("semicolon;", "semicolon"),
     ("one]", "one"),
     ("hello", "hello"),
+    # the reference's own trim_punctuation_test.rb table, verbatim
+    ("one two three", "one two three"),
+    ("one two three,", "one two three"),
+    ("one two three/", "one two three"),
+    ("one two three;", "one two three"),
+    ("one two three:", "one two three"),
+    ("one two three .", "one two three ."),
+    ("one two three...", "one two three..."),
+    (" one two three.", "one two three"),
+    ("one two [three]", "one two [three]"),
+    ("one two three]", "one two three"),
+    ("[one two three", "one two three"),
+    ("[one two three]", "one two three"),
+    ("Feminism and art.", "Feminism and art"),  # was a reference bug
+    ("Le réve.", "Le réve"),  # non-ASCII word chars before the period
+    ("Bill Dueber, Jr.", "Bill Dueber, Jr."),  # bug-on-the-bug case
 ]
 
 

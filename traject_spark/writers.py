@@ -167,22 +167,6 @@ class MaxSkippedExceeded(RuntimeError):
     pass
 
 
-def _rows_to_solr_docs(rows, array_cols: set, id_col: Optional[str]) -> list:
-    docs = []
-    for row in rows:
-        d = row.asDict()
-        doc = {}
-        for k, v in d.items():
-            if v is None:
-                continue
-            if id_col and k == id_col:
-                doc["id"] = v
-            else:
-                doc[k] = list(v) if k in array_cols else v
-        docs.append(doc)
-    return docs
-
-
 class SolrHTTPError(RuntimeError):
     """Non-2xx response from Solr (no transport retry — the document batch
     itself is the suspect, so it goes to the one-by-one path)."""
@@ -223,10 +207,15 @@ def solr_json_writer(
     """
     spark = df.sparkSession
     skipped_acc = spark.sparkContext.accumulator(0)
-    array_cols = {
-        name for name, dtype in df.dtypes if dtype.startswith("array")
-    }
     update_url = url.rstrip("/") + "/update/json"
+
+    # serialize docs JVM-side: toJSON emits one JSON object per row with
+    # nulls omitted (exactly Solr's add format), so the Python side only
+    # concatenates strings into batch payloads — no Row pickling, no
+    # per-field dict building
+    if id_col and id_col in df.columns and id_col != "id":
+        df = df.withColumnRenamed(id_col, "id")
+    docs_json = df.toJSON()
 
     def handle_partition(rows) -> None:
         import base64
@@ -256,7 +245,7 @@ def solr_json_writer(
         conn_box: list = [None]
 
         def post(docs: list) -> None:
-            payload = json.dumps(docs).encode("utf-8")
+            payload = ("[" + ",".join(docs) + "]").encode("utf-8")
             delay = retry_backoff
             for attempt in range(max_retries + 1):
                 try:
@@ -289,12 +278,12 @@ def solr_json_writer(
                     _time.sleep(delay)
                     delay *= 2
 
-        buf = []
+        buf: list = []
 
         def flush() -> None:
             if not buf:
                 return
-            docs = _rows_to_solr_docs(buf, array_cols, id_col)
+            docs = list(buf)
             buf.clear()
             try:
                 post(docs)
@@ -307,8 +296,8 @@ def solr_json_writer(
                         skipped_acc.add(1)
 
         try:
-            for row in rows:
-                buf.append(row)
+            for doc in rows:
+                buf.append(doc)
                 if len(buf) >= batch_size:
                     flush()
             flush()
@@ -319,7 +308,7 @@ def solr_json_writer(
                 except Exception:
                     pass
 
-    df.foreachPartition(handle_partition)
+    docs_json.foreachPartition(handle_partition)
 
     skipped = skipped_acc.value
     if max_skipped is not None and skipped > max_skipped:
