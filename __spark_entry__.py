@@ -840,6 +840,35 @@ def q_embed_near_dup(spark, sf_dir):
     )
 
 
+def q_multimodal_metadata(spark, sf_dir):
+    """Typed media metadata over opaque binary payloads, oracle-checked:
+    payloads synthesized with real container magic bytes (PNG/JPEG/GIF/
+    RIFF + a magicless class) — the sniffed format, kind, and byte length
+    must match SQL recomputation. The decode stage stays stubbed (no
+    media libs here); this gates the Column-expression metadata path."""
+    from traject_spark.corpus.multimodal import attach_media_metadata
+
+    doc_id = F.col("doc_id")
+    magic = (
+        F.when(doc_id % 5 == 0, F.lit(b"\x89PNG"))
+        .when(doc_id % 5 == 1, F.lit(b"\xff\xd8\xff"))
+        .when(doc_id % 5 == 2, F.lit(b"GIF8"))
+        .when(doc_id % 5 == 3, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    media = _docs(spark, sf_dir).select(
+        doc_id.alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "utf-8")).alias("payload"),
+    )
+    with_meta = attach_media_metadata(media, "payload", kind="image")
+    return with_meta.select(
+        "media_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from traject_spark.corpus.multimodal import attach_media_metadata, extract_features
 
@@ -933,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_near_dup": q_embed_near_dup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_metadata": q_multimodal_metadata,
     }
 
 
@@ -1351,4 +1381,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ann_ivf_topk": _SQL_IVF,
         "embed_near_dup": _SQL_NEAR_DUP,
+        "multimodal_metadata": """
+            SELECT doc_id AS media_id,
+              'image' AS kind,
+              CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                WHEN 3 THEN 'riff' ELSE 'unknown' END AS format,
+              CAST(octet_length(encode(text)) +
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 4
+                  ELSE 0 END AS BIGINT) AS n_bytes
+            FROM documents""",
     }

@@ -80,3 +80,35 @@ def test_stream_user_totals_stateful(spark, tmp_path):
     w = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
          for r in want.collect()}
     assert g == w
+
+
+def test_stream_dedup_watermarked_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin: on the bounded events stream,
+    the watermarked dedup output has no duplicate keys and matches the
+    unbounded dedup's distinct-key set (every key's first arrival)."""
+    from traject_spark.streaming import (
+        read_events_batch,
+        read_events_stream,
+        run_stream_to_table,
+        stream_dedup_watermarked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf).selectExpr(
+        "ts", "user_id % 50 AS key", "event_id"
+    )
+    out = run_stream_to_table(
+        stream_dedup_watermarked(stream, "key", late="10 years"),
+        "t_dedup_wm",
+        output_mode="append",
+    ).collect()
+    keys = [r["key"] for r in out]
+    assert len(keys) == len(set(keys)), "no duplicate keys in output"
+    batch_keys = {
+        r["key"]
+        for r in read_events_batch(spark, sf)
+        .selectExpr("user_id % 50 AS key")
+        .distinct()
+        .collect()
+    }
+    assert set(keys) == batch_keys

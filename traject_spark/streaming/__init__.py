@@ -26,7 +26,9 @@ from traject_spark.streaming.ops import (
     read_events_stream,
     run_stream_to_table,
     sessionize_stream,
+    read_events_batch,
     stream_dedup,
+    stream_dedup_watermarked,
     stream_user_totals,
 )
 
@@ -37,6 +39,8 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_table",
     "sessionize_stream",
+    "read_events_batch",
     "stream_dedup",
+    "stream_dedup_watermarked",
     "stream_user_totals",
 ]

@@ -128,9 +128,24 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
 def stream_dedup(df: DataFrame, *keys: str) -> DataFrame:
     """Streaming exact-dedup: keyed state holds one entry per seen key,
     first arrival wins (the streaming twin of corpus.exact_dedup). On an
-    unbounded stream pair with ``withWatermark`` +
-    ``dropDuplicatesWithinWatermark`` to bound state."""
+    unbounded stream prefer ``stream_dedup_watermarked`` — this variant's
+    state grows with distinct keys forever."""
     return df.dropDuplicates(list(keys))
+
+
+def stream_dedup_watermarked(
+    df: DataFrame, *keys: str, ts_col: str = "ts", late: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts per-key state once the watermark passes it, so state is
+    O(keys-per-watermark-window), not O(all keys ever) — the only dedup
+    shape that survives an unbounded 100 TB stream. Duplicates arriving
+    within the watermark horizon are suppressed; later re-occurrences
+    (after eviction) pass through, which is the documented trade."""
+    ev = df.withWatermark(ts_col, late) if df.isStreaming else df
+    if ev.isStreaming:
+        return ev.dropDuplicatesWithinWatermark(list(keys))
+    return ev.dropDuplicates(list(keys))
 
 
 def stream_user_totals(events: DataFrame) -> DataFrame:
