@@ -775,6 +775,19 @@ def q_dedup_minhash_exact_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_exact_apply(spark, sf_dir):
+    """Survivor-filtered corpus (apply_exact_dedup): planted exact copies
+    (every 25th doc re-id'd +1000000) must vanish, the min-id original
+    surviving — one window-rank shuffle, no join-back."""
+    from traject_spark.corpus import apply_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return apply_exact_dedup(docs.unionAll(copies)).select("doc_id")
+
+
 def q_dedup_simhash_near(spark, sf_dir):
     """Banded SimHash near-dup retrieval (hamming <= 3 via 4-band
     pigeonhole buckets — candidates rows x bands, never n^2). Planted
@@ -958,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_minhash_exact_pairs": q_dedup_minhash_exact_pairs,
+        "dedup_exact_apply": q_dedup_exact_apply,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_near_dup": q_embed_near_dup,
@@ -1240,6 +1254,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
               CAST(1.0 AS DOUBLE) AS est_jaccard
             FROM documents WHERE doc_id % 25 = 0""",
+        "dedup_exact_apply": r"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 25 = 0
+            ), f AS (
+              SELECT doc_id,
+                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+              FROM all_docs
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM f
+            ) WHERE rn = 1""",
         "xml_extract": f"""
             SELECT {rid},
               {SQL_TITLE} AS title,

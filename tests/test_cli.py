@@ -110,3 +110,34 @@ def test_cli_commit_posts_to_solr(monkeypatch):
         assert hits == ["/solr/core/update?commit=true"]
     finally:
         srv.shutdown()
+
+
+XML_CONFIG = """
+to_field("title", extract_xpath("//dc:title",
+         ns={"dc": "http://purl.org/dc/elements/1.1/"}))
+to_field("creator", extract_xpath("//dc:creator",
+         ns={"dc": "http://purl.org/dc/elements/1.1/"}))
+"""
+
+
+def test_cli_xml_indexer_oai_sample(spark, tmp_path):
+    """-i xml + nokogiri.each_record_xpath over the reference's OAI
+    sample — the NokogiriIndexer CLI flavor."""
+    conf = tmp_path / "xml_config.py"
+    conf.write_text(XML_CONFIG)
+    out = str(tmp_path / "out")
+    rc = run_cli(
+        spark,
+        ["-c", str(conf), "-i", "xml",
+         "-s", "nokogiri.each_record_xpath=//oai:record",
+         "-o", out, "-w", "json",
+         "/root/reference/test/test_support/sample-oai-pmh.xml"],
+    )
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(lines) > 1
+    assert any("title" in d for d in lines)

@@ -262,3 +262,15 @@ def test_after_processing_runs_in_order(spark):
     p.apply(source_df(spark, ("b", BOOK))).collect()
     p.run_after_processing()
     assert calls == ["first", "second"]
+
+
+def test_load_config_file(spark, tmp_path):
+    conf = tmp_path / "conf.py"
+    conf.write_text(
+        'to_field("title", extract_marc("245ab", trim_punctuation=True))\n'
+    )
+    p = Pipeline().load_config_file(str(conf))
+    out = p.map_record(BOOK, spark)
+    assert out["title"] == [
+        "Manufacturing consent : the political economy of the mass media"
+    ]

@@ -20,6 +20,7 @@ from traject_spark.corpus.textstats import (
     fingerprint_expr,
 )
 from traject_spark.corpus.dedup import (
+    apply_exact_dedup,
     exact_dedup,
     minhash_signature_expr,
     minhash_lsh_candidates,
@@ -43,6 +44,7 @@ __all__ = [
     "quality_score_expr",
     "langid_expr",
     "fingerprint_expr",
+    "apply_exact_dedup",
     "exact_dedup",
     "minhash_signature_expr",
     "minhash_lsh_candidates",

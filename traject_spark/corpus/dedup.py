@@ -55,6 +55,30 @@ def exact_dedup(
     )
 
 
+def apply_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """The corpus with duplicates removed: one survivor (min id) per
+    content fingerprint.
+
+    A window rank over the fingerprint partition — the same single
+    shuffle as ``exact_dedup``'s aggregate, with no second join back, so
+    at 100 TB the cost stays one hash-partitioned pass. AQE splits skewed
+    fingerprints (boilerplate dups) at runtime.
+    """
+    w = Window.partitionBy(fingerprint_expr(F.col(text_col), normalize)).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

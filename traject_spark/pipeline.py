@@ -148,6 +148,16 @@ class Pipeline:
         self._compiled = None
         return self
 
+    def load_config_file(self, path: str) -> "Pipeline":
+        """Execute a traject-style Python config file against this
+        pipeline (indexer.rb:388-406 load_config_file): the file runs
+        with ``to_field``/``each_record``/``settings``/every macro in
+        scope — same loader the CLI uses."""
+        from traject_spark.cli import load_config_files
+
+        load_config_files(self, [path])
+        return self
+
     def after_processing(self, fn: Callable[[], None]) -> "Pipeline":
         """Register a post-run callback (lib/traject/indexer.rb:359-361);
         callbacks run in registration order after the sink finishes
