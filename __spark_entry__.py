@@ -1047,6 +1047,45 @@ def _sql_lsh_bucket(vexpr: str, table: int, bits: int = 6, dim: int = 64) -> str
     return "(" + " + ".join(terms) + ")"
 
 
+# LSH top-k oracle: identical hyperplane bucket constants (bits=6,
+# tables=4), distinct same-bucket candidates, exact rescoring of
+# candidates only, rank over (score desc, neighbor asc), k=5
+_SQL_LSH_TOPK = f"""
+    WITH corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+    ), qry AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+    ), cb AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sql_lsh_bucket('embedding', t)} AS bucket FROM corp"
+        for t in range(4)
+    )}
+    ), qb AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sql_lsh_bucket('embedding', t)} AS bucket FROM qry"
+        for t in range(4)
+    )}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        round({_sql_cos('q.embedding', 'c.embedding')}, 6) AS score
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5"""
+
+
 _SQL_NEAR_DUP = f"""
     WITH buckets AS (
       {" UNION ALL ".join(
@@ -1410,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
         "ann_ivf_topk": _SQL_IVF,
+        "ann_lsh_topk": _SQL_LSH_TOPK,
         "embed_near_dup": _SQL_NEAR_DUP,
         "multimodal_metadata": """
             SELECT doc_id AS media_id,

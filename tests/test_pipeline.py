@@ -274,3 +274,20 @@ def test_load_config_file(spark, tmp_path):
     assert out["title"] == [
         "Manufacturing consent : the political economy of the mass media"
     ]
+
+
+def test_nested_schema_pruning_at_scan(spark, tmp_path):
+    """The 100 TB scan property: a datafield-only pipeline must prune the
+    parquet ReadSchema down to marc.datafields — controlfields and leader
+    stay unread (checked via the physical plan's ReadSchema)."""
+    path = str(tmp_path / "marc_parquet")
+    source_df(spark, ("b", BOOK)).write.parquet(path)
+    df = spark.read.parquet(path)
+    p = Pipeline().to_field("title", extract_marc("245a", alternate_script=False))
+    plan = p.apply(df)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "expected a parquet scan with ReadSchema"
+    schema_line = read_schema[0]
+    assert "datafields" in schema_line
+    assert "controlfields" not in schema_line
+    assert "leader" not in schema_line
