@@ -159,3 +159,32 @@ def test_ruby_to_i(spark):
     assert out["c"] == 42
     assert out["d"] == 0
     assert out["e"] == -7
+
+
+def test_strip_unicode_whitespace(spark):
+    # transformation_test.rb:128-134: NBSP / EN SPACE / NNBSP all strip
+    out = eval_exprs(
+        spark,
+        t=T.strip()(arr("     one   "), None),
+    )["t"]
+    assert out == ["one"]
+
+
+def test_translation_map_merge_multiple(spark):
+    # transformation_test.rb:22-37: later maps override earlier; an
+    # inline dict merges last
+    from traject_spark.translation_map import TranslationMap
+
+    m1 = {"key_to_be_overridden": "value_from_first"}
+    m2 = {"key_to_be_overridden": "value_from_second"}
+    tm = TranslationMap(m1, m2)
+    out = eval_exprs(
+        spark, t=T.translation_map(tm)(arr("key_to_be_overridden"), None)
+    )["t"]
+    assert out == ["value_from_second"]
+
+    tm3 = TranslationMap(m1, m2, {"key_to_be_overridden": "inline"})
+    out = eval_exprs(
+        spark, t=T.translation_map(tm3)(arr("key_to_be_overridden"), None)
+    )["t"]
+    assert out == ["inline"]

@@ -35,8 +35,11 @@ _EMPTY = "array<string>"
 # --------------------------------------------------------------------------
 
 def ruby_strip_expr(v: Column) -> Column:
-    """Ruby String#strip: leading/trailing whitespace AND NULs."""
-    return F.regexp_replace(v, r"\A[\s\x00]+|[\s\x00]+\Z", "")
+    """Ruby ``[[:space:]]``-class strip (transformation.rb:121-128):
+    ASCII whitespace, NULs, AND Unicode space separators (NBSP, EN
+    SPACE, NARROW NBSP...) — Java's ``\\s`` alone misses category Zs."""
+    cls = r"[\s\p{Z}\x00]+"
+    return F.regexp_replace(v, rf"\A{cls}|{cls}\Z", "")
 
 
 def trim_punctuation_expr(v: Column) -> Column:
