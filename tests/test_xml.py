@@ -84,9 +84,12 @@ def test_extract_xpath_pipeline(xml_df):
     assert out[1].rec_id == ["r1"]
 
 
-def test_extract_xpath_to_text_false_unsupported():
-    with pytest.raises(NotImplementedError):
-        extract_xpath("//x", to_text=False)
+def test_extract_xpath_to_text_false_rejects_non_elements():
+    # node mode selects elements; attribute/text() steps have no node XML
+    with pytest.raises(ValueError):
+        extract_xpath("//a/@href", to_text=False)
+    with pytest.raises(ValueError):
+        extract_xpath("//a/text()", to_text=False)
 
 
 def _oai_page(ids, token):
@@ -203,3 +206,37 @@ def test_harvest_oai_pmh_reference_fixtures(spark):
         assert any(
             el.tag.rsplit("}", 1)[-1] == "title" for el in root.iter()
         )
+
+
+def test_extract_xpath_to_text_false_returns_node_xml(spark):
+    """to_text=False: matched nodes re-serialized as XML snippets
+    (nokogiri_macros.rb:13-46 node mode)."""
+    import xml.etree.ElementTree as ET
+
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        '<rec xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<dc:title>One <b>bold</b></dc:title><dc:title>Two</dc:title>"
+        "<dc:creator>X</dc:creator></rec>"
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "nodes",
+        extract_xpath(
+            "//dc:title",
+            ns={"dc": "http://purl.org/dc/elements/1.1/"},
+            to_text=False,
+        ),
+    )
+    out = p.apply(df).collect()[0]["nodes"]
+    assert len(out) == 2
+    roots = [ET.fromstring(s) for s in out]
+    assert all(r.tag.endswith("}title") for r in roots)
+    assert "".join(roots[0].itertext()) == "One bold"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_xpath("//a/@href", to_text=False)

@@ -28,8 +28,10 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _QNAME = re.compile(r"(@?)([A-Za-z_][\w.-]*):([A-Za-z_][\w.-]*)")
 
@@ -71,15 +73,52 @@ def extract_xpath(
     whitespace-normalized string-value of each non-blank match to the
     accumulator (nokogiri_macros.rb:13-46).
 
-    ``to_text=False`` (raw node objects) has no Spark analog — the engine
-    exchanges strings, not DOM handles; re-extract with a deeper XPath
-    instead.
+    ``to_text=False`` appends each matched node re-serialized as an XML
+    snippet (the closest Spark analog of the reference's Nokogiri node
+    objects — the engine exchanges strings, not DOM handles). That path
+    runs element-local-name matching in an Arrow-batched pandas UDF and
+    supports the ``//[prefix:]name`` / trailing-step form; attribute and
+    text() selections only make sense with ``to_text=True``.
     """
     if not to_text:
-        raise NotImplementedError(
-            "extract_xpath(to_text=False) yields DOM nodes in the reference; "
-            "the Spark engine exchanges strings — use a more specific xpath"
-        )
+        last = path.rsplit("/", 1)[-1].split(":")[-1].strip()
+        if not last or last.startswith("@") or last.endswith("text()"):
+            raise ValueError(
+                "extract_xpath(to_text=False) selects ELEMENT nodes; "
+                f"step {last!r} has no node serialization"
+            )
+
+        @pandas_udf("array<string>")
+        def _nodes(col: pd.Series) -> pd.Series:
+            import xml.etree.ElementTree as ET
+
+            def one(text):
+                if text is None:
+                    return None
+                try:
+                    root = ET.fromstring(text)
+                except ET.ParseError:
+                    return []
+                matches = [
+                    el
+                    for el in root.iter()
+                    if el.tag.rsplit("}", 1)[-1] == last
+                ]
+                return [
+                    ET.tostring(el, encoding="unicode") for el in matches
+                ]
+
+            return col.map(one)
+
+        def node_macro(acc: Column, ctx=None) -> Column:
+            src = (
+                F.col(source_col)
+                if source_col
+                else (ctx.record if ctx is not None else F.col("xml"))
+            )
+            return F.concat(acc, F.coalesce(_nodes(src), F.array()))
+
+        return node_macro
     compiled = localname_path(path, ns)
     # element selections must target text nodes explicitly — xpath() returns
     # Node.getNodeValue(), which is null for elements (see module docstring)
