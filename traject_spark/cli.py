@@ -164,7 +164,8 @@ def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
         return read_marc_json(spark, files)
     if src_type == "xml":
         return read_marcxml(spark, files)
-    return read_iso2709(spark, files)
+    encoding = str(settings.get("marc_source.encoding", "utf-8"))
+    return read_iso2709(spark, files, encoding=encoding)
 
 
 def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
