@@ -1,0 +1,43 @@
+"""Skew-handling helpers (traject_spark.relational)."""
+
+from pyspark.sql import functions as F
+
+from traject_spark.relational import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 10k rows all hitting ONE hot key + a long tail
+    left = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    plain = salted_join(left, right, ["k"], salt=1)  # degenerates to join
+    salted = salted_join(left, right, ["k"], salt=8)
+    a = sorted((r["k"], r["v"], r["w"]) for r in plain.collect())
+    b = sorted((r["k"], r["v"], r["w"]) for r in salted.collect())
+    assert a == b and len(a) == 10_000
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    out = salted_join(left, right, ["k"], how="left", salt=4).collect()
+    assert len(out) == 100
+    assert all(r["w"] is None for r in out if r["k"] >= 3)
+    assert all(r["w"] == "x" for r in out if r["k"] < 3)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = spark.range(1000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    right = spark.range(2).select(F.col("id").alias("k"), F.lit("y").alias("w"))
+    salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    )
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts == 8  # the hot key's rows spread over all salt buckets
+    out = salted_join(left, right, ["k"], salt=8)
+    assert out.count() == 1000

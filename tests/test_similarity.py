@@ -127,3 +127,42 @@ def test_simhash_near_dup_validates_params(spark):
         simhash_near_dup(df, max_distance=4, bands=4)
     with _pytest.raises(ValueError):
         simhash_near_dup(df, max_distance=2, bands=5)
+
+
+def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
+    """write_ivf_layout + ivf_topk_from_layout: results identical to the
+    in-memory ivf_topk, AND the probe join dynamically prunes unprobed
+    cell partitions at the file level (the 100 TB access path)."""
+    from traject_spark.corpus import (
+        ivf_topk,
+        ivf_topk_from_layout,
+        train_centroids,
+        write_ivf_layout,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = train_centroids(corpus, n_centroids=4, sample=200)
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(corpus, cents, path)
+
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells) >= 2, "expected multiple cell partitions on disk"
+
+    out = ivf_topk_from_layout(
+        spark, path, queries, cents, k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join must trigger dynamic partition pruning on cell"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    expected = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(corpus, queries, cents, k=5, nprobe=2).collect()
+    }
+    assert got == expected

@@ -33,6 +33,8 @@ from traject_spark.corpus.similarity import (
     cosine_near_dup,
     brute_force_topk,
     ivf_topk,
+    ivf_topk_from_layout,
+    write_ivf_layout,
     lsh_topk,
     train_centroids,
 )
@@ -55,6 +57,8 @@ __all__ = [
     "cosine_near_dup",
     "brute_force_topk",
     "ivf_topk",
+    "ivf_topk_from_layout",
+    "write_ivf_layout",
     "lsh_topk",
     "train_centroids",
 ]

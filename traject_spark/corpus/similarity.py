@@ -268,6 +268,77 @@ def ivf_topk(
     )
 
 
+def write_ivf_layout(
+    df: DataFrame,
+    centroids: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus hive-partitioned by IVF cell.
+
+    THE 100 TB layout: cell assignment is a narrow scan (no shuffle
+    beyond the write), and ``cell=N/`` directories make the probe-side
+    join prunable at the FILE level — a query batch probing nprobe of
+    n_centroids cells reads nprobe/n_centroids of the data, enforced by
+    dynamic partition pruning, not just a post-scan filter."""
+    corp = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_cell_expr(F.col(vec_col), centroids).alias("cell"),
+    )
+    corp.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a ``write_ivf_layout`` corpus: the broadcast
+    probe-cell join triggers dynamic partition pruning on the ``cell``
+    partition column, so unprobed cells' files are never read (verify
+    with ``dynamicpruning`` in ``.explain``)."""
+    corp = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            probe_cells_expr(F.col(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    scored = corp.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity_expr(F.col("qvec"), F.col("cvec")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def cosine_near_dup(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1,0 +1,48 @@
+"""Relational-scale helpers: explicit skew handling.
+
+With AQE on (the engine's default session shape), skewed sort-merge
+joins are split automatically at runtime — prefer that. This module
+covers the cases AQE cannot: streaming joins (AQE is disabled in
+stateful workloads) and engines/plans where a deterministic static plan
+is required.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: the (large, skewed) ``left`` side gets a
+    deterministic per-row salt in [0, salt); the ``right`` side is
+    replicated across all salt values; the join key becomes
+    (on..., _salt), so one hot key's rows spread over ``salt`` reducers
+    instead of one straggler task.
+
+    Cost model: right-side shuffle volume multiplies by ``salt`` — use
+    for large-x-medium joins where the left is skewed and the right is
+    too big to broadcast but cheap to replicate. The salt is a hash of
+    the left row's key columns plus a disambiguating xxhash64 over all
+    columns, so retries are deterministic.
+    """
+    on = list(on)
+    if not on:
+        raise ValueError("salted_join needs at least one join key")
+    if salt < 2:
+        return left.join(right, on, how)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    salted_left = left.withColumn("_salt", lsalt)
+    salted_right = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")),
+    )
+    return salted_left.join(salted_right, on + ["_salt"], how).drop("_salt")
