@@ -222,6 +222,14 @@ def b_dedup_simhash(spark):
     noop(docs.select("doc_id", simhash_expr(F.col("text")).alias("sig")))
 
 
+def b_dedup_simhash_near(spark):
+    """Banded hamming<=3 retrieval (pigeonhole buckets, rows x bands)."""
+    from traject_spark.corpus import simhash_near_dup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(simhash_near_dup(docs, max_distance=3, bands=4))
+
+
 def b_text_stats(spark):
     from traject_spark.corpus import (
         fingerprint_expr, langid_expr, quality_score_expr, token_count_expr,
@@ -325,6 +333,7 @@ BENCHES = {
     "dedup_exact": b_dedup_exact,
     "dedup_minhash_lsh": b_dedup_minhash,
     "dedup_simhash": b_dedup_simhash,
+    "dedup_simhash_near": b_dedup_simhash_near,
     "text_stats": b_text_stats,
     "embed_topk": b_embed_topk,
     "rel_pricing_summary": b_rel_pricing,
