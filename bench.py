@@ -223,11 +223,19 @@ def b_dedup_simhash(spark):
 
 
 def b_dedup_simhash_near(spark):
-    """Banded hamming<=3 retrieval (pigeonhole buckets, rows x bands)."""
-    from traject_spark.corpus import simhash_near_dup
+    """Banded hamming<=3 retrieval, production shape: signatures
+    materialized ONCE (one scan), then the pigeonhole band self-join
+    reads the narrow (id, sig) table — without materialization the
+    self-join would recompute the 64-bit majority vote on both sides."""
+    from traject_spark.corpus import simhash_expr, simhash_near_dup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    noop(simhash_near_dup(docs, max_distance=3, bands=4))
+    sig_path = tempfile.mkdtemp(prefix="bench_sig_") + "/sigs"
+    docs.select(
+        "doc_id", simhash_expr(F.col("text")).alias("sig")
+    ).write.mode("overwrite").parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    noop(simhash_near_dup(sigs, sig_col="sig", max_distance=3, bands=4))
 
 
 def b_text_stats(spark):

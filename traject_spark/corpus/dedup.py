@@ -241,7 +241,11 @@ def simhash_near_dup(
     then verifies. Requires ``max_distance < bands`` for the guarantee.
 
     ``sig_col`` uses a precomputed signature column instead of computing
-    SimHash from ``text_col``. Returns (id_a, id_b, distance).
+    SimHash from ``text_col``. At scale, materialize signatures FIRST
+    (one scan writing the narrow (id, sig) table) and pass ``sig_col`` —
+    a self-join over an unmaterialized signature expression recomputes
+    the 64-bit majority vote on both join sides. Returns
+    (id_a, id_b, distance).
     """
     if max_distance >= bands:
         raise ValueError(
