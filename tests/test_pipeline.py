@@ -291,3 +291,18 @@ def test_nested_schema_pruning_at_scan(spark, tmp_path):
     assert "datafields" in schema_line
     assert "controlfields" not in schema_line
     assert "leader" not in schema_line
+
+
+def test_process_record_lshift_buffered(spark):
+    """indexer << record semantics (indexer.rb:440-449), batched into one
+    flush job."""
+    p = Pipeline().to_field("title", extract_marc("245a", alternate_script=False))
+    p << BOOK
+    p.process_record(THE_TITLE)
+    written = []
+    out = p.flush_records(spark, destination=lambda d: written.extend(
+        sorted(r["title"][0] for r in d.collect() if r["title"])))
+    assert len(written) == 2
+    assert any(t.startswith("Manufacturing") for t in written)
+    # buffer cleared after flush
+    assert p.flush_records(spark).count() == 0

@@ -358,6 +358,37 @@ class Pipeline:
                 else:
                     self.settings_dict["mapping_rescue"] = prev
 
+    def process_record(self, record: dict) -> "Pipeline":
+        """``indexer.process_record(record)`` / ``indexer << record``
+        (indexer.rb:440-449): buffer one record for the configured sink.
+
+        The reference writes each record through immediately; per-record
+        job launch is the anti-scale shape on Spark, so records buffer
+        driver-side and ``flush_records`` maps the batch in ONE job.
+        """
+        self._record_buffer: list = getattr(self, "_record_buffer", [])
+        self._record_buffer.append(record)
+        return self
+
+    __lshift__ = process_record  # indexer << record (indexer.rb:448-449)
+
+    def flush_records(
+        self,
+        spark: SparkSession,
+        destination: Optional[Callable[[DataFrame], None]] = None,
+    ) -> DataFrame:
+        """Map all buffered ``process_record`` records as one job; send
+        the output to ``destination`` (the writer) if given; clear the
+        buffer. Returns the mapped DataFrame."""
+        records = getattr(self, "_record_buffer", [])
+        rows = [(f"__r{i}__", rec) for i, rec in enumerate(records)]
+        df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
+        out = self.apply(df)
+        if destination is not None:
+            destination(out)
+        self._record_buffer = []
+        return out
+
     def map_record(self, record: dict, spark: SparkSession) -> dict:
         """Single-record correctness entry point, mirroring
         Indexer#map_record (lib/traject/indexer.rb:429-433): returns the
