@@ -76,3 +76,13 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_fits_driver_window():
+    """The driver evaluates only the FIRST 50 registered queries: every
+    registered query must sit inside that window, and every oracle must
+    correspond to a registered query (no dead oracle entries)."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} queries registered; driver only checks 50"
+    )
+    assert set(ORACLES) <= set(QUERIES), sorted(set(ORACLES) - set(QUERIES))
