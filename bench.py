@@ -36,7 +36,12 @@ def session() -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("traject_spark-bench")
-        .config("spark.driver.memory", "48g")
+        # 24g, NOT bigger: every timed query's working set fits easily,
+        # and a larger G1 heap measurably hurts (48g: map_full median
+        # 16s with 28s outliers and a 67s first pass; 24g: median ~11s)
+        # — bigger regions, slower full collections, longer concurrent
+        # cycles competing with 32 busy worker threads
+        .config("spark.driver.memory", "24g")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -383,10 +388,19 @@ def main() -> None:
     ).format("noop").save()  # initialize shuffle machinery off the clock
     print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
     # median of N runs per query: single-run timings on this box wobble
-    # 2-3x (JIT/GC), which would make any regression gate meaningless
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # 2-4x — the VM occasionally stalls whole runs (host scheduling, not
+    # GC: measured total GC pause is ~3.6s across a full probe while
+    # outlier runs lose 10-30s) — so a wider median window is the only
+    # effective defense; 5 runs tolerates two polluted ones
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # comma-separated allowlist for local iteration (full set when unset)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     for name, fn in BENCHES.items():
+        if only and name not in only:
+            continue
         runs: list[float] = []
         try:
             spark._jvm.System.gc()  # level the heap between queries
@@ -394,11 +408,10 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark)
                 runs.append(time.time() - t0)
-            runs.sort()
-            timings[name] = round(runs[len(runs) // 2], 3)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
             print(
                 f"BENCH {name}: {timings[name]}s "
-                f"(runs: {[round(r, 2) for r in runs]})",
+                f"(runs in order: {[round(r, 2) for r in runs]})",
                 file=sys.stderr,
             )
         except Exception as e:  # keep the harness alive; flag the failure

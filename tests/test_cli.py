@@ -81,6 +81,27 @@ def test_cli_marcout_json_roundtrip(spark, tmp_path):
     )
 
 
+def test_cli_marcout_reads_config_file_settings(spark, tmp_path):
+    """-x marcout must load -c config files first (command_line.rb:273-274
+    initialize_indexer!), so marcout.type/output_file provided there apply."""
+    from traject_spark.marc.serialize import from_marc_in_json
+
+    out = str(tmp_path / "marcout_conf")
+    conf = tmp_path / "marcout.py"
+    conf.write_text(
+        "provide('marcout.type', 'json')\n"
+        f"provide('output_file', {out!r})\n"
+    )
+    rc = run_cli(spark, ["-x", "marcout", "-c", str(conf), MC])
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += [ln for ln in open(os.path.join(out, f)) if ln.strip()]
+    assert len(lines) == 1
+    assert from_marc_in_json(lines[0])["controlfields"]
+
+
 def test_cli_commit_posts_to_solr(monkeypatch):
     import http.server
     import threading

@@ -71,6 +71,49 @@ def test_cross_format_parity(spark, format_files):
     assert js == bi == xm
 
 
+def test_marc_json_jvm_engine_matches_python(spark, format_files):
+    """The JVM VARIANT parse and the Arrow-batched Python parse must
+    produce identical records — full struct, not just titles — and skip
+    the same malformed lines."""
+    path = f"{format_files}/records.ndjson"
+    jvm = read_marc_json(spark, path, engine="jvm")
+    py = read_marc_json(spark, path, engine="python")
+    j = sorted(
+        (r["record_id"], r["marc"]) for r in jvm.collect()
+    )
+    p = sorted(
+        (r["record_id"], r["marc"]) for r in py.collect()
+    )
+    assert j == p
+    assert len(j) == 3
+
+
+def test_marc_json_jvm_bad_line_shapes(spark, tmp_path):
+    """Line-level rescue parity (ndj_reader.rb:30-34): malformed JSON,
+    scalar lines, array lines, and records whose field entries are not
+    objects all drop; records with no/empty fields survive."""
+    path = tmp_path / "bad.ndjson"
+    path.write_text(
+        "\n".join(
+            [
+                '{"leader": "L", "fields": [{"001": "ok1"}]}',
+                "not json at all",
+                "5",
+                '["array", "line"]',
+                '"just a string"',
+                '{"fields": [42]}',            # field entry not an object
+                '{"leader": "M"}',             # no fields -> empty record
+                '{"fields": []}',              # empty fields -> empty record
+                "",
+            ]
+        )
+    )
+    for engine in ("jvm", "python"):
+        out = read_marc_json(spark, str(path), engine=engine).collect()
+        ids = sorted((r["record_id"] or "_none") for r in out)
+        assert ids == ["_none", "_none", "ok1"], f"engine={engine}: {ids}"
+
+
 def test_json_writer_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("r1", ["a", "b"]), ("r2", None)], "record_id string, vals array<string>"
@@ -120,17 +163,31 @@ def test_debug_lines(spark):
 class _MockSolr(http.server.BaseHTTPRequestHandler):
     fail_ids: set = set()
     received: list = []
+    deletes: list = []       # delete payloads ({"delete": ...} bodies)
+    paths: list = []         # request paths incl. query strings
+    gets: list = []          # GET paths (commit requests)
     lock = threading.Lock()
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers["Content-Length"]))
-        docs = json.loads(body)
+        payload = json.loads(body)
         with _MockSolr.lock:
-            if any(d.get("id") in _MockSolr.fail_ids for d in docs):
-                self.send_response(500)
-                self.end_headers()
-                return
-            _MockSolr.received.extend(docs)
+            _MockSolr.paths.append(self.path)
+            if isinstance(payload, dict) and "delete" in payload:
+                _MockSolr.deletes.append(payload)
+            else:
+                if any(d.get("id") in _MockSolr.fail_ids for d in payload):
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                _MockSolr.received.extend(payload)
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def do_GET(self):
+        with _MockSolr.lock:
+            _MockSolr.gets.append(self.path)
         self.send_response(200)
         self.end_headers()
         self.wfile.write(b"{}")
@@ -143,6 +200,9 @@ class _MockSolr(http.server.BaseHTTPRequestHandler):
 def mock_solr():
     _MockSolr.received = []
     _MockSolr.fail_ids = set()
+    _MockSolr.deletes = []
+    _MockSolr.paths = []
+    _MockSolr.gets = []
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockSolr)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -177,6 +237,61 @@ def test_solr_writer_retries_individually(spark, mock_solr):
         d["id"] for d in _MockSolr.received
     }
     assert skipped_ids == {"r3"}
+
+
+def test_solr_update_args_on_every_request(spark, mock_solr):
+    """solr_writer.solr_update_args ({commitWithin: 1000}) must ride the
+    query string of every update POST, batch and retry-single
+    (solr_json_writer.rb:24-37,216,241)."""
+    _MockSolr.fail_ids = {"r3"}
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(10)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    skipped = solr_json_writer(
+        df, mock_solr, batch_size=10, max_skipped=None,
+        solr_update_args={"commitWithin": 1000},
+    )
+    assert skipped == 1
+    assert _MockSolr.paths, "no POSTs recorded"
+    assert all("commitWithin=1000" in p for p in _MockSolr.paths)
+
+
+def test_solr_delete_by_id_and_query(mock_solr):
+    from traject_spark.writers import solr_delete, solr_delete_all
+
+    solr_delete(mock_solr, id="doc-9")
+    solr_delete_all(mock_solr)
+    assert {"delete": "doc-9"} in _MockSolr.deletes
+    assert {"delete": {"query": "*:*"}} in _MockSolr.deletes
+    with pytest.raises(ValueError):
+        solr_delete(mock_solr)  # needs exactly one of id/query
+
+
+def test_solr_delete_ids_distributed(spark, mock_solr):
+    from traject_spark.writers import solr_delete_ids
+
+    df = spark.createDataFrame(
+        [(f"d{i}",) for i in range(25)], "id string"
+    ).repartition(2)
+    solr_delete_ids(df, mock_solr, batch_size=10)
+    deleted = {
+        i for p in _MockSolr.deletes
+        if isinstance(p["delete"], list) for i in p["delete"]
+    }
+    assert deleted == {f"d{i}" for i in range(25)}
+
+
+def test_solr_commit(mock_solr):
+    from traject_spark.writers import solr_commit
+
+    solr_commit(mock_solr)
+    solr_commit(mock_solr, {"softCommit": True, "optimize": "true"})
+    assert any("commit=true" in g for g in _MockSolr.gets)
+    assert any(
+        "softCommit=true" in g and "optimize=true" in g
+        for g in _MockSolr.gets
+    )
 
 
 def test_solr_writer_basic_auth_header(spark):

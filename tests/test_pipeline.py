@@ -300,9 +300,15 @@ def test_process_record_lshift_buffered(spark):
     p << BOOK
     p.process_record(THE_TITLE)
     written = []
-    out = p.flush_records(spark, destination=lambda d: written.extend(
-        sorted(r["title"][0] for r in d.collect() if r["title"])))
+    ids = []
+    def sink(d):
+        rows = d.collect()
+        written.extend(sorted(r["title"][0] for r in rows if r["title"]))
+        ids.extend(sorted(r["record_id"] for r in rows))
+    p.flush_records(spark, destination=sink)
     assert len(written) == 2
     assert any(t.startswith("Manufacturing") for t in written)
+    # the sink sees the records' REAL 001 ids, not synthetic placeholders
+    assert ids == ["2710183", "the1"]
     # buffer cleared after flush
     assert p.flush_records(spark).count() == 0

@@ -31,6 +31,21 @@ def test_salted_join_left_outer(spark):
     assert all(r["w"] == "x" for r in out if r["k"] < 3)
 
 
+def test_salted_join_rejects_right_preserving_flavors(spark):
+    """Right/full outer would emit each unmatched right row `salt` times
+    (the right side is replicated across salt values) — refuse them."""
+    import pytest
+
+    left = spark.range(10).select((F.col("id") % 3).alias("k"), "id")
+    right = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    for how in ("right", "rightouter", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, ["k"], how=how, salt=4)
+    # left-preserving flavors all remain accepted
+    assert salted_join(left, right, ["k"], how="left_semi", salt=4).count() == 10
+    assert salted_join(left, right, ["k"], how="left_anti", salt=4).count() == 0
+
+
 def test_salted_join_spreads_hot_key(spark):
     left = spark.range(1000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
     right = spark.range(2).select(F.col("id").alias("k"), F.lit("y").alias("w"))

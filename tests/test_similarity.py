@@ -166,3 +166,25 @@ def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
         for r in ivf_topk(corpus, queries, cents, k=5, nprobe=2).collect()
     }
     assert got == expected
+
+
+def test_lsh_bucketing_single_scan(spark):
+    """The LSH candidate builders must compute all table buckets in ONE
+    scan per side (select + explode), not a per-table union that re-reads
+    the corpus `tables` times."""
+    from traject_spark.corpus import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nd = cosine_near_dup(
+        emb, threshold=0.35, mode="lsh", dim=64, bits=4, tables=4
+    )
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+
+    tk = lsh_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5, dim=64, bits=4, tables=4,
+    )
+    plan2 = tk._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 2, plan2[:2000]

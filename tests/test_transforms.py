@@ -145,6 +145,46 @@ def test_large_map_udf_path(spark):
     assert out["m"] == ["v1", "v599", "nope"]
 
 
+def test_large_map_empty_value_and_separator_fallback(spark):
+    # empty-list values through the encoded str_to_map path must come
+    # back as [] (contributing nothing), not [''] — and lookup_expr on a
+    # large map whose data contains the C0 separators must take the UDF
+    # fallback instead of silently corrupting the encoding
+    big = {f"k{i}": f"v{i}" for i in range(600)}
+    big["empty"] = []
+    tm = TranslationMap(big)
+    out = eval_exprs(
+        spark, m=tm.translate_array_expr(arr("k5", "empty", "k7"))
+    )
+    assert out["m"] == ["v5", "v7"]
+
+    sep_map = {f"k{i}": f"v{i}" for i in range(600)}
+    sep_map["bad\x1ckey"] = "weird\x1fvalue"
+    tm2 = TranslationMap(sep_map)
+    out2 = eval_exprs(
+        spark,
+        hit=tm2.lookup_expr(F.lit("bad\x1ckey")),
+        normal=tm2.lookup_expr(F.lit("k3")),
+        miss=tm2.lookup_expr(F.lit("nope")),
+    )
+    assert out2["hit"] == ["weird\x1fvalue"]
+    assert out2["normal"] == ["v3"]
+    assert out2["miss"] is None
+
+
+def test_strip_matches_ruby_space_class(spark):
+    # Ruby [[:space:]] includes NEL (U+0085) and Zs, but NOT NUL
+    out = eval_exprs(
+        spark,
+        nel=T.ruby_strip_expr(F.lit("hi")),
+        nul=T.ruby_strip_expr(F.lit("\x00hi\x00")),
+        nbsp=T.ruby_strip_expr(F.lit(" hi ")),
+    )
+    assert out["nel"] == "hi"
+    assert out["nul"] == "\x00hi\x00"  # NUL is not Ruby whitespace
+    assert out["nbsp"] == "hi"
+
+
 def test_ruby_to_i(spark):
     out = eval_exprs(
         spark,

@@ -84,12 +84,12 @@ def test_extract_xpath_pipeline(xml_df):
     assert out[1].rec_id == ["r1"]
 
 
-def test_extract_xpath_to_text_false_rejects_non_elements():
-    # node mode selects elements; attribute/text() steps have no node XML
-    with pytest.raises(ValueError):
-        extract_xpath("//a/@href", to_text=False)
-    with pytest.raises(ValueError):
-        extract_xpath("//a/text()", to_text=False)
+def test_extract_xpath_to_text_false_accepts_all_node_kinds():
+    # node mode yields whatever node kind the path selects (reference
+    # returns Attr / Text / Element nodes alike, nokogiri_macros.rb:38-42)
+    extract_xpath("//a/@href", to_text=False)
+    extract_xpath("//a/text()", to_text=False)
+    extract_xpath("//a", to_text=False)
 
 
 def _oai_page(ids, token):
@@ -236,7 +236,25 @@ def test_extract_xpath_to_text_false_returns_node_xml(spark):
     assert all(r.tag.endswith("}title") for r in roots)
     assert "".join(roots[0].itertext()) == "One bold"
 
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        extract_xpath("//a/@href", to_text=False)
+def test_extract_xpath_to_text_false_attr_and_text_nodes(spark):
+    """to_text=False with @attr / text() steps: the reference yields
+    Nokogiri Attr / Text nodes (nokogiri_macros.rb:38-42); here their
+    string forms — attribute values and raw text-node content."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        '<rec><a href="u1">One <b>bold</b> tail</a>'
+        '<a href="u2">Two</a><span href="skip">n/a</span></rec>'
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = (
+        Pipeline(source_col="xml")
+        .to_field("hrefs", extract_xpath("//a/@href", to_text=False))
+        .to_field("texts", extract_xpath("//a/text()", to_text=False))
+    )
+    row = p.apply(df).collect()[0]
+    assert row["hrefs"] == ["u1", "u2"]
+    # direct text nodes only, raw: 'One ' + the tail ' tail' + 'Two'
+    assert row["texts"] == ["One ", " tail", "Two"]

@@ -179,7 +179,20 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
         if not url:
             raise SystemExit("solr writer needs -u/-s solr.url=")
         batch = int(settings.get("solr_writer.batch_size", 100))
-        W.solr_json_writer(df, url, batch_size=batch)
+        # solr_writer.solr_update_args: dict from a config file, or
+        # "k=v,k2=v2" from -s (e.g. -s solr_writer.solr_update_args=commitWithin=1000)
+        upd = settings.get("solr_writer.solr_update_args")
+        if isinstance(upd, str):
+            upd = dict(
+                kv.split("=", 1) for kv in upd.split(",") if "=" in kv
+            ) or None
+        commit_close = str(
+            settings.get("solr_writer.commit_on_close", "")
+        ).lower() == "true"
+        W.solr_json_writer(
+            df, url, batch_size=batch, solr_update_args=upd,
+            commit_on_close=commit_close,
+        )
         return True
     if kind == "null":
         W.write_noop(df)
@@ -258,7 +271,16 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
     from traject_spark.pipeline import Pipeline
 
     args = build_parser().parse_args(argv)
-    settings = assemble_settings(args)
+
+    # Build the pipeline and load -c config files BEFORE dispatching any
+    # command — the reference's initialize_indexer! does this for every
+    # command (command_line.rb:273-274), so marcout.type / output_file /
+    # solr.url defined in a config file apply to marcout and commit too.
+    source_col = "xml" if args.indexer == "xml" else "marc"
+    pipeline = Pipeline(source_col=source_col, **assemble_settings(args))
+    if args.conf:
+        load_config_files(pipeline, args.conf)
+    settings = pipeline.settings_dict  # config files may add settings
 
     if args.command == "commit":
         return 0 if command_commit(settings) else 1
@@ -272,10 +294,6 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
 
         if not args.conf:
             raise SystemExit("Error: Missing required configuration file (-c)")
-        source_col = "xml" if args.indexer == "xml" else "marc"
-        pipeline = Pipeline(source_col=source_col, **settings)
-        load_config_files(pipeline, args.conf)
-        settings = pipeline.settings_dict  # config files may add settings
         df = read_input(spark, settings, args.files)
         ok = write_output(pipeline.apply(df), pipeline, settings)
         pipeline.run_after_processing()  # indexer.rb:646-655 ordering

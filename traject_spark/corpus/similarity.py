@@ -361,20 +361,27 @@ def cosine_near_dup(
     if mode == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        # ONE scan per side: all table buckets computed in a single
+        # select then exploded — a per-table union would scan the corpus
+        # `tables` times (4x the I/O at 100 TB for the same rows)
         def bucketed(side: DataFrame, idn: str, vn: str) -> DataFrame:
-            parts = [
-                side.select(
-                    idn,
-                    vn,
-                    F.lit(t).alias("table"),
-                    signs_expr(F.col(vn), dim, bits, t).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionAll(p)
-            return out
+            return side.select(
+                idn,
+                vn,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("table"),
+                                signs_expr(F.col(vn), dim, bits, t).alias(
+                                    "bucket"
+                                ),
+                            )
+                            for t in range(tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(idn, vn, "tb.table", "tb.bucket")
 
         pairs = (
             bucketed(a, "id_a", "va")
@@ -408,20 +415,27 @@ def lsh_topk(
     exact rescoring of candidates only. Returns (query_id, neighbor_id,
     score, rank) — an ANN result, NOT guaranteed equal to brute force."""
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
-        rows = []
-        for t in range(tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(idname),
-                    F.col(vec_col).alias(f"{idname}_vec"),
-                    F.lit(t).alias("table"),
-                    signs_expr(F.col(vec_col), dim, bits, t).alias("bucket"),
+        # one scan: all table buckets in a single select + explode (a
+        # per-table union would read the corpus `tables` times)
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signs_expr(F.col(vec_col), dim, bits, t).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(tables)
+                    ]
                 )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionAll(r)
-        return out
+            ).alias("tb"),
+        ).select(
+            idname, f"{idname}_vec", "tb.table", "tb.bucket"
+        )
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = F.broadcast(with_buckets(queries, "query_id"))

@@ -46,10 +46,24 @@ def _id_from(rec: dict, id_tag: str) -> Optional[str]:
 
 
 def read_marc_json(
-    spark: SparkSession, paths, id_tag: str = "001"
+    spark: SparkSession, paths, id_tag: str = "001", engine: str = "jvm"
 ) -> DataFrame:
-    """NDJSON of marc-in-json (ndj_reader.rb:9-38). Bad lines skipped."""
+    """NDJSON of marc-in-json (ndj_reader.rb:9-38). Bad lines skipped.
+
+    ``engine='jvm'`` (default): the whole parse is JVM-side VARIANT
+    algebra — ``try_parse_json`` + ``try_variant_get`` casts — no Python
+    round trip at all. marc-in-json's dynamic tag keys make a plain
+    ``from_json`` schema impossible, but each field object casts cleanly
+    to ``map<string,variant>``. Malformed JSON, non-object lines, and
+    records whose field entries aren't tag->body objects are dropped,
+    matching the Python path's per-line rescue.
+
+    ``engine='python'``: the Arrow-batched ``mapInPandas`` parser
+    (kept for comparison and as the portability fallback).
+    """
     lines = spark.read.text(paths)
+    if engine == "jvm":
+        return _read_marc_json_jvm(lines, id_tag)
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -73,6 +87,115 @@ def read_marc_json(
             yield pd.DataFrame({"record_id": ids, "marc": recs})
 
     return lines.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+
+
+def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
+    """JVM-only marc-in-json parse (see read_marc_json docstring)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.expr import let
+
+    def entries_of(obj: "F.Column"):
+        # variant object -> array<struct<key,value:variant>>; null when
+        # the cast fails (entry is not an object)
+        return F.map_entries(F.try_variant_get(obj, "$", "map<string,variant>"))
+
+    def body_str(val):
+        return F.try_variant_get(val, "$", "string")
+
+    def build(v):
+        fields = F.try_variant_get(v, "$.fields", "array<variant>")
+        # flatten() returns null if ANY element is null -> a record with a
+        # non-object field entry is dropped whole, like the Python path's
+        # AttributeError rescue; missing/empty "fields" stays a valid
+        # (empty) record
+        entries = F.when(
+            # non-object lines (scalars/arrays/bad JSON) drop whole, like
+            # the Python path's AttributeError/JSONDecodeError rescue
+            ~F.coalesce(
+                F.schema_of_variant(v).startswith("OBJECT"), F.lit(False)
+            ),
+            F.lit(None),
+        ).when(fields.isNull(), F.array()).otherwise(
+            F.flatten(F.transform(fields, entries_of))
+        )
+        leader = F.try_variant_get(v, "$.leader", "string")
+        return F.struct(
+            F.when(
+                leader.isNull() | (leader == ""), F.lit(" " * 24)
+            ).otherwise(leader).alias("leader"),
+            entries.alias("entries"),
+        )
+
+    def control_entries(entries):
+        # control field: body is a JSON string (ndj format tag -> value)
+        return F.filter(
+            entries,
+            lambda e: F.schema_of_variant(e["value"]) == "STRING",
+        )
+
+    def subfield_structs(body):
+        sfs = F.try_variant_get(body, "$.subfields", "array<variant>")
+        pairs = F.when(sfs.isNull(), F.array()).otherwise(
+            F.flatten(
+                F.transform(
+                    sfs, lambda sf: F.coalesce(entries_of(sf), F.array())
+                )
+            )
+        )
+        return F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["key"].alias("code"), body_str(p["value"]).alias("value")
+            ),
+        )
+
+    parsed = lines.select(
+        build(F.try_parse_json(F.col("value"))).alias("p")
+    ).filter(F.col("p.entries").isNotNull())
+
+    def record(p):
+        entries = p["entries"]
+        ctrl = F.transform(
+            control_entries(entries),
+            lambda e: F.struct(
+                e["key"].alias("tag"), body_str(e["value"]).alias("value")
+            ),
+        )
+        data = F.transform(
+            F.filter(
+                entries,
+                lambda e: F.schema_of_variant(e["value"]).startswith("OBJECT"),
+            ),
+            lambda e: let(
+                e["value"],
+                lambda body: F.struct(
+                    e["key"].alias("tag"),
+                    F.coalesce(
+                        F.try_variant_get(body, "$.ind1", "string"), F.lit(" ")
+                    ).alias("ind1"),
+                    F.coalesce(
+                        F.try_variant_get(body, "$.ind2", "string"), F.lit(" ")
+                    ).alias("ind2"),
+                    subfield_structs(body).alias("subfields"),
+                ),
+            ),
+        )
+        return F.struct(
+            p["leader"].alias("leader"),
+            ctrl.alias("controlfields"),
+            data.alias("datafields"),
+        )
+
+    return parsed.select(record(F.col("p")).alias("marc")).select(
+        F.get(
+            F.filter(
+                F.col("marc.controlfields"), lambda c: c["tag"] == id_tag
+            ),
+            0,
+        )["value"].alias("record_id"),
+        F.col("marc"),
+    )
 
 
 def read_iso2709(

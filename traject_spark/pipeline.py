@@ -379,9 +379,22 @@ class Pipeline:
     ) -> DataFrame:
         """Map all buffered ``process_record`` records as one job; send
         the output to ``destination`` (the writer) if given; clear the
-        buffer. Returns the mapped DataFrame."""
+        buffer. Returns the mapped DataFrame.
+
+        Record ids come from the record's own 001 control field (what the
+        reference's writers persist as the document id); records with no
+        001 fall back to a positional ``__r{i}__`` placeholder."""
+        from traject_spark.marc.io import _id_from
+
         records = getattr(self, "_record_buffer", [])
-        rows = [(f"__r{i}__", rec) for i, rec in enumerate(records)]
+        rows = [
+            (
+                (_id_from(rec, "001") if rec.get("controlfields") else None)
+                or f"__r{i}__",
+                rec,
+            )
+            for i, rec in enumerate(records)
+        ]
         df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
         out = self.apply(df)
         if destination is not None:

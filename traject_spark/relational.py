@@ -37,6 +37,17 @@ def salted_join(
     on = list(on)
     if not on:
         raise ValueError("salted_join needs at least one join key")
+    # The right side is replicated across all `salt` values, so any join
+    # flavor that emits unmatched RIGHT rows (right/full outer) would
+    # emit each of them `salt` times plus null-extended phantoms — only
+    # left-preserving flavors are correct under replication.
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right-side replication would duplicate unmatched right rows"
+        )
     if salt < 2:
         return left.join(right, on, how)
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))

@@ -36,9 +36,10 @@ _EMPTY = "array<string>"
 
 def ruby_strip_expr(v: Column) -> Column:
     """Ruby ``[[:space:]]``-class strip (transformation.rb:121-128):
-    ASCII whitespace, NULs, AND Unicode space separators (NBSP, EN
-    SPACE, NARROW NBSP...) — Java's ``\\s`` alone misses category Zs."""
-    cls = r"[\s\p{Z}\x00]+"
+    ASCII whitespace, NEL, AND Unicode space separators (NBSP, EN
+    SPACE, NARROW NBSP...) — exactly Ruby ``\\p{Space}`` (no NUL:
+    Ruby [[:space:]] excludes it; Java ``\\s`` alone misses Zs/NEL)."""
+    cls = r"[\s\p{Z}]+"
     return F.regexp_replace(v, rf"\A{cls}|{cls}\Z", "")
 
 

@@ -192,7 +192,10 @@ class TranslationMap:
             entries = []
             for k, v in present.items():
                 entries.append(F.lit(str(k)))
-                entries.append(F.array(*[F.lit(x) for x in v]))
+                entries.append(
+                    F.array(*[F.lit(x) for x in v]) if v
+                    else F.array().cast("array<string>")
+                )
             # try_element_at: null on missing key (ANSI-mode safe)
             return F.try_element_at(F.create_map(*entries), value)
 
@@ -225,11 +228,25 @@ class TranslationMap:
         hit = F.try_element_at(
             F.try_element_at(outer, F.substring(value, 1, 1)), value
         )
-        return F.split(hit, _SEP_VAL)
+        # a key mapping to [] encodes as '' — split('') would yield ['']
+        # (one empty string), so special-case the empty hit; a null hit
+        # (miss) flows through split as null
+        return F.when(hit == "", F.array().cast("array<string>")).otherwise(
+            F.split(hit, _SEP_VAL)
+        )
 
     def lookup_expr(self, value: Column) -> Column:
-        """value -> array<string> of translations, NULL => remove value."""
+        """value -> array<string> of translations, NULL => remove value.
+
+        Large maps whose keys/values contain the C0 encoding separators
+        can't take the str_to_map literal path (the encoding would
+        corrupt lookups) — those fall back to an Arrow-batched scalar
+        UDF. Note the UDF fallback is NOT legal inside higher-order-
+        function lambdas; ``translate_array_expr`` handles that case with
+        its own array-level UDF."""
         norm = self._as_array_dict()
+        if len(self._map) > LITERAL_MAP_MAX and not self._encodable(norm):
+            return self._lookup_udf()(value)
         nil_keys = [str(k) for k, v in norm.items() if v is None]
 
         if self._default == PASSTHROUGH:
@@ -262,6 +279,34 @@ class TranslationMap:
             mapped = F.transform(acc, lambda v: self.lookup_expr(v))
             return F.flatten(F.filter(mapped, lambda x: x.isNotNull()))
         return self._translate_array_udf()(acc)
+
+    def _lookup_udf(self):
+        """Scalar twin of ``_translate_array_udf`` for ``lookup_expr`` on
+        large maps with un-encodable data: value -> array<string> with
+        the same hit/nil/default/passthrough semantics."""
+        norm = self._as_array_dict()
+        default = self._default
+        default_list = (
+            None
+            if default is None or default == PASSTHROUGH
+            else [str(x) for x in (default if isinstance(default, list) else [default])]
+        )
+        passthrough = default == PASSTHROUGH
+
+        @pandas_udf("array<string>")
+        def _lookup(col: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                if v in norm:
+                    return norm[v]  # None stays None (removal)
+                if passthrough:
+                    return [v]
+                return default_list
+
+            return col.map(one)
+
+        return _lookup
 
     def _translate_array_udf(self):
         """Arrow-batched pandas UDF over a broadcast dict — the scale path

@@ -172,6 +172,23 @@ class SolrHTTPError(RuntimeError):
     itself is the suspect, so it goes to the one-by-one path)."""
 
 
+def _solr_update_url(url: str, update_args: Optional[dict] = None) -> str:
+    """<base>/update/json with ``update_args`` as query params — the
+    reference's solr_update_url_with_query (solr_json_writer.rb:195-199),
+    used for every update request (batch, individual, delete). E.g.
+    ``{"commitWithin": 1000}`` or ``{"softCommit": "true"}``."""
+    import urllib.parse
+
+    base = url.rstrip("/") + "/update/json"
+    if not update_args:
+        return base
+    qs = urllib.parse.urlencode(
+        {k: str(v).lower() if isinstance(v, bool) else v
+         for k, v in update_args.items()}
+    )
+    return f"{base}?{qs}"
+
+
 def solr_json_writer(
     df: DataFrame,
     url: str,
@@ -184,6 +201,7 @@ def solr_json_writer(
     basic_auth_password: Optional[str] = None,
     max_retries: int = 2,
     retry_backoff: float = 0.5,
+    solr_update_args: Optional[dict] = None,
 ) -> int:
     """POST documents to Solr's /update/json in batches via
     ``foreachPartition`` (the Spark shape of
@@ -207,7 +225,10 @@ def solr_json_writer(
     """
     spark = df.sparkSession
     skipped_acc = spark.sparkContext.accumulator(0)
-    update_url = url.rstrip("/") + "/update/json"
+    # solr_update_args ({"commitWithin": 1000}, {"softCommit": true}...)
+    # ride on every update request's query string, batch AND retry-single
+    # (solr_json_writer.rb:24-37,216,241)
+    update_url = _solr_update_url(url, solr_update_args)
 
     # serialize docs JVM-side: toJSON emits one JSON object per row with
     # nulls omitted (exactly Solr's add format), so the Python side only
@@ -316,9 +337,138 @@ def solr_json_writer(
             f"{skipped} skipped records exceed max_skipped={max_skipped}"
         )
     if commit_on_close:
-        import urllib.request
-
-        urllib.request.urlopen(
-            url.rstrip("/") + "/update?commit=true", timeout=timeout
-        ).read()
+        solr_commit(url, timeout=timeout)
     return skipped
+
+
+def _solr_post_json(url: str, payload: dict, timeout: float = 30.0) -> None:
+    """Driver-side JSON POST to a Solr update URL; raise on non-2xx."""
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        body = resp.read()
+        if resp.status >= 400:  # urlopen raises on >=400; belt-and-braces
+            raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")
+
+
+def solr_delete(
+    url: str,
+    id: Optional[str] = None,
+    query: Optional[str] = None,
+    solr_update_args: Optional[dict] = None,
+    timeout: float = 30.0,
+) -> None:
+    """Delete by unique id or by query — SolrJsonWriter#delete
+    (solr_json_writer.rb:284-293): POSTs ``{"delete": <id>}`` (or
+    ``{"delete": {"query": ...}}``) to the update URL, inline and
+    immediately, raising on any failure. ``solr_update_args`` ride on the
+    query string exactly as for adds."""
+    if (id is None) == (query is None):
+        raise ValueError("solr_delete needs exactly one of id= or query=")
+    package = {"delete": id if id is not None else {"query": query}}
+    _solr_post_json(_solr_update_url(url, solr_update_args), package, timeout)
+
+
+def solr_delete_all(
+    url: str,
+    solr_update_args: Optional[dict] = None,
+    timeout: float = 30.0,
+) -> None:
+    """Delete-all (``delete_all!``, solr_json_writer.rb:298-301):
+    delete by query *:*; does NOT commit — pair with solr_commit."""
+    solr_delete(url, query="*:*", solr_update_args=solr_update_args,
+                timeout=timeout)
+
+
+def solr_delete_ids(
+    df: DataFrame,
+    url: str,
+    id_col: str = "id",
+    batch_size: int = 500,
+    solr_update_args: Optional[dict] = None,
+    timeout: float = 30.0,
+) -> None:
+    """Distributed delete-by-id for a DataFrame of ids — the Spark-scale
+    extension of the reference's one-id-at-a-time #delete: each partition
+    POSTs ``{"delete": [ids...]}`` batches over one keep-alive connection
+    (re-index workflows delete the previous generation before adding)."""
+    target = _solr_update_url(url, solr_update_args)
+
+    def handle_partition(rows) -> None:
+        import http.client
+        import json as _json
+        import urllib.parse
+
+        parsed = urllib.parse.urlsplit(target)
+        conn_cls = (
+            http.client.HTTPSConnection
+            if parsed.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        path = parsed.path + (f"?{parsed.query}" if parsed.query else "")
+        conn = None
+
+        def post(ids: list) -> None:
+            nonlocal conn
+            if conn is None:
+                conn = conn_cls(parsed.hostname, parsed.port, timeout=timeout)
+            conn.request(
+                "POST", path,
+                body=_json.dumps({"delete": ids}).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            body = resp.read()
+            if resp.status >= 400:
+                raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")
+
+        buf: list = []
+        try:
+            for row in rows:
+                buf.append(row[0])
+                if len(buf) >= batch_size:
+                    post(buf)
+                    buf = []
+            if buf:
+                post(buf)
+        finally:
+            if conn is not None:
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+
+    df.select(F.col(id_col).cast("string")).foreachPartition(handle_partition)
+
+
+def solr_commit(
+    url: str,
+    query_params: Optional[dict] = None,
+    timeout: float = 600.0,
+) -> None:
+    """Send a commit (SolrJsonWriter#commit, solr_json_writer.rb:362-376):
+    GET the update URL with ``query_params`` (default {"commit": "true"}
+    — pass softCommit/optimize/waitFlush etc. to override, params replace
+    not merge). Default timeout matches the reference's 10-minute
+    commit_timeout."""
+    import urllib.parse
+    import urllib.request
+
+    params = query_params or {"commit": "true"}
+    qs = urllib.parse.urlencode(
+        {k: str(v).lower() if isinstance(v, bool) else v
+         for k, v in params.items()}
+    )
+    with urllib.request.urlopen(  # noqa: S310
+        url.rstrip("/") + "/update?" + qs, timeout=timeout
+    ) as resp:
+        body = resp.read()
+        if resp.status >= 400:
+            raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")

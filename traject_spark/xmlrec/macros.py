@@ -73,24 +73,36 @@ def extract_xpath(
     whitespace-normalized string-value of each non-blank match to the
     accumulator (nokogiri_macros.rb:13-46).
 
-    ``to_text=False`` appends each matched node re-serialized as an XML
-    snippet (the closest Spark analog of the reference's Nokogiri node
-    objects — the engine exchanges strings, not DOM handles). That path
-    runs element-local-name matching in an Arrow-batched pandas UDF and
-    supports the ``//[prefix:]name`` / trailing-step form; attribute and
-    text() selections only make sense with ``to_text=True``.
+    ``to_text=False`` appends each matched node in its string form (the
+    closest Spark analog of the reference's Nokogiri node objects — the
+    engine exchanges strings, not DOM handles), by node kind exactly as
+    the reference yields them (nokogiri_macros.rb:38-42):
+    element steps -> the node re-serialized as an XML snippet;
+    ``@attr`` steps -> the attribute's value;
+    ``text()`` steps -> each direct text node's raw content.
+    That path runs local-name matching in an Arrow-batched pandas UDF
+    and supports the ``//[prefix:]name[/@attr|/text()]`` trailing-step
+    form.
     """
     if not to_text:
-        last = path.rsplit("/", 1)[-1].split(":")[-1].strip()
-        if not last or last.startswith("@") or last.endswith("text()"):
-            raise ValueError(
-                "extract_xpath(to_text=False) selects ELEMENT nodes; "
-                f"step {last!r} has no node serialization"
-            )
+        steps = [s for s in path.split("/") if s]
+        last = steps[-1].split(":")[-1].strip() if steps else ""
+        if not last:
+            raise ValueError(f"extract_xpath: empty xpath {path!r}")
+        if last.startswith("@") or last == "text()":
+            node_kind = "attr" if last.startswith("@") else "text"
+            attr_name = last[1:].split(":")[-1] if node_kind == "attr" else None
+            elem = steps[-2].split(":")[-1].strip() if len(steps) > 1 else ""
+            elem = None if elem in ("", "*", "") else elem
+        else:
+            node_kind, attr_name, elem = "element", None, last
 
         @pandas_udf("array<string>")
         def _nodes(col: pd.Series) -> pd.Series:
             import xml.etree.ElementTree as ET
+
+            def localname(tag):
+                return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
 
             def one(text):
                 if text is None:
@@ -99,14 +111,33 @@ def extract_xpath(
                     root = ET.fromstring(text)
                 except ET.ParseError:
                     return []
-                matches = [
-                    el
-                    for el in root.iter()
-                    if el.tag.rsplit("}", 1)[-1] == last
+                if node_kind == "element":
+                    return [
+                        ET.tostring(el, encoding="unicode")
+                        for el in root.iter()
+                        if localname(el.tag) == elem
+                    ]
+                hosts = [
+                    el for el in root.iter()
+                    if elem is None or localname(el.tag) == elem
                 ]
-                return [
-                    ET.tostring(el, encoding="unicode") for el in matches
-                ]
+                if node_kind == "attr":
+                    out = []
+                    for el in hosts:
+                        for k, v in el.attrib.items():
+                            if localname(k) == attr_name:
+                                out.append(v)
+                    return out
+                # text(): direct child text nodes, raw (Nokogiri yields
+                # Text nodes whose to_s is the unnormalized content)
+                out = []
+                for el in hosts:
+                    if el.text is not None:
+                        out.append(el.text)
+                    for child in el:
+                        if child.tail is not None:
+                            out.append(child.tail)
+                return out
 
             return col.map(one)
 
