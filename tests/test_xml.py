@@ -131,6 +131,58 @@ def test_oai_pmh_pagination(spark):
     assert titles == {1: ["T1"], 2: ["T2"], 3: ["T3"]}
 
 
+def test_oai_pmh_restartable_harvest(spark, tmp_path):
+    """Interrupt-and-resume: the token checkpoint makes a second
+    invocation continue from the committed page, not page 1; the done
+    marker stops further fetches."""
+    from traject_spark.xmlrec import harvest_oai_pmh_restartable
+
+    pages = {
+        "verb=ListRecords&metadataPrefix=oai_dc": _oai_page([1, 2], "tokA"),
+        "verb=ListRecords&resumptionToken=tokA": _oai_page([3, 4], "tokB"),
+        "verb=ListRecords&resumptionToken=tokB": _oai_page([5], None),
+    }
+    urls = []
+
+    def fetch(url):
+        urls.append(url.split("?", 1)[1])
+        return pages[urls[-1]]
+
+    out, ckpt = str(tmp_path / "recs"), str(tmp_path / "ckpt")
+
+    def ids(df):
+        return sorted(
+            r.i[0]
+            for r in df.select(
+                F.xpath("xml", F.lit("//identifier/text()")).alias("i")
+            ).collect()
+        )
+
+    # run 1: one page, then "interrupted"
+    df1 = harvest_oai_pmh_restartable(
+        spark, "http://x/oai", out, ckpt, fetch=fetch, max_pages=1
+    )
+    assert ids(df1) == ["1", "2"]
+    assert urls == ["verb=ListRecords&metadataPrefix=oai_dc"]
+
+    # run 2: resumes from tokA, drains the rest
+    df2 = harvest_oai_pmh_restartable(
+        spark, "http://x/oai", out, ckpt, fetch=fetch
+    )
+    assert ids(df2) == ["1", "2", "3", "4", "5"]
+    assert urls[1:] == [
+        "verb=ListRecords&resumptionToken=tokA",
+        "verb=ListRecords&resumptionToken=tokB",
+    ]
+
+    # run 3: done marker committed -> no further fetches
+    df3 = harvest_oai_pmh_restartable(
+        spark, "http://x/oai", out, ckpt, fetch=fetch
+    )
+    assert ids(df3) == ["1", "2", "3", "4", "5"]
+    assert len(urls) == 3
+
+
 # --- reference-fixture golden: extra_xpath_hooks + namespaces -------------
 
 OAI_SAMPLE = "/root/reference/test/test_support/sample-oai-pmh.xml"

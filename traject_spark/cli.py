@@ -233,8 +233,13 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     out_type = str(settings.get("marcout.type", "binary"))
     if out_type not in ("binary", "xml", "json"):
         raise SystemExit(f"marcout unrecognized marcout.type: {out_type}")
+    # marcout.allow_oversized: zero overflowing length slots instead of
+    # raising (command_line.rb:119-123)
+    oversized = str(settings.get("marcout.allow_oversized", "")).lower() == "true"
     df = read_input(spark, settings, files)
-    p = Pipeline().to_field("serialized", serialized_marc(out_type))
+    p = Pipeline().to_field(
+        "serialized", serialized_marc(out_type, allow_oversized=oversized)
+    )
     ser = p.apply(df).select(F.element_at("serialized", 1).alias("value"))
     out = settings.get("output_file")
     if out:

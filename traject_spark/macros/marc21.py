@@ -110,13 +110,20 @@ def extract_all_marc_values(
     return macro
 
 
-def serialized_marc(format: str = "json", binary_escape: bool = True):
+def serialized_marc(
+    format: str = "json",
+    binary_escape: bool = True,
+    allow_oversized: bool = False,
+):
     """Re-serialize the whole record (marc21.rb:174-198).
 
     ``json`` -> canonical marc-in-json; ``xml`` -> MARCXML; ``binary`` ->
-    ISO 2709, base64-encoded by default (binary_escape).  Row-level
-    serialization runs in an Arrow-batched pandas UDF over the record's
-    JSON projection — a sink-side path, not the hot mapping path.
+    ISO 2709, base64-encoded by default (binary_escape);
+    ``allow_oversized`` writes zeroed length slots for records/fields
+    too long for ISO 2709's fixed-width directory instead of raising
+    (marc21.rb:181, MARC::Writer.encode). Row-level serialization runs
+    in an Arrow-batched pandas UDF over the record's JSON projection —
+    a sink-side path, not the hot mapping path.
     """
     from traject_spark.marc import serialize as ser
 
@@ -134,7 +141,7 @@ def serialized_marc(format: str = "json", binary_escape: bool = True):
                 return ser.to_marc_in_json(rec)
             if fmt == "xml":
                 return ser.to_marcxml(rec)
-            raw = ser.to_iso2709(rec)
+            raw = ser.to_iso2709(rec, allow_oversized)
             if binary_escape:
                 return base64.b64encode(raw).decode("ascii")
             return raw.decode("utf-8", errors="replace")

@@ -90,7 +90,14 @@ def read_marc_json(
 
 
 def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
-    """JVM-only marc-in-json parse (see read_marc_json docstring)."""
+    """JVM-only marc-in-json parse (see read_marc_json docstring).
+
+    Evaluation discipline: every multiply-referenced piece (the parsed
+    variant, the field-entry array, each field body) is ``let``-bound so
+    it evaluates ONCE per row, and the bad-line filter is an
+    ``explode`` of a 0/1-element array built in the SAME projection —
+    a Column-level filter on a separate operator would let Catalyst's
+    projection collapse duplicate the whole parse per reference."""
     from pyspark.sql import functions as F
 
     from traject_spark.expr import let
@@ -103,45 +110,16 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
     def body_str(val):
         return F.try_variant_get(val, "$", "string")
 
-    def build(v):
-        fields = F.try_variant_get(v, "$.fields", "array<variant>")
-        # flatten() returns null if ANY element is null -> a record with a
-        # non-object field entry is dropped whole, like the Python path's
-        # AttributeError rescue; missing/empty "fields" stays a valid
-        # (empty) record
-        entries = F.when(
-            # non-object lines (scalars/arrays/bad JSON) drop whole, like
-            # the Python path's AttributeError/JSONDecodeError rescue
-            ~F.coalesce(
-                F.schema_of_variant(v).startswith("OBJECT"), F.lit(False)
-            ),
-            F.lit(None),
-        ).when(fields.isNull(), F.array()).otherwise(
-            F.flatten(F.transform(fields, entries_of))
-        )
-        leader = F.try_variant_get(v, "$.leader", "string")
-        return F.struct(
-            F.when(
-                leader.isNull() | (leader == ""), F.lit(" " * 24)
-            ).otherwise(leader).alias("leader"),
-            entries.alias("entries"),
-        )
-
-    def control_entries(entries):
-        # control field: body is a JSON string (ndj format tag -> value)
-        return F.filter(
-            entries,
-            lambda e: F.schema_of_variant(e["value"]) == "STRING",
-        )
-
     def subfield_structs(body):
-        sfs = F.try_variant_get(body, "$.subfields", "array<variant>")
-        pairs = F.when(sfs.isNull(), F.array()).otherwise(
-            F.flatten(
-                F.transform(
-                    sfs, lambda sf: F.coalesce(entries_of(sf), F.array())
+        pairs = let(
+            F.try_variant_get(body, "$.subfields", "array<variant>"),
+            lambda sfs: F.when(sfs.isNull(), F.array()).otherwise(
+                F.flatten(
+                    F.transform(
+                        sfs, lambda sf: F.coalesce(entries_of(sf), F.array())
+                    )
                 )
-            )
+            ),
         )
         return F.transform(
             pairs,
@@ -150,14 +128,13 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
             ),
         )
 
-    parsed = lines.select(
-        build(F.try_parse_json(F.col("value"))).alias("p")
-    ).filter(F.col("p.entries").isNotNull())
-
-    def record(p):
-        entries = p["entries"]
+    def record_from_entries(v, entries):
         ctrl = F.transform(
-            control_entries(entries),
+            # control field: body is a JSON string (ndj tag -> value)
+            F.filter(
+                entries,
+                lambda e: F.schema_of_variant(e["value"]) == "STRING",
+            ),
             lambda e: F.struct(
                 e["key"].alias("tag"), body_str(e["value"]).alias("value")
             ),
@@ -181,20 +158,62 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
                 ),
             ),
         )
-        return F.struct(
-            p["leader"].alias("leader"),
-            ctrl.alias("controlfields"),
-            data.alias("datafields"),
+        leader = let(
+            F.try_variant_get(v, "$.leader", "string"),
+            lambda ld: F.when(
+                ld.isNull() | (ld == ""), F.lit(" " * 24)
+            ).otherwise(ld),
+        )
+        return let(
+            ctrl,
+            lambda cfs: F.struct(
+                F.get(
+                    F.filter(cfs, lambda c: c["tag"] == id_tag), 0
+                )["value"].alias("record_id"),
+                F.struct(
+                    leader.alias("leader"),
+                    cfs.alias("controlfields"),
+                    data.alias("datafields"),
+                ).alias("marc"),
+            ),
         )
 
-    return parsed.select(record(F.col("p")).alias("marc")).select(
-        F.get(
-            F.filter(
-                F.col("marc.controlfields"), lambda c: c["tag"] == id_tag
+    def build(v):
+        # flatten() returns null if ANY element is null -> a record with
+        # a non-object field entry drops whole, like the Python path's
+        # AttributeError rescue; missing/empty "fields" stays a valid
+        # (empty) record; non-object lines (scalars/arrays/bad JSON)
+        # drop, like the JSONDecodeError rescue
+        entries = F.when(
+            ~F.coalesce(
+                F.schema_of_variant(v).startswith("OBJECT"), F.lit(False)
             ),
-            0,
-        )["value"].alias("record_id"),
-        F.col("marc"),
+            F.lit(None),
+        ).otherwise(
+            let(
+                F.try_variant_get(v, "$.fields", "array<variant>"),
+                lambda fields: F.when(fields.isNull(), F.array()).otherwise(
+                    F.flatten(F.transform(fields, entries_of))
+                ),
+            )
+        )
+        # 0/1-element array: explode IS the bad-line filter, keeping the
+        # whole parse in one Generate input expression (evaluated once);
+        # built as [maybe-null] + filter so both branches share the
+        # struct element type (a bare F.array() would be array<void>)
+        return let(
+            entries,
+            lambda es: F.filter(
+                F.array(
+                    F.when(es.isNotNull(), record_from_entries(v, es))
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+
+    rec = let(F.try_parse_json(F.col("value")), build)
+    return lines.select(F.explode(rec).alias("r")).select(
+        "r.record_id", "r.marc"
     )
 
 

@@ -105,8 +105,15 @@ def to_marcxml(rec: dict) -> str:
     return "".join(parts)
 
 
-def to_iso2709(rec: dict) -> bytes:
-    """Encode one record as ISO 2709 binary MARC."""
+def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
+    """Encode one record as ISO 2709 binary MARC.
+
+    Directory/leader length slots are fixed-width decimal; a record or
+    field too long to fit raises unless ``allow_oversized``, in which
+    case the overflowing slots are written as zeros (the reference's
+    MARC::Writer.encode(record, allow_oversized) behavior — readers that
+    scan for field/record terminators can still parse such records).
+    """
     field_bytes: list[tuple[str, bytes]] = []
     for cf in rec.get("controlfields") or []:
         field_bytes.append((cf["tag"], (cf["value"] or "").encode("utf-8") + FT))
@@ -118,16 +125,32 @@ def to_iso2709(rec: dict) -> bytes:
             body += SD + sf["code"].encode("utf-8") + (sf["value"] or "").encode("utf-8")
         field_bytes.append((df["tag"], body + FT))
 
+    def slot(n: int, width: int, what: str) -> str:
+        if n < 10**width:
+            return f"{n:0{width}d}"
+        if allow_oversized:
+            return "0" * width
+        raise ValueError(
+            f"{what} length {n} exceeds ISO 2709's {width}-digit slot; "
+            "pass allow_oversized=True to write zeros instead"
+        )
+
     directory = b""
     data = b""
     for tag, body in field_bytes:
-        directory += f"{tag:>3.3}{len(body):04d}{len(data):05d}".encode("ascii")
+        directory += (
+            f"{tag:>3.3}" + slot(len(body), 4, f"field {tag}")
+            + slot(len(data), 5, f"field {tag} offset")
+        ).encode("ascii")
         data += body
     directory += FT
     base = 24 + len(directory)
     total = base + len(data) + 1
     leader = rec.get("leader") or " " * 24
-    leader = f"{total:05d}" + leader[5:12] + f"{base:05d}" + leader[17:24]
+    leader = (
+        slot(total, 5, "record") + leader[5:12]
+        + slot(base, 5, "record base") + leader[17:24]
+    )
     return leader.encode("utf-8") + directory + data + RT
 
 

@@ -7,12 +7,17 @@ compiles to Spark's built-in ``xpath()`` SQL function — JVM-side, no Python
 in the hot path.
 """
 
-from traject_spark.xmlrec.io import harvest_oai_pmh, read_xml_records
+from traject_spark.xmlrec.io import (
+    harvest_oai_pmh,
+    harvest_oai_pmh_restartable,
+    read_xml_records,
+)
 from traject_spark.xmlrec.macros import extract_xpath, localname_path
 
 __all__ = [
     "extract_xpath",
     "harvest_oai_pmh",
+    "harvest_oai_pmh_restartable",
     "localname_path",
     "read_xml_records",
 ]

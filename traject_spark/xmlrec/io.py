@@ -169,3 +169,92 @@ def harvest_oai_pmh(
         [(xml, i + 1) for i, xml in enumerate(records)],
         "xml string, position long",
     )
+
+
+def harvest_oai_pmh_restartable(
+    spark: SparkSession,
+    base_url: str,
+    output_path: str,
+    checkpoint_path: str,
+    metadata_prefix: str = "oai_dc",
+    set_spec: Optional[str] = None,
+    verb: str = "ListRecords",
+    fetch: Optional[Callable[[str], str]] = None,
+    max_pages: Optional[int] = None,
+) -> DataFrame:
+    """Restartable OAI-PMH harvest: resumption-token checkpointing in the
+    Structured-Streaming mold (offset log + append sink).
+
+    The protocol is inherently sequential driver-side pagination
+    (oai_pmh_nokogiri_reader.rb:72-99), but a 10M-record harvest must
+    survive interruption: each page's records APPEND to ``output_path``
+    as parquet, then the page's resumption token commits atomically to
+    ``checkpoint_path`` (temp file + rename — the offset-log pattern).
+    A re-invocation resumes from the committed token instead of page 1.
+    Delivery is at-least-once at page granularity (a crash between sink
+    append and token commit re-appends that page); harvested records
+    carry their OAI identifier, so downstream exact dedup on it restores
+    exactly-once. Returns the DataFrame over everything harvested so far.
+
+    Done state: token committed as '' — further calls fetch nothing.
+    """
+    import json as _json
+    import os
+    import urllib.parse
+
+    fetch = fetch or _default_fetch
+    record_tag = "record" if verb == "ListRecords" else "header"
+    ckpt_file = os.path.join(checkpoint_path, "oai_offset.json")
+    os.makedirs(checkpoint_path, exist_ok=True)
+
+    token: Optional[str] = None
+    page = 0
+    done = False
+    if os.path.exists(ckpt_file):
+        with open(ckpt_file, "r", encoding="utf-8") as fh:
+            state = _json.load(fh)
+        token, page = state["token"] or None, state["page"]
+        done = state["token"] == ""
+
+    def commit(tok: Optional[str], pg: int) -> None:
+        tmp = ckpt_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"token": tok if tok is not None else "", "page": pg}, fh)
+        os.replace(tmp, ckpt_file)  # atomic on POSIX
+
+    pages_this_run = 0
+    while not done:
+        params = {"verb": verb}
+        if token:
+            params["resumptionToken"] = token
+        else:
+            params["metadataPrefix"] = metadata_prefix
+            if set_spec:
+                params["set"] = set_spec
+        page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
+        root = ET.fromstring(page_xml)
+        page += 1
+        records = [
+            ET.tostring(el, encoding="unicode")
+            for el in root.iter()
+            if _local(el.tag) == record_tag
+        ]
+        if records:
+            spark.createDataFrame(
+                [(xml, page, i + 1) for i, xml in enumerate(records)],
+                "xml string, page long, position_in_page long",
+            ).write.mode("append").parquet(output_path)
+        token = next(
+            (
+                (el.text or "").strip()
+                for el in root.iter()
+                if _local(el.tag) == "resumptionToken"
+            ),
+            "",
+        ) or None
+        commit(token, page)
+        done = token is None
+        pages_this_run += 1
+        if max_pages is not None and pages_this_run >= max_pages:
+            break
+    return spark.read.parquet(output_path)
