@@ -188,3 +188,31 @@ def test_lsh_bucketing_single_scan(spark):
     )
     plan2 = tk._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Scan parquet") == 2, plan2[:2000]
+
+
+def test_assign_cell_udf_matches_expr(spark, emb):
+    """The broadcast-matrix Arrow assignment (the >256-centroid scale
+    path) must agree with the literal-expression path row for row,
+    including the lowest-cid tie-break."""
+    from traject_spark.corpus import assign_cell_udf, train_centroids
+    from traject_spark.corpus.similarity import assign_cell_expr
+
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    both = emb.select(
+        "vec_id",
+        assign_cell_expr(F.col("embedding"), cents).alias("by_expr"),
+        assign_cell_udf(cents).alias("by_udf"),
+    )
+    rows = both.collect()
+    assert rows and all(r["by_expr"] == r["by_udf"] for r in rows)
+
+    # ivf_topk(method='udf') result-identical to the expression path
+    from traject_spark.corpus import ivf_topk
+
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, ivf_topk(corpus, queries, cents, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(
+        corpus, queries, cents, k=5, method="udf"
+    ).collect()))
+    assert a == b

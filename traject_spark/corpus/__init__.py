@@ -29,6 +29,7 @@ from traject_spark.corpus.dedup import (
     ngram_jaccard_pairs,
 )
 from traject_spark.corpus.similarity import (
+    assign_cell_udf,
     cosine_similarity_expr,
     cosine_near_dup,
     brute_force_topk,
@@ -53,6 +54,7 @@ __all__ = [
     "simhash_expr",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    "assign_cell_udf",
     "cosine_similarity_expr",
     "cosine_near_dup",
     "brute_force_topk",

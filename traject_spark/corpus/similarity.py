@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -166,6 +168,39 @@ def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
     return F.transform(F.slice(ordered, 1, nprobe), lambda p: p["cid"])
 
 
+def assign_cell_udf(centroids: list, vec_col: str = "embedding"):
+    """Arrow-batched coarse-quantizer assignment for LARGE centroid sets.
+
+    ``assign_cell_expr`` literal-encodes every centroid into the plan —
+    fine to a few hundred, but plan size and per-row interpreted
+    evaluation make it the wrong shape for IVF with thousands of cells.
+    This path broadcasts the centroid matrix once per executor and
+    assigns whole Arrow batches with one numpy matmul (batch x dim @
+    dim x k): still a narrow scan, no shuffle, same tie-breaking
+    (cosine score rounded to 9 decimals, lowest cid wins) so the two
+    paths are result-identical where both apply.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(cids, kind="stable")
+    cids_sorted, Cn_sorted = cids[order], Cn[order]
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        scores = np.round(Xn @ Cn_sorted.T, 9)
+        # argmax returns the FIRST max index; rows sorted by cid ->
+        # lowest cid wins ties, matching assign_cell_expr
+        return pd.Series(cids_sorted[np.argmax(scores, axis=1)])
+
+    return _assign(F.col(vec_col))
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int = 64,
@@ -216,6 +251,20 @@ def train_centroids(
     return [(i, C[i].tolist()) for i in range(k)]
 
 
+#: above this many centroids the literal-encoded assignment expression
+#: is replaced by the broadcast-matrix Arrow path (plan size + per-row
+#: interpreted cost grow linearly with the literal count)
+ASSIGN_EXPR_MAX_CENTROIDS = 256
+
+
+def _assign_cell(vec_col: str, centroids: list, method: str = "auto"):
+    if method == "udf" or (
+        method == "auto" and len(centroids) > ASSIGN_EXPR_MAX_CENTROIDS
+    ):
+        return assign_cell_udf(centroids, vec_col)
+    return assign_cell_expr(F.col(vec_col), centroids)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,6 +273,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     centroid's cell (narrow scan); each query probes its ``nprobe``
@@ -237,7 +287,7 @@ def ivf_topk(
     corp = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        assign_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        _assign_cell(vec_col, centroids, method).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -275,6 +325,7 @@ def write_ivf_layout(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    method: str = "auto",
 ) -> None:
     """Persist the corpus hive-partitioned by IVF cell.
 
@@ -282,11 +333,13 @@ def write_ivf_layout(
     beyond the write), and ``cell=N/`` directories make the probe-side
     join prunable at the FILE level — a query batch probing nprobe of
     n_centroids cells reads nprobe/n_centroids of the data, enforced by
-    dynamic partition pruning, not just a post-scan filter."""
+    dynamic partition pruning, not just a post-scan filter. Past
+    ``ASSIGN_EXPR_MAX_CENTROIDS`` cells the assignment switches to the
+    broadcast-matrix Arrow path automatically (``method='auto'``)."""
     corp = df.select(
         F.col(id_col),
         F.col(vec_col),
-        assign_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        _assign_cell(vec_col, centroids, method).alias("cell"),
     )
     corp.write.mode(mode).partitionBy("cell").parquet(path)
 

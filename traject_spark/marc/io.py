@@ -46,20 +46,21 @@ def _id_from(rec: dict, id_tag: str) -> Optional[str]:
 
 
 def read_marc_json(
-    spark: SparkSession, paths, id_tag: str = "001", engine: str = "jvm"
+    spark: SparkSession, paths, id_tag: str = "001", engine: str = "python"
 ) -> DataFrame:
     """NDJSON of marc-in-json (ndj_reader.rb:9-38). Bad lines skipped.
 
-    ``engine='jvm'`` (default): the whole parse is JVM-side VARIANT
-    algebra — ``try_parse_json`` + ``try_variant_get`` casts — no Python
-    round trip at all. marc-in-json's dynamic tag keys make a plain
-    ``from_json`` schema impossible, but each field object casts cleanly
-    to ``map<string,variant>``. Malformed JSON, non-object lines, and
-    records whose field entries aren't tag->body objects are dropped,
-    matching the Python path's per-line rescue.
+    ``engine='python'`` (default): Arrow-batched ``mapInPandas`` parse —
+    CPython's C json parser over whole batches, measured ~25% faster
+    than the variant path at 600k records (4.3s vs 5.8s).
 
-    ``engine='python'``: the Arrow-batched ``mapInPandas`` parser
-    (kept for comparison and as the portability fallback).
+    ``engine='jvm'``: the whole parse as JVM-side VARIANT algebra —
+    ``try_parse_json`` + ``try_variant_get`` casts, no Python workers at
+    all (marc-in-json's dynamic tag keys make a plain ``from_json``
+    schema impossible, but each field object casts cleanly to
+    ``map<string,variant>``). Same per-line rescue semantics, verified
+    by full-struct parity tests; choose it where provisioning Python on
+    executors is the constraint rather than raw parse throughput.
     """
     lines = spark.read.text(paths)
     if engine == "jvm":
@@ -128,22 +129,34 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
             ),
         )
 
-    def record_from_entries(v, entries):
+    def record_from_entries(v, raw_entries):
+        # classify each entry ONCE, let-bound: schema_of_variant builds a
+        # schema string per call, so letting the classified array appear
+        # twice (control filter + data filter) would re-evaluate it
+        return let(
+            F.transform(
+                raw_entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    e["value"].alias("value"),
+                    F.substring(
+                        F.schema_of_variant(e["value"]), 1, 1
+                    ).alias("k"),
+                ),
+            ),
+            lambda entries: _record_from_classified(v, entries),
+        )
+
+    def _record_from_classified(v, entries):
         ctrl = F.transform(
             # control field: body is a JSON string (ndj tag -> value)
-            F.filter(
-                entries,
-                lambda e: F.schema_of_variant(e["value"]) == "STRING",
-            ),
+            F.filter(entries, lambda e: e["k"] == "S"),
             lambda e: F.struct(
                 e["key"].alias("tag"), body_str(e["value"]).alias("value")
             ),
         )
         data = F.transform(
-            F.filter(
-                entries,
-                lambda e: F.schema_of_variant(e["value"]).startswith("OBJECT"),
-            ),
+            F.filter(entries, lambda e: e["k"] == "O"),
             lambda e: let(
                 e["value"],
                 lambda body: F.struct(
