@@ -28,10 +28,8 @@ from traject_spark.corpus import (
     fingerprint_expr,
     langid_expr,
     lsh_topk,
-    minhash_lsh_candidates,
     ngram_jaccard_pairs,
     quality_score_expr,
-    simhash_expr,
     stopword_ratio_expr,
     token_count_expr,
 )
@@ -110,77 +108,6 @@ _SQL_INSTR_NAME = (
 )
 # filing-version oracle: the joined 245ab value without the 'The ' prefix
 _SQL_FILING_T = f"{SQL_TITLE} || ' : a ' || source || ' study /'"
-
-
-def _sql_marc_json() -> str:
-    """DuckDB expression reproducing serialized_marc('json') output for the
-    synthesized record, byte-for-byte.  Literal JSON scaffolding is emitted
-    as SQL string literals; every subfield value goes through DuckDB
-    ``to_json`` (same minimal escaping as json.dumps(ensure_ascii=False))."""
-
-    def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    def js(expr: str) -> str:
-        return f"to_json({expr})::VARCHAR"
-
-    def dfld(tag: str, ind1: str, ind2: str, subs, raw_tail: str = "") -> str:
-        """One datafield JSON object; ``subs`` = [(code, value_sql)];
-        ``ind*`` are SQL exprs; ``raw_tail`` appends extra subfield JSON."""
-        frags = [lit('{"%s":{"ind1":"' % tag), ind1, lit('","ind2":"'), ind2,
-                 lit('","subfields":[')]
-        for i, (code, val) in enumerate(subs):
-            frags.append(lit((',' if i else '') + '{"%s":' % code))
-            frags.append(js(val))
-            frags.append(lit("}"))
-        if raw_tail:
-            frags.append(raw_tail)
-        frags.append(lit("]}}"))
-        return " || ".join(frags)
-
-    t_ind2 = "CASE WHEN doc_id % 5 = 0 THEN '4' ELSE '0' END"
-    ser_ind1 = "CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '0' END"
-    lcc = (f"{SQL_LETTER} || CAST(doc_id % 900 + 1 AS VARCHAR) || '.5 .A' "
-           "|| CAST(doc_id % 9 + 1 AS VARCHAR)")
-    author = f"'Author, ' || {SQL_LETTER} || '.'"
-    packed041 = f"CASE WHEN doc_id % 10 = 0 THEN 'engfre' ELSE {SQL_LANG3} END"
-    instr_b = (
-        "CASE WHEN doc_id % 3 = 0 THEN ',{\"b\":\"bd01\"}' ELSE '' END"
-    )
-    fields = [
-        lit('{"001":') + " || " + js("CAST(doc_id AS VARCHAR)") + " || " + lit("}"),
-        lit('{"008":') + " || "
-        + js(f"'880520s' || {SQL_YEAR} || '    xxu{' ' * 17}' || {SQL_LANG3}")
-        + " || " + lit("}"),
-        dfld("035", "' '", "' '", [("a", SQL_OCLC)]),
-        dfld("041", "'0'", "' '", [("a", packed041)]),
-        dfld("048", "' '", "' '", [("a", SQL_INSTR_A)], raw_tail=instr_b),
-        dfld("050", "'0'", "'0'", [("a", lcc)]),
-        dfld("100", "'1'", "' '", [("a", author)]),
-        dfld("245", "'1'", t_ind2, [
-            ("a", SQL_TITLE_A), ("b", SQL_TITLE_B),
-            ("c", f"'by Author ' || {SQL_LETTER} || '.'"),
-        ]),
-        dfld("260", "' '", "' '", [
-            ("b", "source || ' Press,'"), ("c", f"'c' || {SQL_YEAR} || '.'"),
-        ]),
-        dfld("490", ser_ind1, "' '", [
-            ("a", "'Series ' || CAST(doc_id % 20 AS VARCHAR) || ' ;'"),
-        ]),
-        dfld("650", "' '", "'0'", [
-            ("a", "'Topic ' || CAST(doc_id % 10 AS VARCHAR)"),
-            ("x", "'History'"), ("y", SQL_ERA),
-            ("z", "'Region ' || CAST(doc_id % 5 AS VARCHAR) || '.'"),
-        ]),
-    ]
-    f880 = dfld("880", "'1'", t_ind2, [
-        ("6", "'245-01'"), ("a", f"'Alt ' || {SQL_TITLE}"),
-    ])
-    head = (lit('{"leader":"01234c') + " || " + SQL_GENRE
-            + " || " + lit(' a2200301 a 4500","fields":['))
-    body = (" || " + lit(",") + " || ").join(fields)
-    tail = f"CASE WHEN doc_id % 4 = 0 THEN ',' || {f880} ELSE '' END"
-    return f"{head} || {body} || {tail} || ']}}'"
 
 
 def _sql_marc_binary() -> str:
@@ -268,10 +195,6 @@ def q_marc_title_first_trim(spark, sf_dir):
 
 def q_marc_ctrl_byteslice(spark, sf_dir):
     return _field(spark, sf_dir, "lang_code", extract_marc("008[35-37]"))
-
-
-def q_marc_pubyear_slice(spark, sf_dir):
-    return _field(spark, sf_dir, "pub_year", extract_marc("008[7-10]"))
 
 
 def q_marc_untraced_series(spark, sf_dir):
@@ -507,13 +430,6 @@ def q_marc_edge_shapes(spark, sf_dir):
     )
 
 
-def q_marc_serialize_json(spark, sf_dir):
-    """serialized_marc('json') (marc21.rb:174-198): whole-record
-    re-serialization to canonical marc-in-json, oracle-checked
-    byte-for-byte against a DuckDB-constructed JSON string."""
-    return _field(spark, sf_dir, "marc_json", serialized_marc("json"))
-
-
 def q_marc_serialize_binary(spark, sf_dir):
     """serialized_marc('binary'): ISO 2709 encoding, oracle-checked on
     the ISO 2709 framing — total record byte length (leader+directory+
@@ -733,20 +649,9 @@ def q_stream_dedup_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible (driver records rows-only checks)
+# hash-based dedup pipelines: oracle-checked planted-pair slices
+# (general retrieval output is xxhash64-dependent, no DuckDB twin)
 # ---------------------------------------------------------------------------
-
-def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_candidates(
-        _docs(spark, sf_dir), num_hashes=32, bands=8
-    )
-
-
-def q_dedup_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash_expr(F.col("text")).alias("simhash")
-    )
-
 
 def q_dedup_minhash_exact_pairs(spark, sf_dir):
     """Fully-agreeing MinHash+LSH pairs (est_jaccard = 1.0): planted
@@ -788,22 +693,6 @@ def q_dedup_exact_apply(spark, sf_dir):
     return apply_exact_dedup(docs.unionAll(copies)).select("doc_id")
 
 
-def q_dedup_simhash_near(spark, sf_dir):
-    """Banded SimHash near-dup retrieval (hamming <= 3 via 4-band
-    pigeonhole buckets — candidates rows x bands, never n^2). Planted
-    near-identical docs (one appended token on every 50th doc) must
-    surface as (doc_id, doc_id+1000000) pairs; no SQL oracle (xxhash64
-    has no DuckDB twin), covered rows-only + pytest planted-distance."""
-    from traject_spark.corpus import simhash_near_dup
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tweaked = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
-    )
-    return simhash_near_dup(docs.unionAll(tweaked), max_distance=3, bands=4)
-
-
 def q_dedup_simhash_planted(spark, sf_dir):
     """Oracle-checkable completeness slice of the banded SimHash pipeline
     (the dedup_minhash_exact_pairs trick): planted EXACT copies (every
@@ -811,7 +700,7 @@ def q_dedup_simhash_planted(spark, sf_dir):
     identical 64-bit signatures, hence hamming distance 0 — they MUST
     agree on every pigeonhole band and surface through the banding join
     with distance exactly 0. The general hamming<=3 retrieval stays
-    covered by bench + pytest planted-distance tests (xxhash64 has no
+    covered by bench.py + pytest planted-distance tests (xxhash64 has no
     DuckDB twin, so arbitrary distances aren't SQL-predictable)."""
     from traject_spark.corpus import simhash_near_dup
 

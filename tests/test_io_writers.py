@@ -102,6 +102,9 @@ def test_marc_json_jvm_bad_line_shapes(spark, tmp_path):
                 '["array", "line"]',
                 '"just a string"',
                 '{"fields": [42]}',            # field entry not an object
+                '{"fields": [{"500": 42}]}',   # field body neither str nor obj
+                '{"fields": [{"500": null}]}',  # null body
+                '{"fields": [{"500": {"subfields": [42]}}]}',  # corrupt subfield
                 '{"leader": "M"}',             # no fields -> empty record
                 '{"fields": []}',              # empty fields -> empty record
                 "",

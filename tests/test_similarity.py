@@ -216,3 +216,37 @@ def test_assign_cell_udf_matches_expr(spark, emb):
         corpus, queries, cents, k=5, method="udf"
     ).collect()))
     assert a == b
+
+
+def test_probe_cells_udf_matches_expr_and_nulls(spark, emb):
+    """probe_cells_udf must match probe_cells_expr's (score desc, cid
+    asc) ordering, and both UDF paths must tolerate null embeddings."""
+    from traject_spark.corpus import assign_cell_udf, train_centroids
+    from traject_spark.corpus.similarity import (
+        probe_cells_expr, probe_cells_udf,
+    )
+
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    both = emb.select(
+        "vec_id",
+        probe_cells_expr(F.col("embedding"), cents, 3).alias("by_expr"),
+        probe_cells_udf(cents, 3).alias("by_udf"),
+    ).collect()
+    assert both and all(
+        list(r["by_expr"]) == list(r["by_udf"]) for r in both
+    )
+
+    withnull = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias("embedding"),
+    )
+    rows = withnull.select(
+        "vec_id",
+        assign_cell_udf(cents).alias("cell"),
+        probe_cells_udf(cents, 2).alias("probes"),
+    ).collect()
+    for r in rows:
+        if r["vec_id"] % 2 == 0:
+            assert r["cell"] is not None and r["probes"] is not None
+        else:
+            assert r["cell"] is None and r["probes"] is None

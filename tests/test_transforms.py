@@ -152,11 +152,14 @@ def test_large_map_empty_value_and_separator_fallback(spark):
     # fallback instead of silently corrupting the encoding
     big = {f"k{i}": f"v{i}" for i in range(600)}
     big["empty"] = []
+    big["blank"] = ""          # one EMPTY-STRING translation, not removal
     tm = TranslationMap(big)
     out = eval_exprs(
-        spark, m=tm.translate_array_expr(arr("k5", "empty", "k7"))
+        spark, m=tm.translate_array_expr(arr("k5", "empty", "blank", "k7"))
     )
-    assert out["m"] == ["v5", "v7"]
+    # [] contributes nothing; [""] contributes one empty string — the
+    # sentinel encoding keeps the two distinguishable at any map size
+    assert out["m"] == ["v5", "", "v7"]
 
     sep_map = {f"k{i}": f"v{i}" for i in range(600)}
     sep_map["bad\x1ckey"] = "weird\x1fvalue"

@@ -168,6 +168,30 @@ def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
     return F.transform(F.slice(ordered, 1, nprobe), lambda p: p["cid"])
 
 
+def _centroid_matrix(centroids: list):
+    import numpy as np
+
+    cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return cids, Cn
+
+
+def _batch_scores(vecs: "pd.Series", Cn):
+    """(valid_mask, scores) for one Arrow batch; null embeddings are
+    masked out instead of crashing the task (the expression path yields
+    a null score for them, and they must stay null here too)."""
+    import numpy as np
+
+    valid = np.array([v is not None for v in vecs], dtype=bool)
+    if not valid.any():
+        return valid, np.empty((0, Cn.shape[0]))
+    X = np.array([list(v) for v, ok in zip(vecs, valid) if ok],
+                 dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return valid, np.round(Xn @ Cn.T, 9)
+
+
 def assign_cell_udf(centroids: list, vec_col: str = "embedding"):
     """Arrow-batched coarse-quantizer assignment for LARGE centroid sets.
 
@@ -176,29 +200,56 @@ def assign_cell_udf(centroids: list, vec_col: str = "embedding"):
     evaluation make it the wrong shape for IVF with thousands of cells.
     This path broadcasts the centroid matrix once per executor and
     assigns whole Arrow batches with one numpy matmul (batch x dim @
-    dim x k): still a narrow scan, no shuffle, same tie-breaking
-    (cosine score rounded to 9 decimals, lowest cid wins) so the two
-    paths are result-identical where both apply.
+    dim x k): still a narrow scan, no shuffle. Tie-breaking matches
+    ``assign_cell_expr`` exactly: scores round to 9 decimals and the
+    FIRST centroid in LIST ORDER wins ties (argmax first-max == the
+    expression's strict-> fold); null embeddings assign null, as the
+    expression path's null score does.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
-    C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(cids, kind="stable")
-    cids_sorted, Cn_sorted = cids[order], Cn[order]
+    cids, Cn = _centroid_matrix(centroids)
 
     @pandas_udf("long")
     def _assign(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        scores = np.round(Xn @ Cn_sorted.T, 9)
-        # argmax returns the FIRST max index; rows sorted by cid ->
-        # lowest cid wins ties, matching assign_cell_expr
-        return pd.Series(cids_sorted[np.argmax(scores, axis=1)])
+        valid, scores = _batch_scores(vecs, Cn)
+        out = np.full(len(vecs), None, dtype=object)
+        if scores.shape[0]:
+            out[valid] = cids[np.argmax(scores, axis=1)]
+        return pd.Series(out)
 
     return _assign(F.col(vec_col))
+
+
+def probe_cells_udf(centroids: list, nprobe: int, vec_col: str = "embedding"):
+    """Arrow-batched twin of ``probe_cells_expr`` for LARGE centroid sets
+    (the query side literal-encodes centroids too — at thousands of
+    cells the probe plan needs the same broadcast-matrix treatment as
+    assignment). Ordering matches the expression: score desc, cid asc;
+    null embeddings probe nothing (null)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cids, Cn = _centroid_matrix(centroids)
+    # pre-sort by cid so a stable descending-score argsort breaks score
+    # ties by ascending cid, like probe_cells_expr's comparator
+    order = np.argsort(cids, kind="stable")
+    cids_s, Cn_s = cids[order], Cn[order]
+
+    @pandas_udf("array<long>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        valid, scores = _batch_scores(vecs, Cn_s)
+        out = np.full(len(vecs), None, dtype=object)
+        if scores.shape[0]:
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            # elementwise: a masked assignment of a list-of-lists would
+            # be coerced to a 2-D array and rejected
+            for j, row in zip(np.flatnonzero(valid), top):
+                out[j] = cids_s[row].tolist()
+        return pd.Series(out)
+
+    return _probe(F.col(vec_col))
 
 
 def train_centroids(
@@ -257,12 +308,24 @@ def train_centroids(
 ASSIGN_EXPR_MAX_CENTROIDS = 256
 
 
-def _assign_cell(vec_col: str, centroids: list, method: str = "auto"):
-    if method == "udf" or (
+def _use_udf(centroids: list, method: str) -> bool:
+    if method not in ("auto", "expr", "udf"):
+        raise ValueError(f"method must be auto/expr/udf, got {method!r}")
+    return method == "udf" or (
         method == "auto" and len(centroids) > ASSIGN_EXPR_MAX_CENTROIDS
-    ):
+    )
+
+
+def _assign_cell(vec_col: str, centroids: list, method: str = "auto"):
+    if _use_udf(centroids, method):
         return assign_cell_udf(centroids, vec_col)
     return assign_cell_expr(F.col(vec_col), centroids)
+
+
+def _probe_cells(vec_col: str, centroids: list, nprobe: int, method: str):
+    if _use_udf(centroids, method):
+        return probe_cells_udf(centroids, nprobe, vec_col)
+    return probe_cells_expr(F.col(vec_col), centroids, nprobe)
 
 
 def ivf_topk(
@@ -293,7 +356,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            probe_cells_expr(F.col(vec_col), centroids, nprobe)
+            _probe_cells(vec_col, centroids, nprobe, method)
         ).alias("cell"),
     )
     scored = corp.join(F.broadcast(q), "cell").select(
@@ -353,6 +416,7 @@ def ivf_topk_from_layout(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF top-k over a ``write_ivf_layout`` corpus: the broadcast
     probe-cell join triggers dynamic partition pruning on the ``cell``
@@ -367,7 +431,7 @@ def ivf_topk_from_layout(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            probe_cells_expr(F.col(vec_col), centroids, nprobe)
+            _probe_cells(vec_col, centroids, nprobe, method)
         ).alias("cell"),
     )
     scored = corp.join(F.broadcast(q), "cell").select(

@@ -101,7 +101,7 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
     projection collapse duplicate the whole parse per reference."""
     from pyspark.sql import functions as F
 
-    from traject_spark.expr import let
+    from traject_spark.expr import let, let2
 
     def entries_of(obj: "F.Column"):
         # variant object -> array<struct<key,value:variant>>; null when
@@ -112,14 +112,14 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
         return F.try_variant_get(val, "$", "string")
 
     def subfield_structs(body):
+        # a non-object subfield entry nulls the flatten -> null subfields
+        # -> the whole LINE drops (validity check below), matching the
+        # Python path's AttributeError rescue; a missing/empty
+        # "subfields" key stays a valid empty list
         pairs = let(
             F.try_variant_get(body, "$.subfields", "array<variant>"),
             lambda sfs: F.when(sfs.isNull(), F.array()).otherwise(
-                F.flatten(
-                    F.transform(
-                        sfs, lambda sf: F.coalesce(entries_of(sf), F.array())
-                    )
-                )
+                F.flatten(F.transform(sfs, entries_of))
             ),
         )
         return F.transform(
@@ -177,17 +177,26 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
                 ld.isNull() | (ld == ""), F.lit(" " * 24)
             ).otherwise(ld),
         )
-        return let(
+        # strict line-drop parity with the Python rescue: a field body
+        # that is neither string nor object (number/null/array), or a
+        # data field with a corrupt subfield list, invalidates the WHOLE
+        # record (returns null -> dropped by build's array filter)
+        return let2(
             ctrl,
-            lambda cfs: F.struct(
-                F.get(
-                    F.filter(cfs, lambda c: c["tag"] == id_tag), 0
-                )["value"].alias("record_id"),
+            data,
+            lambda cfs, dfs: F.when(
+                ~F.exists(entries, lambda e: ~e["k"].isin("S", "O"))
+                & ~F.exists(dfs, lambda d: d["subfields"].isNull()),
                 F.struct(
-                    leader.alias("leader"),
-                    cfs.alias("controlfields"),
-                    data.alias("datafields"),
-                ).alias("marc"),
+                    F.get(
+                        F.filter(cfs, lambda c: c["tag"] == id_tag), 0
+                    )["value"].alias("record_id"),
+                    F.struct(
+                        leader.alias("leader"),
+                        cfs.alias("controlfields"),
+                        dfs.alias("datafields"),
+                    ).alias("marc"),
+                ),
             ),
         )
 

@@ -37,6 +37,8 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from traject_spark.expr import let
+
 PASSTHROUGH = "__passthrough__"
 DEFAULT_KEY = "__default__"
 
@@ -215,8 +217,13 @@ class TranslationMap:
 
         outer_entries: list[Column] = []
         for p, items in sorted(shards.items()):
+            # every value list is encoded with a leading sentinel element
+            # (SEP_VAL.join([''] + v)), so after split the decoded list
+            # is values[2:]: [] encodes as '' -> split [''] -> [], and
+            # [''] encodes as SEP_VAL -> split ['',''] -> [''] — the two
+            # stay distinguishable (a bare join could not tell them apart)
             encoded = _SEP_ENTRY.join(
-                k + _SEP_KV + _SEP_VAL.join(v) for k, v in items
+                k + _SEP_KV + _SEP_VAL.join([""] + v) for k, v in items
             )
             outer_entries.append(F.lit(p))
             outer_entries.append(
@@ -228,11 +235,12 @@ class TranslationMap:
         hit = F.try_element_at(
             F.try_element_at(outer, F.substring(value, 1, 1)), value
         )
-        # a key mapping to [] encodes as '' — split('') would yield ['']
-        # (one empty string), so special-case the empty hit; a null hit
-        # (miss) flows through split as null
-        return F.when(hit == "", F.array().cast("array<string>")).otherwise(
-            F.split(hit, _SEP_VAL)
+        # null hit (miss) flows through split/slice as null
+        return let(
+            F.split(hit, _SEP_VAL),
+            lambda parts: F.slice(
+                parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+            ),
         )
 
     def lookup_expr(self, value: Column) -> Column:

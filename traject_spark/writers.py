@@ -172,6 +172,37 @@ class SolrHTTPError(RuntimeError):
     itself is the suspect, so it goes to the one-by-one path)."""
 
 
+def _basic_auth_header(
+    url: str,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
+) -> Optional[str]:
+    """Authorization header value from explicit args or URL userinfo
+    (the writer's credential derivation, solr_json_writer.rb:393-415)."""
+    import base64
+    import urllib.parse
+
+    parsed = urllib.parse.urlsplit(url)
+    u = user or parsed.username
+    if not u:
+        return None
+    p = password if user else (parsed.password or "")
+    cred = f"{u}:{p or ''}".encode("utf-8")
+    return "Basic " + base64.b64encode(cred).decode("ascii")
+
+
+def _strip_userinfo(url: str) -> str:
+    """Remove user:pw@ from the URL (credentials travel in the
+    Authorization header; urllib does not speak userinfo URLs)."""
+    import urllib.parse
+
+    parsed = urllib.parse.urlsplit(url)
+    if not parsed.username:
+        return url
+    host = parsed.hostname + (f":{parsed.port}" if parsed.port else "")
+    return urllib.parse.urlunsplit(parsed._replace(netloc=host))
+
+
 def _solr_update_url(url: str, update_args: Optional[dict] = None) -> str:
     """<base>/update/json with ``update_args`` as query params — the
     reference's solr_update_url_with_query (solr_json_writer.rb:195-199),
@@ -179,7 +210,7 @@ def _solr_update_url(url: str, update_args: Optional[dict] = None) -> str:
     ``{"commitWithin": 1000}`` or ``{"softCommit": "true"}``."""
     import urllib.parse
 
-    base = url.rstrip("/") + "/update/json"
+    base = _strip_userinfo(url).rstrip("/") + "/update/json"
     if not update_args:
         return base
     qs = urllib.parse.urlencode(
@@ -227,8 +258,10 @@ def solr_json_writer(
     skipped_acc = spark.sparkContext.accumulator(0)
     # solr_update_args ({"commitWithin": 1000}, {"softCommit": true}...)
     # ride on every update request's query string, batch AND retry-single
-    # (solr_json_writer.rb:24-37,216,241)
+    # (solr_json_writer.rb:24-37,216,241); auth derives from args or the
+    # ORIGINAL url's userinfo (update_url is userinfo-stripped)
     update_url = _solr_update_url(url, solr_update_args)
+    auth_header = _basic_auth_header(url, basic_auth_user, basic_auth_password)
 
     # serialize docs JVM-side: toJSON emits one JSON object per row with
     # nulls omitted (exactly Solr's add format), so the Python side only
@@ -239,7 +272,6 @@ def solr_json_writer(
     docs_json = df.toJSON()
 
     def handle_partition(rows) -> None:
-        import base64
         import http.client
         import time as _time
         import urllib.parse
@@ -252,17 +284,8 @@ def solr_json_writer(
         )
         path = parsed.path + (f"?{parsed.query}" if parsed.query else "")
         headers = {"Content-Type": "application/json"}
-        user = basic_auth_user or parsed.username
-        if user:
-            password = (
-                basic_auth_password
-                if basic_auth_user
-                else (parsed.password or "")
-            )
-            cred = f"{user}:{password or ''}".encode("utf-8")
-            headers["Authorization"] = (
-                "Basic " + base64.b64encode(cred).decode("ascii")
-            )
+        if auth_header:
+            headers["Authorization"] = auth_header
         conn_box: list = [None]
 
         def post(docs: list) -> None:
@@ -337,19 +360,34 @@ def solr_json_writer(
             f"{skipped} skipped records exceed max_skipped={max_skipped}"
         )
     if commit_on_close:
-        solr_commit(url, timeout=timeout)
+        # NOT the document-POST timeout: a close commit on a large core
+        # routinely takes minutes — use solr_commit's 10-minute default
+        # (the reference's commit_timeout, solr_json_writer.rb:362-376)
+        solr_commit(
+            url,
+            basic_auth_user=basic_auth_user,
+            basic_auth_password=basic_auth_password,
+        )
     return skipped
 
 
-def _solr_post_json(url: str, payload: dict, timeout: float = 30.0) -> None:
+def _solr_post_json(
+    url: str,
+    payload: dict,
+    timeout: float = 30.0,
+    auth_header: Optional[str] = None,
+) -> None:
     """Driver-side JSON POST to a Solr update URL; raise on non-2xx."""
     import json as _json
     import urllib.request
 
+    headers = {"Content-Type": "application/json"}
+    if auth_header:
+        headers["Authorization"] = auth_header
     req = urllib.request.Request(
         url,
         data=_json.dumps(payload).encode("utf-8"),
-        headers={"Content-Type": "application/json"},
+        headers=headers,
         method="POST",
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
@@ -364,27 +402,36 @@ def solr_delete(
     query: Optional[str] = None,
     solr_update_args: Optional[dict] = None,
     timeout: float = 30.0,
+    basic_auth_user: Optional[str] = None,
+    basic_auth_password: Optional[str] = None,
 ) -> None:
     """Delete by unique id or by query — SolrJsonWriter#delete
     (solr_json_writer.rb:284-293): POSTs ``{"delete": <id>}`` (or
     ``{"delete": {"query": ...}}``) to the update URL, inline and
     immediately, raising on any failure. ``solr_update_args`` ride on the
-    query string exactly as for adds."""
+    query string exactly as for adds; basic auth from args or URL
+    userinfo, like the writer."""
     if (id is None) == (query is None):
         raise ValueError("solr_delete needs exactly one of id= or query=")
     package = {"delete": id if id is not None else {"query": query}}
-    _solr_post_json(_solr_update_url(url, solr_update_args), package, timeout)
+    _solr_post_json(
+        _solr_update_url(url, solr_update_args), package, timeout,
+        _basic_auth_header(url, basic_auth_user, basic_auth_password),
+    )
 
 
 def solr_delete_all(
     url: str,
     solr_update_args: Optional[dict] = None,
     timeout: float = 30.0,
+    basic_auth_user: Optional[str] = None,
+    basic_auth_password: Optional[str] = None,
 ) -> None:
     """Delete-all (``delete_all!``, solr_json_writer.rb:298-301):
     delete by query *:*; does NOT commit — pair with solr_commit."""
     solr_delete(url, query="*:*", solr_update_args=solr_update_args,
-                timeout=timeout)
+                timeout=timeout, basic_auth_user=basic_auth_user,
+                basic_auth_password=basic_auth_password)
 
 
 def solr_delete_ids(
@@ -394,12 +441,15 @@ def solr_delete_ids(
     batch_size: int = 500,
     solr_update_args: Optional[dict] = None,
     timeout: float = 30.0,
+    basic_auth_user: Optional[str] = None,
+    basic_auth_password: Optional[str] = None,
 ) -> None:
     """Distributed delete-by-id for a DataFrame of ids — the Spark-scale
     extension of the reference's one-id-at-a-time #delete: each partition
     POSTs ``{"delete": [ids...]}`` batches over one keep-alive connection
     (re-index workflows delete the previous generation before adding)."""
     target = _solr_update_url(url, solr_update_args)
+    auth = _basic_auth_header(url, basic_auth_user, basic_auth_password)
 
     def handle_partition(rows) -> None:
         import http.client
@@ -413,6 +463,9 @@ def solr_delete_ids(
             else http.client.HTTPConnection
         )
         path = parsed.path + (f"?{parsed.query}" if parsed.query else "")
+        headers = {"Content-Type": "application/json"}
+        if auth:
+            headers["Authorization"] = auth
         conn = None
 
         def post(ids: list) -> None:
@@ -422,7 +475,7 @@ def solr_delete_ids(
             conn.request(
                 "POST", path,
                 body=_json.dumps({"delete": ids}).encode("utf-8"),
-                headers={"Content-Type": "application/json"},
+                headers=headers,
             )
             resp = conn.getresponse()
             body = resp.read()
@@ -452,12 +505,14 @@ def solr_commit(
     url: str,
     query_params: Optional[dict] = None,
     timeout: float = 600.0,
+    basic_auth_user: Optional[str] = None,
+    basic_auth_password: Optional[str] = None,
 ) -> None:
     """Send a commit (SolrJsonWriter#commit, solr_json_writer.rb:362-376):
     GET the update URL with ``query_params`` (default {"commit": "true"}
     — pass softCommit/optimize/waitFlush etc. to override, params replace
     not merge). Default timeout matches the reference's 10-minute
-    commit_timeout."""
+    commit_timeout; basic auth from args or URL userinfo."""
     import urllib.parse
     import urllib.request
 
@@ -466,9 +521,13 @@ def solr_commit(
         {k: str(v).lower() if isinstance(v, bool) else v
          for k, v in params.items()}
     )
-    with urllib.request.urlopen(  # noqa: S310
-        url.rstrip("/") + "/update?" + qs, timeout=timeout
-    ) as resp:
+    req = urllib.request.Request(
+        _strip_userinfo(url).rstrip("/") + "/update?" + qs
+    )
+    auth = _basic_auth_header(url, basic_auth_user, basic_auth_password)
+    if auth:
+        req.add_header("Authorization", auth)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         body = resp.read()
         if resp.status >= 400:
             raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")

@@ -257,4 +257,11 @@ def harvest_oai_pmh_restartable(
         pages_this_run += 1
         if max_pages is not None and pages_this_run >= max_pages:
             break
-    return spark.read.parquet(output_path)
+    try:
+        return spark.read.parquet(output_path)
+    except Exception:
+        # zero records harvested so far -> the sink path was never
+        # written; return an empty frame of the sink schema
+        return spark.createDataFrame(
+            [], "xml string, page long, position_in_page long"
+        )
