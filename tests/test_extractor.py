@@ -138,3 +138,22 @@ def test_880_false(spark):
 def test_880_no_dollar6_falls_back_to_880_tag(spark):
     # an 880 without $6 is addressable as tag 880
     assert extract(spark, ALT_SCRIPT, "880a") == ["orphan 880 no $6"]
+
+
+def test_alternate_script_only_excludes_control_fields(spark):
+    """Under :only no tag but 880 is interesting (marc_extractor.rb:
+    146-149) — a control spec in the mix must contribute nothing."""
+    rec = marc_record(
+        leader=" " * 24,
+        controlfields=[("008", "950101s1995    xxu           000 0 eng  ")],
+        datafields=[
+            ("041", "0", " ", [("a", "eng")]),
+            ("880", "0", " ", [("6", "041-01"), ("a", "rus")]),
+        ],
+    )
+    assert extract(
+        spark, rec, "008[35-37]:041a", alternate_script="only"
+    ) == ["rus"]  # no 'eng' byte-slice, no native 041
+    assert extract(
+        spark, rec, "008[35-37]:041a", alternate_script="include"
+    ) == ["eng", "eng", "rus"]

@@ -312,3 +312,48 @@ def test_process_record_lshift_buffered(spark):
     assert ids == ["2710183", "the1"]
     # buffer cleared after flush
     assert p.flush_records(spark).count() == 0
+
+
+def test_map_records_custom_and_none_id_col(spark):
+    """map_records must correlate results for ANY id_col configuration
+    (a custom name or None), not just the default 'record_id'."""
+    p = Pipeline(id_col="my_id").to_field(
+        "title", extract_marc("245a", alternate_script=False)
+    )
+    out = p.map_records([BOOK, THE_TITLE], spark)
+    assert out[0]["title"][0].startswith("Manufacturing")
+    assert out[1]["title"][0].startswith("The fateful")
+    assert p.id_col == "my_id"  # restored
+
+    p2 = Pipeline(id_col=None).to_field(
+        "title", extract_marc("245a", alternate_script=False)
+    )
+    out2 = p2.map_record(BOOK, spark)
+    assert out2["title"][0].startswith("Manufacturing")
+    assert p2.id_col is None
+
+
+def test_apply_does_not_mutate_source_col(spark):
+    """Auto-adapting to a marc/xml column is per-call: a pipeline with a
+    custom source_col must keep it after mapping a 'marc'-column frame."""
+    p = Pipeline(source_col="record").to_field(
+        "title", extract_marc("245a", alternate_script=False)
+    )
+    df = spark.createDataFrame([("r1", BOOK)], MARC_SOURCE_SCHEMA)
+    assert p.apply(df).count() == 1
+    assert p.source_col == "record"
+    # and a frame that DOES carry the configured column still works
+    df2 = df.withColumnRenamed("marc", "record")
+    assert p.apply(df2).collect()[0]["title"][0].startswith("Manufacturing")
+
+
+def test_quarantine_schema_stable_without_error_exprs(spark):
+    """apply_with_quarantine returns the same quarantine schema whether
+    or not any step registered a rescued error expression."""
+    p = Pipeline(mapping_rescue="skip").to_field(
+        "title", extract_marc("245a", alternate_script=False)
+    )
+    df = spark.createDataFrame([("r1", BOOK)], MARC_SOURCE_SCHEMA)
+    good, bad = p.apply_with_quarantine(df)
+    assert bad.columns == ["record_id", "_error", "marc"]
+    assert bad.count() == 0 and good.count() == 1

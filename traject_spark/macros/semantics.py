@@ -20,7 +20,6 @@ from traject_spark.marc.extractor import (
     collect_matching_lines,
     collect_subfields_expr,
     marc_extract,
-    spec_match_cond,
     _effective_tag,
 )
 from traject_spark.marc.spec import parse_marc_spec
@@ -87,13 +86,21 @@ def _nonfiling_slice(s: Column, ind2: Column) -> Column:
 
 
 def marc_sortable_author():
-    """Concat of first 100/110/111 (first+trim_punctuation+strip) and first
-    240-else-245 title with ind2 non-filing chars stripped; ALWAYS appends
-    one string, '' when nothing found (marc21_semantics.rb:66-88)."""
+    """Concat of first 100/110/111 (first+strip) and first 240-else-245
+    title with ind2 non-filing chars stripped; ALWAYS appends one string,
+    '' when nothing found (marc21_semantics.rb:66-88).
+
+    Reference quirk preserved: get_sortable_author passes
+    ``:trim_punctuation => true`` to MarcExtractor.cached, but
+    MarcExtractor#extract never reads that option (only the Marc21 macro
+    layer does, marc21.rb:115-140) — so the author is NOT
+    trim-punctuated, only stripped. The per-subfield trim on the TITLE
+    half is explicit in the reference (marc21_semantics.rb:80) and kept.
+    """
 
     def macro(acc: Column, ctx=None) -> Column:
         onexx_raw = F.get(marc_extract(ctx.marc, "100:110:111"), 0)
-        onexx = ruby_strip_expr(trim_punctuation_expr(onexx_raw))
+        onexx = ruby_strip_expr(onexx_raw)
 
         def with_field(fld: Column) -> Column:
             joined = F.array_join(

@@ -113,15 +113,6 @@ def collect_subfields_expr(
     return vals
 
 
-def spec_match_cond(f: Column, eff_tag: Column, spec: MarcSpec) -> Column:
-    cond = eff_tag == spec.tag
-    if spec.ind1 is not None:
-        cond = cond & (f["ind1"] == spec.ind1)
-    if spec.ind2 is not None:
-        cond = cond & (f["ind2"] == spec.ind2)
-    return cond
-
-
 def _resolve_specs(spec) -> list:
     if isinstance(spec, list) and spec and isinstance(spec[0], MarcSpec):
         return spec
@@ -155,8 +146,13 @@ def collect_matching_lines(
     # control fields can only carry tags 001-009 (the reference dispatches
     # on the FIELD's kind, lib/traject/marc_extractor.rb:283-287) — build
     # the control branch only when a spec could actually match one, so a
-    # datafield-only pipeline prunes marc.controlfields at the scan
-    ctrl_specs = [s for s in specs if s.tag < "010"]
+    # datafield-only pipeline prunes marc.controlfields at the scan.
+    # Under alternate_script='only' NO tag except 880 is interesting
+    # (marc_extractor.rb:146-149), so control specs contribute nothing.
+    ctrl_specs = (
+        [] if alternate_script == "only"
+        else [s for s in specs if s.tag < "010"]
+    )
     ctrl_part = None
     if ctrl_specs:
         control_tags = sorted({s.tag for s in ctrl_specs})

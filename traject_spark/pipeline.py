@@ -118,7 +118,6 @@ class Pipeline:
         self._field_exprs: dict[str, list[Column]] = {}
         self._skip_conds: list[Column] = []
         self._error_exprs: list[Column] = []
-        self._compiled: Optional[list] = None
 
     # -- DSL ---------------------------------------------------------------
     def settings(self, **kwargs) -> "Pipeline":
@@ -140,12 +139,10 @@ class Pipeline:
             if not isinstance(n, str) or not n:
                 raise ValueError(f"to_field needs a non-empty string field name, got {n!r}")
         self._steps.append(("to_field", names, macros))
-        self._compiled = None
         return self
 
     def each_record(self, fn: Callable[[PipelineContext], None]) -> "Pipeline":
         self._steps.append(("each_record", fn))
-        self._compiled = None
         return self
 
     def load_config_file(self, path: str) -> "Pipeline":
@@ -232,34 +229,45 @@ class Pipeline:
         keep_source: bool = False,
     ) -> DataFrame:
         """Compile and apply: one narrow select (+ skip filter)."""
-        if self.source_col not in df.columns:
-            # the two indexer flavors (marc_indexer.rb / nokogiri_indexer.rb)
-            # differ only in record column; adapt when unambiguous
-            present = [c for c in ("marc", "xml") if c in df.columns]
-            if len(present) == 1:
-                self.source_col = present[0]
-        fields, skip = self.compile()
-        cols: list[Column] = []
-        if self.id_col and self.id_col in df.columns:
-            cols.append(F.col(self.id_col))
-        for k in keep or []:
-            cols.append(F.col(k))
-        if keep_source:
-            cols.append(F.col(self.source_col))
-        cols.extend(expr for _, expr in fields)
-        out = df
-        if skip is not None:
-            # skip! => record produces nothing (indexer.rb:591-595)
-            out = out.filter(~F.coalesce(skip, F.lit(False)))
-        err = self._error_col()
-        if err is not None and self.settings_dict.get("mapping_rescue") == "skip":
-            # rescued-step errors quarantine the record out of the output
-            # (doc/settings.md:35-58 skip!-in-handler); use
-            # apply_with_quarantine to also capture the errored rows
-            out = out.filter(err.isNull())
-        return out.select(*cols)
+        prev_source = self.source_col
+        # adapt PER CALL — restored afterwards so a later apply() on a
+        # frame that does carry the configured column is unaffected
+        self.source_col = self._adapted_source(df)
+        try:
+            fields, skip = self.compile()
+            cols: list[Column] = []
+            if self.id_col and self.id_col in df.columns:
+                cols.append(F.col(self.id_col))
+            for k in keep or []:
+                cols.append(F.col(k))
+            if keep_source:
+                cols.append(F.col(self.source_col))
+            cols.extend(expr for _, expr in fields)
+            out = df
+            if skip is not None:
+                # skip! => record produces nothing (indexer.rb:591-595)
+                out = out.filter(~F.coalesce(skip, F.lit(False)))
+            err = self._error_col()
+            if err is not None and self.settings_dict.get("mapping_rescue") == "skip":
+                # rescued-step errors quarantine the record out of the output
+                # (doc/settings.md:35-58 skip!-in-handler); use
+                # apply_with_quarantine to also capture the errored rows
+                out = out.filter(err.isNull())
+            return out.select(*cols)
+        finally:
+            self.source_col = prev_source
 
     process = apply  # reference naming (indexer.rb:531)
+
+    def _adapted_source(self, df: DataFrame) -> str:
+        """The record column to read from ``df``: the configured
+        source_col, else 'marc'/'xml' when exactly one is present (the
+        two indexer flavors, marc_indexer.rb / nokogiri_indexer.rb,
+        differ only in record column)."""
+        if self.source_col in df.columns:
+            return self.source_col
+        present = [c for c in ("marc", "xml") if c in df.columns]
+        return present[0] if len(present) == 1 else self.source_col
 
     def _error_col(self) -> Optional[Column]:
         if not self._error_exprs:
@@ -287,20 +295,20 @@ class Pipeline:
             )
         good = self.apply(df, keep=keep)
         err = self._error_col()
-        if err is None:
-            bad = df.filter(F.lit(False)).select(
-                F.col(self.id_col) if self.id_col in df.columns else F.lit(None).alias(self.id_col),
-                F.lit(None).cast("string").alias("_error"),
-                F.col(self.source_col),
-            )
-            return good, bad
-        cols = []
+        # one quarantine schema for BOTH paths (zero registered error
+        # exprs vs some): id col (when configured and present) + keep
+        # cols + _error + source — so unions/writers downstream see a
+        # stable shape, and id_col=None never aliases a None name
+        cols: list[Column] = []
         if self.id_col and self.id_col in df.columns:
             cols.append(F.col(self.id_col))
         for k in keep or []:
             cols.append(F.col(k))
-        cols.append(err.alias("_error"))
-        cols.append(F.col(self.source_col))
+        cols.append(
+            (err if err is not None else F.lit(None).cast("string"))
+            .alias("_error")
+        )
+        cols.append(F.col(self._adapted_source(df)))
         bad = df.select(*cols).filter(F.col("_error").isNotNull())
         return good, bad
 
@@ -412,12 +420,28 @@ class Pipeline:
 
     def map_records(self, records: Sequence[dict], spark: SparkSession) -> list[dict]:
         """Batch variant of map_record: ONE Spark job for N records,
-        preserving input order. Skipped records come back as {}."""
+        preserving input order. Skipped records come back as {}.
+
+        Works for ANY id_col configuration: the synthetic positional ids
+        ride whatever id column the pipeline is configured with (renamed
+        from MARC_SOURCE_SCHEMA's record_id), and a pipeline with
+        id_col=None is correlated through a temporary id column so the
+        positional mapping never silently returns {}.
+        """
         rows = [(f"__r{i}__", rec) for i, rec in enumerate(records)]
         df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
+        id_name = self.id_col or "record_id"
+        if id_name != "record_id":
+            df = df.withColumnRenamed("record_id", id_name)
+        prev_id_col = self.id_col
+        self.id_col = id_name
+        try:
+            collected = self.apply(df).collect()
+        finally:
+            self.id_col = prev_id_col
         by_id = {}
-        for row in self.apply(df).collect():
+        for row in collected:
             d = row.asDict()
-            rid = d.pop(self.id_col, None)
+            rid = d.pop(id_name, None)
             by_id[rid] = {k: list(v) for k, v in d.items() if v is not None}
         return [by_id.get(f"__r{i}__", {}) for i in range(len(records))]

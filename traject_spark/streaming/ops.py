@@ -91,12 +91,19 @@ def hourly_rollup(events: DataFrame, late: str = "2 hours") -> DataFrame:
 SESSION_GAP = "30 minutes"
 
 
-def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+def sessionize(events: DataFrame, gap: str = SESSION_GAP,
+               late: str = "1 hour") -> DataFrame:
     """Native ``session_window`` gaps-and-islands sessionization — one
     expression valid in batch and streaming. Events of one user separated
     by < gap merge into one session; state is keyed by (user, session) and
-    merged by the streaming session-window state store."""
-    ev = events.withWatermark("ts", "1 hour") if events.isStreaming else events
+    merged by the streaming session-window state store.
+
+    ``late`` bounds out-of-order tolerance (the watermark). Size it to at
+    least the expected disorder of the source: events later than it are
+    DROPPED by the streaming run while the batch twin would include
+    them — the stream==batch parity claim only holds within the horizon.
+    """
+    ev = events.withWatermark("ts", late) if events.isStreaming else events
     return (
         ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
@@ -121,8 +128,9 @@ def batch_sessionize(spark: SparkSession, sf_dir: str,
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
-                      gap: str = SESSION_GAP) -> DataFrame:
-    return sessionize(read_events_stream(spark, sf_dir), gap)
+                      gap: str = SESSION_GAP,
+                      late: str = "1 hour") -> DataFrame:
+    return sessionize(read_events_stream(spark, sf_dir), gap, late)
 
 
 def stream_dedup(df: DataFrame, *keys: str) -> DataFrame:
@@ -180,7 +188,10 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # state carries the RAW running sum; rounding only on emit —
+        # round-then-store would compound the rounding error across
+        # micro-batches and drift from the batch twin
+        state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
