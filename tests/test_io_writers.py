@@ -417,3 +417,39 @@ def test_process_with_destination_rescue_on_skipped(spark):
     assert skipped == ["short"]
     # rescue_with did not permanently flip the setting
     assert "mapping_rescue" not in p.settings_dict
+
+
+def test_serializers_tolerate_null_subfield_values(spark):
+    """F.to_json omits null struct fields — serializers must not KeyError
+    on records whose subfield/controlfield values are NULL."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import serialized_marc
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+
+    rec = {
+        "leader": "short",  # also exercises leader normalization
+        "controlfields": [{"tag": "001", "value": None}],
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": None}]}
+        ],
+    }
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    for fmt in ("json", "xml", "binary"):
+        p = Pipeline().to_field("s", serialized_marc(fmt))
+        out = p.apply(df).collect()
+        assert out[0]["s"] and out[0]["s"][0]
+
+
+def test_iso2709_short_leader_roundtrip():
+    from traject_spark.marc.serialize import from_iso2709, to_iso2709
+
+    rec = {
+        "leader": "abc",
+        "controlfields": [{"tag": "001", "value": "x1"}],
+        "datafields": [],
+    }
+    back = from_iso2709(to_iso2709(rec))
+    assert back is not None
+    assert back["controlfields"] == [{"tag": "001", "value": "x1"}]
+    assert len(back["leader"]) == 24

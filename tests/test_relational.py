@@ -56,3 +56,38 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts == 8  # the hot key's rows spread over all salt buckets
     out = salted_join(left, right, ["k"], salt=8)
     assert out.count() == 1000
+
+
+def test_exact_dedup_null_text_rows_are_not_duplicates(spark):
+    """NULL-text rows must each survive dedup (a null fingerprint is not
+    evidence of duplication)."""
+    from traject_spark.corpus import apply_exact_dedup, exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in apply_exact_dedup(df).collect())
+    assert kept == [1, 2, 3]
+    clusters = exact_dedup(df).collect()
+    assert sorted(r["n_docs"] for r in clusters) == [1, 1, 2]
+
+
+def test_minhash_validates_band_count(spark):
+    import pytest
+    from traject_spark.corpus import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(df, num_hashes=8, bands=16)
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(df, num_hashes=10, bands=3)
+
+
+def test_langid_null_text_is_null(spark):
+    from traject_spark.corpus import langid_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(None,), ("the of and",)], "text string")
+    out = [r["g"] for r in df.select(langid_expr(F.col("text")).alias("g")).collect()]
+    assert out == [None, "en"]

@@ -231,3 +231,33 @@ def test_translation_map_merge_multiple(spark):
         spark, t=T.translation_map(tm3)(arr("key_to_be_overridden"), None)
     )["t"]
     assert out == ["inline"]
+
+
+def test_split_ruby_trailing_empty_semantics(spark):
+    # Ruby String#split drops TRAILING empties, keeps interior ones
+    out = eval_exprs(
+        spark,
+        s=T.split("|")(arr("a|b|", "||", "x||y", "plain"), None),
+    )
+    assert out["s"] == ["a", "b", "x", "", "y", "plain"]
+
+
+def test_select_delete_if_compiled_regex(spark):
+    import re
+
+    out = eval_exprs(
+        spark,
+        sel=T.select(re.compile("^a"))(arr("abc", "xyz", "aaa"), None),
+        deli=T.delete_if(re.compile("z$"))(arr("abc", "xyz"), None),
+    )
+    assert out["sel"] == ["abc", "aaa"]
+    assert out["deli"] == ["abc"]
+
+
+def test_translation_map_load_path_overrides_builtin(tmp_path):
+    # a user file named like a builtin wins (reference load-path order)
+    (tmp_path / "lcc_top_level.yaml").write_text("A: Custom Override\n")
+    tm = TranslationMap("lcc_top_level", load_path=[str(tmp_path)])
+    assert tm.lookup("A") == "Custom Override"
+    # without the load_path the builtin still resolves
+    assert TranslationMap("lcc_top_level").lookup("A") not in (None, "Custom Override")

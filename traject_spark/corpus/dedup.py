@@ -41,17 +41,34 @@ def exact_dedup(
 
     Returns (fingerprint, keep_id, n_docs) — join back on fingerprint to
     filter the corpus, or use n_docs>1 to audit duplicate clusters.
+
+    NULL-text rows are NOT duplicates of each other: their fingerprint
+    is null, and a plain groupBy would collapse them into one cluster —
+    they group under a per-row key instead, each its own 1-doc cluster.
     """
+    fp = fingerprint_expr(F.col(text_col), normalize)
     return (
         df.select(
-            fingerprint_expr(F.col(text_col), normalize).alias("fingerprint"),
+            fp.alias("fingerprint"),
+            _null_safe_group_key(fp, id_col).alias("_gk"),
             F.col(id_col).alias("_id"),
         )
-        .groupBy("fingerprint")
+        .groupBy("_gk")
         .agg(
+            F.min("fingerprint").alias("fingerprint"),
             F.min("_id").alias("keep_id"),
             F.count(F.lit(1)).alias("n_docs"),
         )
+        .select("fingerprint", "keep_id", "n_docs")
+    )
+
+
+def _null_safe_group_key(fp: Column, id_col: str) -> Column:
+    """fingerprint, or a per-row unique sentinel when it is null (so
+    null-text rows never merge). \\x00 prefix cannot collide with md5
+    hex output."""
+    return F.coalesce(
+        fp, F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
     )
 
 
@@ -69,9 +86,11 @@ def apply_exact_dedup(
     at 100 TB the cost stays one hash-partitioned pass. AQE splits skewed
     fingerprints (boilerplate dups) at runtime.
     """
-    w = Window.partitionBy(fingerprint_expr(F.col(text_col), normalize)).orderBy(
-        F.col(id_col)
-    )
+    w = Window.partitionBy(
+        _null_safe_group_key(
+            fingerprint_expr(F.col(text_col), normalize), id_col
+        )
+    ).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -130,6 +149,15 @@ def minhash_lsh_candidates(
     self-join per (band, band_hash) bucket -> distinct (a < b) pairs with
     estimated Jaccard (signature agreement fraction).
     """
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        # bands > num_hashes would make every band hash an empty slice
+        # (one constant bucket = the full O(n^2) cross join this module
+        # exists to avoid); a non-dividing count silently ignores the
+        # tail hashes
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sig = (
         df.select(

@@ -36,8 +36,9 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
 
 
 def stopword_ratio_expr(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are stopwords, 4dp."""
-    sw = stopwords or EN_STOPWORDS
+    """Fraction of tokens that are stopwords, 4dp. An explicitly-passed
+    empty list means "no stopwords" (ratio 0), not the English default."""
+    sw = EN_STOPWORDS if stopwords is None else stopwords
     return let(
         tokens_expr(text),
         lambda toks: F.round(
@@ -94,7 +95,11 @@ def langid_expr(text: Column) -> Column:
 def _argmax_lang(en: Column, de: Column, fr: Column, es: Column) -> Column:
     mx = F.greatest(en, de, fr, es)
     return (
-        F.when(mx == 0, F.lit("und"))
+        # NULL text -> NULL guess: without the guard every when()
+        # condition is NULL (falsy) and control would fall through to
+        # the otherwise branch, mislabeling missing text as 'es'
+        F.when(mx.isNull(), F.lit(None).cast("string"))
+        .when(mx == 0, F.lit("und"))
         .when(en == mx, F.lit("en"))
         .when(de == mx, F.lit("de"))
         .when(fr == mx, F.lit("fr"))

@@ -77,8 +77,14 @@ def extract_marc(spec: str, **options):
         if not allow_duplicates:
             out = F.array_distinct(out)
         if has_default:
+            # cast: a non-string default (e.g. default=0) would build an
+            # array<int> branch that fails analysis against the string
+            # accumulator; None stays a null element (the reference
+            # appends nil on has_key?(:default), marc21.rb:136-138, and
+            # output post-processing drops it)
             out = F.when(
-                F.size(out) == 0, F.array(F.lit(default_value))
+                F.size(out) == 0,
+                F.array(F.lit(default_value).cast("string")),
             ).otherwise(out)
         return out
 

@@ -35,9 +35,12 @@ def to_marc_in_json(rec: dict) -> str:
     """Canonical marc-in-json: {"leader": ..., "fields": [...]} — the shape
     the reference writes via record.to_hash (marc21.rb:193-194) and reads
     via NDJReader (ndj_reader.rb:29-35)."""
+    # .get("value"): F.to_json omits null struct fields, so a NULL
+    # subfield/controlfield value arrives with the key MISSING — direct
+    # indexing would abort the whole serialization job on one bad record
     fields = []
     for cf in rec.get("controlfields") or []:
-        fields.append({cf["tag"]: cf["value"]})
+        fields.append({cf["tag"]: cf.get("value")})
     for df in rec.get("datafields") or []:
         fields.append(
             {
@@ -45,7 +48,7 @@ def to_marc_in_json(rec: dict) -> str:
                     "ind1": df.get("ind1") or " ",
                     "ind2": df.get("ind2") or " ",
                     "subfields": [
-                        {sf["code"]: sf["value"]}
+                        {sf.get("code") or "": sf.get("value")}
                         for sf in (df.get("subfields") or [])
                     ],
                 }
@@ -89,7 +92,7 @@ def to_marcxml(rec: dict) -> str:
     ]
     for cf in rec.get("controlfields") or []:
         parts.append(
-            f'<controlfield tag="{escape(cf["tag"])}">{escape(cf["value"] or "")}</controlfield>'
+            f'<controlfield tag="{escape(cf["tag"])}">{escape(cf.get("value") or "")}</controlfield>'
         )
     for df in rec.get("datafields") or []:
         parts.append(
@@ -98,7 +101,7 @@ def to_marcxml(rec: dict) -> str:
         )
         for sf in df.get("subfields") or []:
             parts.append(
-                f'<subfield code="{escape(sf["code"])}">{escape(sf["value"] or "")}</subfield>'
+                f'<subfield code="{escape(sf.get("code") or "")}">{escape(sf.get("value") or "")}</subfield>'
             )
         parts.append("</datafield>")
     parts.append("</record>")
@@ -116,13 +119,19 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
     """
     field_bytes: list[tuple[str, bytes]] = []
     for cf in rec.get("controlfields") or []:
-        field_bytes.append((cf["tag"], (cf["value"] or "").encode("utf-8") + FT))
+        field_bytes.append(
+            (cf["tag"], (cf.get("value") or "").encode("utf-8") + FT)
+        )
     for df in rec.get("datafields") or []:
         body = (df.get("ind1") or " ").encode("utf-8") + (
             df.get("ind2") or " "
         ).encode("utf-8")
         for sf in df.get("subfields") or []:
-            body += SD + sf["code"].encode("utf-8") + (sf["value"] or "").encode("utf-8")
+            body += (
+                SD
+                + (sf.get("code") or "").encode("utf-8")
+                + (sf.get("value") or "").encode("utf-8")
+            )
         field_bytes.append((df["tag"], body + FT))
 
     def slot(n: int, width: int, what: str) -> str:
@@ -146,12 +155,17 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
     directory += FT
     base = 24 + len(directory)
     total = base + len(data) + 1
-    leader = rec.get("leader") or " " * 24
+    # normalize to exactly 24 chars: a short/overlong leader (user JSON
+    # passes leaders through verbatim) would otherwise desynchronize the
+    # written bytes from the length/base slots and corrupt the record
+    leader = ((rec.get("leader") or "")[:24]).ljust(24)
     leader = (
         slot(total, 5, "record") + leader[5:12]
         + slot(base, 5, "record base") + leader[17:24]
     )
-    return leader.encode("utf-8") + directory + data + RT
+    # the leader must be exactly 24 BYTES (offsets count from it): any
+    # non-ASCII char would multi-byte-encode and shift every offset
+    return leader.encode("ascii", "replace") + directory + data + RT
 
 
 def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:

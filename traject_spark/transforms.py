@@ -178,11 +178,25 @@ def strip() -> Macro:
 
 
 def split(separator: str) -> Macro:
-    """Split each value on literal separator, flatten (transformation.rb:134-138)."""
+    """Split each value on literal separator, flatten
+    (transformation.rb:134-138). Ruby String#split drops TRAILING empty
+    strings (interior ones survive): 'a|b|' -> ['a','b'], '||' -> [] —
+    implemented by stripping trailing separator runs before the split
+    and mapping the fully-empty value to no elements."""
     pat = _re.escape(separator)
 
+    def ruby_split(v: Column) -> Column:
+        from traject_spark.expr import let as _let
+
+        return _let(
+            F.regexp_replace(v, f"(?:{pat})+\\Z", ""),
+            lambda s: F.when(s == "", F.array().cast(_EMPTY)).otherwise(
+                F.split(s, pat)
+            ),
+        )
+
     def macro(acc: Column, ctx=None) -> Column:
-        return F.flatten(F.transform(acc, lambda v: F.split(v, pat)))
+        return F.flatten(F.transform(acc, ruby_split))
 
     return macro
 
@@ -216,6 +230,10 @@ def gsub(pattern: str, replacement: str) -> Macro:
 def _match_pred(arg) -> Callable[[Column], Column]:
     """array/set membership, regex, or Column-fn predicate
     (transformation.rb:166-189 supports array/regexp/proc)."""
+    if isinstance(arg, _re.Pattern):
+        # a compiled pattern: use its SOURCE (str(arg) would rlike the
+        # literal text "re.compile('...')" and match nothing)
+        return lambda v: v.rlike(arg.pattern)
     if callable(arg):
         return arg
     if isinstance(arg, (list, tuple, set, frozenset)):

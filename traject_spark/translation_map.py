@@ -106,6 +106,21 @@ class TranslationMap:
 
     @staticmethod
     def _load_named(name: str, load_path: list) -> dict:
+        # load-path precedence mirrors the reference (translation_map.rb
+        # load path: caller dirs searched FIRST, the gem's bundled maps
+        # last) — a user file with a builtin's name overrides the builtin
+        candidates = []
+        if os.path.isabs(name) or os.path.exists(name):
+            candidates.append(name)
+        for base in load_path:
+            for ext in ("", ".yaml", ".yml", ".properties"):
+                candidates.append(os.path.join(base, name + ext))
+        for cand in candidates:
+            if os.path.exists(cand):
+                if cand.endswith(".properties"):
+                    with open(cand, "r", encoding="utf-8") as fh:
+                        return _parse_properties(fh.read())
+                return _load_yaml(cand)
         try:
             from traject_spark.translation_maps.builtin import BUILTIN_MAPS
 
@@ -113,16 +128,9 @@ class TranslationMap:
                 return dict(BUILTIN_MAPS[name])
         except ImportError:
             pass
-        candidates = []
-        if os.path.isabs(name) or os.path.exists(name):
-            candidates.append(name)
-        for base in load_path:
-            for ext in ("", ".yaml", ".yml", ".properties"):
-                candidates.append(os.path.join(base, name + ext))
         here = os.path.join(os.path.dirname(__file__), "translation_maps")
         for ext in ("", ".yaml", ".yml", ".properties"):
-            candidates.append(os.path.join(here, name + ext))
-        for cand in candidates:
+            cand = os.path.join(here, name + ext)
             if os.path.exists(cand):
                 if cand.endswith(".properties"):
                     with open(cand, "r", encoding="utf-8") as fh:
