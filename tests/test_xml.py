@@ -310,3 +310,21 @@ def test_extract_xpath_to_text_false_attr_and_text_nodes(spark):
     assert row["hrefs"] == ["u1", "u2"]
     # direct text nodes only, raw: 'One ' + the tail ' tail' + 'Two'
     assert row["texts"] == ["One ", " tail", "Two"]
+
+
+def test_extract_xpath_node_mode_namespaced_attribute(spark):
+    """'@pfx:name' keeps its attribute-ness after the prefix strip —
+    matching by local attribute name."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        '<r xmlns:x="http://ex"><a x:ref="n1">A</a>'
+        '<a ref="n2">B</a></r>'
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "refs", extract_xpath("//a/@x:ref", to_text=False)
+    )
+    # local-name matching: both the namespaced and plain 'ref' match
+    assert p.apply(df).collect()[0]["refs"] == ["n1", "n2"]

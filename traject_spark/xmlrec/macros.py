@@ -86,14 +86,18 @@ def extract_xpath(
     """
     if not to_text:
         steps = [s for s in path.split("/") if s]
-        last = steps[-1].split(":")[-1].strip() if steps else ""
+        raw_last = steps[-1].strip() if steps else ""
+        # detect the @ BEFORE stripping a namespace prefix — '@dc:title'
+        # splits to 'title' and would otherwise be misread as an element
+        is_attr = raw_last.startswith("@")
+        last = raw_last.lstrip("@").split(":")[-1].strip()
         if not last:
             raise ValueError(f"extract_xpath: empty xpath {path!r}")
-        if last.startswith("@") or last == "text()":
-            node_kind = "attr" if last.startswith("@") else "text"
-            attr_name = last[1:].split(":")[-1] if node_kind == "attr" else None
+        if is_attr or last == "text()":
+            node_kind = "attr" if is_attr else "text"
+            attr_name = last if is_attr else None
             elem = steps[-2].split(":")[-1].strip() if len(steps) > 1 else ""
-            elem = None if elem in ("", "*", "") else elem
+            elem = None if elem in ("", "*") else elem
         else:
             node_kind, attr_name, elem = "element", None, last
 
