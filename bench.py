@@ -144,9 +144,15 @@ def b_map_translation(spark):
 
 
 class _NullSolr(http.server.BaseHTTPRequestHandler):
+    # HTTP/1.1 + Content-Length: the handler default (HTTP/1.0) closes
+    # the connection after EVERY response, so the bench would measure
+    # ~6000 TCP reconnects instead of the sink's actual keep-alive path
+    protocol_version = "HTTP/1.1"
+
     def do_POST(self):
         self.rfile.read(int(self.headers.get("Content-Length", 0)))
         self.send_response(200)
+        self.send_header("Content-Length", "2")
         self.end_headers()
         self.wfile.write(b"{}")
 

@@ -162,3 +162,48 @@ def test_cli_xml_indexer_oai_sample(spark, tmp_path):
                 lines += [json.loads(ln) for ln in fh if ln.strip()]
     assert len(lines) > 1
     assert any("title" in d for d in lines)
+
+
+def test_cli_boolean_settings_and_csv_writer(spark, tmp_path):
+    """-s key=false coerces to a real boolean (the string 'false' is
+    truthy and would invert the setting); -w csv works without a
+    delimited_writer.fields setting (defaults to all output columns)
+    and accepts a Ruby-style qualified writer name."""
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+    out = str(tmp_path / "csvout")
+    rc = run_cli(
+        spark,
+        ["-c", str(conf), "-o", out,
+         "-s", "writer_class_name=Traject::CSVWriter",
+         "-s", "allow_nil_values=false", MC],
+    )
+    assert rc == 0
+    body = ""
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            body += open(os.path.join(out, f)).read()
+    assert "Manufacturing consent" in body
+
+    # csv without -o is an explicit error, not silent JSON
+    import pytest
+    with pytest.raises(SystemExit):
+        run_cli(spark, ["-c", str(conf), "-w", "csv", MC])
+
+
+def test_xml_record_split_takes_outermost_match(spark, tmp_path):
+    """An OAI <record> wrapping a MARCXML <record> is ONE record."""
+    from traject_spark.xmlrec.io import read_xml_records
+
+    doc = (
+        "<OAI><ListRecords>"
+        "<record><header><identifier>o1</identifier></header>"
+        '<metadata><record xmlns="http://www.loc.gov/MARC21/slim">'
+        "<leader>x</leader></record></metadata></record>"
+        "</ListRecords></OAI>"
+    )
+    p = tmp_path / "oai.xml"
+    p.write_text(doc)
+    rows = read_xml_records(spark, str(p), each_record_tag="record").collect()
+    assert len(rows) == 1
+    assert "identifier" in rows[0]["xml"]  # the OUTER record, whole

@@ -231,15 +231,29 @@ def test_solr_writer_retries_individually(spark, mock_solr):
         [(f"r{i}", [f"t{i}"]) for i in range(10)],
         "record_id string, title array<string>",
     ).coalesce(1)
-    # batch containing r3 fails -> other 9 docs recovered one-by-one,
-    # r3 counted skipped; max_skipped=0 -> raises
+    # batch containing r3 fails -> docs recovered one-by-one until the
+    # skip threshold trips; max_skipped=0 -> abort as soon as r3 fails
+    # (fail-fast: the rest of the batch is NOT ground through retries)
     with pytest.raises(MaxSkippedExceeded):
         solr_json_writer(df, mock_solr, batch_size=10, max_skipped=0)
+    assert "r3" not in {d["id"] for d in _MockSolr.received}
+    assert len(_MockSolr.received) == 3  # r0..r2 recovered before abort
+
+
+def test_solr_writer_max_skipped_tolerates_below_threshold(spark, mock_solr):
+    """Failures <= max_skipped do NOT abort: every other doc is
+    recovered one-by-one and the skip count is returned."""
+    _MockSolr.fail_ids = {"r3"}
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(10)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    skipped = solr_json_writer(df, mock_solr, batch_size=10, max_skipped=5)
+    assert skipped == 1
     assert len(_MockSolr.received) == 9
-    skipped_ids = {f"r{i}" for i in range(10)} - {
+    assert {f"r{i}" for i in range(10)} - {
         d["id"] for d in _MockSolr.received
-    }
-    assert skipped_ids == {"r3"}
+    } == {"r3"}
 
 
 def test_solr_update_args_on_every_request(spark, mock_solr):

@@ -78,7 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def assemble_settings(args) -> dict:
-    """-s pairs + option shortcuts (command_line.rb:192-235)."""
+    """-s pairs + option shortcuts (command_line.rb:192-235).
+
+    Boolean-looking values coerce to real booleans: Pipeline tests
+    settings by truthiness, and the string 'false' is truthy — without
+    coercion ``-s allow_nil_values=false`` would turn the behavior ON.
+    """
     settings: dict = {}
     for pair in args.setting:
         if "=" not in pair:
@@ -86,7 +91,10 @@ def assemble_settings(args) -> dict:
                 f"Unrecognized setting argument {pair!r}: use -s key=value"
             )
         key, value = pair.split("=", 1)
-        settings[key] = value
+        if value.lower() in ("true", "false"):
+            settings[key] = value.lower() == "true"
+        else:
+            settings[key] = value
     if args.writer:
         settings["writer_class_name"] = args.writer
     if args.reader:
@@ -153,6 +161,7 @@ def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
         raise SystemExit("No input files given")
     src_type = str(settings.get("marc_source.type", "binary"))
     reader = str(settings.get("reader_class_name", "")).lower()
+    reader = reader.replace("::", ".").rsplit(".", 1)[-1]  # Traject::X forms
     if reader in ("nokogirireader", "xml_records") or settings.get(
         "nokogiri.each_record_xpath"
     ):
@@ -168,11 +177,24 @@ def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
     return read_iso2709(spark, files, encoding=encoding)
 
 
+def _delimited_fields(df: DataFrame, settings: dict, kind: str) -> list:
+    """delimited/csv field list from the delimited_writer.fields setting
+    (comma-separated, mandatory in the reference — delimited_writer.rb
+    raises without it); defaults to every output column here."""
+    raw = settings.get("delimited_writer.fields")
+    if raw:
+        return [f.strip() for f in str(raw).split(",") if f.strip()]
+    return list(df.columns)
+
+
 def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     from traject_spark import writers as W
 
     name = str(settings.get("writer_class_name", "json"))
-    kind = WRITER_SHORTCUTS.get(name.lower().rsplit(".", 1)[-1], name)
+    # accept Ruby-style qualified names too ('Traject::SolrJsonWriter')
+    kind = WRITER_SHORTCUTS.get(
+        name.lower().replace("::", ".").rsplit(".", 1)[-1], name
+    )
     out = settings.get("output_file")
     if kind == "solr":
         url = str(settings.get("solr.url", ""))
@@ -200,6 +222,11 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     if not out:
         # stream driver-side to stdout (small runs / pipes); file writers
         # are the distributed path
+        if kind in ("csv", "delimited"):
+            raise SystemExit(
+                f"{kind} writer needs -o/-s output_file= (directory "
+                "writers have no stdout mode)"
+            )
         if kind == "debug":
             for row in W.debug_lines(df).toLocalIterator():
                 print(row[0])
@@ -211,9 +238,9 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
                 print(line)
         return True
     if kind == "csv":
-        W.write_csv(df, out)
+        W.write_csv(df, out, _delimited_fields(df, settings, kind))
     elif kind == "delimited":
-        W.write_delimited(df, out)
+        W.write_delimited(df, out, _delimited_fields(df, settings, kind))
     elif kind == "debug":
         W.write_debug(df, out)
     elif kind == "yaml":
@@ -251,13 +278,16 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
 
 
 def command_commit(settings: dict) -> bool:
-    import urllib.request
+    from traject_spark.writers import solr_commit
 
     url = str(settings.get("solr.url", ""))
     if not url:
         raise SystemExit("No solr.url setting provided")
-    with urllib.request.urlopen(f"{url}/update?commit=true") as resp:  # noqa: S310
-        sys.stderr.write(resp.read().decode("utf-8", "replace") + "\n")
+    # writers.solr_commit handles userinfo URLs, basic auth, and the
+    # 10-minute commit timeout (command_line.rb:91-100 + the writer's
+    # commit plumbing)
+    solr_commit(url)
+    sys.stderr.write(f"committed {url}\n")
     return True
 
 

@@ -268,7 +268,13 @@ def solr_json_writer(
     # concatenates strings into batch payloads — no Row pickling, no
     # per-field dict building
     if id_col and id_col in df.columns and id_col != "id":
-        df = df.withColumnRenamed(id_col, "id")
+        if "id" in df.columns:
+            # the config mapped its own 'id' field (to_field 'id', the
+            # standard Solr-id pattern) — it wins; renaming would emit
+            # duplicate "id" JSON keys and poison every batch
+            df = df.drop(id_col)
+        else:
+            df = df.withColumnRenamed(id_col, "id")
     docs_json = df.toJSON()
 
     def handle_partition(rows) -> None:
@@ -323,6 +329,7 @@ def solr_json_writer(
                     delay *= 2
 
         buf: list = []
+        local_skipped = [0]
 
         def flush() -> None:
             if not buf:
@@ -338,6 +345,21 @@ def solr_json_writer(
                         post([doc])
                     except Exception:
                         skipped_acc.add(1)
+                        local_skipped[0] += 1
+                        # executor-side fail-fast: one partition alone
+                        # exceeding the global threshold proves the job
+                        # will abort — stop grinding every remaining doc
+                        # through per-doc retries against a dead/rejecting
+                        # Solr (the driver still enforces the exact
+                        # global count afterwards)
+                        if (
+                            max_skipped is not None
+                            and local_skipped[0] > max_skipped
+                        ):
+                            raise MaxSkippedExceeded(
+                                f"{local_skipped[0]} skipped in one "
+                                f"partition exceeds max_skipped={max_skipped}"
+                            )
 
         try:
             for doc in rows:
@@ -352,7 +374,15 @@ def solr_json_writer(
                 except Exception:
                     pass
 
-    docs_json.foreachPartition(handle_partition)
+    try:
+        docs_json.foreachPartition(handle_partition)
+    except Exception as e:  # executor fail-fast surfaces wrapped — unwrap
+        if "MaxSkippedExceeded" in str(e):
+            raise MaxSkippedExceeded(
+                f"skipped records exceed max_skipped={max_skipped} "
+                f"(aborted early; {skipped_acc.value} counted so far)"
+            ) from e
+        raise
 
     skipped = skipped_acc.value
     if max_skipped is not None and skipped > max_skipped:

@@ -33,14 +33,38 @@ def _local(tag) -> str:
     return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
 
 
+def _outermost_matches(root, match) -> list:
+    """Depth-first collection of elements satisfying ``match`` WITHOUT
+    descending into a matched element: a record whose metadata nests
+    another element of the same local name (OAI <record> wrapping a
+    MARCXML <record>) must yield ONE record, not two — the reference's
+    namespace-qualified xpath gets this for free; local-name matching
+    must take only the outermost."""
+    if match(root):
+        return [root]
+    out = []
+
+    def walk(el):
+        if match(el):
+            out.append(el)
+            return
+        for child in el:
+            walk(child)
+
+    for child in root:
+        walk(child)
+    return out
+
+
 def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
     if not each_record_tag:
         return [text]
     root = ET.fromstring(text)
-    matches = [
-        el for el in root.iter()
-        if _local(el.tag) == each_record_tag or el.tag == each_record_tag
-    ]
+    matches = _outermost_matches(
+        root,
+        lambda el: _local(el.tag) == each_record_tag
+        or el.tag == each_record_tag,
+    )
     # re-root each match into its own document (nokogiri_reader.rb:101-114)
     return [ET.tostring(el, encoding="unicode") for el in matches]
 
@@ -151,8 +175,9 @@ def harvest_oai_pmh(
         root = ET.fromstring(page_xml)
         records.extend(
             ET.tostring(el, encoding="unicode")
-            for el in root.iter()
-            if _local(el.tag) == record_tag
+            for el in _outermost_matches(
+                root, lambda el: _local(el.tag) == record_tag
+            )
         )
         token = next(
             (
@@ -236,8 +261,9 @@ def harvest_oai_pmh_restartable(
         page += 1
         records = [
             ET.tostring(el, encoding="unicode")
-            for el in root.iter()
-            if _local(el.tag) == record_tag
+            for el in _outermost_matches(
+                root, lambda el: _local(el.tag) == record_tag
+            )
         ]
         if records:
             spark.createDataFrame(

@@ -156,13 +156,12 @@ def extract_xpath(
         return node_macro
     compiled = localname_path(path, ns)
     # element selections must target text nodes explicitly — xpath() returns
-    # Node.getNodeValue(), which is null for elements (see module docstring)
-    last_step = compiled.rsplit("/", 1)[-1]
-    if not (
-        last_step.endswith("text()")
-        or last_step.startswith("@")
-        or "@" in last_step  # attribute inside a rewritten predicate form
-    ):
+    # Node.getNodeValue(), which is null for elements (see module docstring).
+    # The attribute check must ignore predicate content: an element step
+    # like //subject[@authority='lcsh'] contains '@' but still selects
+    # ELEMENTS and needs the text() rewrite.
+    last_step = re.sub(r"\[[^\]]*\]", "", compiled.rsplit("/", 1)[-1])
+    if not (last_step.endswith("text()") or last_step.startswith("@")):
         compiled += "/descendant-or-self::text()"
 
     def macro(acc: Column, ctx=None) -> Column:
