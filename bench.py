@@ -146,8 +146,13 @@ def b_map_translation(spark):
 class _NullSolr(http.server.BaseHTTPRequestHandler):
     # HTTP/1.1 + Content-Length: the handler default (HTTP/1.0) closes
     # the connection after EVERY response, so the bench would measure
-    # ~6000 TCP reconnects instead of the sink's actual keep-alive path
+    # ~6000 TCP reconnects instead of the sink's actual keep-alive path.
+    # TCP_NODELAY + buffered writes match a real Solr (Jetty): without
+    # them every small header/body segment on the reused connection
+    # stalls in Nagle + delayed-ACK (~40ms per exchange)
     protocol_version = "HTTP/1.1"
+    disable_nagle_algorithm = True
+    wbufsize = 8192
 
     def do_POST(self):
         self.rfile.read(int(self.headers.get("Content-Length", 0)))
