@@ -5,7 +5,9 @@
 # (991/937) discipline block is site-specific and omitted.
 from pyspark.sql import functions as F
 
-settings(**{"solr.url": "http://solr.somewhere.edu:8983/solr/corename"})
+# provide (first-set-wins, demo_config.rb:23): the command line's -u/-s
+# solr.url must override this file's default, not the other way around
+provide("solr.url", "http://solr.somewhere.edu:8983/solr/corename")
 
 # 001 with "bib_" prefix (demo_config.rb:27-29's accumulator block)
 to_field(
@@ -16,7 +18,10 @@ to_field(
 
 to_field("source", literal("traject_test_last"))
 
-to_field("marc_display", serialized_marc("binary", binary_escape=False))
+to_field(
+    "marc_display",
+    serialized_marc("binary", binary_escape=False, allow_oversized=True),
+)
 
 to_field("text", extract_all_marc_values())
 
@@ -126,10 +131,15 @@ to_field(
         "650x:651a:651x:691a:691x:653aa:654ab:656aa:690a:690x",
         trim_punctuation=True,
     ),
+    # gsub(/\A[a-z]/) — ASCII-only: 'études' stays lowercase and
+    # multi-char uppercasings (ß->SS) never fire (demo_config.rb:88-93)
     T.transform(
-        lambda v: F.concat(
-            F.upper(v.substr(1, 1)), v.substr(F.lit(2), F.length(v))
-        )
+        lambda v: F.when(
+            v.substr(1, 1).rlike("^[a-z]$"),
+            F.concat(
+                F.upper(v.substr(1, 1)), v.substr(F.lit(2), F.length(v))
+            ),
+        ).otherwise(v)
     ),
 )
 

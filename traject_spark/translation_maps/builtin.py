@@ -6,9 +6,11 @@ The reference ships these as YAML under lib/translation_maps/ — the
 semantics (lookup/default/merge) live in traject_spark.translation_map;
 this module only carries data.  The language, geographic, and
 instrument lists are the complete public LoC code lists (same data the
-reference bundles); the ~8k-entry language map exercises TranslationMap's
-broadcast-pandas-UDF large-map path, the small maps compile to literal
-``create_map`` expressions.
+reference bundles); the ~8k-entry language map compiles to TranslationMap's
+sharded ``str_to_map`` literal path (pure Column expressions, JVM-side),
+the small maps to literal ``create_map`` expressions — the pandas-UDF
+fallback only engages for maps whose data collides with the encoding
+separators, never these.
 """
 
 # LCC first letter -> broad category (reference: lcc_top_level.yaml;
@@ -83,7 +85,7 @@ from traject_spark.translation_maps.marc_geographic_data import (  # noqa: E402
 
 # MARC language codes -> display name (full public LoC language code
 # list, incl. obsolete + ISO 639-3 codes; reference: marc_languages.yaml).
-# ~8k entries: TranslationMap picks the broadcast-pandas-UDF path for it.
+# ~8k entries: compiles to the sharded str_to_map literal path.
 from traject_spark.translation_maps.marc_languages_data import (  # noqa: E402
     MARC_LANGUAGES_FULL as MARC_LANGUAGES,
 )
