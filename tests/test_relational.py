@@ -91,3 +91,34 @@ def test_langid_null_text_is_null(spark):
     df = spark.createDataFrame([(None,), ("the of and",)], "text string")
     out = [r["g"] for r in df.select(langid_expr(F.col("text")).alias("g")).collect()]
     assert out == [None, "en"]
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed with the same keys/count join with NO
+    Exchange in the physical plan — the amortized-shuffle layout for
+    repeatedly-joined 100 TB tables."""
+    from traject_spark.relational import bucketed_join, write_bucketed
+
+    left = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    write_bucketed(left, "t_bk_left", ["k"], 4)
+    write_bucketed(right, "t_bk_right", ["k"], 4)
+    try:
+        joined = bucketed_join(spark, "t_bk_left", "t_bk_right", ["k"])
+        # disable broadcast so the join planner must pick sort-merge,
+        # the strategy that exploits bucketing
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:1500]
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bk_left")
+        spark.sql("DROP TABLE IF EXISTS t_bk_right")

@@ -1,18 +1,61 @@
-"""Relational-scale helpers: explicit skew handling.
+"""Relational-scale helpers: explicit skew handling and join co-location.
 
 With AQE on (the engine's default session shape), skewed sort-merge
 joins are split automatically at runtime — prefer that. This module
 covers the cases AQE cannot: streaming joins (AQE is disabled in
-stateful workloads) and engines/plans where a deterministic static plan
-is required.
+stateful workloads), engines/plans where a deterministic static plan is
+required, and the shuffle itself — a repeatedly-joined 100 TB table
+should be bucketed ONCE at write time so every subsequent join on the
+bucket key runs shuffle-free.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``keys``.
+
+    THE amortized-shuffle layout for 100 TB fact tables: pay one shuffle
+    at write time; every later equi-join or aggregation on ``keys``
+    between tables bucketed with the SAME key/bucket-count reads
+    co-located buckets and runs with NO Exchange in the plan (verify
+    with ``bucketed_join(...).explain``). Bucketing metadata lives in
+    the catalog, so this writes a table, not a bare path.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *keys
+    )
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketing tables on their bucket keys — shuffle-free
+    when both were written by ``write_bucketed`` with identical keys and
+    bucket counts (sort-merge join over co-located, pre-sorted buckets).
+    """
+    return spark.table(left_table).join(
+        spark.table(right_table), list(on), how
+    )
 
 
 def salted_join(
