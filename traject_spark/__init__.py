@@ -29,7 +29,7 @@ from traject_spark.macros.marc21 import (
 from traject_spark import transforms
 from traject_spark.translation_map import TranslationMap
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Pipeline",
