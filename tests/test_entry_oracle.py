@@ -1,15 +1,20 @@
 """Local replica of the driver's correctness gate: run every
-``__spark_entry__.queries()`` entry on sf0.001 and compare against its
-``oracle_sql()`` DuckDB twin (sorted rows, NaN-safe float compare)."""
+``__spark_entry__.queries()`` entry and compare against its
+``oracle_sql()`` DuckDB twin (sorted rows, NaN-safe float compare).
+
+Defaults to sf0.001 for suite speed; run at the driver's actual scale
+with ``ORACLE_SF_DIR=/root/testdata/sf0.01 pytest tests/test_entry_oracle.py``.
+"""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
