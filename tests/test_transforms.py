@@ -261,3 +261,25 @@ def test_translation_map_load_path_overrides_builtin(tmp_path):
     assert tm.lookup("A") == "Custom Override"
     # without the load_path the builtin still resolves
     assert TranslationMap("lcc_top_level").lookup("A") not in (None, "Custom Override")
+
+
+def test_translation_map_yaml_arrays_and_nulls(tmp_path, spark):
+    """YAML maps with array values (flatten in) and null values (remove)
+    load and translate like the reference's yaml-backed maps
+    (translation_map_test.rb array/nil cases)."""
+    (tmp_path / "mymap.yaml").write_text(
+        "plain: One\n"
+        "multi:\n"
+        "  - A\n"
+        "  - B\n"
+        "dropme: ~\n"
+        "'__default__': '__passthrough__'\n"
+    )
+    tm = TranslationMap("mymap", load_path=[str(tmp_path)])
+    out = eval_exprs(
+        spark,
+        m=tm.translate_array_expr(arr("plain", "multi", "dropme", "zz")),
+    )
+    assert out["m"] == ["One", "A", "B", "zz"]
+    assert tm.lookup("multi") == ["A", "B"]
+    assert tm.lookup("dropme") is None
