@@ -408,27 +408,50 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
-    timings: dict[str, float] = {}
-    for name, fn in BENCHES.items():
-        if only and name not in only:
-            continue
-        runs: list[float] = []
-        try:
-            spark._jvm.System.gc()  # level the heap between queries
-            for _ in range(n_runs):
+    selected = [
+        (name, fn) for name, fn in BENCHES.items() if not only or name in only
+    ]
+    # ROUND-ROBIN passes, not N back-to-back runs per query: this box's
+    # stalls come in multi-second windows (host scheduling of the microVM)
+    # — five consecutive runs of one query can ALL land inside one bad
+    # window and poison its median (r5: map_translation recorded 4.2s
+    # in-sequence vs 1.93s isolated). Interleaving spreads each query's
+    # N samples across the whole bench wall-clock, so a stall pollutes one
+    # sample of several queries instead of every sample of one query.
+    run_lists: dict[str, list[float]] = {name: [] for name, _ in selected}
+    failed: dict[str, str] = {}
+    for pass_i in range(n_runs):
+        for name, fn in selected:
+            if name in failed:
+                continue
+            try:
+                spark._jvm.System.gc()  # level the heap between queries
                 t0 = time.time()
                 fn(spark)
-                runs.append(time.time() - t0)
-            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-            print(
-                f"BENCH {name}: {timings[name]}s "
-                f"(runs in order: {[round(r, 2) for r in runs]})",
-                file=sys.stderr,
-            )
-        except Exception as e:  # keep the harness alive; flag the failure
+                run_lists[name].append(time.time() - t0)
+            except Exception as e:  # keep the harness alive; flag failure
+                failed[name] = str(e)
+                print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+        print(
+            f"BENCH pass {pass_i + 1}/{n_runs} done "
+            f"({sum(sum(r) for r in run_lists.values()):.1f}s timed so far)",
+            file=sys.stderr,
+        )
+    timings: dict[str, float] = {}
+    for name, runs in run_lists.items():
+        if name in failed or not runs:
             timings[name] = -1.0
-            print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        print(
+            f"BENCH {name}: {timings[name]}s "
+            f"(runs in order: {[round(r, 2) for r in runs]})",
+            file=sys.stderr,
+        )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # the per-run lists ride INSIDE the one-line JSON artifact: the driver
+    # keeps only a truncated stderr tail, and a single recorded median is
+    # not auditable against environment stalls without its samples
     print(
         json.dumps(
             {
@@ -436,6 +459,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": {
+                    n: [round(r, 3) for r in rs] for n, rs in run_lists.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
