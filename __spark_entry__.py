@@ -64,6 +64,8 @@ from traject_spark.synth import (
     SQL_TITLE_A,
     SQL_TITLE_B,
     SQL_XML_CREATORS,
+    SQL_XML_NAME_JOINED,
+    SQL_XML_NAME_PARTS,
     SQL_YEAR,
     marc_from_documents,
     xml_from_documents,
@@ -438,7 +440,10 @@ def q_marc_serialize_binary(spark, sf_dir):
 
 def q_xml_extract(spark, sf_dir):
     """NokogiriIndexer equivalent: extract_xpath over per-record XML
-    (namespaced elements, attribute, repeated element, whitespace norm)."""
+    (namespaced elements, attribute, repeated element, whitespace norm)
+    plus the mixed-content <name> element extracted BOTH ways — the fast
+    path (one value per text node) and join_text=True (the reference's
+    one-joined-value-per-match, nokogiri_macros.rb:30-40)."""
     ns = {"dc": "http://purl.org/dc/elements/1.1/"}
     p = (
         Pipeline(source_col="xml")
@@ -446,6 +451,8 @@ def q_xml_extract(spark, sf_dir):
         .to_field("creators", extract_xpath("//dc:creator", ns=ns))
         .to_field("rec_ref", extract_xpath("/record/@id"))
         .to_field("date", extract_xpath("//dc:date", ns=ns))
+        .to_field("name_parts", extract_xpath("//name"))
+        .to_field("name_joined", extract_xpath("//name", join_text=True))
     )
     out = p.apply(xml_from_documents(_docs(spark, sf_dir)))
     return out.select(
@@ -454,6 +461,8 @@ def q_xml_extract(spark, sf_dir):
         F.array_join("creators", "|").alias("creators"),
         F.array_join("rec_ref", "|").alias("rec_ref"),
         F.array_join("date", "|").alias("date"),
+        F.array_join("name_parts", "|").alias("name_parts"),
+        F.array_join("name_joined", "|").alias("name_joined"),
     )
 
 
@@ -1246,7 +1255,9 @@ def oracle_sql() -> dict[str, str]:
               {SQL_TITLE} AS title,
               {SQL_XML_CREATORS} AS creators,
               'rec-' || CAST(doc_id AS VARCHAR) AS rec_ref,
-              {SQL_YEAR} AS date
+              {SQL_YEAR} AS date,
+              {SQL_XML_NAME_PARTS} AS name_parts,
+              {SQL_XML_NAME_JOINED} AS name_joined
             FROM documents""",
         "text_token_fingerprint": r"""
             SELECT doc_id,

@@ -328,3 +328,101 @@ def test_extract_xpath_node_mode_namespaced_attribute(spark):
     )
     # local-name matching: both the namespaced and plain 'ref' match
     assert p.apply(df).collect()[0]["refs"] == ["n1", "n2"]
+
+
+def test_extract_xpath_join_text_mixed_content(spark):
+    """Ported reference test 'xpath to non-terminal element outputs text'
+    (test/indexer/nokogiri_indexer_test.rb:92-98): each matched element
+    joins its non-blank descendant texts with ' ' into ONE value."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        "<record><name><first>José</first><last>Lopez</last></name>"
+        "<name><first>Sue</first><last>Jones</last></name></record>"
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "name", extract_xpath("/record/name", join_text=True)
+    )
+    assert p.apply(df).collect()[0]["name"] == ["José Lopez", "Sue Jones"]
+    # the default fast path emits one value per text node for the same doc
+    p2 = Pipeline(source_col="xml").to_field(
+        "name", extract_xpath("/record/name")
+    )
+    assert p2.apply(df).collect()[0]["name"] == [
+        "José", "Lopez", "Sue", "Jones",
+    ]
+
+
+def test_extract_xpath_join_text_attr_and_rejects_text_step(spark):
+    """join_text with a trailing @attr yields the attribute value (the
+    reference's Attr branch, nokogiri_macros.rb:29-31); a trailing text()
+    step is rejected (already one-value-per-text-node on the default
+    path)."""
+    import pytest
+
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = '<rec><a href="u1">One</a><a href="u2">Two</a></rec>'
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "hrefs", extract_xpath("//a/@href", join_text=True)
+    )
+    assert p.apply(df).collect()[0]["hrefs"] == ["u1", "u2"]
+    with pytest.raises(ValueError, match="join_text"):
+        extract_xpath("//a/text()", join_text=True)
+
+
+def test_extract_xpath_udf_paths_namespace_uri_exact(spark):
+    """With ns URIs registered, the UDF paths match the EXACT namespace —
+    two vocabularies sharing the local name 'title' select only the
+    registered one (the reference registers real URIs with Nokogiri,
+    nokogiri_reader.rb:153-169; its 'namespaces to extract_xpath' test
+    overrides a wrong URI with the right one the same way)."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        '<rec xmlns:dc="http://purl.org/dc/elements/1.1/" '
+        'xmlns:other="http://example.org/other">'
+        "<dc:title>Wanted <b>one</b></dc:title>"
+        "<other:title>Decoy</other:title></rec>"
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    ns = {"dc": "http://purl.org/dc/elements/1.1/"}
+    joined = Pipeline(source_col="xml").to_field(
+        "t", extract_xpath("//dc:title", ns=ns, join_text=True)
+    )
+    # double space is FAITHFUL: the reference joins raw text nodes
+    # ('Wanted ' keeps its trailing space) with ' ', no normalization
+    assert joined.apply(df).collect()[0]["t"] == ["Wanted  one"]
+    nodes = Pipeline(source_col="xml").to_field(
+        "t", extract_xpath("//dc:title", ns=ns, to_text=False)
+    )
+    out = nodes.apply(df).collect()[0]["t"]
+    assert len(out) == 1 and "Wanted" in out[0] and "Decoy" not in out[0]
+    # unprefixed steps still match across namespaces (local-name rule)
+    loose = Pipeline(source_col="xml").to_field(
+        "t", extract_xpath("//title", join_text=True)
+    )
+    assert loose.apply(df).collect()[0]["t"] == ["Wanted  one", "Decoy"]
+
+
+def test_extract_xpath_ns_exact_attribute(spark):
+    """Namespaced attribute steps with a registered URI match that URI
+    only; without a mapping they fall back to local-name matching."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec import extract_xpath
+
+    xml = (
+        '<r xmlns:x="http://ex" xmlns:y="http://why">'
+        '<a x:ref="n1">A</a><a y:ref="n2">B</a><a ref="n3">C</a></r>'
+    )
+    df = spark.createDataFrame([("r1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "refs", extract_xpath("//a/@x:ref", ns={"x": "http://ex"},
+                              to_text=False)
+    )
+    assert p.apply(df).collect()[0]["refs"] == ["n1"]

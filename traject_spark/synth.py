@@ -187,12 +187,19 @@ def xml_from_documents(df: DataFrame) -> DataFrame:
         F.concat(F.lit("<dc:creator>Co-Author, "), letter, F.lit(".</dc:creator>")),
     ).otherwise(F.lit(""))
     year = (F.lit(1980) + doc_id % 45).cast("string")
+    # mixed-content element: a <name> with nested <first>/<last> children
+    # (and whitespace-only text between them) so extract_xpath's
+    # join_text semantics — ONE joined value per match — are exercised
+    # against a fast-path extraction of the same element
+    surname = F.concat(F.lit("Surname"), (doc_id % 7).cast("string"))
     xml = F.concat(
         F.lit('<record id="rec-'), doc_id.cast("string"),
         F.lit('" xmlns:dc="http://purl.org/dc/elements/1.1/">'),
         F.lit("<dc:title>\n  "), title, F.lit("  \n</dc:title>"),
         F.lit("<dc:creator>"), creator, F.lit("</dc:creator>"), second,
         F.lit("<dc:date>"), year, F.lit("</dc:date>"),
+        F.lit("<name>\n  <first>"), letter, F.lit(".</first>\n  <last>"),
+        surname, F.lit("</last>\n</name>"),
         F.lit("</record>"),
     )
     return df.select(doc_id.cast("string").alias("record_id"), xml.alias("xml"))
@@ -228,4 +235,14 @@ SQL_XML_CREATORS = (
     f"CASE WHEN doc_id % 3 = 0 "
     f"THEN 'Author, ' || {SQL_LETTER} || '.|Co-Author, ' || {SQL_LETTER} || '.' "
     f"ELSE 'Author, ' || {SQL_LETTER} || '.' END"
+)
+# //name fast path: one value per non-blank text node ('A.', 'Surname3')
+SQL_XML_NAME_PARTS = (
+    f"{SQL_LETTER} || '.|Surname' || CAST(doc_id % 7 AS VARCHAR)"
+)
+# //name join_text: the reference's per-match join — the raw text nodes
+# inside <name> are '\n  ', 'A.', '\n  ', 'Surname3', '\n'; all-blank ones
+# are rejected and the rest joined with ' ' into ONE value
+SQL_XML_NAME_JOINED = (
+    f"{SQL_LETTER} || '. Surname' || CAST(doc_id % 7 AS VARCHAR)"
 )

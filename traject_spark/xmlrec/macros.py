@@ -7,21 +7,26 @@ to the built-in ``xpath()`` SQL function (javax.xml.xpath on the JVM —
 whole-stage-codegen'd, no Python round trip), which returns the XPath
 string-value of every matched node as ``array<string>``.
 
-Namespace handling deviation (documented): Spark's ``xpath()`` has no
-namespace-context registration, so prefixed name tests are rewritten to
+Namespace handling on the fast path (documented): Spark's ``xpath()`` has
+no namespace-context registration, so prefixed name tests are rewritten to
 ``*[local-name()='name']`` predicates — matching by local name and ignoring
 the namespace URI.  For real-world metadata vocabularies (oai_dc, MODS,
-MARCXML) local names are unambiguous; exotic documents that reuse one local
-name across namespaces would over-match relative to the reference.
+MARCXML) local names are unambiguous; documents that reuse one local name
+across namespaces should use the UDF paths (``join_text=True`` or
+``to_text=False``), which honor the registered URI exactly
+(lib/traject/nokogiri_reader.rb:153-169).
 
-Text-node deviation: Spark's ``xpath()`` yields node *values* (element
-nodes have none), so element selections are rewritten to select their
-descendant text nodes.  A matched element containing several text nodes
-(mixed content / nested children) therefore emits one value per non-blank
-text node, where the reference joins them with ``' '`` into one value per
-match; for leaf metadata elements (oai_dc, MODS leaves — the common case)
-the two are identical.  Values are whitespace-normalized (trim + collapse
-runs), matching the reference's blank-skipping join.
+Text-node shape on the fast path (documented): Spark's ``xpath()`` yields
+node *values* (element nodes have none), so element selections are
+rewritten to select their descendant text nodes.  A matched element
+containing several text nodes (mixed content / nested children) therefore
+emits one value per non-blank text node; for leaf metadata elements
+(oai_dc, MODS leaves — the common case) this equals the reference.
+``join_text=True`` reproduces the reference's per-match join exactly —
+each matched element yields ONE value, its non-blank descendant texts
+joined with spaces (lib/traject/macros/nokogiri_macros.rb:30-40).  Fast-
+path values are whitespace-normalized (trim + collapse runs), matching
+the reference's blank-skipping join.
 """
 
 from __future__ import annotations
@@ -63,15 +68,161 @@ def _normalize(v: Column) -> Column:
     return F.trim(F.regexp_replace(v, r"\s+", " "))
 
 
+def _parse_trailing_step(path: str):
+    """Parse the ``//[prefix:]name[/@[prefix:]attr|/text()]`` trailing-step
+    form the UDF paths support. Returns
+    ``(node_kind, attr_name, attr_prefix, elem, elem_prefix)`` where
+    ``node_kind`` is ``element | attr | text`` and prefixes are ``None``
+    when the step was unprefixed."""
+    steps = [s for s in path.split("/") if s]
+    raw_last = steps[-1].strip() if steps else ""
+    # detect the @ BEFORE stripping a namespace prefix — '@dc:title'
+    # splits to 'title' and would otherwise be misread as an element
+    is_attr = raw_last.startswith("@")
+    body = raw_last.lstrip("@").strip()
+    prefix, _, local = body.rpartition(":")
+    prefix = prefix or None
+    if not local:
+        raise ValueError(f"extract_xpath: empty xpath {path!r}")
+    if is_attr or local == "text()":
+        node_kind = "attr" if is_attr else "text"
+        attr_name, attr_prefix = (local, prefix) if is_attr else (None, None)
+        host = steps[-2].strip() if len(steps) > 1 else ""
+        host_prefix, _, host_local = host.rpartition(":")
+        elem = None if host_local in ("", "*") else host_local
+        elem_prefix = (host_prefix or None) if elem else None
+    else:
+        node_kind, attr_name, attr_prefix = "element", None, None
+        elem, elem_prefix = local, prefix
+    return node_kind, attr_name, attr_prefix, elem, elem_prefix
+
+
+def _xml_match_udf(path: str, ns: dict | None, mode: str):
+    """Arrow-batched UDF over the record XML string for the two paths the
+    JVM ``xpath()`` function can't express (see module docstring):
+
+    ``mode='node'`` — each match in its string form by node kind
+    (element -> XML snippet, @attr -> value, text() -> raw content).
+    ``mode='join'`` — the reference's to_text semantics per match:
+    an element match joins its non-all-blank descendant text nodes with
+    single spaces into ONE value (nokogiri_macros.rb:30-40); an @attr
+    match yields the attribute value.
+
+    Namespace fidelity: when ``ns`` maps a step's prefix to a URI, the
+    match requires that exact ``{uri}local`` tag (the reference registers
+    real namespace URIs, nokogiri_reader.rb:153-169); unprefixed steps
+    match by local name across namespaces, like the fast path.
+    """
+    node_kind, attr_name, attr_prefix, elem, elem_prefix = (
+        _parse_trailing_step(path)
+    )
+    if mode == "join" and node_kind == "text":
+        raise ValueError(
+            "extract_xpath(join_text=True) supports element and @attr "
+            "trailing steps; a trailing text() already yields one value "
+            "per text node on the default path"
+        )
+    # with a mapping given, every used prefix must be registered (the
+    # reference's rule, nokogiri_reader.rb:153-169) and matching becomes
+    # URI-exact; with no mapping, prefixed steps match by local name
+    if ns is not None:
+        for pfx in (elem_prefix, attr_prefix):
+            if pfx is not None and pfx not in ns:
+                raise ValueError(
+                    f"xpath prefix {pfx!r} not registered in namespaces "
+                    f"{sorted(ns)}"
+                )
+    ns = ns or {}
+    elem_exact = (
+        f"{{{ns[elem_prefix]}}}{elem}" if elem_prefix in ns else None
+    )
+    attr_exact = (
+        f"{{{ns[attr_prefix]}}}{attr_name}" if attr_prefix in ns else None
+    )
+
+    @pandas_udf("array<string>")
+    def _matches(col: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        def localname(tag):
+            return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+        def elem_ok(el):
+            if elem_exact is not None:
+                return el.tag == elem_exact
+            return localname(el.tag) == elem
+
+        def attr_ok(key):
+            if attr_exact is not None:
+                return key == attr_exact
+            return localname(key) == attr_name
+
+        def join_text(el):
+            # Nokogiri .//text() in document order, rejecting all-blank
+            # nodes (/\A\s+\z/), joined with ' ' into ONE value per match
+            return " ".join(
+                t for t in el.itertext() if t and not t.isspace()
+            )
+
+        def one(text):
+            if text is None:
+                return None
+            try:
+                root = ET.fromstring(text)
+            except ET.ParseError:
+                return []
+            if node_kind == "element":
+                if mode == "join":
+                    return [join_text(el) for el in root.iter() if elem_ok(el)]
+                return [
+                    ET.tostring(el, encoding="unicode")
+                    for el in root.iter()
+                    if elem_ok(el)
+                ]
+            hosts = [
+                el for el in root.iter() if elem is None or elem_ok(el)
+            ]
+            if node_kind == "attr":
+                out = []
+                for el in hosts:
+                    for k, v in el.attrib.items():
+                        if attr_ok(k):
+                            out.append(v)
+                return out
+            # text(): direct child text nodes, raw (Nokogiri yields
+            # Text nodes whose to_s is the unnormalized content)
+            out = []
+            for el in hosts:
+                if el.text is not None:
+                    out.append(el.text)
+                for child in el:
+                    if child.tail is not None:
+                        out.append(child.tail)
+            return out
+
+        return col.map(one)
+
+    return _matches
+
+
 def extract_xpath(
     path: str,
     ns: dict | None = None,
     to_text: bool = True,
+    join_text: bool = False,
     source_col: str | None = None,
 ):
     """Macro: evaluate ``path`` against the record's XML string; append the
     whitespace-normalized string-value of each non-blank match to the
     accumulator (nokogiri_macros.rb:13-46).
+
+    ``join_text=True`` reproduces the reference's per-match join exactly
+    for mixed-content elements: each matched element contributes ONE
+    value — its non-blank descendant text nodes joined with single spaces
+    (nokogiri_macros.rb:30-40) — where the default fast path emits one
+    value per text node (identical for leaf metadata, the common case).
+    Runs in an Arrow-batched pandas UDF; with ``ns`` URIs given, prefixed
+    steps match the exact namespace URI, not just the local name.
 
     ``to_text=False`` appends each matched node in its string form (the
     closest Spark analog of the reference's Nokogiri node objects — the
@@ -80,70 +231,13 @@ def extract_xpath(
     element steps -> the node re-serialized as an XML snippet;
     ``@attr`` steps -> the attribute's value;
     ``text()`` steps -> each direct text node's raw content.
-    That path runs local-name matching in an Arrow-batched pandas UDF
-    and supports the ``//[prefix:]name[/@attr|/text()]`` trailing-step
-    form.
+    Both UDF paths support the ``//[prefix:]name[/@attr|/text()]``
+    trailing-step form.
     """
-    if not to_text:
-        steps = [s for s in path.split("/") if s]
-        raw_last = steps[-1].strip() if steps else ""
-        # detect the @ BEFORE stripping a namespace prefix — '@dc:title'
-        # splits to 'title' and would otherwise be misread as an element
-        is_attr = raw_last.startswith("@")
-        last = raw_last.lstrip("@").split(":")[-1].strip()
-        if not last:
-            raise ValueError(f"extract_xpath: empty xpath {path!r}")
-        if is_attr or last == "text()":
-            node_kind = "attr" if is_attr else "text"
-            attr_name = last if is_attr else None
-            elem = steps[-2].split(":")[-1].strip() if len(steps) > 1 else ""
-            elem = None if elem in ("", "*") else elem
-        else:
-            node_kind, attr_name, elem = "element", None, last
-
-        @pandas_udf("array<string>")
-        def _nodes(col: pd.Series) -> pd.Series:
-            import xml.etree.ElementTree as ET
-
-            def localname(tag):
-                return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
-
-            def one(text):
-                if text is None:
-                    return None
-                try:
-                    root = ET.fromstring(text)
-                except ET.ParseError:
-                    return []
-                if node_kind == "element":
-                    return [
-                        ET.tostring(el, encoding="unicode")
-                        for el in root.iter()
-                        if localname(el.tag) == elem
-                    ]
-                hosts = [
-                    el for el in root.iter()
-                    if elem is None or localname(el.tag) == elem
-                ]
-                if node_kind == "attr":
-                    out = []
-                    for el in hosts:
-                        for k, v in el.attrib.items():
-                            if localname(k) == attr_name:
-                                out.append(v)
-                    return out
-                # text(): direct child text nodes, raw (Nokogiri yields
-                # Text nodes whose to_s is the unnormalized content)
-                out = []
-                for el in hosts:
-                    if el.text is not None:
-                        out.append(el.text)
-                    for child in el:
-                        if child.tail is not None:
-                            out.append(child.tail)
-                return out
-
-            return col.map(one)
+    if not to_text or join_text:
+        matches = _xml_match_udf(
+            path, ns, "join" if to_text else "node"
+        )
 
         def node_macro(acc: Column, ctx=None) -> Column:
             src = (
@@ -151,7 +245,7 @@ def extract_xpath(
                 if source_col
                 else (ctx.record if ctx is not None else F.col("xml"))
             )
-            return F.concat(acc, F.coalesce(_nodes(src), F.array()))
+            return F.concat(acc, F.coalesce(matches(src), F.array()))
 
         return node_macro
     compiled = localname_path(path, ns)
