@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: typed metadata, graceful decode modes.
+
+The decode hooks degrade by environment (module docstring of
+traject_spark/corpus/multimodal.py): real libraries are try-imported on
+the executor, mode='auto' falls back to the deterministic fake, 'real'
+raises naming the missing library, 'fake' forces the deterministic path.
+This container ships none of Pillow/soundfile/PyAV, so the real-decode
+test skips itself unless Pillow is installed.
+"""
+
+import importlib.util
+
+import pytest
+from pyspark.sql import functions as F
+
+from traject_spark.corpus.multimodal import (
+    attach_media_metadata, extract_features, sample_frames,
+)
+
+HAVE_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def _media_df(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"x" * 64),
+        (1, b"\xff\xd8\xff\xe0" + b"y" * 2500),
+        (2, b"no magic here"),
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_attach_media_metadata_sniffs_format(spark):
+    out = attach_media_metadata(_media_df(spark), "payload", kind="image")
+    got = {r["media_id"]: r["meta"] for r in out.collect()}
+    assert got[0]["format"] == "png"
+    assert got[1]["format"] == "jpeg"
+    assert got[2]["format"] == "unknown"
+    assert got[0]["kind"] == "image"
+    assert got[1]["n_bytes"] == 2504
+
+
+def test_extract_features_fake_deterministic(spark):
+    df = _media_df(spark)
+    a = extract_features(df, "payload", mode="fake", dim=8).collect()
+    b = extract_features(df, "payload", fake=True, dim=8).collect()  # alias
+    key = lambda rows: {r["media_id"]: r["feature"] for r in rows}
+    assert key(a) == key(b)
+    assert all(len(r["feature"]) == 8 for r in a)
+    # null payload -> zero vector, not a crash
+    assert key(a)[3] == [0.0] * 8
+
+
+def test_extract_features_auto_runs_without_libs(spark):
+    """mode='auto' must produce features whether or not decode libraries
+    are installed (the fallback IS the contract)."""
+    out = extract_features(_media_df(spark), "payload", mode="auto", dim=4)
+    rows = out.collect()
+    assert len(rows) == 4 and all(len(r["feature"]) == 4 for r in rows)
+
+
+@pytest.mark.skipif(HAVE_PIL, reason="Pillow installed: real path active")
+def test_extract_features_real_raises_without_libs(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    out = extract_features(_media_df(spark), "payload", mode="real", dim=4)
+    with pytest.raises(PySparkException, match="requires Pillow"):
+        out.collect()
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not installed")
+def test_extract_features_real_decode_with_pillow(spark):
+    """With Pillow present, a real 2x2 PNG decodes to its grayscale
+    thumbnail (not the content-seeded fake)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (2, 2), color=255).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(0, png)], "media_id long, payload binary")
+    feat = extract_features(df, "payload", mode="real", dim=4).collect()[0][
+        "feature"
+    ]
+    # all-white image -> every thumbnail pixel scales to 1.0
+    assert feat == pytest.approx([1.0] * 4)
+
+
+def test_extract_features_rejects_bad_mode(spark):
+    with pytest.raises(ValueError, match="auto|real|fake"):
+        extract_features(_media_df(spark), "payload", mode="whenever")
+
+
+def test_sample_frames_fake_fan_out(spark):
+    """One media row fans out to ceil(n_bytes/1000) pseudo-frames stepped
+    by every_n — the mapInPandas row->N-rows shape."""
+    df = _media_df(spark)
+    out = sample_frames(df, "payload", every_n=1, mode="fake")
+    counts = (
+        out.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    got = {r["media_id"]: r["n"] for r in counts}
+    assert got[0] == 1          # 72 bytes -> 1 pseudo-frame
+    assert got[1] == 2          # 2504 bytes -> 2
+    assert 3 not in got         # null payload -> no frames
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("av") is not None,
+    reason="PyAV installed: real path active",
+)
+def test_sample_frames_real_raises_without_libs(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    out = sample_frames(_media_df(spark), "payload", mode="real")
+    with pytest.raises(PySparkException, match="requires PyAV"):
+        out.collect()

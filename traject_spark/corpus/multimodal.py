@@ -2,15 +2,23 @@
 with typed metadata.
 
 The Spark-side machinery (schema, Arrow-batched UDF signatures, partition
-sizing) is real and tested; the actual media decoding is STUBBED — the
-image/audio libraries are not available in this environment. Each decode
-hook either raises NotImplementedError (strict mode) or produces a
-deterministic fake (test mode) so the pipeline shape can be validated
-end-to-end.
+sizing) is real and tested. Decoding degrades gracefully by environment:
+each decode hook try-imports its real library ON THE EXECUTOR (Pillow for
+images, soundfile for audio, PyAV for video frames) and uses it when
+present; otherwise ``mode='auto'`` falls back to a deterministic
+content-seeded fake so the pipeline shape stays validated end-to-end,
+``mode='real'`` raises NotImplementedError naming the missing library,
+and ``mode='fake'`` forces the deterministic path (what the oracle gate
+uses — hash-stable regardless of installed libs).
+
+Library matrix: ``pip install pillow`` unlocks image decode (grayscale
+thumbnail features), ``soundfile`` unlocks audio (windowed RMS features),
+``av`` unlocks video frame sampling. None are present in this container,
+so CI exercises the fake path and skips the real-decode tests.
 
 Usage shape:
     df = attach_media_metadata(df, "payload", kind="image")
-    feats = extract_features(df, "payload", kind="image", fake=True)
+    feats = extract_features(df, "payload", kind="image", mode="auto")
 """
 
 from __future__ import annotations
@@ -84,6 +92,50 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _real_image_feature(payload: bytes, dim: int):
+    """Pillow decode -> grayscale ``dim``-pixel thumbnail, [-1, 1]-scaled.
+    Returns None when Pillow is absent (caller decides fallback/raise)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [px / 127.5 - 1.0 for px in img.getdata()]
+
+
+def _real_audio_feature(payload: bytes, dim: int):
+    """soundfile decode -> ``dim`` windowed RMS values (first channel).
+    Returns None when soundfile is absent."""
+    try:
+        import soundfile as sf
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
+    mono = data[:, 0]
+    if len(mono) == 0:
+        return [0.0] * dim
+    windows = np.array_split(mono, dim)
+    return [
+        float(np.sqrt(np.mean(w * w))) if len(w) else 0.0 for w in windows
+    ]
+
+
+_REAL_FEATURE = {"image": _real_image_feature, "audio": _real_audio_feature}
+
+
+def _resolve_mode(mode: str | None, fake: bool) -> str:
+    mode = mode or ("fake" if fake else "auto")
+    if mode not in ("auto", "real", "fake"):
+        raise ValueError(f"mode must be auto|real|fake, got {mode!r}")
+    return mode
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str,
@@ -91,39 +143,82 @@ def extract_features(
     kind: str = "image",
     dim: int = 16,
     fake: bool = False,
+    mode: str | None = None,
     batch_size_hint: int = 64,
 ) -> DataFrame:
     """Decode + feature-extract media payloads via mapInPandas.
 
-    Real decoding is unavailable here — with ``fake=False`` this raises
-    NotImplementedError at execution time (per batch). With ``fake=True``
-    a deterministic content-seeded vector is produced so the plumbing
-    (schema, Arrow batching, partition shape) is exercised for real.
+    ``mode='auto'`` (default) uses the real decoder when its library
+    imports on the executor (Pillow for images, soundfile for audio; see
+    module docstring) and the deterministic content-seeded fake otherwise;
+    ``'real'`` raises NotImplementedError per batch when the library is
+    missing; ``'fake'`` forces the deterministic path. ``fake=True`` is
+    the backwards-compatible alias for ``mode='fake'``.
 
     mapInPandas (not a scalar UDF) so one media row can fan out to N
     feature rows (e.g. video frame sampling) without a second explode.
+    A decode error on one payload (truncated/corrupt file) degrades that
+    ROW to the fake vector rather than failing the batch — at 100 TB a
+    single bad object must not kill the job.
     """
     spark_conf_cols = [id_col, payload_col]
+    run_mode = _resolve_mode(mode, fake)
+    real_fn = _REAL_FEATURE.get(kind)
+
+    def one_feature(payload):
+        if payload is None:
+            return _fake_feature(None, dim)  # zero vector in every mode
+        if run_mode in ("auto", "real") and real_fn:
+            try:
+                feat = real_fn(payload, dim)
+            except Exception:
+                # the library was present but THIS payload didn't decode
+                # (truncated/corrupt): real mode fails loudly, auto mode
+                # degrades the row
+                if run_mode == "real":
+                    raise
+                feat = _fake_feature(payload, dim)
+            if feat is not None:
+                return feat
+        # feat is None <=> the decode library failed to import
+        if run_mode == "real":
+            lib = {"image": "Pillow", "audio": "soundfile"}.get(
+                kind, "a media decoder"
+            )
+            raise NotImplementedError(
+                f"{kind} decoding requires {lib} on the executors; "
+                "install it or use mode='auto'/'fake'"
+            )
+        return _fake_feature(payload, dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    f"{kind} decoding requires media libraries not present "
-                    "in this environment; pass fake=True for the "
-                    "deterministic test path"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "kind": kind,
-                    "feature": [
-                        _fake_feature(p, dim) for p in pdf[payload_col]
-                    ],
+                    "feature": [one_feature(p) for p in pdf[payload_col]],
                 }
             )
 
     return df.select(*spark_conf_cols).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _real_frames(payload: bytes, every_n: int):
+    """PyAV decode: every ``every_n``-th video frame as PNG-less raw RGB
+    bytes (plane 0). Returns None when PyAV is absent."""
+    try:
+        import av
+    except ImportError:
+        return None
+    import io
+
+    out = []
+    with av.open(io.BytesIO(payload)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                out.append((i, bytes(frame.to_ndarray(format="rgb24").tobytes())))
+    return out
 
 
 def sample_frames(
@@ -132,33 +227,57 @@ def sample_frames(
     id_col: str = "media_id",
     every_n: int = 10,
     fake: bool = False,
+    mode: str | None = None,
 ) -> DataFrame:
     """Video frame sampling: one row in, N frame rows out (mapInPandas).
 
-    Stubbed like extract_features; the fake path emits ceil(n_bytes/1000)
-    pseudo-frames so downstream fan-out logic is testable.
+    ``mode`` semantics match ``extract_features`` (PyAV unlocks the real
+    path); the fake path emits ceil(n_bytes/1000) pseudo-frames so
+    downstream fan-out logic is testable without media libraries.
     """
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("frame_index", LongType()),
         StructField("frame", BinaryType()),
     ])
+    run_mode = _resolve_mode(mode, fake)
+
+    def fake_frames(payload):
+        n = 0 if payload is None else max(1, len(payload) // 1000)
+        return [
+            (i, payload[i : i + 16] if payload else b"")
+            for i in range(0, n, every_n)
+        ]
+
+    def one_frames(payload):
+        if payload is None:
+            return []  # no frames in every mode
+        if run_mode in ("auto", "real"):
+            try:
+                frames = _real_frames(payload, every_n)
+            except Exception:
+                if run_mode == "real":
+                    raise
+                frames = fake_frames(payload)
+            if frames is not None:
+                return frames
+        if run_mode == "real":
+            raise NotImplementedError(
+                "video decoding requires PyAV ('av') on the executors; "
+                "install it or use mode='auto'/'fake'"
+            )
+        return fake_frames(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decoding requires media libraries not present "
-                    "in this environment; pass fake=True for the "
-                    "deterministic test path"
-                )
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                n = 0 if payload is None else max(1, len(payload) // 1000)
-                for i in range(0, n, every_n):
+                for i, fr in one_frames(payload):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(payload[i : i + 16] if payload else b"")
-            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
