@@ -426,3 +426,28 @@ def test_extract_xpath_ns_exact_attribute(spark):
                               to_text=False)
     )
     assert p.apply(df).collect()[0]["refs"] == ["n1"]
+
+
+def test_outermost_matches_survives_deep_nesting():
+    """_outermost_matches walks with an explicit stack: a document nested
+    deeper than Python's recursion limit must still split (an executor's
+    default limit is ~1000 frames)."""
+    import sys
+    import xml.etree.ElementTree as ET
+
+    from traject_spark.xmlrec.io import _split_doc
+
+    depth = sys.getrecursionlimit() + 500
+    xml = (
+        "<root>" + "<wrap>" * depth
+        + "<record><id>deep</id></record>"
+        + "</wrap>" * depth + "</root>"
+    )
+    # guard: the stdlib parser itself must cope (expat is iterative)
+    ET.fromstring(xml)
+    out = _split_doc(xml, "record")
+    assert len(out) == 1 and "deep" in out[0]
+    # outermost-only semantics survive the rewrite: a matched record
+    # wrapping another record yields ONE row
+    nested = "<root><record><meta><record>inner</record></meta></record></root>"
+    assert len(_split_doc(nested, "record")) == 1

@@ -42,17 +42,17 @@ def _outermost_matches(root, match) -> list:
     must take only the outermost."""
     if match(root):
         return [root]
+    # explicit stack, not recursion: a pathologically deep document must
+    # not hit the executor's Python recursion limit. Children are pushed
+    # reversed so matches come out in document order.
     out = []
-
-    def walk(el):
+    stack = list(reversed(list(root)))
+    while stack:
+        el = stack.pop()
         if match(el):
             out.append(el)
-            return
-        for child in el:
-            walk(child)
-
-    for child in root:
-        walk(child)
+            continue  # don't descend into a matched element
+        stack.extend(reversed(list(el)))
     return out
 
 
@@ -154,6 +154,13 @@ def harvest_oai_pmh(
     and for custom HTTP (auth, retry, gzip — the reference's persistent
     HTTP adapter concerns live there). Returns columns ``xml``,
     ``position`` (1-based harvest order).
+
+    MEMORY BOUND: this convenience variant accumulates the whole harvest
+    in a driver-side list before ``createDataFrame`` — fine for tests and
+    small-to-medium harvests (up to roughly ``max_pages`` x page size
+    records in driver memory). Large or interruptible harvests should use
+    :func:`harvest_oai_pmh_restartable`, which streams each page straight
+    to an append parquet sink and checkpoints the resumption token.
     """
     import urllib.parse
 
