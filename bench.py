@@ -29,7 +29,23 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TARGET_RECORDS = 600_000
+
+
+def _target_records() -> int:
+    """600k synthetic MARC records at sf0.1, scaling linearly with the SF
+    parsed from the dir name (sf1 -> 6M) so soak runs stress the mapping
+    benches proportionally; SPARK_GRAFT_TARGET_RECORDS overrides."""
+    env = os.environ.get("SPARK_GRAFT_TARGET_RECORDS")
+    if env:
+        return int(env)
+    tail = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return max(1, int(600_000 * float(tail) / 0.1))
+    except ValueError:
+        return 600_000
+
+
+TARGET_RECORDS = _target_records()
 
 
 def session() -> SparkSession:
