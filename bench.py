@@ -358,10 +358,14 @@ def b_ann_ivf(spark):
 
 
 def b_embed_near_dup_lsh(spark):
+    # bits=None auto-sizes the hash table from the corpus row count
+    # (2000 rows at sf0.1 -> 4 bits, matching the r1-locked settings;
+    # 20k at sf1 -> 8 bits), keeping bucket occupancy — and candidate
+    # pairs per row — constant instead of quadratic as the corpus grows
     from traject_spark.corpus import cosine_near_dup
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    noop(cosine_near_dup(emb, threshold=0.35, mode="lsh", bits=4, tables=4))
+    noop(cosine_near_dup(emb, threshold=0.35, mode="lsh", bits=None, tables=4))
 
 
 BENCHES = {

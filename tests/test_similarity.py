@@ -250,3 +250,28 @@ def test_probe_cells_udf_matches_expr_and_nulls(spark, emb):
             assert r["cell"] is not None and r["probes"] is not None
         else:
             assert r["cell"] is None and r["probes"] is None
+
+
+def test_auto_lsh_bits_scaling():
+    """bits=None sizes the hash table so bucket occupancy stays constant
+    as the corpus grows (fixed bits -> quadratic candidate volume, the
+    10x-soak cliff)."""
+    from traject_spark.corpus import auto_lsh_bits
+
+    assert auto_lsh_bits(100) == 4          # tiny corpus: floor
+    assert auto_lsh_bits(2_000) == 4        # sf0.1 embeddings
+    assert auto_lsh_bits(20_000) == 8       # sf1: 10x rows -> +~3 bits
+    assert auto_lsh_bits(2_000_000) == 14
+    assert auto_lsh_bits(10**12) == 16      # ceiling
+
+
+def test_near_dup_lsh_auto_bits_subset_of_exact(emb):
+    from traject_spark.corpus import cosine_near_dup
+
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_near_dup(emb, threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in cosine_near_dup(
+               emb, threshold=0.3, mode="lsh", bits=None, tables=4
+           ).collect()}
+    assert lsh and lsh <= exact

@@ -31,6 +31,7 @@ from traject_spark.corpus.dedup import (
 from traject_spark.corpus.similarity import (
     assign_cell_udf,
     cosine_similarity_expr,
+    auto_lsh_bits,
     cosine_near_dup,
     brute_force_topk,
     ivf_topk,
@@ -56,6 +57,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "assign_cell_udf",
     "cosine_similarity_expr",
+    "auto_lsh_bits",
     "cosine_near_dup",
     "brute_force_topk",
     "ivf_topk",

@@ -456,6 +456,28 @@ def ivf_topk_from_layout(
     )
 
 
+def auto_lsh_bits(
+    n_rows: int, target_bucket: int = 128, lo: int = 4, hi: int = 16
+) -> int:
+    """Hyperplane count sized to the corpus: 2^bits buckets such that an
+    average bucket holds ~``target_bucket`` rows.
+
+    With FIXED bits the per-bucket candidate-pair volume grows as
+    (n/2^bits)^2 — quadratic in n — which is exactly the super-linear
+    cliff a 10x soak exposes (16 buckets over 20k vectors = ~1.2k rows
+    per bucket per table). Scaling bits with log2(n/target) keeps bucket
+    occupancy — and therefore pairs-per-row — constant as the corpus
+    grows. The recall trade-off is the standard LSH one: for true
+    near-duplicates (cos >= ~0.95, collision prob per bit ~0.93) even 16
+    bits retains high per-table recall, and ``tables`` OR-amplifies it.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def cosine_near_dup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -463,7 +485,7 @@ def cosine_near_dup(
     vec_col: str = "embedding",
     mode: str = "exact",
     dim: int = 64,
-    bits: int = 6,
+    bits: int | None = 6,
     tables: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a < id_b, cosine >= threshold).
@@ -472,7 +494,12 @@ def cosine_near_dup(
     ``mode='lsh'`` is the scale path: only pairs sharing a random-
     hyperplane bucket in any of ``tables`` hash tables are scored, so
     candidate volume is ~n^2/2^bits per table; output is a (deterministic)
-    subset of the exact result."""
+    subset of the exact result. ``bits=None`` sizes the table from the
+    corpus row count (one count() job) via :func:`auto_lsh_bits`, keeping
+    bucket occupancy constant as the corpus grows — at a fixed ``bits``
+    the candidate volume is quadratic in n."""
+    if bits is None:
+        bits = auto_lsh_bits(df.count())
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if mode == "exact":
