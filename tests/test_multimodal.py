@@ -116,3 +116,11 @@ def test_sample_frames_real_raises_without_libs(spark):
     out = sample_frames(_media_df(spark), "payload", mode="real")
     with pytest.raises(PySparkException, match="requires PyAV"):
         out.collect()
+
+
+@pytest.mark.skipif(HAVE_PIL, reason="Pillow installed: no fallback")
+def test_extract_features_auto_warns_when_lib_missing(spark):
+    """auto mode is graceful but not silent: plan-time warning when the
+    decode library is missing on the driver."""
+    with pytest.warns(UserWarning, match="DETERMINISTIC FAKE"):
+        extract_features(_media_df(spark), "payload", mode="auto", dim=4)

@@ -129,10 +129,30 @@ def _real_audio_feature(payload: bytes, dim: int):
 _REAL_FEATURE = {"image": _real_image_feature, "audio": _real_audio_feature}
 
 
-def _resolve_mode(mode: str | None, fake: bool) -> str:
+_AUTO_LIBS = {"image": "PIL", "audio": "soundfile", "video": "av"}
+
+
+def _resolve_mode(mode: str | None, fake: bool, kind: str) -> str:
     mode = mode or ("fake" if fake else "auto")
     if mode not in ("auto", "real", "fake"):
         raise ValueError(f"mode must be auto|real|fake, got {mode!r}")
+    if mode == "auto":
+        # fail-LOUD-ish: auto's fallback must not silently persist
+        # pseudo-random vectors as if they were real decodes. Probe the
+        # driver's environment at plan time (indicative of the executors
+        # in local mode and most same-image clusters) and warn once.
+        import importlib.util
+        import warnings
+
+        lib = _AUTO_LIBS.get(kind)
+        if lib and importlib.util.find_spec(lib) is None:
+            warnings.warn(
+                f"multimodal {kind} decode: {lib} is not importable on "
+                "the driver — mode='auto' will fall back to DETERMINISTIC "
+                "FAKE features on executors without it. Install the "
+                "library or pass mode='real' to fail instead.",
+                stacklevel=3,
+            )
     return mode
 
 
@@ -162,7 +182,7 @@ def extract_features(
     single bad object must not kill the job.
     """
     spark_conf_cols = [id_col, payload_col]
-    run_mode = _resolve_mode(mode, fake)
+    run_mode = _resolve_mode(mode, fake, kind)
     real_fn = _REAL_FEATURE.get(kind)
 
     def one_feature(payload):
@@ -240,7 +260,7 @@ def sample_frames(
         StructField("frame_index", LongType()),
         StructField("frame", BinaryType()),
     ])
-    run_mode = _resolve_mode(mode, fake)
+    run_mode = _resolve_mode(mode, fake, "video")
 
     def fake_frames(payload):
         n = 0 if payload is None else max(1, len(payload) // 1000)

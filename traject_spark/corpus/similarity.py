@@ -498,13 +498,15 @@ def cosine_near_dup(
     corpus row count (one count() job) via :func:`auto_lsh_bits`, keeping
     bucket occupancy constant as the corpus grows — at a fixed ``bits``
     the candidate volume is quadratic in n."""
-    if bits is None:
-        bits = auto_lsh_bits(df.count())
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if mode == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        if bits is None:
+            # the one eager job this builder runs, and only on the lsh
+            # path that needs the row count to size the tables
+            bits = auto_lsh_bits(df.count())
         # ONE scan per side: all table buckets computed in a single
         # select then exploded — a per-table union would scan the corpus
         # `tables` times (4x the I/O at 100 TB for the same rows)

@@ -221,8 +221,12 @@ def extract_xpath(
     value — its non-blank descendant text nodes joined with single spaces
     (nokogiri_macros.rb:30-40) — where the default fast path emits one
     value per text node (identical for leaf metadata, the common case).
-    Runs in an Arrow-batched pandas UDF; with ``ns`` URIs given, prefixed
-    steps match the exact namespace URI, not just the local name.
+    Faithful corner: a matched element with NO non-blank text joins to
+    ``''``, which the reference keeps as a value (context.rb add_output
+    only compacts nils); the fast path cannot represent such a match (no
+    text nodes selected) and emits nothing for it. Runs in an
+    Arrow-batched pandas UDF; with ``ns`` URIs given, prefixed steps
+    match the exact namespace URI, not just the local name.
 
     ``to_text=False`` appends each matched node in its string form (the
     closest Spark analog of the reference's Nokogiri node objects — the
@@ -234,6 +238,11 @@ def extract_xpath(
     Both UDF paths support the ``//[prefix:]name[/@attr|/text()]``
     trailing-step form.
     """
+    if join_text and not to_text:
+        raise ValueError(
+            "extract_xpath: join_text=True joins match text and "
+            "to_text=False yields raw nodes — the flags contradict"
+        )
     if not to_text or join_text:
         matches = _xml_match_udf(
             path, ns, "join" if to_text else "node"
