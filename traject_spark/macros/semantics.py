@@ -356,32 +356,37 @@ def publication_date_expr(
     # Every shared piece is let-bound: the naive formulation duplicated the
     # 008 subtree hundreds of times and took minutes to plan/codegen.
     def from_008_body(f8: Column, dtype: Column, d1: Column, d2: Column) -> Column:
-        # q-range branch: Ruby sub() replaces only the FIRST 'u'
-        q_val = let2(
-            ruby_to_i_expr(_ruby_sub_first(d1, "u", "0")),
-            ruby_to_i_expr(_ruby_sub_first(d2, "u", "9")),
-            lambda q1, q2: F.when(
-                (dtype == "q")
-                & (d1 != d2)
-                & (q2 > q1)
-                & ((q2 - q1) <= F.lit(estimate_tolerance)),
-                F.floor((q1 + q2) / 2).cast("long"),
+        # q-range branch: Ruby sub() replaces only the FIRST 'u'.
+        # The dtype/d1!=d2 guards sit OUTSIDE the let bindings: CaseWhen
+        # only evaluates its value expression when the condition holds, so
+        # the two regex subs are skipped entirely for the (dominant)
+        # non-'q' records instead of running on every row
+        q_val = F.when(
+            (dtype == "q") & (d1 != d2),
+            let2(
+                ruby_to_i_expr(_ruby_sub_first(d1, "u", "0")),
+                ruby_to_i_expr(_ruby_sub_first(d2, "u", "9")),
+                lambda q1, q2: F.when(
+                    (q2 > q1) & ((q2 - q1) <= F.lit(estimate_tolerance)),
+                    F.floor((q1 + q2) / 2).cast("long"),
+                ),
             ),
         )
-        # single-date branch
+        # single-date branch, same lazy-guard treatment; the 'u' counting
+        # and u->0 fill are char-level translate, not regex
         date_str = F.when(
             dtype.isin(["r", "p"]) & (ruby_to_i_expr(d2) != 0), d2
         ).otherwise(d1)
-        single_val = let(
-            date_str,
-            lambda ds: let2(
-                F.length(ds) - F.length(F.regexp_replace(ds, "u", "")),
-                ruby_to_i_expr(F.regexp_replace(ds, "u", "0")),
-                lambda ucount, date_num: let(
-                    F.pow(F.lit(10.0), ucount.cast("double")).cast("long"),
-                    lambda delta: F.when(
-                        ~dtype.isin(["n", "q"]),
-                        F.when(
+        single_val = F.when(
+            ~dtype.isin(["n", "q"]),
+            let(
+                date_str,
+                lambda ds: let2(
+                    F.length(ds) - F.length(F.translate(ds, "u", "")),
+                    ruby_to_i_expr(F.translate(ds, "u", "0")),
+                    lambda ucount, date_num: let(
+                        F.pow(F.lit(10.0), ucount.cast("double")).cast("long"),
+                        lambda delta: F.when(
                             (ucount > 0) & (date_num != 0),
                             F.when(
                                 delta <= F.lit(estimate_tolerance),
