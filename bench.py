@@ -16,9 +16,11 @@ plus dedup/simhash/minhash/similarity/text-stats corpus operators.
 
 from __future__ import annotations
 
+import atexit
 import http.server
 import json
 import os
+import shutil
 import sys
 import tempfile
 import threading
@@ -28,6 +30,14 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that cleans up at interpreter exit — a day of bench runs
+    must not fill the disk with orphaned synthetic corpora."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -104,7 +114,7 @@ def synth_marc(spark, n_target: int = TARGET_RECORDS):
             (F.col("doc_id") * reps + F.col("_rep")).alias("doc_id"),
             "text", "lang", "source", "n_chars",
         )
-        _MARC_PATH = tempfile.mkdtemp(prefix="bench_marc_") + "/marc"
+        _MARC_PATH = _tmpdir("bench_marc_") + "/marc"
         marc_from_documents(replicated).repartition(CPUS).write.mode(
             "overwrite"
         ).parquet(_MARC_PATH)
@@ -220,7 +230,7 @@ def _ndjson_path(spark) -> str:
             if out.schema["json"].dataType.simpleString().startswith("array")
             else F.col("json")
         )
-        _NDJSON_PATH = tempfile.mkdtemp(prefix="bench_ndj_") + "/ndj"
+        _NDJSON_PATH = _tmpdir("bench_ndj_") + "/ndj"
         out.select(line.alias("value")).write.mode("overwrite").text(
             _NDJSON_PATH
         )
@@ -247,6 +257,19 @@ def b_dedup_minhash(spark):
     noop(minhash_lsh_candidates(docs, num_hashes=32, bands=8))
 
 
+def b_dedup_minhash_witness(spark):
+    """The linear-output near-dup path: one witness row per duplicate
+    document instead of the quadratic-in-clique pair enumeration."""
+    from traject_spark.corpus import minhash_near_dup_witness
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(
+        minhash_near_dup_witness(
+            docs, num_hashes=32, bands=8, min_est=0.5
+        )
+    )
+
+
 def b_dedup_simhash(spark):
     from traject_spark.corpus import simhash_expr
 
@@ -262,7 +285,7 @@ def b_dedup_simhash_near(spark):
     from traject_spark.corpus import simhash_expr, simhash_near_dup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    sig_path = tempfile.mkdtemp(prefix="bench_sig_") + "/sigs"
+    sig_path = _tmpdir("bench_sig_") + "/sigs"
     docs.select(
         "doc_id", simhash_expr(F.col("text")).alias("sig")
     ).write.mode("overwrite").parquet(sig_path)
@@ -376,6 +399,7 @@ BENCHES = {
     "sink_solr_mock": b_sink_solr,
     "dedup_exact": b_dedup_exact,
     "dedup_minhash_lsh": b_dedup_minhash,
+    "dedup_minhash_witness": b_dedup_minhash_witness,
     "dedup_simhash": b_dedup_simhash,
     "dedup_simhash_near": b_dedup_simhash_near,
     "text_stats": b_text_stats,

@@ -122,3 +122,48 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bk_left")
         spark.sql("DROP TABLE IF EXISTS t_bk_right")
+
+
+def test_minhash_near_dup_witness_linear_output(spark):
+    """Witness marking bounds output to one row per duplicate document —
+    a 6-copy clique yields 5 witness rows (not 15 pairs), the clique
+    minimum survives unmarked, and every witness points at a smaller id
+    with agreement >= min_est."""
+    from traject_spark.corpus import (
+        minhash_lsh_candidates, minhash_near_dup_witness,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the river bend"
+    )
+    rows = [(i, base) for i in range(6)]  # 6-way exact clique
+    rows += [(100 + i, f"totally unrelated document number {i} about "
+                       f"spark catalyst optimizer internals part {i}")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = minhash_near_dup_witness(
+        df, num_hashes=32, bands=8, min_est=0.9
+    ).collect()
+    marked = {r["id"]: r["witness_id"] for r in out}
+    # the five non-minimum clique members are marked, each against a
+    # smaller id; survivor 0 and the unrelated docs are absent
+    assert set(marked) == {1, 2, 3, 4, 5}
+    assert all(w < i for i, w in marked.items())
+    assert all(r["est_jaccard"] == 1.0 for r in out)
+    # linear vs quadratic: the pair operator enumerates the same clique
+    pairs = minhash_lsh_candidates(df, num_hashes=32, bands=8).filter(
+        "est_jaccard >= 0.9"
+    )
+    assert pairs.count() == 15 and len(out) == 5
+
+
+def test_minhash_near_dup_witness_validates_bands(spark):
+    import pytest
+
+    from traject_spark.corpus import minhash_near_dup_witness
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_witness(df, num_hashes=8, bands=16)

@@ -93,29 +93,43 @@ def scale_table(
         cols.append(c.alias(field.name))
     out = rep.select(*cols, F.col("_rep"))
     if name == "documents":
-        # replicas become near-duplicates: one leading token differs
+        # divergence grows with the replica index: rep k keeps the last
+        # (10-k)/10 of the text behind a fresh salt token. Low reps are
+        # near-duplicates of the original, high reps are distinct — so
+        # each source doc spawns a BOUNDED near-dup clique (~2-3 docs)
+        # instead of factor-many exact copies. Unbounded cliques make
+        # every pairwise near-dup operator's OUTPUT quadratic in the
+        # clique size, which is a property of the data, not the engine —
+        # a composed 10x10 scale-up of naive copies produced 100-way
+        # cliques and candidate-pair blowups in the first sf10 soak.
         out = out.withColumn(
             "text",
             F.when(F.col("_rep") == 0, F.col("text")).otherwise(
                 F.concat(
-                    F.lit("r"), F.col("_rep").cast("string"), F.lit(" "),
-                    F.col("text"),
+                    F.lit("r"), F.col("_rep").cast("string"), F.lit("s"),
+                    (F.col("doc_id") % 97).cast("string"), F.lit(" "),
+                    F.substring(
+                        F.col("text"),
+                        (F.col("_rep") * F.length("text") / 10).cast("int")
+                        + 1,
+                        F.length("text"),
+                    ),
                 )
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings":
-        # small deterministic per-replica noise keeps neighbors near
+        # same idea in vector space: blend toward the reversed vector
+        # (same norm, ~orthogonal direction) with weight rep/10 — rep 1
+        # stays cos~0.99 near-dup, high reps diverge
+        w = (F.col("_rep").cast("double") / 10.0)
         out = out.withColumn(
             "embedding",
             F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
-                F.transform(
+                F.zip_with(
                     "embedding",
-                    lambda x, i: (
-                        x
-                        + (
-                            (F.col("vec_id") * 31 + i + F.col("_rep")) % 7 - 3
-                        ).cast("float")
-                        * F.lit(0.001)
+                    F.reverse("embedding"),
+                    lambda a, b: (
+                        a * (1.0 - w) + b * w
                     ).cast("float"),
                 )
             ),

@@ -24,6 +24,7 @@ from traject_spark.corpus.dedup import (
     exact_dedup,
     minhash_signature_expr,
     minhash_lsh_candidates,
+    minhash_near_dup_witness,
     simhash_expr,
     simhash_near_dup,
     ngram_jaccard_pairs,
@@ -52,6 +53,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signature_expr",
     "minhash_lsh_candidates",
+    "minhash_near_dup_witness",
     "simhash_expr",
     "simhash_near_dup",
     "ngram_jaccard_pairs",

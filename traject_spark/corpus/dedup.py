@@ -14,6 +14,16 @@ Scale design (the 100 TB story):
 - ``ngram_jaccard_pairs``: exact Jaccard on shingle sets for a bounded
   candidate pair set — the verifier stage after LSH, not a full cross
   product.
+
+Pair-output caveat: every PAIRWISE near-dup operator's output (and its
+candidate volume) is inherently quadratic in the duplicate-CLIQUE size —
+a boilerplate document with 100k copies contributes ~5e9 pairs no matter
+how good the bucketing is. That is a property of the pair semantics, not
+of the plan. At corpus scale, bound the output instead of enumerating
+it: dedup via the survivor mapping (``exact_dedup``/``apply_dedup`` for
+exact cliques), or aggregate candidates to one witness per document
+(min-id neighbor) before materializing, and treat full pair enumeration
+as a per-bucket diagnostic.
 """
 
 from __future__ import annotations
@@ -210,6 +220,104 @@ def minhash_lsh_candidates(
         4,
     )
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_near_dup_witness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    min_est: float = 0.8,
+) -> DataFrame:
+    """Witness-bounded near-dup marking: LINEAR output, no pair join.
+
+    The 100 TB answer to the pair-output caveat (module docstring): a
+    boilerplate document with 100k copies contributes 100k witness rows,
+    not ~5e9 pairs. Each document is checked against ONE candidate per
+    band — the minimum id sharing its (band, band_hash) bucket — and
+    marked duplicate when the best candidate's signature agreement
+    reaches ``min_est``. Bucket minima themselves (one per clique bucket)
+    come out unmarked: they are the survivors, mirroring
+    ``exact_dedup``'s canonical-survivor shape.
+
+    Plan shape: banding explode (rows x bands), one window min per
+    bucket, one join to fetch the witness signatures (rows x bands vs
+    n), one final per-id aggregate — every stage linear in rows x bands.
+    Witness semantics are one-hop: A's witness B may itself have witness
+    C; iterate or connected-components for full transitive closure.
+
+    Returns (id, witness_id, est_jaccard) for marked duplicates only.
+    """
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "sig", "bh.band", "bh.band_hash")
+    w = Window.partitionBy("band", "band_hash")
+    candidates = (
+        banded.withColumn("bucket_min", F.min("id").over(w))
+        .filter(F.col("bucket_min") < F.col("id"))
+        .select("id", "sig", F.col("bucket_min").alias("witness_id"))
+        .dropDuplicates(["id", "witness_id"])
+    )
+    witness_sigs = sig.select(
+        F.col("id").alias("witness_id"), F.col("sig").alias("wsig")
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig", "wsig", lambda x, y: x == y), lambda e: e
+            )
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    scored = candidates.join(witness_sigs, "witness_id").select(
+        "id", "witness_id", est.alias("est_jaccard")
+    )
+    best = Window.partitionBy("id").orderBy(
+        F.col("est_jaccard").desc(), F.col("witness_id").asc()
+    )
+    return (
+        scored.filter(F.col("est_jaccard") >= min_est)
+        .withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select("id", "witness_id", "est_jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
