@@ -167,3 +167,27 @@ def test_minhash_near_dup_witness_validates_bands(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bands"):
         minhash_near_dup_witness(df, num_hashes=8, bands=16)
+
+
+def test_minhash_near_dup_witness_predecessor_beats_shadowing(spark):
+    """A dissimilar smaller-id doc that happens to share buckets must not
+    shadow a true near-dup pair: the sorted-neighborhood predecessor
+    candidate still pairs the true dups (ids 50/51 here), whatever the
+    bucket minimum is."""
+    from traject_spark.corpus import minhash_near_dup_witness
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    rows = [
+        (50, base),
+        (51, base),  # exact dup of 50 -> every band bucket shared
+        (1, "completely different text about catalyst plans and codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in minhash_near_dup_witness(
+        df, num_hashes=32, bands=8, min_est=0.9
+    ).collect()}
+    assert 51 in out and out[51]["witness_id"] == 50
+    assert out[51]["est_jaccard"] == 1.0

@@ -2,13 +2,16 @@
 """Scale the driver-generated testdata by an integer factor for soak runs.
 
 Replicates each fact table ``factor`` times with primary/foreign keys
-shifted per replica (FK relationships hold within every replica), keeps
-the fixed dimensions (region, nation) as-is, and lightly perturbs
-documents/embeddings so similarity structure scales realistically (each
-replica is a NEAR-duplicate of the original — one leading token / small
-vector noise — rather than an exact copy, so dedup candidate volume
-grows like a real corpus with duplicates instead of exploding into
-10-way exact-dup cliques).
+shifted per replica (FK relationships hold within every replica) and
+keeps the fixed dimensions (region, nation) as-is. Documents and
+embeddings DIVERGE with the replica index: replica k keeps the last
+(factor-k)/factor of the text behind a fresh salt token, and blends the
+vector toward its reversal with weight k/factor — so low-index replicas
+are near-duplicates of the original while high-index replicas are
+distinct. Each source doc therefore spawns a BOUNDED near-dup clique
+(~2-3 docs) instead of factor-many copies; composed scale-ups stay
+bounded too. Unbounded cliques make every pairwise near-dup operator's
+output quadratic in clique size — a data property, not an engine one.
 
 Usage:
     python tools/scale_testdata.py --src /root/testdata/sf0.1 \
@@ -94,14 +97,10 @@ def scale_table(
     out = rep.select(*cols, F.col("_rep"))
     if name == "documents":
         # divergence grows with the replica index: rep k keeps the last
-        # (10-k)/10 of the text behind a fresh salt token. Low reps are
-        # near-duplicates of the original, high reps are distinct — so
-        # each source doc spawns a BOUNDED near-dup clique (~2-3 docs)
-        # instead of factor-many exact copies. Unbounded cliques make
-        # every pairwise near-dup operator's OUTPUT quadratic in the
-        # clique size, which is a property of the data, not the engine —
-        # a composed 10x10 scale-up of naive copies produced 100-way
-        # cliques and candidate-pair blowups in the first sf10 soak.
+        # (factor-k)/factor of the text behind a fresh salt token (module
+        # docstring; the divisor is FACTOR, not a constant, so factors
+        # beyond 10 can't substring past the end and collapse replicas
+        # into exact-dup cliques)
         out = out.withColumn(
             "text",
             F.when(F.col("_rep") == 0, F.col("text")).otherwise(
@@ -110,8 +109,8 @@ def scale_table(
                     (F.col("doc_id") % 97).cast("string"), F.lit(" "),
                     F.substring(
                         F.col("text"),
-                        (F.col("_rep") * F.length("text") / 10).cast("int")
-                        + 1,
+                        (F.col("_rep") * F.length("text") / factor)
+                        .cast("int") + 1,
                         F.length("text"),
                     ),
                 )
@@ -119,9 +118,10 @@ def scale_table(
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings":
         # same idea in vector space: blend toward the reversed vector
-        # (same norm, ~orthogonal direction) with weight rep/10 — rep 1
-        # stays cos~0.99 near-dup, high reps diverge
-        w = (F.col("_rep").cast("double") / 10.0)
+        # (same norm, ~orthogonal direction) with weight rep/factor —
+        # rep 1 stays a near-dup, high reps diverge, weight never
+        # exceeds (factor-1)/factor < 1
+        w = (F.col("_rep").cast("double") / float(factor))
         out = out.withColumn(
             "embedding",
             F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(

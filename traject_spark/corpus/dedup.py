@@ -145,20 +145,7 @@ def minhash_signature_expr(text: Column, num_hashes: int = 64, ngram: int = 3) -
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
-
-    rows -> (id, signature) -> explode to ``bands`` band-hash rows ->
-    self-join per (band, band_hash) bucket -> distinct (a < b) pairs with
-    estimated Jaccard (signature agreement fraction).
-    """
+def _check_bands(num_hashes: int, bands: int) -> None:
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         # bands > num_hashes would make every band hash an empty slice
         # (one constant bucket = the full O(n^2) cross join this module
@@ -168,101 +155,23 @@ def minhash_lsh_candidates(
             f"bands must divide num_hashes (got bands={bands}, "
             f"num_hashes={num_hashes})"
         )
-    rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias("sig"),
-        )
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select("id", "sig", "bh.band", "bh.band_hash")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
-        / F.lit(float(num_hashes)),
-        4,
-    )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
-def minhash_near_dup_witness(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
-    min_est: float = 0.8,
+def _signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, ngram: int
 ) -> DataFrame:
-    """Witness-bounded near-dup marking: LINEAR output, no pair join.
-
-    The 100 TB answer to the pair-output caveat (module docstring): a
-    boilerplate document with 100k copies contributes 100k witness rows,
-    not ~5e9 pairs. Each document is checked against ONE candidate per
-    band — the minimum id sharing its (band, band_hash) bucket — and
-    marked duplicate when the best candidate's signature agreement
-    reaches ``min_est``. Bucket minima themselves (one per clique bucket)
-    come out unmarked: they are the survivors, mirroring
-    ``exact_dedup``'s canonical-survivor shape.
-
-    Plan shape: banding explode (rows x bands), one window min per
-    bucket, one join to fetch the witness signatures (rows x bands vs
-    n), one final per-id aggregate — every stage linear in rows x bands.
-    Witness semantics are one-hop: A's witness B may itself have witness
-    C; iterate or connected-components for full transitive closure.
-
-    Returns (id, witness_id, est_jaccard) for marked duplicates only.
-    """
-    if not 1 <= bands <= num_hashes or num_hashes % bands:
-        raise ValueError(
-            f"bands must divide num_hashes (got bands={bands}, "
-            f"num_hashes={num_hashes})"
-        )
-    rows_per_band = num_hashes // bands
-    sig = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias(
             "sig"
         ),
     )
-    banded = sig.select(
+
+
+def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> one row per (id, sig, band, band_hash)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -287,27 +196,137 @@ def minhash_near_dup_witness(
             )
         ).alias("bh"),
     ).select("id", "sig", "bh.band", "bh.band_hash")
-    w = Window.partitionBy("band", "band_hash")
-    candidates = (
-        banded.withColumn("bucket_min", F.min("id").over(w))
-        .filter(F.col("bucket_min") < F.col("id"))
-        .select("id", "sig", F.col("bucket_min").alias("witness_id"))
-        .dropDuplicates(["id", "witness_id"])
-    )
-    witness_sigs = sig.select(
-        F.col("id").alias("witness_id"), F.col("sig").alias("wsig")
-    )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig", "wsig", lambda x, y: x == y), lambda e: e
-            )
-        )
+
+
+def _sig_agreement(a, b, num_hashes: int):
+    """Estimated Jaccard: fraction of agreeing signature positions."""
+    return F.round(
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda e: e))
         / F.lit(float(num_hashes)),
         4,
     )
-    scored = candidates.join(witness_sigs, "witness_id").select(
-        "id", "witness_id", est.alias("est_jaccard")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows -> (id, signature) -> explode to ``bands`` band-hash rows ->
+    self-join per (band, band_hash) bucket -> distinct (a < b) pairs with
+    estimated Jaccard (signature agreement fraction).
+    """
+    _check_bands(num_hashes, bands)
+    banded = _band_explode(
+        _signatures(df, text_col, id_col, num_hashes, ngram),
+        num_hashes,
+        bands,
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _sig_agreement("sig_a", "sig_b", num_hashes).alias("est_jaccard"),
+    )
+
+
+def minhash_near_dup_witness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    min_est: float = 0.8,
+) -> DataFrame:
+    """Witness-bounded near-dup marking: LINEAR output, no pair join.
+
+    The 100 TB answer to the pair-output caveat (module docstring): a
+    boilerplate document with 100k copies contributes 100k witness rows,
+    not ~5e9 pairs. Each document is checked against at most TWO
+    candidates per band bucket — the bucket's minimum id and the
+    document's immediate predecessor id in that bucket (sorted-
+    neighborhood) — and marked duplicate when the best candidate's
+    signature agreement reaches ``min_est``.
+
+    Guarantees and recall: every member of an exact/near-exact clique
+    except its GLOBAL minimum id is marked (all its band buckets contain
+    smaller clique members). A bucket minimum is NOT necessarily a
+    survivor — it can be marked through another bucket where it is not
+    minimal; the unmarked set are documents for which no checked
+    candidate cleared ``min_est``. Marking can miss a true near-dup pair
+    only when, in EVERY bucket the pair shares, both the bucket minimum
+    and the larger doc's predecessor are dissimilar colliders — dissimilar
+    docs must agree on a whole band (p ~ jaccard^rows_per_band) for that,
+    so shadowing needs multiple rare collisions at once. Exhaustive
+    enumeration is ``minhash_lsh_candidates`` (quadratic in clique size).
+
+    Plan shape, skew-aware: candidates are computed on the NARROW
+    (id, band, band_hash) projection — bucket minima via hash-aggregate
+    (map-side partial, skew-immune), predecessors via a per-bucket window
+    over ~16-byte rows (a 100k-row bucket sorts in milliseconds; the full
+    64-element signatures never ride through a per-bucket shuffle).
+    Signatures are fetched by two id-keyed joins afterwards. Every stage
+    is linear in rows x bands. Witness semantics are one-hop: A's witness
+    B may itself have witness C; iterate or run connected components for
+    transitive closure.
+
+    Returns (id, witness_id, est_jaccard) for marked duplicates only.
+    """
+    _check_bands(num_hashes, bands)
+    sig = _signatures(df, text_col, id_col, num_hashes, ngram)
+    banded_ids = _band_explode(sig, num_hashes, bands).select(
+        "id", "band", "band_hash"
+    )
+    bucket_min = banded_ids.groupBy("band", "band_hash").agg(
+        F.min("id").alias("cand")
+    )
+    min_cands = banded_ids.join(bucket_min, ["band", "band_hash"]).filter(
+        F.col("cand") < F.col("id")
+    )
+    pred = Window.partitionBy("band", "band_hash").orderBy("id")
+    pred_cands = banded_ids.withColumn(
+        "cand", F.lag("id").over(pred)
+    ).filter(F.col("cand").isNotNull())
+    candidates = (
+        min_cands.select("id", "cand")
+        .union(pred_cands.select("id", "cand"))
+        .dropDuplicates(["id", "cand"])
+    )
+    scored = (
+        candidates.join(sig, "id")
+        .join(
+            sig.select(
+                F.col("id").alias("cand"), F.col("sig").alias("wsig")
+            ),
+            "cand",
+        )
+        .select(
+            "id",
+            F.col("cand").alias("witness_id"),
+            _sig_agreement("sig", "wsig", num_hashes).alias("est_jaccard"),
+        )
     )
     best = Window.partitionBy("id").orderBy(
         F.col("est_jaccard").desc(), F.col("witness_id").asc()
