@@ -157,3 +157,48 @@ def test_alternate_script_only_excludes_control_fields(spark):
     assert extract(
         spark, rec, "008[35-37]:041a", alternate_script="include"
     ) == ["eng", "eng", "rus"]
+
+
+def test_alternate_script_true_means_include(spark):
+    """alternate_script=True is the reference's documented default VALUE
+    (true = include 880s); it must behave like 'include', not silently
+    disable the 880 rewrite."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import extract_marc
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    rec = marc_record(
+        controlfields=[("001", "x")],
+        datafields=[
+            ("245", "1", "0", [("6", "880-01"), ("a", "Latin title")]),
+            ("880", "1", "0", [("6", "245-01"), ("a", "Vernacular title")]),
+        ],
+    )
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    out = {}
+    for label, val in [("true", True), ("include", "include"),
+                       ("false", False), ("only", "only")]:
+        p = Pipeline().to_field(
+            "t", extract_marc("245a", alternate_script=val)
+        )
+        out[label] = p.apply(df).collect()[0]["t"]
+    assert out["true"] == ["Latin title", "Vernacular title"]
+    assert out["include"] == out["true"]
+    assert out["false"] == ["Latin title"]
+    assert out["only"] == ["Vernacular title"]
+
+
+def test_extract_marc_first_null_element_lets_default_fire(spark):
+    """Array(accumulator[0]) in the reference turns a nil first element
+    into [] — an out-of-range byteslice with first=True must yield the
+    :default, not nothing (marc21.rb apply_extraction_options)."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import extract_marc
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    rec = marc_record(controlfields=[("001", "r1"), ("008", "short")])
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    p = Pipeline().to_field(
+        "v", extract_marc("008[40]", first=True, default="unknown")
+    )
+    assert p.apply(df).collect()[0]["v"] == ["unknown"]

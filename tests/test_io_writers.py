@@ -467,3 +467,30 @@ def test_iso2709_short_leader_roundtrip():
     assert back is not None
     assert back["controlfields"] == [{"tag": "001", "value": "x1"}]
     assert len(back["leader"]) == 24
+
+
+def test_serialized_marc_binary_base64_is_line_wrapped(spark):
+    """Ruby Base64.encode64 (marc21.rb:189) wraps at 60 chars with a
+    trailing newline; the serialized field must be byte-identical."""
+    import base64
+
+    from traject_spark import Pipeline
+    from traject_spark.macros import serialized_marc
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    rec = marc_record(
+        controlfields=[("001", "r1")],
+        datafields=[("245", "1", "0", [("a", "A title long enough to "
+                                             "need several base64 lines")])],
+    )
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    p = Pipeline().to_field("b", serialized_marc("binary"))
+    out = p.apply(df).collect()[0]["b"][0]
+    lines = out.split("\n")
+    assert out.endswith("\n") and lines[-1] == ""
+    body = lines[:-1]
+    assert all(len(ln) == 60 for ln in body[:-1])
+    assert 0 < len(body[-1]) <= 60
+    # decodes to a parseable ISO 2709 record either way
+    raw = base64.b64decode("".join(body))
+    assert raw[:5].isdigit() and raw.endswith(b"\x1d")

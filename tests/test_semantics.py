@@ -290,3 +290,20 @@ def test_formats_video_and_default(spark):
     assert run(spark, video, marc_formats()) == ["Video/Film", "Print"]
     unknown = marc_record(leader="01234czz a2200301 a 4500")
     assert run(spark, unknown, marc_formats()) == ["Print"]
+
+
+def test_genre_array_valued_map_entries_flatten(spark):
+    """A custom genre map may hold array values; the reference flattens
+    them in ([results].flatten, marc_format_classifier.rb:88-92) rather
+    than keeping element 0 only."""
+    from traject_spark.macros.formats import genre_expr
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+    from traject_spark.translation_map import TranslationMap
+
+    rec = marc_record(leader="00000nam a2200000 a 4500")
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    lmap = TranslationMap({"am": ["Book", "Monograph"], "a": "Language"})
+    out = df.select(
+        genre_expr(df["marc"], leader_map=lmap).alias("g")
+    ).collect()[0]["g"]
+    assert out == ["Book", "Monograph"]

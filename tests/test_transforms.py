@@ -283,3 +283,38 @@ def test_translation_map_yaml_arrays_and_nulls(tmp_path, spark):
     assert out["m"] == ["One", "A", "B", "zz"]
     assert tm.lookup("multi") == ["A", "B"]
     assert tm.lookup("dropme") is None
+
+
+def test_two_strip_semantics_nbsp(spark):
+    """The reference has TWO strips: the [[:space:]]-class `strip`
+    transform (unicode-aware, removes NBSP) and plain String#strip
+    inside trim_punctuation / sortable author (ASCII+NUL only, KEEPS
+    NBSP). transformation.rb:121-128 vs marc21.rb:268."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.transforms import (
+        ruby_string_strip_expr, ruby_strip_expr, trim_punctuation_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "Title "), ("b", " Title \x00"), ("c", "Title.")],
+        "k string, v string",
+    )
+    got = {
+        r["k"]: (r["t"], r["s"], r["ss"])
+        for r in df.select(
+            "k",
+            trim_punctuation_expr(F.col("v")).alias("t"),
+            ruby_strip_expr(F.col("v")).alias("s"),
+            ruby_string_strip_expr(F.col("v")).alias("ss"),
+        ).collect()
+    }
+    # NBSP: kept by String#strip paths, removed by the strip transform
+    assert got["a"][0] == "Title "
+    assert got["a"][1] == "Title"
+    assert got["a"][2] == "Title "
+    # NUL: stripped by String#strip, kept by [[:space:]]
+    assert got["b"][2] == "Title"
+    assert got["b"][1] == "Title \x00"
+    # trim_punctuation still trims ASCII + the short-word period rule
+    assert got["c"][0] == "Title"

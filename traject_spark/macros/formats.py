@@ -46,15 +46,26 @@ def genre_expr(marc: Column, leader_map=None, f007_map=None) -> Column:
     lmap = leader_map or TranslationMap("marc_genre_leader")
     cmap = f007_map or TranslationMap("marc_genre_007")
     leader = F.coalesce(marc["leader"], F.lit(""))
-    two = F.get(lmap.lookup_expr(F.substring(leader, 7, 2)), 0)
-    one = F.get(lmap.lookup_expr(F.substring(leader, 7, 1)), 0)
-    from_007 = F.transform(
-        F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
-        lambda f: F.get(cmap.lookup_expr(F.substring(f["value"], 1, 1)), 0),
+    # keep the WHOLE lookup value: map entries may legally be arrays and
+    # the reference flattens them in ([results].flatten,
+    # marc_format_classifier.rb:88-92) — taking element 0 would drop the
+    # rest of a custom array-valued entry
+    two = lmap.lookup_expr(F.substring(leader, 7, 2))
+    one = lmap.lookup_expr(F.substring(leader, 7, 1))
+    from_007 = F.flatten(
+        F.transform(
+            F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
+            # a lookup miss contributes one NULL element, matching the
+            # reference's collect-with-nils
+            lambda f: F.coalesce(
+                cmap.lookup_expr(F.substring(f["value"], 1, 1)),
+                F.array(F.lit(None).cast("string")),
+            ),
+        )
     )
     return (
-        F.when(two.isNotNull(), F.array(two))
-        .when(one.isNotNull(), F.array(one))
+        F.when(two.isNotNull(), two)
+        .when(one.isNotNull(), one)
         .otherwise(from_007)
     )
 

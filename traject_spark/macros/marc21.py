@@ -69,7 +69,11 @@ def extract_marc(spec: str, **options):
         # including values appended by earlier macros in the same rule
         out = F.concat(acc, vals)
         if first:
-            out = F.slice(out, 1, 1)
+            # Array(accumulator[0]) in the reference (marc21.rb first!):
+            # a NIL first element becomes [], NOT [nil] — so :default can
+            # still fire (e.g. an out-of-range byteslice yields null). A
+            # bare slice(out, 1, 1) would keep [null] and block it.
+            out = F.filter(F.slice(out, 1, 1), lambda x: x.isNotNull())
         if tmap is not None:
             out = tmap.translate_array_expr(out)
         if trim:
@@ -149,7 +153,19 @@ def serialized_marc(
                 return ser.to_marcxml(rec)
             raw = ser.to_iso2709(rec, allow_oversized)
             if binary_escape:
-                return base64.b64encode(raw).decode("ascii")
+                # Ruby Base64.encode64 (marc21.rb:189) emits RFC-2045
+                # line-wrapped output: a newline every 60 chars AND a
+                # trailing newline — byte-identical output matters to
+                # consumers that line-split before decoding
+                enc = base64.b64encode(raw).decode("ascii")
+                return (
+                    "\n".join(
+                        enc[i : i + 60] for i in range(0, len(enc), 60)
+                    )
+                    + "\n"
+                    if enc
+                    else ""
+                )
             return raw.decode("utf-8", errors="replace")
 
         return js.map(one)

@@ -24,7 +24,7 @@ from traject_spark.marc.extractor import (
 )
 from traject_spark.marc.spec import parse_marc_spec
 from traject_spark.transforms import (
-    ruby_strip_expr,
+    ruby_string_strip_expr,
     ruby_to_i_expr,
     trim_punctuation_expr,
 )
@@ -100,19 +100,19 @@ def marc_sortable_author():
 
     def macro(acc: Column, ctx=None) -> Column:
         onexx_raw = F.get(marc_extract(ctx.marc, "100:110:111"), 0)
-        onexx = ruby_strip_expr(onexx_raw)
+        onexx = ruby_string_strip_expr(onexx_raw)
 
         def with_field(fld: Column) -> Column:
             joined = F.array_join(
                 F.transform(
                     fld["subfields"],
-                    lambda sf: ruby_strip_expr(
-                        trim_punctuation_expr(ruby_strip_expr(sf["value"]))
+                    lambda sf: ruby_string_strip_expr(
+                        trim_punctuation_expr(ruby_string_strip_expr(sf["value"]))
                     ),
                 ),
                 " ",
             )
-            return ruby_strip_expr(_nonfiling_slice(joined, fld["ind2"]))
+            return ruby_string_strip_expr(_nonfiling_slice(joined, fld["ind2"]))
 
         title = let(
             F.get(
@@ -270,7 +270,13 @@ def marc_instrumentation_humanized(
 ):
     """First 2 chars of 048 codes through the instruments map, de-dup
     (marc21_semantics.rb:252-264).  Missing-key lookups become NULL and
-    survive to add_output (reference keeps nils from map[] misses too)."""
+    survive to add_output (reference keeps nils from map[] misses too).
+
+    Documented deviation for ARRAY-valued custom map entries: the
+    reference appends the raw array as one nested element (its concat
+    does not flatten); a flat array<string> column can't nest, so all
+    elements are flattened in. The builtin marc_instruments map is
+    scalar-valued, where the two behaviors are identical."""
     parsed = parse_marc_spec(spec)
     tmap = (
         translation_map
@@ -281,9 +287,14 @@ def marc_instrumentation_humanized(
     def macro(acc: Column, ctx=None) -> Column:
         vals = marc_extract(ctx.marc, parsed, separator=None)
         human = F.array_distinct(
-            F.transform(
-                vals,
-                lambda v: F.get(tmap.lookup_expr(F.substring(v, 1, 2)), 0),
+            F.flatten(
+                F.transform(
+                    vals,
+                    lambda v: F.coalesce(
+                        tmap.lookup_expr(F.substring(v, 1, 2)),
+                        F.array(F.lit(None).cast("string")),
+                    ),
+                )
             )
         )
         return F.concat(acc, human)

@@ -135,6 +135,13 @@ def collect_matching_lines(
     field x one matching spec.  ``ctrl_fn(field, spec) -> array Column`` —
     same for control fields (default: byte-slice/whole-value extract).
     """
+    # the reference's documented option values are true (include 880
+    # alternate scripts — its DEFAULT), false (exclude), and :only
+    # (marc_extractor.rb): normalize the booleans so alternate_script=True
+    # enables inclusion instead of silently falling through every
+    # string comparison below as "neither include nor only"
+    if alternate_script is True:
+        alternate_script = "include"
     specs = _resolve_specs(spec)
     empty = F.array().cast(f"array<{element_type}>")
 

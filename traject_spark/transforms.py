@@ -39,7 +39,18 @@ def ruby_strip_expr(v: Column) -> Column:
     ASCII whitespace, NEL, AND Unicode space separators (NBSP, EN
     SPACE, NARROW NBSP...) — exactly Ruby ``\\p{Space}`` (no NUL:
     Ruby [[:space:]] excludes it; Java ``\\s`` alone misses Zs/NEL)."""
-    cls = r"[\s\p{Z}]+"
+    cls = r"[\s\p{Z}]+"  # class ends with a literal NEL U+0085
+    return F.regexp_replace(v, rf"\A{cls}|{cls}\Z", "")
+
+
+def ruby_string_strip_expr(v: Column) -> Column:
+    """Ruby ``String#strip``: ASCII whitespace AND NUL only — no NBSP,
+    no Zs, no NEL. This is what the reference's bare ``.strip`` calls
+    do (sortable author marc21_semantics.rb:74-85, the final strip
+    inside trim_punctuation marc21.rb:268), DISTINCT from the
+    unicode-aware ``strip`` transform above — vendor data with a
+    trailing NBSP keeps it through these paths, faithfully."""
+    cls = "[ \\t\\n\\x0B\\f\\r\\x00]+"
     return F.regexp_replace(v, rf"\A{cls}|{cls}\Z", "")
 
 
@@ -58,7 +69,7 @@ def trim_punctuation_expr(v: Column) -> Column:
     v1 = F.regexp_replace(v, r" *[ ,/;:] *\Z", "")
     v2 = F.regexp_replace(v1, r"(?U)( *\w{3,})\. *\Z", "$1")
     v3 = F.regexp_replace(v2, r"\A\[?([^\[\]]+)\]?\Z", "$1")
-    return ruby_strip_expr(v3)
+    return ruby_string_strip_expr(v3)
 
 
 def ruby_to_i_expr(v: Column) -> Column:
