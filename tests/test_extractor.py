@@ -202,3 +202,65 @@ def test_extract_marc_first_null_element_lets_default_fire(spark):
         "v", extract_marc("008[40]", first=True, default="unknown")
     )
     assert p.apply(df).collect()[0]["v"] == ["unknown"]
+
+
+def test_null_subfields_array_does_not_wipe_siblings(spark):
+    """A field whose subfields array is NULL (user parquet can carry it)
+    null-propagates through filter/transform; one such field must not
+    nullify concat+flatten and erase every other field's values."""
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [],
+        "datafields": [
+            {"tag": "043", "ind1": " ", "ind2": " ", "subfields": None},
+            {
+                "tag": "043",
+                "ind1": " ",
+                "ind2": " ",
+                "subfields": [{"code": "a", "value": "n-us---"}],
+            },
+        ],
+    }
+    assert extract(spark, rec, "043a", separator=None) == ["n-us---"]
+    assert extract(spark, rec, "043") == ["n-us---"]
+
+
+def test_all_null_subfield_values_emit_nothing(spark):
+    """Reference compacts nils BEFORE the join (marc_extractor.rb:258-264):
+    an all-nil field contributes nothing, not [""]."""
+    rec = marc_record(
+        datafields=[
+            ("245", " ", " ", [("a", None)]),
+            ("245", " ", " ", [("a", None), ("b", "real")]),
+        ]
+    )
+    assert extract(spark, rec, "245") == ["real"]
+    assert extract(spark, rec, "245ab", separator=None) == ["real"]
+
+
+def test_control_only_spec_skips_datafield_branch(spark):
+    """Pruning: an all-control spec with alternate_script=False must not
+    reference marc.datafields at all (Catalyst can drop the subtree)."""
+    rec = marc_record(
+        controlfields=[("008", "ab" + "x" * 38)],
+        datafields=[("245", " ", " ", [("a", "t")])],
+    )
+    assert extract(spark, rec, "008[0-1]", alternate_script=False) == ["ab"]
+    col = marc_extract(F.col("marc"), "008[0-1]", alternate_script=False)
+    assert "datafields" not in repr(col)
+    # default include mode still honors the pathological 880->$6 control
+    # link, so it considers 880 fields only
+    assert extract(spark, rec, "008[0-1]") == ["ab"]
+
+
+def test_880_linking_control_tag_still_matches_in_include_mode(spark):
+    """Reference quirk: an 880 whose $6 names a control tag is collected
+    as subfields under that spec (marc_extractor_spec.rb 880 rewrite has
+    no control/data guard; the control spec has subfields nil, so ALL
+    subfields including $6 join — verified against Spec#includes_subfield_code,
+    marc_extractor_spec.rb:132-136)."""
+    rec = marc_record(
+        controlfields=[("008", "zz")],
+        datafields=[("880", " ", " ", [("6", "008-01"), ("a", "alt")])],
+    )
+    assert extract(spark, rec, "008[0-1]") == ["zz", "008-01 alt"]

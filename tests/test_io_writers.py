@@ -89,9 +89,12 @@ def test_marc_json_jvm_engine_matches_python(spark, format_files):
 
 
 def test_marc_json_jvm_bad_line_shapes(spark, tmp_path):
-    """Line-level rescue parity (ndj_reader.rb:30-34): malformed JSON,
-    scalar lines, array lines, and records whose field entries are not
-    objects all drop; records with no/empty fields survive."""
+    """Line-level rescue parity (ndj_reader.rb:30-34): field-kind dispatch
+    is TAG-based like ruby-marc's — ControlField#initialize raises on a
+    non-control tag, DataField#initialize raises on a control tag, and
+    field['subfields'].each raises on nil — each dropping the whole line.
+    Non-string scalars under control tags survive (duck typing), projected
+    to their JSON text by both engines."""
     path = tmp_path / "bad.ndjson"
     path.write_text(
         "\n".join(
@@ -102,8 +105,11 @@ def test_marc_json_jvm_bad_line_shapes(spark, tmp_path):
                 '["array", "line"]',
                 '"just a string"',
                 '{"fields": [42]}',            # field entry not an object
-                '{"fields": [{"500": 42}]}',   # field body neither str nor obj
-                '{"fields": [{"500": null}]}',  # null body
+                '{"fields": [{"500": 42}]}',   # scalar body under data tag
+                '{"fields": [{"500": null}]}',  # null body under data tag
+                '{"fields": [{"245": "t"}]}',  # string body under data tag
+                '{"fields": [{"001": {"subfields": []}}]}',  # obj body, ctrl tag
+                '{"fields": [{"500": {}}]}',   # datafield w/o subfields key
                 '{"fields": [{"500": {"subfields": [42]}}]}',  # corrupt subfield
                 '{"leader": "M"}',             # no fields -> empty record
                 '{"fields": []}',              # empty fields -> empty record
@@ -115,6 +121,38 @@ def test_marc_json_jvm_bad_line_shapes(spark, tmp_path):
         out = read_marc_json(spark, str(path), engine=engine).collect()
         ids = sorted((r["record_id"] or "_none") for r in out)
         assert ids == ["_none", "_none", "ok1"], f"engine={engine}: {ids}"
+
+
+def test_marc_json_control_tag_scalar_bodies_survive(spark, tmp_path):
+    """ruby-marc keeps non-string scalars under control tags (no type
+    check in ControlField); the typed schema projects them to JSON text,
+    identically in both engines: {"001": null} (a shape to_marc_in_json
+    itself emits) keeps a NULL value, {"008": 42} becomes "42"."""
+    path = tmp_path / "ctrl.ndjson"
+    path.write_text(
+        "\n".join(
+            [
+                '{"fields": [{"001": "idA"}, {"008": 42}]}',
+                '{"fields": [{"001": null}, {"008": true}]}',
+            ]
+        )
+    )
+    for engine in ("jvm", "python"):
+        out = read_marc_json(spark, str(path), engine=engine).collect()
+        cfs = sorted(
+            [
+                (cf["tag"], cf["value"])
+                for r in out
+                for cf in r["marc"]["controlfields"]
+            ],
+            key=lambda t: (t[0], t[1] or ""),
+        )
+        assert cfs == [
+            ("001", None),
+            ("001", "idA"),
+            ("008", "42"),
+            ("008", "true"),
+        ], f"engine={engine}: {cfs}"
 
 
 def test_json_writer_roundtrip(spark, tmp_path):

@@ -145,3 +145,101 @@ def test_jvm_ndjson_parse_property(spark, tmp_path_factory, recs):
     want = sorted(recs, key=lambda r: (r["leader"], str(r)))
     for g, w in zip(got, want):
         assert g == w
+
+
+def test_iso2709_oversized_roundtrip():
+    """Zeroed slots from allow_oversized must still round-trip through
+    from_iso2709 (the forgiving-reader scan: zero length -> next FT,
+    zero offset -> previous field's end)."""
+    from traject_spark.marc.serialize import from_iso2709
+
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [{"tag": "001", "value": "big1"}],
+        "datafields": [
+            {
+                "tag": "500",
+                "ind1": " ",
+                "ind2": " ",
+                "subfields": [{"code": "a", "value": "x" * 12000}],
+            },
+            {
+                "tag": "500",
+                "ind1": "1",
+                "ind2": "2",
+                "subfields": [{"code": "a", "value": "after oversized"}],
+            },
+        ],
+    }
+    raw = to_iso2709(rec, allow_oversized=True)
+    back = from_iso2709(raw)
+    assert back is not None
+    assert back["controlfields"] == [{"tag": "001", "value": "big1"}]
+    assert len(back["datafields"]) == 2
+    assert back["datafields"][0]["subfields"][0]["value"] == "x" * 12000
+    assert back["datafields"][1]["subfields"][0]["value"] == "after oversized"
+    assert back["datafields"][1]["ind1"] == "1"
+
+
+def test_marc_in_json_null_controlfield_value_roundtrip():
+    """{"001": null} — a shape to_marc_in_json itself emits — must parse
+    as a controlfield, not crash on body.get()."""
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [{"tag": "001", "value": None}],
+        "datafields": [],
+    }
+    text = to_marc_in_json(rec)
+    back = from_marc_in_json(text)
+    assert back["controlfields"] == [{"tag": "001", "value": None}]
+
+
+def test_serializers_tolerate_null_tag():
+    """A null tag (schema allows it in user parquet) must not abort the
+    serialization job."""
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [{"tag": None, "value": "v"}],
+        "datafields": [
+            {"tag": None, "ind1": " ", "ind2": " ",
+             "subfields": [{"code": "a", "value": "t"}]}
+        ],
+    }
+    assert to_marc_in_json(rec)
+    assert to_marcxml(rec)
+    assert to_iso2709(rec)
+
+
+def test_marcxml_escapes_attribute_quotes():
+    import xml.etree.ElementTree as ET
+
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [],
+        "datafields": [
+            {"tag": "245", "ind1": '"', "ind2": " ",
+             "subfields": [{"code": '"', "value": 'has "quotes"'}]}
+        ],
+    }
+    xml = to_marcxml(rec)
+    root = ET.fromstring(xml)
+    df = root.find("{http://www.loc.gov/MARC21/slim}datafield")
+    assert df.get("ind1") == '"'
+    assert df[0].get("code") == '"'
+
+
+def test_split_iso2709_stream_strips_leading_padding():
+    from traject_spark.marc.serialize import from_iso2709, split_iso2709_stream
+
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [{"tag": "001", "value": "r1"}],
+        "datafields": [],
+    }
+    raw = to_iso2709(rec)
+    stream = raw + b"\n" + raw + b"\r\n" + raw
+    chunks = split_iso2709_stream(stream)
+    assert len(chunks) == 3
+    for c in chunks:
+        back = from_iso2709(c)
+        assert back is not None and back["controlfields"][0]["value"] == "r1"

@@ -96,13 +96,23 @@ def collect_subfields_expr(
 ) -> Column:
     """Subfield values of one data FIELD per spec (code filter + join rule),
     without the tag/indicator match — the reuse point for semantic macros
-    (mirrors MarcExtractor#collect_subfields, marc_extractor.rb:258-270)."""
+    (mirrors MarcExtractor#collect_subfields, marc_extractor.rb:258-270).
+
+    NULL subfield values are dropped HERE, before the join — the reference
+    runs ``.compact`` before its empty-check and join, so an all-nil field
+    contributes nothing (not ``[""]``).  The outer coalesce guards against
+    a NULL ``subfields`` array (allowed by the schema for user-supplied
+    parquet): filter/transform null-propagate, and one NULL contribution
+    would null out concat+flatten for the whole record."""
     if spec.subfields is None:
-        kept = f["subfields"]
+        kept = F.filter(f["subfields"], lambda sf: sf["value"].isNotNull())
     else:
         codes = list(spec.subfields)
-        kept = F.filter(f["subfields"], lambda sf: sf["code"].isin(codes))
-    vals = F.transform(kept, lambda sf: sf["value"])
+        kept = F.filter(
+            f["subfields"],
+            lambda sf: sf["code"].isin(codes) & sf["value"].isNotNull(),
+        )
+    vals = F.coalesce(F.transform(kept, lambda sf: sf["value"]), _empty())
     if separator is not None and spec.joinable:
         vals = let(
             vals,
@@ -179,13 +189,25 @@ def collect_matching_lines(
 
         ctrl_part = F.flatten(F.transform(ctrl_fields, ctrl_per_field))
 
-    if alternate_script == "only":
+    use_alt = alternate_script in ("include", "only")
+    # Datafield-branch pruning, mirror of the control-branch pruning above:
+    # tags 001-009 are ControlFields in the reference's data model
+    # (ruby-marc parses them so), so a spec list that is ALL control tags
+    # can only reach the datafield side via the 880 $6 rewrite.  With
+    # alternate scripts off, skip the branch entirely (lets Catalyst prune
+    # marc.datafields at the scan); with them on, only 880 fields need
+    # considering.  Preserves the reference's (pathological) behavior of an
+    # 880 whose $6 links a control tag being collected as subfields.
+    all_control = all(s.tag < "010" for s in specs)
+    if all_control and not use_alt:
+        return F.coalesce(ctrl_part, empty) if ctrl_part is not None else empty
+
+    if alternate_script == "only" or all_control:
         considered = F.filter(
             marc["datafields"], lambda f: f["tag"] == ALTERNATE_SCRIPT_TAG
         )
     else:
         considered = marc["datafields"]
-    use_alt = alternate_script in ("include", "only")
 
     def match_cond(f: Column, tags: list[str], s) -> Column:
         """Tag(s) match with the 880 rewrite inlined as short-circuit

@@ -81,6 +81,7 @@ def read_marc_json(
                     AttributeError,
                     TypeError,
                     KeyError,
+                    ValueError,
                 ):
                     continue  # per-line rescue, ndj_reader.rb:30-34
                 ids.append(_id_from(rec, id_tag))
@@ -114,13 +115,15 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
     def subfield_structs(body):
         # a non-object subfield entry nulls the flatten -> null subfields
         # -> the whole LINE drops (validity check below), matching the
-        # Python path's AttributeError rescue; a missing/empty
-        # "subfields" key stays a valid empty list
-        pairs = let(
-            F.try_variant_get(body, "$.subfields", "array<variant>"),
-            lambda sfs: F.when(sfs.isNull(), F.array()).otherwise(
-                F.flatten(F.transform(sfs, entries_of))
-            ),
+        # Python path's AttributeError rescue; a MISSING or non-array
+        # "subfields" key also drops (ruby: field['subfields'].each on
+        # nil raises NoMethodError into the same rescue) — the try cast
+        # returns null for both, which propagates to null subfields
+        pairs = F.flatten(
+            F.transform(
+                F.try_variant_get(body, "$.subfields", "array<variant>"),
+                entries_of,
+            )
         )
         return F.transform(
             pairs,
@@ -139,24 +142,37 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
                 lambda e: F.struct(
                     e["key"].alias("key"),
                     e["value"].alias("value"),
-                    F.substring(
-                        F.schema_of_variant(e["value"]), 1, 1
+                    F.coalesce(
+                        F.substring(F.schema_of_variant(e["value"]), 1, 1),
+                        F.lit("V"),
                     ).alias("k"),
                 ),
             ),
             lambda entries: _record_from_classified(v, entries),
         )
 
+    # ruby-marc's default control-tag set: field-kind dispatch is
+    # TAG-based (serialize.CONTROL_TAGS has the full rationale)
+    control_tags = [f"00{i}" for i in range(1, 10)]
+
     def _record_from_classified(v, entries):
         ctrl = F.transform(
-            # control field: body is a JSON string (ndj tag -> value)
-            F.filter(entries, lambda e: e["k"] == "S"),
+            # control field: control TAG with a non-object body; the
+            # variant->string cast projects scalars/arrays to their JSON
+            # text exactly like the Python engine's json.dumps coercion
+            F.filter(
+                entries,
+                lambda e: e["key"].isin(control_tags) & (e["k"] != "O"),
+            ),
             lambda e: F.struct(
                 e["key"].alias("tag"), body_str(e["value"]).alias("value")
             ),
         )
         data = F.transform(
-            F.filter(entries, lambda e: e["k"] == "O"),
+            F.filter(
+                entries,
+                lambda e: ~e["key"].isin(control_tags) & (e["k"] == "O"),
+            ),
             lambda e: let(
                 e["value"],
                 lambda body: F.struct(
@@ -177,15 +193,21 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
                 ld.isNull() | (ld == ""), F.lit(" " * 24)
             ).otherwise(ld),
         )
-        # strict line-drop parity with the Python rescue: a field body
-        # that is neither string nor object (number/null/array), or a
-        # data field with a corrupt subfield list, invalidates the WHOLE
-        # record (returns null -> dropped by build's array filter)
+        # strict line-drop parity with the Python rescue: an OBJECT body
+        # under a control tag (ruby DataField#initialize raises), a
+        # non-object body under a data tag (ControlField#initialize
+        # raises), or a data field with a missing/corrupt subfield list,
+        # invalidates the WHOLE record (null -> dropped by build's filter)
         return let2(
             ctrl,
             data,
             lambda cfs, dfs: F.when(
-                ~F.exists(entries, lambda e: ~e["k"].isin("S", "O"))
+                ~F.exists(
+                    entries,
+                    lambda e: F.when(
+                        e["key"].isin(control_tags), e["k"] == "O"
+                    ).otherwise(e["k"] != "O"),
+                )
                 & ~F.exists(dfs, lambda d: d["subfields"].isNull()),
                 F.struct(
                     F.get(

@@ -38,13 +38,15 @@ def to_marc_in_json(rec: dict) -> str:
     # .get("value"): F.to_json omits null struct fields, so a NULL
     # subfield/controlfield value arrives with the key MISSING — direct
     # indexing would abort the whole serialization job on one bad record
+    # .get("tag"): same omitted-key hazard as values — one null-tag record
+    # must not abort the whole serialization job
     fields = []
     for cf in rec.get("controlfields") or []:
-        fields.append({cf["tag"]: cf.get("value")})
+        fields.append({cf.get("tag") or "": cf.get("value")})
     for df in rec.get("datafields") or []:
         fields.append(
             {
-                df["tag"]: {
+                df.get("tag") or "": {
                     "ind1": df.get("ind1") or " ",
                     "ind2": df.get("ind2") or " ",
                     "subfields": [
@@ -61,17 +63,39 @@ def to_marc_in_json(rec: dict) -> str:
     )
 
 
+# ruby-marc's default MARC::ControlField.control_tags set ("tag must be
+# in 001-009"): field-kind dispatch in new_from_hash is TAG-based — an
+# object body under a control tag raises in DataField#initialize, a
+# non-object body under a data tag raises in ControlField#initialize,
+# and either way the NDJReader's per-line rescue drops the record.
+CONTROL_TAGS = frozenset(f"00{i}" for i in range(1, 10))
+
+
 def from_marc_in_json(text: str) -> dict:
-    """Inverse of to_marc_in_json -> the nested-struct record dict."""
+    """Inverse of to_marc_in_json -> the nested-struct record dict.
+
+    Mirrors MARC::Record.new_from_hash reachable through the NDJReader
+    rescue (ndj_reader.rb:30-34): raises on the shapes ruby-marc raises
+    on (object body under a control tag, scalar body under a data tag,
+    non-array ``subfields``), so callers' per-line rescue drops the same
+    lines.  A non-string scalar under a control tag survives in ruby
+    (duck typing); the typed schema here projects it to its JSON text
+    ({"001": 42} -> "42"), matching the JVM engine's variant cast.
+    ``{"001": null}`` — a shape to_marc_in_json itself emits for a NULL
+    controlfield value — round-trips as a NULL value."""
     obj = json.loads(text)
     out = {"leader": obj.get("leader") or " " * 24, "controlfields": [], "datafields": []}
     for fld in obj.get("fields") or []:
         for tag, body in fld.items():
-            if isinstance(body, str):
-                out["controlfields"].append({"tag": tag, "value": body})
-            else:
+            if isinstance(body, dict):
+                if tag in CONTROL_TAGS:
+                    raise ValueError(f"object body under control tag {tag}")
+                sfs_in = body.get("subfields")
+                if not isinstance(sfs_in, list):
+                    # ruby: field['subfields'].each on nil/scalar raises
+                    raise ValueError(f"field {tag} subfields is not a list")
                 sfs = []
-                for sf in body.get("subfields") or []:
+                for sf in sfs_in:
                     for code, value in sf.items():
                         sfs.append({"code": code, "value": value})
                 out["datafields"].append(
@@ -82,7 +106,28 @@ def from_marc_in_json(text: str) -> dict:
                         "subfields": sfs,
                     }
                 )
+            else:
+                if tag not in CONTROL_TAGS:
+                    raise ValueError(f"non-object body under data tag {tag}")
+                if body is None or isinstance(body, str):
+                    value = body
+                else:
+                    value = json.dumps(
+                        body, ensure_ascii=False, separators=(",", ":")
+                    )
+                out["controlfields"].append({"tag": tag, "value": value})
     return out
+
+
+_ATTR_ESCAPES = {'"': "&quot;"}
+
+
+def _attr(s: str) -> str:
+    """Escape a string for an XML attribute VALUE position: saxutils.escape
+    alone leaves double quotes alone, so a quote in tag/ind/code (lenient
+    binary decode can produce one) would break the attribute out of its
+    quotes and emit unparseable XML."""
+    return escape(s, _ATTR_ESCAPES)
 
 
 def to_marcxml(rec: dict) -> str:
@@ -92,16 +137,16 @@ def to_marcxml(rec: dict) -> str:
     ]
     for cf in rec.get("controlfields") or []:
         parts.append(
-            f'<controlfield tag="{escape(cf["tag"])}">{escape(cf.get("value") or "")}</controlfield>'
+            f'<controlfield tag="{_attr(cf.get("tag") or "")}">{escape(cf.get("value") or "")}</controlfield>'
         )
     for df in rec.get("datafields") or []:
         parts.append(
-            f'<datafield tag="{escape(df["tag"])}" ind1="{escape(df.get("ind1") or " ")}"'
-            f' ind2="{escape(df.get("ind2") or " ")}">'
+            f'<datafield tag="{_attr(df.get("tag") or "")}" ind1="{_attr(df.get("ind1") or " ")}"'
+            f' ind2="{_attr(df.get("ind2") or " ")}">'
         )
         for sf in df.get("subfields") or []:
             parts.append(
-                f'<subfield code="{escape(sf.get("code") or "")}">{escape(sf.get("value") or "")}</subfield>'
+                f'<subfield code="{_attr(sf.get("code") or "")}">{escape(sf.get("value") or "")}</subfield>'
             )
         parts.append("</datafield>")
     parts.append("</record>")
@@ -120,7 +165,7 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
     field_bytes: list[tuple[str, bytes]] = []
     for cf in rec.get("controlfields") or []:
         field_bytes.append(
-            (cf["tag"], (cf.get("value") or "").encode("utf-8") + FT)
+            (cf.get("tag") or "", (cf.get("value") or "").encode("utf-8") + FT)
         )
     for df in rec.get("datafields") or []:
         body = (df.get("ind1") or " ").encode("utf-8") + (
@@ -132,7 +177,7 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
                 + (sf.get("code") or "").encode("utf-8")
                 + (sf.get("value") or "").encode("utf-8")
             )
-        field_bytes.append((df["tag"], body + FT))
+        field_bytes.append((df.get("tag") or "", body + FT))
 
     def slot(n: int, width: int, what: str) -> str:
         if n < 10**width:
@@ -180,6 +225,8 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
         return None
     directory = raw[24 : base - 1]
     out = {"leader": leader, "controlfields": [], "datafields": []}
+    data_region = raw[base:]
+    pos = 0  # expected start of the next field (directory order)
     for i in range(0, len(directory) - 11, 12):
         entry = directory[i : i + 12]
         tag = entry[:3].decode(encoding, errors="replace")
@@ -188,7 +235,20 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
             start = int(entry[7:12])
         except ValueError:
             continue
-        body = raw[base + start : base + start + length]
+        # allow_oversized zeroes slots that overflow their fixed width;
+        # recover by scanning like the reference's forgiving readers: a
+        # zeroed offset (except for the first field) means "where the
+        # previous field ended", and a zeroed length (a real body is >=1
+        # byte, it always ends with FT) means "up to the next FT".
+        if start == 0 and pos > 0:
+            start = pos
+        if length == 0:
+            end = data_region.find(FT, start)
+            if end == -1:
+                continue
+            length = end - start + 1
+        pos = start + length
+        body = data_region[start : start + length]
         body = body.rstrip(FT)
         if tag < "010" and tag.isdigit():
             out["controlfields"].append(
@@ -215,5 +275,7 @@ def split_iso2709_stream(raw: bytes) -> list[bytes]:
     out = []
     for chunk in raw.split(RT):
         if chunk.strip(b"\x00\r\n "):
-            out.append(chunk + RT)
+            # newline-separated records (common vendor format): leading
+            # padding would shift the 24-byte leader and lose the record
+            out.append(chunk.lstrip(b"\x00\r\n ") + RT)
     return out
