@@ -451,3 +451,30 @@ def test_outermost_matches_survives_deep_nesting():
     # wrapping another record yields ONE row
     nested = "<root><record><meta><record>inner</record></meta></record></root>"
     assert len(_split_doc(nested, "record")) == 1
+
+
+def test_localname_path_ignores_quoted_literals():
+    """A colon inside a predicate string literal is data, not a QName:
+    [@authority='dcterms:LCSH'] must survive the local-name rewrite."""
+    from traject_spark.xmlrec.macros import localname_path
+
+    out = localname_path(
+        "//mods:subject[@authority='dcterms:LCSH']/mods:topic",
+        {"mods": "http://www.loc.gov/mods/v3"},
+    )
+    assert "'dcterms:LCSH'" in out
+    assert out == (
+        "//*[local-name()='subject'][@authority='dcterms:LCSH']"
+        "/*[local-name()='topic']"
+    )
+
+
+def test_udf_paths_reject_predicates():
+    import pytest as _pytest
+
+    from traject_spark.xmlrec.macros import extract_xpath
+
+    with _pytest.raises(ValueError, match="predicate"):
+        extract_xpath("//subject[@authority='lcsh']", join_text=True)
+    with _pytest.raises(ValueError, match="predicate"):
+        extract_xpath("//a[1]/@href", to_text=False)

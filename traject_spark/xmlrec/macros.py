@@ -61,7 +61,13 @@ def localname_path(path: str, namespaces: dict | None = None) -> str:
             return f"@*[local-name()='{name}']"
         return f"*[local-name()='{name}']"
 
-    return _QNAME.sub(sub, path)
+    # rewrite only OUTSIDE string literals: a predicate like
+    # [@authority='dcterms:LCSH'] contains a colon inside quotes that is
+    # DATA, not a QName step — mangling it would corrupt the comparison
+    parts = re.split(r"""('[^']*'|"[^"]*")""", path)
+    return "".join(
+        p if p[:1] in ("'", '"') else _QNAME.sub(sub, p) for p in parts
+    )
 
 
 def _normalize(v: Column) -> Column:
@@ -75,6 +81,16 @@ def _parse_trailing_step(path: str):
     ``node_kind`` is ``element | attr | text`` and prefixes are ``None``
     when the step was unprefixed."""
     steps = [s for s in path.split("/") if s]
+    # the UDF paths match by element/attribute NAME only; a predicate in
+    # the trailing steps would be silently ignored (matching too much) —
+    # refuse instead, pointing at the fast path which compiles predicates
+    for s in steps[-2:]:
+        if "[" in s:
+            raise ValueError(
+                f"extract_xpath: predicate in {s!r} is not supported on "
+                "the join_text/to_text=False paths; the default "
+                "to_text=True path compiles predicates via xpath()"
+            )
     raw_last = steps[-1].strip() if steps else ""
     # detect the @ BEFORE stripping a namespace prefix — '@dc:title'
     # splits to 'title' and would otherwise be misread as an element
