@@ -191,3 +191,74 @@ def test_minhash_near_dup_witness_predecessor_beats_shadowing(spark):
     ).collect()}
     assert 51 in out and out[51]["witness_id"] == 50
     assert out[51]["est_jaccard"] == 1.0
+
+
+def test_near_dup_operators_exclude_null_text(spark):
+    """NULL-text documents are not near-duplicates of each other: without
+    NULL signature propagation they all share one constant shingle/token
+    hash and form a giant false clique (quadratic pair output at scale) —
+    the same invariant exact_dedup enforces via its null-safe group key."""
+    from traject_spark.corpus.dedup import (
+        minhash_lsh_candidates,
+        minhash_near_dup_witness,
+        ngram_jaccard_pairs,
+        simhash_near_dup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (4, None),
+         (5, "the quick brown fox jumps over the lazy dog"),
+         (6, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    mh = minhash_lsh_candidates(df).collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(5, 6)]
+    wit = minhash_near_dup_witness(df).collect()
+    assert [(r["id"], r["witness_id"]) for r in wit] == [(6, 5)]
+    sh = simhash_near_dup(df, max_distance=3, bands=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in sh] == [(5, 6)]
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    jc = ngram_jaccard_pairs(df, pairs=pairs).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in jc] == [(5, 6, 1.0)]
+
+
+def test_simhash_near_dup_bands_1(spark):
+    """bands=1 (width 64) needs the all-ones mask as -1: 2^64-1 overflows
+    a JVM long literal."""
+    from traject_spark.corpus.dedup import simhash_near_dup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dup(df, max_distance=0, bands=1).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in out] == [(1, 2, 0)]
+
+
+def test_minhash_sig_col_precomputed(spark):
+    """sig_col uses a precomputed signature instead of re-deriving from
+    text (the materialize-signatures-first scale path)."""
+    from pyspark.sql import functions as F
+    from traject_spark.corpus.dedup import (
+        minhash_lsh_candidates,
+        minhash_near_dup_witness,
+        minhash_signature_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"),
+         (2, "one two three four five six"),
+         (3, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    mat = df.select(
+        "doc_id", minhash_signature_expr(F.col("text")).alias("msig")
+    )
+    out = minhash_lsh_candidates(mat, sig_col="msig").collect()
+    assert [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in out] == [
+        (1, 2, 1.0)
+    ]
+    wit = minhash_near_dup_witness(mat, sig_col="msig").collect()
+    assert [(r["id"], r["witness_id"]) for r in wit] == [(2, 1)]

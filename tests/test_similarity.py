@@ -275,3 +275,35 @@ def test_near_dup_lsh_auto_bits_subset_of_exact(emb):
                emb, threshold=0.3, mode="lsh", bits=None, tables=4
            ).collect()}
     assert lsh and lsh <= exact
+
+
+def test_signs_expr_null_and_wrong_dim_bucket_is_null(spark):
+    """A NULL or wrong-length vector must bucket to NULL (excluded), not
+    collapse into bucket 0 with every other mismatched row — that would
+    silently degrade LSH to the full cross join."""
+    from pyspark.sql import functions as F
+    from traject_spark.corpus.similarity import cosine_near_dup, signs_expr
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = df.select(
+        "vec_id", signs_expr(F.col("embedding"), 4, 3, 0).alias("b")
+    ).collect()
+    got = {r["vec_id"]: r["b"] for r in rows}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
+    # and the lsh pair path neither crashes nor pairs the mismatched rows
+    out = cosine_near_dup(
+        df, threshold=0.5, mode="lsh", dim=4, bits=3, tables=2
+    ).collect()
+    assert all({r["id_a"], r["id_b"]} == {1} or True for r in out)
+    assert not any(2 in (r["id_a"], r["id_b"]) or 3 in (r["id_a"], r["id_b"]) for r in out)
+
+
+def test_train_centroids_empty_input(spark):
+    from traject_spark.corpus.similarity import train_centroids
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert train_centroids(df, n_centroids=4) == []

@@ -4,14 +4,19 @@
 Replicates each fact table ``factor`` times with primary/foreign keys
 shifted per replica (FK relationships hold within every replica) and
 keeps the fixed dimensions (region, nation) as-is. Documents and
-embeddings DIVERGE with the replica index: replica k keeps the last
-(factor-k)/factor of the text behind a fresh salt token, and blends the
-vector toward its reversal with weight k/factor — so low-index replicas
-are near-duplicates of the original while high-index replicas are
-distinct. Each source doc therefore spawns a BOUNDED near-dup clique
-(~2-3 docs) instead of factor-many copies; composed scale-ups stay
-bounded too. Unbounded cliques make every pairwise near-dup operator's
-output quadratic in clique size — a data property, not an engine one.
+embeddings form DESIGNED near-dup cliques whose size is independent of
+``factor``: replicas 0-2 are mutual near-duplicates (rep 1 = salt token
+prepended; rep 2 = salt + ~5% deterministic token drop / ~4% sign
+flips), while every replica >= 3 diverges from the original AND from
+every other replica (drops a rep-specific pseudo-random third of the
+tokens — shingle Jaccard between any two such replicas ~ (2/3)^3 x
+overlap << 0.8; flips a rep-specific pseudo-random half of the vector
+signs — pairwise cosine ~ 0). Divergence schemes parameterized by a
+single continuous knob (suffix length, blend weight) are a trap: any
+dense sampling of a 1-parameter family puts adjacent replicas within
+any fixed similarity threshold, so the clique grows linearly with
+``factor`` and pairwise near-dup output becomes quadratic — a data
+property, not an engine one.
 
 Usage:
     python tools/scale_testdata.py --src /root/testdata/sf0.1 \
@@ -96,41 +101,66 @@ def scale_table(
         cols.append(c.alias(field.name))
     out = rep.select(*cols, F.col("_rep"))
     if name == "documents":
-        # divergence grows with the replica index: rep k keeps the last
-        # (factor-k)/factor of the text behind a fresh salt token (module
-        # docstring; the divisor is FACTOR, not a constant, so factors
-        # beyond 10 can't substring past the end and collapse replicas
-        # into exact-dup cliques)
+        # designed cliques (module docstring): rep 1 = salt only (shingle
+        # overlap ~1); rep 2 = salt + drop every 20th token (~(19/20)^3
+        # ~ 0.86 of shingles survive — inside a 0.8 near-dup threshold);
+        # reps >= 3 drop a rep-specific pseudo-random THIRD of tokens, so
+        # any two of them keep differing token sets and shingle Jaccard
+        # craters to ~(2/3)^3 x overlap ~ 0.2 regardless of factor
+        toks = F.split(F.col("text"), " ")
+        salt = F.concat(
+            F.lit("r"), F.col("_rep").cast("string"), F.lit("s"),
+            (F.col("doc_id") % 97).cast("string"), F.lit(" "),
+        )
+        kept_near = F.filter(toks, lambda t, i: (i % 20) != 19)
+        kept_far = F.filter(
+            toks,
+            lambda t, i: F.pmod(
+                F.xxhash64(i, F.col("_rep")), F.lit(3)
+            ) != 0,
+        )
         out = out.withColumn(
             "text",
-            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
-                F.concat(
-                    F.lit("r"), F.col("_rep").cast("string"), F.lit("s"),
-                    (F.col("doc_id") % 97).cast("string"), F.lit(" "),
-                    F.substring(
-                        F.col("text"),
-                        (F.col("_rep") * F.length("text") / factor)
-                        .cast("int") + 1,
-                        F.length("text"),
-                    ),
-                )
-            ),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .when(
+                F.col("_rep") == 1, F.concat(salt, F.col("text"))
+            )
+            .when(
+                F.col("_rep") == 2,
+                F.concat(salt, F.array_join(kept_near, " ")),
+            )
+            .otherwise(F.concat(salt, F.array_join(kept_far, " "))),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings":
-        # same idea in vector space: blend toward the reversed vector
-        # (same norm, ~orthogonal direction) with weight rep/factor —
-        # rep 1 stays a near-dup, high reps diverge, weight never
-        # exceeds (factor-1)/factor < 1
-        w = (F.col("_rep").cast("double") / float(factor))
+        # same idea in vector space via sign flips (norm-preserving):
+        # rep 1 flips ~2% of signs (cos ~ 0.96), rep 2 flips a superset
+        # ~4% (cos ~ 0.92 to rep 0, ~0.96 to rep 1 — one bounded clique);
+        # reps >= 3 flip a rep-specific pseudo-random HALF of the signs,
+        # making them ~orthogonal to the original and to EACH OTHER
+        # (E[cos] ~ 0) no matter how large factor grows
+        def flip(pred):
+            return F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda a, i: F.when(pred(i), -a).otherwise(a).cast("float"),
+            )
+
         out = out.withColumn(
             "embedding",
-            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
-                F.zip_with(
-                    "embedding",
-                    F.reverse("embedding"),
-                    lambda a, b: (
-                        a * (1.0 - w) + b * w
-                    ).cast("float"),
+            F.when(F.col("_rep") == 0, F.col("embedding"))
+            .when(
+                F.col("_rep") == 1,
+                flip(lambda i: F.pmod(F.xxhash64(i), F.lit(50)) == 0),
+            )
+            .when(
+                F.col("_rep") == 2,
+                flip(lambda i: F.pmod(F.xxhash64(i), F.lit(25)) == 0),
+            )
+            .otherwise(
+                flip(
+                    lambda i: F.pmod(
+                        F.xxhash64(i, F.col("_rep")), F.lit(2)
+                    ) == 0
                 )
             ),
         )

@@ -49,8 +49,11 @@ def exact_dedup(
 ) -> DataFrame:
     """Group by content fingerprint; keep the min-id row as survivor.
 
-    Returns (fingerprint, keep_id, n_docs) — join back on fingerprint to
-    filter the corpus, or use n_docs>1 to audit duplicate clusters.
+    Returns (fingerprint, keep_id, n_docs) — use n_docs>1 to audit
+    duplicate clusters. To FILTER the corpus, use ``apply_exact_dedup``
+    (one shuffle, no join back): joining this result back on fingerprint
+    would silently drop every NULL-text row, whose fingerprint is NULL
+    and never equality-joins.
 
     NULL-text rows are NOT duplicates of each other: their fingerprint
     is null, and a plain groupBy would collapse them into one cluster —
@@ -113,17 +116,26 @@ def apply_exact_dedup(
 # ---------------------------------------------------------------------------
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
-    return let(
-        tokens_expr(text),
-        lambda toks: F.array_distinct(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join(toks, " ")))
+    """Word n-gram shingles as strings (distinct). NULL text -> NULL
+    (NOT ``[null]`` — that constant would make every NULL-text document
+    hash identically and form one giant false near-dup clique, the exact
+    quadratic blowup the module docstring warns about; the same invariant
+    exact_dedup enforces via its null-safe group key). Empty text keeps
+    its ``[""]`` shingle: empty documents ARE duplicates of each other,
+    consistent with exact_dedup merging them."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            tokens_expr(text),
+            lambda toks: F.array_distinct(
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                    ),
+                ).otherwise(F.array(F.array_join(toks, " ")))
+            ),
         ),
     )
 
@@ -133,14 +145,23 @@ def minhash_signature_expr(text: Column, num_hashes: int = 64, ngram: int = 3) -
 
     xxhash64(shingle, seed) is a JVM built-in — the whole signature is
     narrow array algebra, no UDF, no shuffle.
+
+    NULL text -> NULL signature (not an array OF nulls, whose band hashes
+    would still collide into one constant bucket); the pair operators
+    exclude NULL signatures from candidate generation.
     """
     return let(
         shingles_expr(text, ngram),
-        lambda sh: F.array(
-            *[
-                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-                for seed in range(num_hashes)
-            ]
+        lambda sh: F.when(
+            sh.isNotNull(),
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+                    )
+                    for seed in range(num_hashes)
+                ]
+            ),
         ),
     )
 
@@ -158,14 +179,29 @@ def _check_bands(num_hashes: int, bands: int) -> None:
 
 
 def _signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, ngram: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    ngram: int,
+    sig_col: Optional[str] = None,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias(
-            "sig"
-        ),
+    """(id, sig), NULL signatures excluded: a NULL-text document is not a
+    near-duplicate of anything, so it never enters candidate generation.
+
+    ``sig_col`` uses a precomputed ``array<bigint>`` signature column
+    instead of recomputing from text — at scale, materialize the narrow
+    (id, sig) projection FIRST and pass it here; an unmaterialized
+    signature expression re-runs tokenize + shingle + num_hashes xxhash64
+    passes on every side of every downstream join."""
+    src = (
+        F.col(sig_col)
+        if sig_col
+        else minhash_signature_expr(F.col(text_col), num_hashes, ngram)
     )
+    return df.select(
+        F.col(id_col).alias("id"), src.alias("sig")
+    ).filter(F.col("sig").isNotNull())
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -214,16 +250,22 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    sig_col: Optional[str] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows -> (id, signature) -> explode to ``bands`` band-hash rows ->
     self-join per (band, band_hash) bucket -> distinct (a < b) pairs with
     estimated Jaccard (signature agreement fraction).
+
+    ``sig_col``: precomputed ``array<bigint>`` signature column (see
+    ``_signatures`` — materialize signatures first at scale, or the
+    signature expression is recomputed on both sides of the self-join).
+    NULL-text / NULL-signature rows never pair.
     """
     _check_bands(num_hashes, bands)
     banded = _band_explode(
-        _signatures(df, text_col, id_col, num_hashes, ngram),
+        _signatures(df, text_col, id_col, num_hashes, ngram, sig_col),
         num_hashes,
         bands,
     )
@@ -259,6 +301,7 @@ def minhash_near_dup_witness(
     bands: int = 16,
     ngram: int = 3,
     min_est: float = 0.8,
+    sig_col: Optional[str] = None,
 ) -> DataFrame:
     """Witness-bounded near-dup marking: LINEAR output, no pair join.
 
@@ -293,9 +336,12 @@ def minhash_near_dup_witness(
     transitive closure.
 
     Returns (id, witness_id, est_jaccard) for marked duplicates only.
+    ``sig_col``: precomputed ``array<bigint>`` signature column — at
+    scale pass one (the signature plan otherwise re-executes for the
+    banding pass and each of the two id-keyed signature fetches).
     """
     _check_bands(num_hashes, bands)
-    sig = _signatures(df, text_col, id_col, num_hashes, ngram)
+    sig = _signatures(df, text_col, id_col, num_hashes, ngram, sig_col)
     banded_ids = _band_explode(sig, num_hashes, bands).select(
         "id", "band", "band_hash"
     )
@@ -350,6 +396,12 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     bit i of the signature is 1 when the count exceeds half the tokens.
     Bit positions are unrolled statically (shiftright needs literal shift
     amounts); the whole signature is intra-row array algebra, JVM-side.
+
+    NULL text -> NULL signature (every majority vote on NULL token counts
+    would otherwise take the otherwise(0) branch, giving all NULL-text
+    documents the identical signature 0 — a false distance-0 clique).
+    Empty text keeps signature 0: empty documents ARE mutual duplicates,
+    consistent with exact_dedup.
     """
 
     def body(hashes: Column, n: Column) -> Column:
@@ -369,7 +421,10 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
 
     return let(
         F.transform(tokens_expr(text), lambda t: F.xxhash64(t)),
-        lambda hashes: let(F.size(hashes), lambda n: body(hashes, n)),
+        lambda hashes: F.when(
+            hashes.isNotNull(),
+            let(F.size(hashes), lambda n: body(hashes, n)),
+        ),
     )
 
 
@@ -410,13 +465,18 @@ def simhash_near_dup(
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
-    mask = (1 << width) - 1
+    # width 64 (bands=1): 2^64-1 overflows a JVM long literal; -1 is the
+    # same all-ones mask in two's complement
+    mask = -1 if width == 64 else (1 << width) - 1
     sig_src = (
         F.col(sig_col)
         if sig_col
         else simhash_expr(F.col(text_col))
     )
-    sig = df.select(F.col(id_col).alias("id"), sig_src.alias("sig"))
+    # NULL signatures (NULL text, or nulls in a user sig_col) never pair
+    sig = df.select(
+        F.col(id_col).alias("id"), sig_src.alias("sig")
+    ).filter(F.col("sig").isNotNull())
     banded = sig.select(
         "id",
         "sig",
@@ -477,12 +537,15 @@ def ngram_jaccard_pairs(
     ``pairs`` (id_a, id_b) bounds the comparison set (e.g. LSH output).
     Without ``pairs``, compares within ``bucket_col`` groups only — never
     the full cross product (that's the non-scalable shape).
+
+    NULL-text documents have no shingle set and are excluded: a ``pairs``
+    row naming one drops (its similarity is undefined, not 1.0).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles_expr(F.col(text_col), ngram).alias("sh"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
-    )
+    ).filter(F.col("sh").isNotNull())
     if pairs is None:
         if bucket_col is None:
             raise ValueError("need pairs or bucket_col to bound the pair space")

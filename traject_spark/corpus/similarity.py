@@ -101,7 +101,15 @@ def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
 
 
 def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
-    """Random-hyperplane signature: int bucket id from ``bits`` sign bits."""
+    """Random-hyperplane signature: int bucket id from ``bits`` sign bits.
+
+    NULL when ``vec`` is NULL or its length differs from ``dim``: zip_with
+    pads the shorter side with nulls, so a mismatched vector's projections
+    are all NULL — without the guard every such row would silently take
+    the otherwise(0) branch and the whole corpus would collapse into
+    bucket 0, degrading LSH to the full O(n^2) cross join with no error.
+    Callers drop NULL buckets; a mismatch therefore EXCLUDES the row,
+    visible in result counts rather than in runtime blowup."""
     bucket = F.lit(0).cast("long")
     for b in range(bits):
         plane = _hyperplane(dim, b, table)
@@ -115,7 +123,7 @@ def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return F.when(F.size(vec) == dim, bucket)
 
 
 def _lit_vec(vals) -> Column:
@@ -189,7 +197,11 @@ def _batch_scores(vecs: "pd.Series", Cn):
     X = np.array([list(v) for v, ok in zip(vecs, valid) if ok],
                  dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    return valid, np.round(Xn @ Cn.T, 9)
+    scores = Xn @ Cn.T
+    # HALF_UP like F.round (np.round is half-EVEN — a score landing
+    # exactly on the 9th-decimal midpoint would round differently and
+    # break the expr/udf tie-breaking contract method='auto' relies on)
+    return valid, np.sign(scores) * np.floor(np.abs(scores) * 1e9 + 0.5) / 1e9
 
 
 def assign_cell_udf(centroids: list, vec_col: str = "embedding"):
@@ -287,12 +299,15 @@ def train_centroids(
     # in-partition-stable small sort of the SAMPLE only (<= ~sample rows),
     # for deterministic init regardless of partitioning
     rows = sampled.orderBy(id_col).limit(sample).collect()
+    if not rows:
+        return []
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(X))
     C = X[:k].copy()
+    # X is constant across iterations; only C (and Cn) changes
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
         # cosine assignment
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         cells = np.argmax(Xn @ Cn.T, axis=1)
         for c in range(k):
@@ -527,7 +542,11 @@ def cosine_near_dup(
                         ]
                     )
                 ).alias("tb"),
-            ).select(idn, vn, "tb.table", "tb.bucket")
+            ).select(idn, vn, "tb.table", "tb.bucket").filter(
+                # NULL buckets (null / wrong-dim vectors) can never join;
+                # drop them BEFORE the exchange instead of shuffling them
+                F.col("bucket").isNotNull()
+            )
 
         pairs = (
             bucketed(a, "id_a", "va")
@@ -581,7 +600,7 @@ def lsh_topk(
             ).alias("tb"),
         ).select(
             idname, f"{idname}_vec", "tb.table", "tb.bucket"
-        )
+        ).filter(F.col("bucket").isNotNull())
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = F.broadcast(with_buckets(queries, "query_id"))
