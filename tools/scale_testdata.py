@@ -8,10 +8,14 @@ embeddings form DESIGNED near-dup cliques whose size is independent of
 ``factor``: replicas 0-2 are mutual near-duplicates (rep 1 = salt token
 prepended; rep 2 = salt + ~5% deterministic token drop / ~4% sign
 flips), while every replica >= 3 diverges from the original AND from
-every other replica (drops a rep-specific pseudo-random third of the
-tokens — shingle Jaccard between any two such replicas ~ (2/3)^3 x
-overlap << 0.8; flips a rep-specific pseudo-random half of the vector
-signs — pairwise cosine ~ 0). Divergence schemes parameterized by a
+every other replica: a rep-specific pseudo-random HALF of the tokens is
+REPLACED with per-doc-unique noise tokens — replacement (not deletion)
+is load-bearing, because SimHash's per-bit majority vote survives a
+token DROP almost intact (a 1/3 drop left replica groups ~10 hamming
+bits apart, quadratic candidate volume for banded hamming at factor
+100) while half-noise pushes pairwise distance to ~20+ bits AND crushes
+shingle Jaccard; vectors flip a rep-specific pseudo-random half of
+their signs — pairwise cosine ~ 0. Divergence schemes parameterized by a
 single continuous knob (suffix length, blend weight) are a trap: any
 dense sampling of a 1-parameter family puts adjacent replicas within
 any fixed similarity threshold, so the clique grows linearly with
@@ -103,21 +107,27 @@ def scale_table(
     if name == "documents":
         # designed cliques (module docstring): rep 1 = salt only (shingle
         # overlap ~1); rep 2 = salt + drop every 20th token (~(19/20)^3
-        # ~ 0.86 of shingles survive — inside a 0.8 near-dup threshold);
-        # reps >= 3 drop a rep-specific pseudo-random THIRD of tokens, so
-        # any two of them keep differing token sets and shingle Jaccard
-        # craters to ~(2/3)^3 x overlap ~ 0.2 regardless of factor
+        # ~ 0.86 of shingles survive — inside a 0.8 near-dup threshold,
+        # and a 5% drop moves SimHash only a bit or two); reps >= 3
+        # REPLACE a rep-specific pseudo-random half of the tokens with
+        # per-doc-unique noise — divergent under BOTH shingle Jaccard
+        # (~0) and SimHash hamming (~20+ bits), unlike a bare drop
         toks = F.split(F.col("text"), " ")
         salt = F.concat(
             F.lit("r"), F.col("_rep").cast("string"), F.lit("s"),
             (F.col("doc_id") % 97).cast("string"), F.lit(" "),
         )
         kept_near = F.filter(toks, lambda t, i: (i % 20) != 19)
-        kept_far = F.filter(
+        noised_far = F.transform(
             toks,
-            lambda t, i: F.pmod(
-                F.xxhash64(i, F.col("_rep")), F.lit(3)
-            ) != 0,
+            lambda t, i: F.when(
+                F.pmod(F.xxhash64(i, F.col("_rep")), F.lit(2)) == 0,
+                F.concat(
+                    F.lit("z"), F.col("doc_id").cast("string"),
+                    F.lit("r"), F.col("_rep").cast("string"),
+                    F.lit("p"), i.cast("string"),
+                ),
+            ).otherwise(t),
         )
         out = out.withColumn(
             "text",
@@ -129,7 +139,7 @@ def scale_table(
                 F.col("_rep") == 2,
                 F.concat(salt, F.array_join(kept_near, " ")),
             )
-            .otherwise(F.concat(salt, F.array_join(kept_far, " "))),
+            .otherwise(F.concat(salt, F.array_join(noised_far, " "))),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings":
         # same idea in vector space via sign flips (norm-preserving):
