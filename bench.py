@@ -259,13 +259,26 @@ def b_dedup_minhash(spark):
 
 def b_dedup_minhash_witness(spark):
     """The linear-output near-dup path: one witness row per duplicate
-    document instead of the quadratic-in-clique pair enumeration."""
-    from traject_spark.corpus import minhash_near_dup_witness
+    document instead of the quadratic-in-clique pair enumeration.
+    Production shape (same as b_dedup_simhash_near): signatures
+    materialized ONCE, then banding + the two id-keyed signature fetches
+    read the narrow (id, sig) table via sig_col — without it the
+    signature plan re-executes for each of the three consumers."""
+    from traject_spark.corpus import (
+        minhash_near_dup_witness,
+        minhash_signature_expr,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig_path = _tmpdir("bench_msig_") + "/sigs"
+    docs.select(
+        "doc_id",
+        minhash_signature_expr(F.col("text"), num_hashes=32).alias("msig"),
+    ).write.mode("overwrite").parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
     noop(
         minhash_near_dup_witness(
-            docs, num_hashes=32, bands=8, min_est=0.5
+            sigs, num_hashes=32, bands=8, min_est=0.5, sig_col="msig"
         )
     )
 
