@@ -194,14 +194,21 @@ def _signatures(
     (id, sig) projection FIRST and pass it here; an unmaterialized
     signature expression re-runs tokenize + shingle + num_hashes xxhash64
     passes on every side of every downstream join."""
-    src = (
-        F.col(sig_col)
-        if sig_col
-        else minhash_signature_expr(F.col(text_col), num_hashes, ngram)
+    # filter on the RAW column, never on the computed signature: a filter
+    # over the aliased expression re-evaluates the whole signature tree
+    # for the predicate (measured 2x the scan cost). The expression's
+    # signature is NULL iff text is NULL, so the raw filter is equivalent
+    # — and it pushes down to the parquet scan.
+    if sig_col:
+        return df.filter(F.col(sig_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+        )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias(
+            "sig"
+        ),
     )
-    return df.select(
-        F.col(id_col).alias("id"), src.alias("sig")
-    ).filter(F.col("sig").isNotNull())
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -468,15 +475,18 @@ def simhash_near_dup(
     # width 64 (bands=1): 2^64-1 overflows a JVM long literal; -1 is the
     # same all-ones mask in two's complement
     mask = -1 if width == 64 else (1 << width) - 1
+    # NULL signatures (NULL text, or nulls in a user sig_col) never pair.
+    # Filter the RAW column (pushes to the scan); filtering the computed
+    # signature would re-evaluate the majority-vote tree for the predicate
+    raw = F.col(sig_col) if sig_col else F.col(text_col)
     sig_src = (
         F.col(sig_col)
         if sig_col
         else simhash_expr(F.col(text_col))
     )
-    # NULL signatures (NULL text, or nulls in a user sig_col) never pair
-    sig = df.select(
+    sig = df.filter(raw.isNotNull()).select(
         F.col(id_col).alias("id"), sig_src.alias("sig")
-    ).filter(F.col("sig").isNotNull())
+    )
     banded = sig.select(
         "id",
         "sig",
@@ -541,11 +551,11 @@ def ngram_jaccard_pairs(
     NULL-text documents have no shingle set and are excluded: a ``pairs``
     row naming one drops (its similarity is undefined, not 1.0).
     """
-    sh = df.select(
+    sh = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         shingles_expr(F.col(text_col), ngram).alias("sh"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
-    ).filter(F.col("sh").isNotNull())
+    )
     if pairs is None:
         if bucket_col is None:
             raise ValueError("need pairs or bucket_col to bound the pair space")

@@ -526,7 +526,11 @@ def cosine_near_dup(
         # select then exploded — a per-table union would scan the corpus
         # `tables` times (4x the I/O at 100 TB for the same rows)
         def bucketed(side: DataFrame, idn: str, vn: str) -> DataFrame:
-            return side.select(
+            # null / wrong-dim vectors bucket NULL and can never join —
+            # drop them on the RAW column before the bucket computation
+            # (filtering the computed bucket would re-evaluate the
+            # hyperplane projections for the predicate)
+            return side.filter(F.size(F.col(vn)) == dim).select(
                 idn,
                 vn,
                 F.explode(
@@ -542,11 +546,7 @@ def cosine_near_dup(
                         ]
                     )
                 ).alias("tb"),
-            ).select(idn, vn, "tb.table", "tb.bucket").filter(
-                # NULL buckets (null / wrong-dim vectors) can never join;
-                # drop them BEFORE the exchange instead of shuffling them
-                F.col("bucket").isNotNull()
-            )
+            ).select(idn, vn, "tb.table", "tb.bucket")
 
         pairs = (
             bucketed(a, "id_a", "va")
@@ -581,8 +581,11 @@ def lsh_topk(
     score, rank) — an ANN result, NOT guaranteed equal to brute force."""
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         # one scan: all table buckets in a single select + explode (a
-        # per-table union would read the corpus `tables` times)
-        return df.select(
+        # per-table union would read the corpus `tables` times); null /
+        # wrong-dim vectors filtered on the RAW column (their bucket is
+        # NULL and can never join — and filtering the computed bucket
+        # would re-evaluate the projections for the predicate)
+        return df.filter(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"{idname}_vec"),
             F.explode(
@@ -600,7 +603,7 @@ def lsh_topk(
             ).alias("tb"),
         ).select(
             idname, f"{idname}_vec", "tb.table", "tb.bucket"
-        ).filter(F.col("bucket").isNotNull())
+        )
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = F.broadcast(with_buckets(queries, "query_id"))
