@@ -102,7 +102,7 @@ def test_sample_frames_fake_fan_out(spark):
     )
     got = {r["media_id"]: r["n"] for r in counts}
     assert got[0] == 1          # 72 bytes -> 1 pseudo-frame
-    assert got[1] == 2          # 2504 bytes -> 2
+    assert got[1] == 3          # 2504 bytes -> ceil(2504/1000) = 3
     assert 3 not in got         # null payload -> no frames
 
 
@@ -124,3 +124,50 @@ def test_extract_features_auto_warns_when_lib_missing(spark):
     decode library is missing on the driver."""
     with pytest.warns(UserWarning, match="DETERMINISTIC FAKE"):
         extract_features(_media_df(spark), "payload", mode="auto", dim=4)
+
+
+def test_extract_features_rejects_unknown_kind_and_unimplemented_real(spark):
+    import warnings
+
+    import pytest as _pytest
+
+    from traject_spark.corpus.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, b"xx")], "media_id long, payload binary"
+    )
+    with _pytest.raises(ValueError, match="kind"):
+        extract_features(df, "payload", kind="imge")
+    # no real video FEATURE decoder exists: real raises at plan time
+    # (installing av would not change it), auto warns about always-fake
+    with _pytest.raises(NotImplementedError, match="video"):
+        extract_features(df, "payload", kind="video", mode="real")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        extract_features(df, "payload", kind="video", mode="auto")
+    assert any("ALWAYS" in str(x.message) for x in w)
+
+
+def test_sniff_format_null_payload_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus.multimodal import attach_media_metadata
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"\x89PNGrest")], "media_id long, payload binary"
+    )
+    rows = {
+        r["media_id"]: r["meta"]["format"]
+        for r in attach_media_metadata(df, "payload", kind="image").collect()
+    }
+    assert rows == {1: None, 2: "png"}
+
+
+def test_sample_frames_fake_count_is_ceil(spark):
+    from traject_spark.corpus.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 2500)], "media_id long, payload binary"
+    )
+    out = sample_frames(df, "payload", every_n=1, mode="fake").collect()
+    assert len(out) == 3

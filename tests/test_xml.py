@@ -478,3 +478,66 @@ def test_udf_paths_reject_predicates():
         extract_xpath("//subject[@authority='lcsh']", join_text=True)
     with _pytest.raises(ValueError, match="predicate"):
         extract_xpath("//a[1]/@href", to_text=False)
+
+
+def test_oai_pmh_error_response_raises(spark, tmp_path):
+    """An OAI <error> element (HTTP 200 per the protocol) must raise, not
+    silently finalize a partial harvest — the restartable variant would
+    otherwise durably commit the bogus done state. Deviation from the
+    reference's blind loop, documented on OaiPmhError."""
+    import pytest as _pytest
+
+    from traject_spark.xmlrec.io import OaiPmhError, harvest_oai_pmh_restartable
+
+    pages = {
+        "verb=ListRecords&metadataPrefix=oai_dc": _oai_page([1], "tokA"),
+        "verb=ListRecords&resumptionToken=tokA": (
+            '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">'
+            '<error code="badResumptionToken">expired</error></OAI-PMH>'
+        ),
+    }
+
+    def fetch(url):
+        return pages[url.split("?", 1)[1]]
+
+    with _pytest.raises(OaiPmhError, match="badResumptionToken"):
+        harvest_oai_pmh(spark, "http://x/oai", fetch=fetch)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _pytest.raises(OaiPmhError):
+        harvest_oai_pmh_restartable(spark, "http://x/oai", out, ckpt, fetch=fetch)
+    # page 1 landed in the sink; the committed token still points at the
+    # FAILED page, so a retry (with a fixed server) resumes there
+    import json as _json
+    state = _json.load(open(f"{ckpt}/oai_offset.json"))
+    assert state["token"] == "tokA"
+
+
+def test_oai_pmh_repeated_token_raises(spark):
+    import pytest as _pytest
+
+    from traject_spark.xmlrec.io import OaiPmhError
+
+    pages = {
+        "verb=ListRecords&metadataPrefix=oai_dc": _oai_page([1], "same"),
+        "verb=ListRecords&resumptionToken=same": _oai_page([2], "same"),
+    }
+
+    def fetch(url):
+        return pages[url.split("?", 1)[1]]
+
+    with _pytest.raises(OaiPmhError, match="repeated resumptionToken"):
+        harvest_oai_pmh(spark, "http://x/oai", fetch=fetch)
+
+
+def test_oai_error_inside_record_metadata_is_not_a_protocol_error(spark):
+    """Only a DIRECT child <error> of the OAI-PMH root is a protocol
+    error; an <error> element inside harvested record metadata is data."""
+    page = (
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">'
+        "<ListRecords><record><metadata>"
+        '<error xmlns="urn:other">not a protocol error</error>'
+        "</metadata></record></ListRecords></OAI-PMH>"
+    )
+    df = harvest_oai_pmh(spark, "http://x/oai", fetch=lambda url: page)
+    assert df.count() == 1

@@ -55,14 +55,19 @@ _MAGIC = [
 
 
 def sniff_format_expr(payload):
-    """Container sniffing from magic bytes — pure Column expression."""
+    """Container sniffing from magic bytes — pure Column expression.
+
+    NULL payload -> NULL (not 'unknown'): 'unknown' means "present but
+    unrecognized", and a filter hunting undecodable-but-present payloads
+    must not pick up missing ones; consistent with the NULL n_bytes/sha1
+    beside it in the meta struct."""
     hexhead = F.hex(F.substring(payload, 1, 4))
     out = F.lit("unknown")
     for magic, name in reversed(_MAGIC):
         out = F.when(
             hexhead.startswith(magic.hex().upper()), F.lit(name)
         ).otherwise(out)
-    return out
+    return F.when(payload.isNotNull(), out)
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
@@ -132,10 +137,23 @@ _REAL_FEATURE = {"image": _real_image_feature, "audio": _real_audio_feature}
 _AUTO_LIBS = {"image": "PIL", "audio": "soundfile", "video": "av"}
 
 
-def _resolve_mode(mode: str | None, fake: bool, kind: str) -> str:
+def _resolve_mode(
+    mode: str | None, fake: bool, kind: str, has_real_impl: bool = True
+) -> str:
+    if kind not in _AUTO_LIBS:
+        # a typo'd kind must not silently produce fake vectors forever
+        raise ValueError(
+            f"kind must be one of {sorted(_AUTO_LIBS)}, got {kind!r}"
+        )
     mode = mode or ("fake" if fake else "auto")
     if mode not in ("auto", "real", "fake"):
         raise ValueError(f"mode must be auto|real|fake, got {mode!r}")
+    lib = _AUTO_LIBS.get(kind)
+    if mode == "real" and not has_real_impl:
+        raise NotImplementedError(
+            f"no real {kind} decoder is implemented for this operator "
+            f"(installing {lib} does not change that); use mode='fake'"
+        )
     if mode == "auto":
         # fail-LOUD-ish: auto's fallback must not silently persist
         # pseudo-random vectors as if they were real decodes. Probe the
@@ -144,8 +162,15 @@ def _resolve_mode(mode: str | None, fake: bool, kind: str) -> str:
         import importlib.util
         import warnings
 
-        lib = _AUTO_LIBS.get(kind)
-        if lib and importlib.util.find_spec(lib) is None:
+        if not has_real_impl:
+            warnings.warn(
+                f"multimodal {kind}: this operator has no real {kind} "
+                "decoder — mode='auto' ALWAYS produces deterministic fake "
+                "features for it, even with the library installed; pass "
+                "mode='fake' to acknowledge and silence this warning.",
+                stacklevel=3,
+            )
+        elif lib and importlib.util.find_spec(lib) is None:
             warnings.warn(
                 f"multimodal {kind} decode: {lib} is not importable on "
                 "the driver — mode='auto' will fall back to DETERMINISTIC "
@@ -182,8 +207,8 @@ def extract_features(
     single bad object must not kill the job.
     """
     spark_conf_cols = [id_col, payload_col]
-    run_mode = _resolve_mode(mode, fake, kind)
     real_fn = _REAL_FEATURE.get(kind)
+    run_mode = _resolve_mode(mode, fake, kind, has_real_impl=real_fn is not None)
 
     def one_feature(payload):
         if payload is None:
@@ -263,7 +288,8 @@ def sample_frames(
     run_mode = _resolve_mode(mode, fake, "video")
 
     def fake_frames(payload):
-        n = 0 if payload is None else max(1, len(payload) // 1000)
+        # ceil, as documented: a 2500-byte payload yields 3 pseudo-frames
+        n = 0 if payload is None else max(1, -(-len(payload) // 1000))
         return [
             (i, payload[i : i + 16] if payload else b"")
             for i in range(0, n, every_n)

@@ -56,10 +56,7 @@ def _outermost_matches(root, match) -> list:
     return out
 
 
-def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
-    if not each_record_tag:
-        return [text]
-    root = ET.fromstring(text)
+def _split_parsed(root, each_record_tag: str) -> list[str]:
     matches = _outermost_matches(
         root,
         lambda el: _local(el.tag) == each_record_tag
@@ -67,6 +64,12 @@ def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
     )
     # re-root each match into its own document (nokogiri_reader.rb:101-114)
     return [ET.tostring(el, encoding="unicode") for el in matches]
+
+
+def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
+    if not each_record_tag:
+        return [text]
+    return _split_parsed(ET.fromstring(text), each_record_tag)
 
 
 def _scrape(root, xpath: str) -> list[str]:
@@ -118,9 +121,20 @@ def read_xml_records(
             for text, name in zip(pdf["value"], pdf["input_name"]):
                 clip = None
                 if hooks:
+                    # ONE DOM parse per file feeds both the clipboard
+                    # scrape and the record split (the parse dominates
+                    # per-file cost; parsing twice doubled executor CPU
+                    # on the hooks+split path OAI reading uses)
                     root = ET.fromstring(text)
                     clip = {k: _scrape(root, xp) for k, xp in hooks.items()}
-                for i, xml in enumerate(_split_doc(text, each_record_tag)):
+                    splits = (
+                        _split_parsed(root, each_record_tag)
+                        if each_record_tag
+                        else [text]
+                    )
+                else:
+                    splits = _split_doc(text, each_record_tag)
+                for i, xml in enumerate(splits):
                     row = (xml, name, i + 1)
                     rows.append(row + (clip,) if hooks else row)
             cols = ["xml", "input_name", "position_in_input"]
@@ -138,6 +152,72 @@ def _default_fetch(url: str) -> str:
         return resp.read().decode("utf-8", errors="replace")
 
 
+class OaiPmhError(RuntimeError):
+    """An OAI-PMH protocol ``<error>`` response (badResumptionToken,
+    badArgument, ...). The protocol returns these as HTTP 200 + an
+    ``<error>`` element; the reference reader loops blindly past them and
+    stops as if the harvest completed (oai_pmh_nokogiri_reader.rb:72-99
+    has no error check) — a DELIBERATE deviation here, because a silent
+    partial harvest is indistinguishable from a complete one, and the
+    restartable variant would durably commit the bogus done state."""
+
+
+def _fetch_oai_page(
+    fetch: Callable[[str], str],
+    base_url: str,
+    verb: str,
+    token: Optional[str],
+    metadata_prefix: str,
+    set_spec: Optional[str],
+    record_tag: str,
+) -> tuple[list[str], Optional[str]]:
+    """Fetch + parse one OAI-PMH page -> (record XML strings, next token).
+
+    Raises :class:`OaiPmhError` on a protocol error element, and on a
+    server that returns the SAME resumptionToken it was sent (the loop
+    would otherwise refetch that page forever)."""
+    import urllib.parse
+
+    params = {"verb": verb}
+    if token:
+        # token-only request per the protocol (reference :60-70)
+        params["resumptionToken"] = token
+    else:
+        params["metadataPrefix"] = metadata_prefix
+        if set_spec:
+            params["set"] = set_spec
+    page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
+    root = ET.fromstring(page_xml)
+    # direct children only: a harvested record's METADATA may legally
+    # contain an <error> element of some other vocabulary
+    for child in root:
+        if _local(child.tag) == "error":
+            raise OaiPmhError(
+                f"OAI-PMH error {child.get('code', '?')!r}: "
+                f"{(child.text or '').strip()}"
+            )
+    records = [
+        ET.tostring(el, encoding="unicode")
+        for el in _outermost_matches(
+            root, lambda el: _local(el.tag) == record_tag
+        )
+    ]
+    next_token = next(
+        (
+            (el.text or "").strip()
+            for el in root.iter()
+            if _local(el.tag) == "resumptionToken"
+        ),
+        "",
+    ) or None
+    if next_token is not None and next_token == token:
+        raise OaiPmhError(
+            f"server repeated resumptionToken {token!r}; aborting instead "
+            "of refetching the same page forever"
+        )
+    return records, next_token
+
+
 def harvest_oai_pmh(
     spark: SparkSession,
     base_url: str,
@@ -153,7 +233,9 @@ def harvest_oai_pmh(
     (oai_pmh_nokogiri_reader.rb:72-99); ``fetch`` is injectable for tests
     and for custom HTTP (auth, retry, gzip — the reference's persistent
     HTTP adapter concerns live there). Returns columns ``xml``,
-    ``position`` (1-based harvest order).
+    ``position`` (1-based harvest order). Raises :class:`OaiPmhError` on
+    a protocol ``<error>`` response or a repeated token (see the class
+    docstring for why this deviates from the reference's silent stop).
 
     MEMORY BOUND: this convenience variant accumulates the whole harvest
     in a driver-side list before ``createDataFrame`` — fine for tests and
@@ -162,38 +244,17 @@ def harvest_oai_pmh(
     :func:`harvest_oai_pmh_restartable`, which streams each page straight
     to an append parquet sink and checkpoints the resumption token.
     """
-    import urllib.parse
-
     fetch = fetch or _default_fetch
     record_tag = "record" if verb == "ListRecords" else "header"
     records: list[str] = []
     token: Optional[str] = None
     pages = 0
     while True:
-        params = {"verb": verb}
-        if token:
-            # token-only request per the protocol (reference :60-70)
-            params["resumptionToken"] = token
-        else:
-            params["metadataPrefix"] = metadata_prefix
-            if set_spec:
-                params["set"] = set_spec
-        page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
-        root = ET.fromstring(page_xml)
-        records.extend(
-            ET.tostring(el, encoding="unicode")
-            for el in _outermost_matches(
-                root, lambda el: _local(el.tag) == record_tag
-            )
+        page_records, token = _fetch_oai_page(
+            fetch, base_url, verb, token, metadata_prefix, set_spec,
+            record_tag,
         )
-        token = next(
-            (
-                (el.text or "").strip()
-                for el in root.iter()
-                if _local(el.tag) == "resumptionToken"
-            ),
-            "",
-        ) or None
+        records.extend(page_records)
         pages += 1
         if token is None or (max_pages is not None and pages >= max_pages):
             break
@@ -232,7 +293,6 @@ def harvest_oai_pmh_restartable(
     """
     import json as _json
     import os
-    import urllib.parse
 
     fetch = fetch or _default_fetch
     record_tag = "record" if verb == "ListRecords" else "header"
@@ -256,45 +316,34 @@ def harvest_oai_pmh_restartable(
 
     pages_this_run = 0
     while not done:
-        params = {"verb": verb}
-        if token:
-            params["resumptionToken"] = token
-        else:
-            params["metadataPrefix"] = metadata_prefix
-            if set_spec:
-                params["set"] = set_spec
-        page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
-        root = ET.fromstring(page_xml)
+        # an OaiPmhError here (protocol error / repeated token) raises
+        # BEFORE commit, so the previously committed token survives and a
+        # later invocation retries that page — the done state can only be
+        # committed by a genuinely token-less successful page
+        records, token = _fetch_oai_page(
+            fetch, base_url, verb, token, metadata_prefix, set_spec,
+            record_tag,
+        )
         page += 1
-        records = [
-            ET.tostring(el, encoding="unicode")
-            for el in _outermost_matches(
-                root, lambda el: _local(el.tag) == record_tag
-            )
-        ]
         if records:
             spark.createDataFrame(
                 [(xml, page, i + 1) for i, xml in enumerate(records)],
                 "xml string, page long, position_in_page long",
             ).write.mode("append").parquet(output_path)
-        token = next(
-            (
-                (el.text or "").strip()
-                for el in root.iter()
-                if _local(el.tag) == "resumptionToken"
-            ),
-            "",
-        ) or None
         commit(token, page)
         done = token is None
         pages_this_run += 1
         if max_pages is not None and pages_this_run >= max_pages:
             break
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         return spark.read.parquet(output_path)
-    except Exception:
+    except AnalysisException:
         # zero records harvested so far -> the sink path was never
-        # written; return an empty frame of the sink schema
+        # written; return an empty frame of the sink schema. Other read
+        # failures (permissions, corrupt footer) propagate — millions of
+        # already-harvested records must not masquerade as zero.
         return spark.createDataFrame(
             [], "xml string, page long, position_in_page long"
         )
