@@ -318,3 +318,67 @@ def test_two_strip_semantics_nbsp(spark):
     assert got["b"][1] == "Title \x00"
     # trim_punctuation still trims ASCII + the short-word period rule
     assert got["c"][0] == "Title"
+
+
+def test_translation_map_null_element_gets_default_every_strategy(spark):
+    """Reference semantics for a nil input value (translation_map.rb #[]):
+    has_key?(nil) is false, so nil takes the miss path — __default__
+    applies when set; under __passthrough__ the nil passes through and is
+    compacted away. All strategies (literal expr, str_to_map expr, UDF
+    fallback) must agree."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.translation_map import TranslationMap
+
+    big = {f"k{i}": f"v{i}" for i in range(600)}
+    sep_poison = dict(big)
+    sep_poison["bad\x1ekey"] = "x"  # forces the pandas-UDF strategy
+
+    small_d = TranslationMap({**{"a": "A"}, "__default__": "DFLT"})
+    big_d = TranslationMap({**big, "__default__": "DFLT"})
+    udf_d = TranslationMap({**sep_poison, "__default__": "DFLT"})
+    small_p = TranslationMap({"a": "A", "__default__": "__passthrough__"})
+    udf_p = TranslationMap(
+        {**sep_poison, "__default__": "__passthrough__"}
+    )
+
+    arr = F.array(F.lit("a"), F.lit(None).cast("string"))
+    arr_k = F.array(F.lit("k1"), F.lit(None).cast("string"))
+    row = (
+        spark.range(1)
+        .select(
+            small_d.translate_array_expr(arr).alias("sd"),
+            big_d.translate_array_expr(arr_k).alias("bd"),
+            udf_d.translate_array_expr(arr_k).alias("ud"),
+            small_p.translate_array_expr(arr).alias("sp"),
+            udf_p.translate_array_expr(arr_k).alias("up"),
+        )
+        .collect()[0]
+    )
+    assert row["sd"] == ["A", "DFLT"]
+    assert row["bd"] == ["v1", "DFLT"]
+    assert row["ud"] == ["v1", "DFLT"]
+    assert row["sp"] == ["A"]          # passed-through nil removed
+    assert row["up"] == ["v1"]         # hit + passed-through nil removed
+
+
+def test_translation_map_non_string_keys_hit_every_strategy(spark):
+    """YAML integer keys (safe_load of an unquoted 1990) must hit for the
+    string column value '1990' on the UDF strategy too (keys normalize to
+    str in _as_array_dict)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.translation_map import TranslationMap
+
+    poison = {f"k{i}": f"v{i}" for i in range(600)}
+    poison["bad\x1ekey"] = "x"
+    poison[1990] = "nineties"
+    tm = TranslationMap(poison)
+    out = (
+        spark.range(1)
+        .select(
+            tm.translate_array_expr(F.array(F.lit("1990"))).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert out == ["nineties"]

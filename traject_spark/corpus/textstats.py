@@ -64,15 +64,24 @@ def quality_score_expr(text: Column, min_tokens: int = 50, max_tokens: int = 100
 
     A document scores 1.0 when it has a plausible token count AND a
     plausible stopword ratio; components degrade independently. 4dp.
+    Tokenizes ONCE: both the count and the stopword ratio derive from a
+    single let-bound split, not two copies of the split subtree.
     """
     return let(
-        token_count_expr(text),
-        lambda n: let(
-            stopword_ratio_expr(text),
-            lambda swr: F.round(
-                F.when((n >= min_tokens) & (n <= max_tokens), F.lit(0.5)).otherwise(F.lit(0.0))
-                + F.when((swr >= 0.05) & (swr <= 0.6), F.lit(0.5)).otherwise(F.lit(0.0)),
-                4,
+        tokens_expr(text),
+        lambda toks: let(
+            F.size(toks).cast("long"),
+            lambda n: let(
+                F.round(
+                    _count_in(toks, EN_STOPWORDS)
+                    / F.greatest(F.size(toks), F.lit(1)),
+                    4,
+                ),
+                lambda swr: F.round(
+                    F.when((n >= min_tokens) & (n <= max_tokens), F.lit(0.5)).otherwise(F.lit(0.0))
+                    + F.when((swr >= 0.05) & (swr <= 0.6), F.lit(0.5)).otherwise(F.lit(0.0)),
+                    4,
+                ),
             ),
         ),
     )

@@ -180,6 +180,14 @@ def xml_from_documents(df: DataFrame) -> DataFrame:
     """
     doc_id = F.col("doc_id")
     title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    # XML-escape the one piece of raw document text interpolated into
+    # markup: an '&' or '<' in the vocabulary would make the record
+    # ill-formed and silently drop it at parse time. The parser
+    # unescapes on extraction, so the SQL twins still see the raw text.
+    title = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(title, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
     letter = F.char(F.lit(65) + (doc_id % 26).cast("int"))
     creator = F.concat(F.lit("Author, "), letter, F.lit("."))
     second = F.when(

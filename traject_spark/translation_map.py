@@ -33,7 +33,7 @@ import re
 from typing import Iterable, Mapping, Optional, Union
 
 import pandas as pd
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -105,6 +105,15 @@ class TranslationMap:
         self._map.update(other)
 
     @staticmethod
+    def _load_file(cand: str) -> Optional[dict]:
+        if not os.path.exists(cand):
+            return None
+        if cand.endswith(".properties"):
+            with open(cand, "r", encoding="utf-8") as fh:
+                return _parse_properties(fh.read())
+        return _load_yaml(cand)
+
+    @staticmethod
     def _load_named(name: str, load_path: list) -> dict:
         # load-path precedence mirrors the reference (translation_map.rb
         # load path: caller dirs searched FIRST, the gem's bundled maps
@@ -116,11 +125,9 @@ class TranslationMap:
             for ext in ("", ".yaml", ".yml", ".properties"):
                 candidates.append(os.path.join(base, name + ext))
         for cand in candidates:
-            if os.path.exists(cand):
-                if cand.endswith(".properties"):
-                    with open(cand, "r", encoding="utf-8") as fh:
-                        return _parse_properties(fh.read())
-                return _load_yaml(cand)
+            loaded = TranslationMap._load_file(cand)
+            if loaded is not None:
+                return loaded
         try:
             from traject_spark.translation_maps.builtin import BUILTIN_MAPS
 
@@ -130,12 +137,9 @@ class TranslationMap:
             pass
         here = os.path.join(os.path.dirname(__file__), "translation_maps")
         for ext in ("", ".yaml", ".yml", ".properties"):
-            cand = os.path.join(here, name + ext)
-            if os.path.exists(cand):
-                if cand.endswith(".properties"):
-                    with open(cand, "r", encoding="utf-8") as fh:
-                        return _parse_properties(fh.read())
-                return _load_yaml(cand)
+            loaded = TranslationMap._load_file(os.path.join(here, name + ext))
+            if loaded is not None:
+                return loaded
         raise FileNotFoundError(f"translation map not found: {name!r}")
 
     # -- python-side lookup (used by tests and the pandas-UDF path) -------
@@ -164,15 +168,20 @@ class TranslationMap:
 
     # -- column-expression compilation ------------------------------------
     def _as_array_dict(self) -> dict:
-        """Normalize values to lists-of-strings (None stays None: removal)."""
+        """Normalize values to lists-of-strings (None stays None: removal).
+
+        Keys normalize to str too: a YAML map with an unquoted numeric key
+        (safe_load yields int 1990) must hit for the string column value
+        '1990' on EVERY strategy — the expression paths str() keys at
+        encode time, so the UDF paths' probe dict must agree."""
         out = {}
         for k, v in self._map.items():
             if v is None:
-                out[k] = None
+                out[str(k)] = None
             elif isinstance(v, list):
-                out[k] = [str(x) for x in v if x is not None]
+                out[str(k)] = [str(x) for x in v if x is not None]
             else:
-                out[k] = [str(v)]
+                out[str(k)] = [str(v)]
         return out
 
     def _encodable(self, norm: dict) -> bool:
@@ -254,6 +263,12 @@ class TranslationMap:
     def lookup_expr(self, value: Column) -> Column:
         """value -> array<string> of translations, NULL => remove value.
 
+        A NULL input value takes the miss path like the reference
+        (translation_map.rb #[]: ``has_key?(nil)`` is false on a
+        string-keyed map, so nil gets the ``__default__`` when one is
+        set; under ``__passthrough__`` the nil passes through and the
+        array compact drops it — here: NULL result).
+
         Large maps whose keys/values contain the C0 encoding separators
         can't take the str_to_map literal path (the encoding would
         corrupt lookups) — those fall back to an Arrow-batched scalar
@@ -263,26 +278,43 @@ class TranslationMap:
         norm = self._as_array_dict()
         if len(self._map) > LITERAL_MAP_MAX and not self._encodable(norm):
             return self._lookup_udf()(value)
-        nil_keys = [str(k) for k, v in norm.items() if v is None]
+        nil_keys = [k for k, v in norm.items() if v is None]
 
-        if self._default == PASSTHROUGH:
-            fallback = F.array(value)
-        elif self._default is not None:
+        null_array = F.lit(None).cast("array<string>")
+        if self._default is not None and self._default != PASSTHROUGH:
             d = self._default
             d_list = d if isinstance(d, list) else [d]
-            fallback = F.array(*[F.lit(str(x)) for x in d_list])
+            default_arr = F.array(*[F.lit(str(x)) for x in d_list])
         else:
-            fallback = F.lit(None).cast("array<string>")
+            default_arr = None
 
-        hit = self._hit_expr(norm, value)
-        if hit is None:
-            hit = F.lit(None).cast("array<string>")
-        result = F.coalesce(hit, fallback)
-        if nil_keys:
-            result = F.when(value.isin(nil_keys), F.lit(None).cast("array<string>")).otherwise(result)
-        return F.when(value.isNull(), F.lit(None).cast("array<string>")).otherwise(result)
+        def body(v: Column) -> Column:
+            fallback = (
+                F.array(v) if self._default == PASSTHROUGH
+                else (default_arr if default_arr is not None else null_array)
+            )
+            hit = self._hit_expr(norm, v)
+            result = (
+                F.coalesce(hit, fallback) if hit is not None else fallback
+            )
+            if nil_keys:
+                result = F.when(v.isin(nil_keys), null_array).otherwise(
+                    result
+                )
+            # nil input: default applies (reference miss path); under
+            # passthrough the nil itself passes through -> NULL (removal)
+            return F.when(
+                v.isNull(),
+                default_arr if default_arr is not None else null_array,
+            ).otherwise(result)
 
-    def translate_array_expr(self, acc: Column, spark: Optional[SparkSession] = None) -> Column:
+        # let-bind: call sites pass computed expressions (substring,
+        # regexp_replace) and the body would otherwise embed the value
+        # subtree up to five times (shard probe, map probe, isin, null
+        # guard, passthrough fallback)
+        return let(value, body)
+
+    def translate_array_expr(self, acc: Column) -> Column:
         """array<string> -> translated array (flatten lists, drop nils).
 
         Pure Column expression at any map size (see ``_map_expr``); the
@@ -296,10 +328,10 @@ class TranslationMap:
             return F.flatten(F.filter(mapped, lambda x: x.isNotNull()))
         return self._translate_array_udf()(acc)
 
-    def _lookup_udf(self):
-        """Scalar twin of ``_translate_array_udf`` for ``lookup_expr`` on
-        large maps with un-encodable data: value -> array<string> with
-        the same hit/nil/default/passthrough semantics."""
+    def _udf_closure(self):
+        """(norm, default_list, passthrough) shared by both UDF factories —
+        one copy of the default/passthrough normalization, so the two
+        cannot drift apart semantically."""
         norm = self._as_array_dict()
         default = self._default
         default_list = (
@@ -307,13 +339,22 @@ class TranslationMap:
             if default is None or default == PASSTHROUGH
             else [str(x) for x in (default if isinstance(default, list) else [default])]
         )
-        passthrough = default == PASSTHROUGH
+        return norm, default_list, default == PASSTHROUGH
+
+    def _lookup_udf(self):
+        """Scalar twin of ``_translate_array_udf`` for ``lookup_expr`` on
+        large maps with un-encodable data: value -> array<string> with
+        the same hit/nil/default/passthrough semantics — including the
+        reference's nil-input-gets-the-default miss path."""
+        norm, default_list, passthrough = self._udf_closure()
 
         @pandas_udf("array<string>")
         def _lookup(col: pd.Series) -> pd.Series:
             def one(v):
                 if v is None:
-                    return None
+                    # miss path, like lookup(): default unless passthrough
+                    # (a passed-through nil is removed downstream)
+                    return None if passthrough else default_list
                 if v in norm:
                     return norm[v]  # None stays None (removal)
                 if passthrough:
@@ -328,14 +369,7 @@ class TranslationMap:
         """Arrow-batched pandas UDF over a broadcast dict — the scale path
         for large maps (e.g. an 8k-entry language map): per-executor dict,
         no shuffle, vectorized batches."""
-        norm = self._as_array_dict()
-        default = self._default
-        default_list = (
-            None
-            if default is None or default == PASSTHROUGH
-            else [str(x) for x in (default if isinstance(default, list) else [default])]
-        )
-        passthrough = default == PASSTHROUGH
+        norm, default_list, passthrough = self._udf_closure()
 
         @pandas_udf("array<string>")
         def _translate(col: pd.Series) -> pd.Series:
