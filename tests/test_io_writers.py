@@ -532,3 +532,90 @@ def test_serialized_marc_binary_base64_is_line_wrapped(spark):
     # decodes to a parseable ISO 2709 record either way
     raw = base64.b64decode("".join(body))
     assert raw[:5].isdigit() and raw.endswith(b"\x1d")
+
+
+def test_flush_records_honors_custom_id_col(spark):
+    from traject_spark import Pipeline, extract_marc
+    from traject_spark.marc.schema import marc_record
+
+    p = Pipeline(id_col="id").to_field("title", extract_marc("245a"))
+    p << marc_record(
+        controlfields=[("001", "rec9")],
+        datafields=[("245", " ", " ", [("a", "T9")])],
+    )
+    out = p.flush_records(spark)
+    assert "id" in out.columns
+    rows = out.collect()
+    assert rows[0]["id"] == "rec9" and rows[0]["title"] == ["T9"]
+
+
+def test_debug_lines_scalar_and_array_columns(spark):
+    from traject_spark.writers import debug_lines
+
+    df = spark.createDataFrame(
+        [("r1", ["a", "b"], 1999)],
+        "record_id string, vals array<string>, year int",
+    )
+    lines = sorted(r["value"] for r in debug_lines(df).collect())
+    assert any("a | b" in ln for ln in lines)
+    assert any("1999" in ln for ln in lines)
+
+
+def test_write_delimited_embedded_quote_verbatim(spark, tmp_path):
+    """Reference delimited_writer emits plain joins: a double quote in a
+    value must come out verbatim, not CSV-wrapped/doubled."""
+    from traject_spark.writers import write_delimited
+
+    df = spark.createDataFrame(
+        [("r1", ['The "Great" War'])], "record_id string, t array<string>"
+    )
+    out = str(tmp_path / "d")
+    write_delimited(df, out, ["record_id", "t"])
+    text = "".join(
+        open(f).read() for f in glob.glob(out + "/part-*")
+    )
+    assert 'The "Great" War' in text
+    assert '""' not in text
+
+
+def test_yaml_lines_newline_value_stays_valid_yaml(spark):
+    import yaml as _yaml
+
+    from traject_spark.writers import yaml_lines
+
+    df = spark.createDataFrame(
+        [("r1", ["line1\nline2", "plain"])],
+        "record_id string, notes array<string>",
+    )
+    doc = yaml_lines(df).collect()[0]["value"]
+    parsed = _yaml.safe_load(doc)
+    assert parsed["notes"] == ["line1\nline2", "plain"]
+
+
+def test_basic_auth_explicit_password_with_url_user():
+    import base64
+
+    from traject_spark.writers import _basic_auth_header, _strip_userinfo
+
+    h = _basic_auth_header(
+        "http://admin@solr:8983/solr/core", basic_auth_password=None,
+        user=None, password="s3cret",
+    ) if False else _basic_auth_header(
+        "http://admin@solr:8983/solr/core", None, "s3cret"
+    )
+    assert h == "Basic " + base64.b64encode(b"admin:s3cret").decode()
+    # IPv6 literals keep their brackets when userinfo is stripped
+    assert _strip_userinfo("http://u:p@[::1]:8983/solr") == "http://[::1]:8983/solr"
+
+
+def test_salted_join_identical_hot_rows(spark):
+    from pyspark.sql import functions as F
+    from traject_spark.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "x")] * 200 + [(2, "y")], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "R1"), (2, "R2")], "k long, r string")
+    out = salted_join(left, right, ["k"])
+    agg = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert agg == {1: 200, 2: 1}

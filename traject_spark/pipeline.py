@@ -404,6 +404,12 @@ class Pipeline:
             for i, rec in enumerate(records)
         ]
         df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
+        # honor a non-default id_col, like map_records: the schema names
+        # the id 'record_id', but apply() only carries the id through
+        # when it is named self.id_col — without the rename a configured
+        # Pipeline(id_col='id') would emit NO id column at all
+        if self.id_col and self.id_col != "record_id":
+            df = df.withColumnRenamed("record_id", self.id_col)
         out = self.apply(df)
         if destination is not None:
             destination(out)

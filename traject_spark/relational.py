@@ -73,9 +73,14 @@ def salted_join(
 
     Cost model: right-side shuffle volume multiplies by ``salt`` — use
     for large-x-medium joins where the left is skewed and the right is
-    too big to broadcast but cheap to replicate. The salt is a hash of
-    the left row's key columns plus a disambiguating xxhash64 over all
-    columns, so retries are deterministic.
+    too big to broadcast but cheap to replicate. The salt hashes the
+    left row's columns PLUS a per-row disambiguator
+    (monotonically_increasing_id), so even byte-identical hot-key rows —
+    the classic degenerate-skew shape — spread across reducers instead
+    of re-piling onto one. The disambiguator may differ across task
+    retries; that only moves a row to a different salt bucket, and every
+    bucket has a full replicated right side, so the join result is
+    unchanged.
     """
     on = list(on)
     if not on:
@@ -93,7 +98,12 @@ def salted_join(
         )
     if salt < 2:
         return left.join(right, on, how)
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lsalt = F.pmod(
+        F.xxhash64(
+            F.monotonically_increasing_id(), *[F.col(c) for c in left.columns]
+        ),
+        F.lit(salt),
+    )
     salted_left = left.withColumn("_salt", lsalt)
     salted_right = right.withColumn(
         "_salt",

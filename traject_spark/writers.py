@@ -39,9 +39,28 @@ def yaml_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
     doubling, the YAML-safe universal scalar form."""
 
     def yq(v: Column) -> Column:
-        return F.concat(
+        # single-quoted fast path; double-quoted escape form for values
+        # with line breaks (single-quoted YAML cannot represent a literal
+        # newline — the raw break would de-indent out of the block and
+        # corrupt the document)
+        dq = F.concat(
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(v, r"\\", "\\\\\\\\"),
+                        '"', '\\\\"',
+                    ),
+                    "\n", "\\\\n",
+                ),
+                "\r", "\\\\r",
+            ),
+            F.lit('"'),
+        )
+        sq = F.concat(
             F.lit("'"), F.regexp_replace(v, "'", "''"), F.lit("'")
         )
+        return F.when(v.rlike("[\\n\\r]"), dq).otherwise(sq)
 
     parts: list[Column] = [F.lit("---")]
     if id_col in df.columns:
@@ -107,9 +126,12 @@ def write_delimited(
         else:
             c = esc(c.cast("string"))
         cols.append(c.alias(name))
+    # quoting DISABLED (empty quote char): the reference's delimited
+    # writer emits plain joins — a value containing a double quote must
+    # come out verbatim, not CSV-wrapped with doubled quotes
     df.select(*cols).write.mode(mode).option("header", True).option(
         "sep", delimiter
-    ).option("emptyValue", "").csv(path)
+    ).option("emptyValue", "").option("quote", "").csv(path)
 
 
 def write_csv(
@@ -129,11 +151,20 @@ def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
     record (lib/traject/debug_writer.rb:34-70) — returned as a 1-column
     DataFrame of lines; write with ``.write.text``."""
     fields = [c for c in df.columns if c != id_col]
+    dtypes = dict(df.dtypes)
+
+    def vals_of(name: str) -> Column:
+        # scalar keep-columns (or a keep_source struct) must not hit
+        # array_join, which requires array input
+        if dtypes[name].startswith("array"):
+            return F.array_join(F.col(name), " | ")
+        return F.col(name).cast("string")
+
     pairs = F.array(
         *[
             F.struct(
                 F.lit(name).alias("field"),
-                F.array_join(F.col(name), " | ").alias("vals"),
+                vals_of(name).alias("vals"),
                 F.col(name).isNotNull().alias("present"),
             )
             for name in sorted(fields)
@@ -186,7 +217,10 @@ def _basic_auth_header(
     u = user or parsed.username
     if not u:
         return None
-    p = password if user else (parsed.password or "")
+    # an explicitly-passed password wins even when the USER came from the
+    # URL userinfo (user in URL + password as an argument is a sensible
+    # way to keep the secret out of the URL)
+    p = password if password is not None else (parsed.password or "")
     cred = f"{u}:{p or ''}".encode("utf-8")
     return "Basic " + base64.b64encode(cred).decode("ascii")
 
@@ -199,7 +233,12 @@ def _strip_userinfo(url: str) -> str:
     parsed = urllib.parse.urlsplit(url)
     if not parsed.username:
         return url
-    host = parsed.hostname + (f":{parsed.port}" if parsed.port else "")
+    # parsed.hostname strips the [] off an IPv6 literal; re-bracket it or
+    # the rebuilt netloc '::1:8983' is unparseable
+    hostname = parsed.hostname or ""
+    if ":" in hostname:
+        hostname = f"[{hostname}]"
+    host = hostname + (f":{parsed.port}" if parsed.port else "")
     return urllib.parse.urlunsplit(parsed._replace(netloc=host))
 
 
@@ -499,18 +538,39 @@ def solr_delete_ids(
         conn = None
 
         def post(ids: list) -> None:
+            # connection-level resilience mirrors solr_json_writer's
+            # post(): a keep-alive socket the server closed between
+            # batches is dropped, backed off, and retried — a transient
+            # hiccup must not fail the task and re-post the whole
+            # partition's deletes
             nonlocal conn
-            if conn is None:
-                conn = conn_cls(parsed.hostname, parsed.port, timeout=timeout)
-            conn.request(
-                "POST", path,
-                body=_json.dumps({"delete": ids}).encode("utf-8"),
-                headers=headers,
-            )
-            resp = conn.getresponse()
-            body = resp.read()
-            if resp.status >= 400:
-                raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")
+            import time as _time
+
+            payload = _json.dumps({"delete": ids}).encode("utf-8")
+            last_exc: Optional[Exception] = None
+            for attempt in range(3):
+                try:
+                    if conn is None:
+                        conn = conn_cls(
+                            parsed.hostname, parsed.port, timeout=timeout
+                        )
+                    conn.request("POST", path, body=payload, headers=headers)
+                    resp = conn.getresponse()
+                    body = resp.read()
+                    if resp.status >= 400:
+                        raise SolrHTTPError(
+                            f"Solr HTTP {resp.status}: {body[:200]!r}"
+                        )
+                    return
+                except (OSError, http.client.HTTPException) as e:
+                    last_exc = e
+                    try:
+                        conn.close()
+                    except Exception:
+                        pass
+                    conn = None
+                    _time.sleep(0.2 * (attempt + 1))
+            raise last_exc
 
         buf: list = []
         try:
