@@ -207,3 +207,134 @@ def test_xml_record_split_takes_outermost_match(spark, tmp_path):
     rows = read_xml_records(spark, str(p), each_record_tag="record").collect()
     assert len(rows) == 1
     assert "identifier" in rows[0]["xml"]  # the OUTER record, whole
+
+
+def test_cli_marcout_binary_is_real_iso2709(spark, tmp_path):
+    """marcout binary writes a real ISO 2709 byte stream (one file),
+    consumable by the repo's own reader — not base64 lines."""
+    from traject_spark.marc.io import read_iso2709
+
+    out = str(tmp_path / "out.mrc")
+    rc = run_cli(spark, ["-x", "marcout", "-o", out, MC])
+    assert rc == 0
+    raw = open(out, "rb").read()
+    assert raw.endswith(b"\x1d")
+    back = read_iso2709(spark, out).collect()
+    assert len(back) == 1 and back[0]["marc"]["leader"]
+
+
+def test_cli_marcout_xml_is_wellformed_collection(spark, tmp_path):
+    import xml.etree.ElementTree as ET
+
+    out = str(tmp_path / "out.xml")
+    rc = run_cli(
+        spark, ["-x", "marcout", "-s", "marcout.type=xml", "-o", out, MC]
+    )
+    assert rc == 0
+    root = ET.parse(out).getroot()
+    assert root.tag.endswith("collection")
+    assert len(root) == 1
+
+
+def test_cli_unknown_reader_and_writer_error(spark, tmp_path):
+    conf = tmp_path / "c.py"
+    conf.write_text("to_field('t', literal('x'))\n")
+    with pytest.raises(SystemExit, match="reader_class_name"):
+        run_cli(spark, ["-c", str(conf), "-r", "Traject::MysteryReader", MC])
+    with pytest.raises(SystemExit, match="writer_class_name"):
+        run_cli(spark, ["-c", str(conf), "-w", "deliimted", MC])
+
+
+def test_cli_ndjreader_name_reads_ndjson(spark, tmp_path):
+    from traject_spark.marc.serialize import to_marc_in_json
+    from tests.fixtures import BOOK
+
+    ndj = tmp_path / "r.ndj"
+    ndj.write_text(to_marc_in_json(BOOK) + "\n")
+    conf = tmp_path / "c.py"
+    conf.write_text("to_field('title', extract_marc('245a'))\n")
+    out = str(tmp_path / "out")
+    rc = run_cli(
+        spark,
+        ["-c", str(conf), "-r", "Traject::NDJReader", "-o", out, str(ndj)],
+    )
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += [json.loads(ln) for ln in open(os.path.join(out, f)) if ln.strip()]
+    assert lines and lines[0]["title"]
+
+
+def test_cli_xml_indexer_whole_doc_default(spark, tmp_path):
+    """-i xml with no reader/xpath settings: whole document = one record
+    (the NokogiriIndexer default), not the binary MARC reader."""
+    doc = tmp_path / "d.xml"
+    doc.write_text("<doc><title>T1</title></doc>")
+    conf = tmp_path / "c.py"
+    conf.write_text("to_field('t', extract_xpath('//title'))\n")
+    out = str(tmp_path / "out")
+    rc = run_cli(spark, ["-c", str(conf), "-i", "xml", "-o", out, str(doc)])
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += [json.loads(ln) for ln in open(os.path.join(out, f)) if ln.strip()]
+    assert lines[0]["t"] == ["T1"]
+
+
+def test_cli_config_helpers_shared_across_files(spark, tmp_path):
+    helpers = tmp_path / "helpers.py"
+    helpers.write_text("def my_macro():\n    return literal('H')\n")
+    mapping = tmp_path / "mapping.py"
+    mapping.write_text("to_field('h', my_macro())\n")
+    out = str(tmp_path / "out")
+    rc = run_cli(
+        spark, ["-c", str(helpers), "-c", str(mapping), "-o", out, MC]
+    )
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += [json.loads(ln) for ln in open(os.path.join(out, f)) if ln.strip()]
+    assert lines[0]["h"] == ["H"]
+
+
+def test_marcxml_oai_wrapped_record_not_doubled(spark, tmp_path):
+    """parse_marcxml keeps only innermost record elements: an OAI-PMH
+    wrapper <record> containing the MARC <record> must not emit a
+    phantom empty record beside the real one."""
+    from traject_spark.marc.io import read_marcxml
+
+    xml = tmp_path / "oai.xml"
+    xml.write_text(
+        '<OAI-PMH xmlns="urn:oai"><ListRecords><record><header/>'
+        '<metadata><record xmlns="http://www.loc.gov/MARC21/slim">'
+        "<leader>00000nam a2200000 a 4500</leader>"
+        '<controlfield tag="001">m1</controlfield>'
+        '<datafield tag="245" ind1=" " ind2=" ">'
+        '<subfield code="a">T</subfield></datafield>'
+        "</record></metadata></record></ListRecords></OAI-PMH>"
+    )
+    rows = read_marcxml(spark, str(xml)).collect()
+    assert len(rows) == 1
+    assert rows[0]["record_id"] == "m1"
+
+
+def test_marc_json_nonstring_subfield_value_coerced(spark, tmp_path):
+    """A non-string scalar subfield value survives in ruby (duck-typed
+    Subfield); both engines project it to its JSON text instead of the
+    Python path crashing the Arrow batch conversion."""
+    from traject_spark.marc.io import read_marc_json
+
+    path = tmp_path / "r.ndj"
+    path.write_text(
+        '{"fields": [{"001": "idN"}, {"245": {"ind1": 9, "ind2": " ", '
+        '"subfields": [{"a": 3}]}}]}\n'
+    )
+    for engine in ("python", "jvm"):
+        rows = read_marc_json(spark, str(path), engine=engine).collect()
+        assert len(rows) == 1, engine
+        df0 = rows[0]["marc"]["datafields"][0]
+        assert df0["subfields"][0]["value"] == "3", engine
+        assert df0["ind1"] == "9", engine

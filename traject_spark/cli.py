@@ -3,8 +3,11 @@
 
     traject-spark -c config.py file.mrc
     traject-spark -c config.py -t json -o out/ file.ndj
-    traject-spark -x marcout -t xml -o out.xml file.mrc
+    traject-spark -x marcout -s marcout.type=xml -o out.xml file.mrc
     traject-spark -x commit -u http://solr:8983/solr/core
+
+(-t sets the INPUT type, marc_source.type; marcout's OUTPUT type is the
+marcout.type setting, like the reference.)
 
 Configuration files are Python scripts executed with the traject DSL in
 scope (``to_field``, ``each_record``, ``after_processing``, ``settings``,
@@ -61,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_file", default=None,
                    help="output path for file writers")
     p.add_argument("-w", "--writer", default=None,
-                   help="writer: json/csv/delimited/debug/solr/null")
+                   help="writer: json/csv/delimited/debug/yaml/solr/null")
     p.add_argument("-u", "--solr", default=None,
                    help="shortcut for -s solr.url=")
     p.add_argument("-t", "--marc_type", default=None,
@@ -137,6 +140,11 @@ def config_scope(pipeline) -> dict:
 
 
 def load_config_files(pipeline, conf_paths: list) -> None:
+    # ONE shared scope for every -c file: helpers defined in an earlier
+    # config file must be visible to later ones (the reference
+    # instance_evals each file against the same indexer, so methods
+    # persist across files)
+    scope = config_scope(pipeline)
     for path in conf_paths:
         try:
             with open(path, "r", encoding="utf-8") as fh:
@@ -146,10 +154,12 @@ def load_config_files(pipeline, conf_paths: list) -> None:
                 f"Could not read configuration file {path!r}: {e}"
             )
         code = compile(src, path, "exec")
-        exec(code, config_scope(pipeline))  # noqa: S102 — the config DSL
+        exec(code, scope)  # noqa: S102 — the config DSL
 
 
-def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
+def read_input(
+    spark: SparkSession, settings: dict, files: list, indexer: str = "marc"
+) -> DataFrame:
     from traject_spark.marc.io import (
         read_iso2709,
         read_marc_json,
@@ -162,13 +172,27 @@ def read_input(spark: SparkSession, settings: dict, files: list) -> DataFrame:
     src_type = str(settings.get("marc_source.type", "binary"))
     reader = str(settings.get("reader_class_name", "")).lower()
     reader = reader.replace("::", ".").rsplit(".", 1)[-1]  # Traject::X forms
-    if reader in ("nokogirireader", "xml_records") or settings.get(
-        "nokogiri.each_record_xpath"
+    if (
+        reader in ("nokogirireader", "xml_records")
+        or settings.get("nokogiri.each_record_xpath")
+        # -i xml with no reader/xpath settings: the NokogiriIndexer's
+        # whole-document-per-record default (each_record_xpath optional)
+        or (indexer == "xml" and not reader)
     ):
         tag = settings.get("nokogiri.each_record_xpath")
         if tag:
             tag = str(tag).rsplit("/", 1)[-1].split(":")[-1]
         return read_xml_records(spark, files, each_record_tag=tag)
+    if reader == "ndjreader":
+        return read_marc_json(spark, files)
+    if reader and reader not in ("marcreader", "reader"):
+        # an unrecognized reader must not silently dispatch to the binary
+        # MARC reader and "succeed" with zero records
+        raise SystemExit(
+            f"Unrecognized reader_class_name {settings.get('reader_class_name')!r}: "
+            "supported are MarcReader (with -t binary/json/xml), NDJReader, "
+            "NokogiriReader"
+        )
     if src_type == "json":
         return read_marc_json(spark, files)
     if src_type == "xml":
@@ -192,9 +216,15 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
 
     name = str(settings.get("writer_class_name", "json"))
     # accept Ruby-style qualified names too ('Traject::SolrJsonWriter')
-    kind = WRITER_SHORTCUTS.get(
-        name.lower().replace("::", ".").rsplit(".", 1)[-1], name
-    )
+    short = name.lower().replace("::", ".").rsplit(".", 1)[-1]
+    if name != "json" and short not in WRITER_SHORTCUTS:
+        # a typo'd/unknown writer must error like the reference's failed
+        # class resolution, not silently fall back to NDJSON output
+        raise SystemExit(
+            f"Unrecognized writer_class_name {name!r}: supported are "
+            + "/".join(sorted(set(WRITER_SHORTCUTS.values())))
+        )
+    kind = WRITER_SHORTCUTS.get(short, "json")
     out = settings.get("output_file")
     if kind == "solr":
         url = str(settings.get("solr.url", ""))
@@ -214,6 +244,11 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
         W.solr_json_writer(
             df, url, batch_size=batch, solr_update_args=upd,
             commit_on_close=commit_close,
+            max_skipped=int(settings.get("solr_writer.max_skipped", 0)),
+            basic_auth_user=settings.get("solr_writer.basic_auth_user"),
+            basic_auth_password=settings.get(
+                "solr_writer.basic_auth_password"
+            ),
         )
         return True
     if kind == "null":
@@ -238,9 +273,20 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
                 print(line)
         return True
     if kind == "csv":
-        W.write_csv(df, out, _delimited_fields(df, settings, kind))
+        W.write_csv(
+            df, out, _delimited_fields(df, settings, kind),
+            internal_delimiter=str(
+                settings.get("delimited_writer.internal_delimiter", "|")
+            ),
+        )
     elif kind == "delimited":
-        W.write_delimited(df, out, _delimited_fields(df, settings, kind))
+        W.write_delimited(
+            df, out, _delimited_fields(df, settings, kind),
+            delimiter=str(settings.get("delimited_writer.delimiter", "\t")),
+            internal_delimiter=str(
+                settings.get("delimited_writer.internal_delimiter", "|")
+            ),
+        )
     elif kind == "debug":
         W.write_debug(df, out)
     elif kind == "yaml":
@@ -250,8 +296,22 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     return True
 
 
+MARCXML_COLLECTION_OPEN = (
+    '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+)
+
+
 def command_marcout(spark, settings: dict, files: list) -> bool:
-    """Read MARC, re-serialize, write — no mapping (command_line.rb:102-142)."""
+    """Read MARC, re-serialize, write — no mapping (command_line.rb:102-142).
+
+    Output shapes match the reference's writers: ``binary`` is a real
+    ISO 2709 byte stream (one FILE, not base64 lines — yaz-marcdump and
+    read_iso2709 can consume it), ``xml`` is one well-formed document
+    with a single <collection> root, ``json`` is NDJSON lines (the one
+    type that keeps the distributed directory write under -o)."""
+    import base64
+    import sys as _sys
+
     from pyspark.sql import functions as F
 
     from traject_spark.macros import serialized_marc
@@ -269,6 +329,30 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     )
     ser = p.apply(df).select(F.element_at("serialized", 1).alias("value"))
     out = settings.get("output_file")
+    if out_type == "binary":
+        # single-file driver-side stream, like the reference's
+        # MARC::Writer on one output file
+        sink = open(out, "wb") if out else _sys.stdout.buffer
+        try:
+            for row in ser.toLocalIterator():
+                if row[0] is not None:
+                    sink.write(base64.b64decode(row[0]))
+        finally:
+            if out:
+                sink.close()
+        return True
+    if out_type == "xml":
+        sink = open(out, "w", encoding="utf-8") if out else _sys.stdout
+        try:
+            sink.write(MARCXML_COLLECTION_OPEN + "\n")
+            for row in ser.toLocalIterator():
+                if row[0] is not None:
+                    sink.write(row[0] + "\n")
+            sink.write("</collection>\n")
+        finally:
+            if out:
+                sink.close()
+        return True
     if out:
         ser.write.mode("overwrite").text(out)
         return True
@@ -329,7 +413,7 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
 
         if not args.conf:
             raise SystemExit("Error: Missing required configuration file (-c)")
-        df = read_input(spark, settings, args.files)
+        df = read_input(spark, settings, args.files, indexer=args.indexer)
         ok = write_output(pipeline.apply(df), pipeline, settings)
         pipeline.run_after_processing()  # indexer.rb:646-655 ordering
         return 0 if ok else 1

@@ -296,8 +296,18 @@ def parse_marcxml(text: str) -> list[dict]:
         return el.tag.rsplit("}", 1)[-1]
 
     root = ET.fromstring(text)
-    records = [root] if local(root) == "record" else [
+    candidates = [root] if local(root) == "record" else [
         el for el in root.iter() if local(el) == "record"
+    ]
+    # innermost-only: an OAI-PMH wrapper <record> CONTAINING the MARC
+    # <record> must not emit a phantom empty record (blank leader, no
+    # fields, null id) alongside the real one — keep only record
+    # elements with no nested record inside (total cost is one pass
+    # over each candidate's subtree; records never nest in plain files)
+    records = [
+        el
+        for el in candidates
+        if not any(local(d) == "record" for d in el.iter() if d is not el)
     ]
     out = []
     for rec_el in records:

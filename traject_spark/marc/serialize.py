@@ -71,6 +71,14 @@ def to_marc_in_json(rec: dict) -> str:
 CONTROL_TAGS = frozenset(f"00{i}" for i in range(1, 10))
 
 
+def _scalar_str(v):
+    """None/str pass through; other JSON scalars project to their JSON
+    text (the same cast the JVM variant engine applies)."""
+    if v is None or isinstance(v, str):
+        return v
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+
+
 def from_marc_in_json(text: str) -> dict:
     """Inverse of to_marc_in_json -> the nested-struct record dict.
 
@@ -97,25 +105,25 @@ def from_marc_in_json(text: str) -> dict:
                 sfs = []
                 for sf in sfs_in:
                     for code, value in sf.items():
-                        sfs.append({"code": code, "value": value})
+                        # non-string scalar values survive in ruby (duck
+                        # typing); project to JSON text for the typed
+                        # schema — an uncoerced int would crash the whole
+                        # Arrow batch conversion, not just this line
+                        sfs.append({"code": code, "value": _scalar_str(value)})
                 out["datafields"].append(
                     {
                         "tag": tag,
-                        "ind1": body.get("ind1", " "),
-                        "ind2": body.get("ind2", " "),
+                        "ind1": _scalar_str(body.get("ind1", " ")),
+                        "ind2": _scalar_str(body.get("ind2", " ")),
                         "subfields": sfs,
                     }
                 )
             else:
                 if tag not in CONTROL_TAGS:
                     raise ValueError(f"non-object body under data tag {tag}")
-                if body is None or isinstance(body, str):
-                    value = body
-                else:
-                    value = json.dumps(
-                        body, ensure_ascii=False, separators=(",", ":")
-                    )
-                out["controlfields"].append({"tag": tag, "value": value})
+                out["controlfields"].append(
+                    {"tag": tag, "value": _scalar_str(body)}
+                )
     return out
 
 
