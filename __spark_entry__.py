@@ -94,12 +94,21 @@ def _field(spark, sf_dir, name: str, *macros, joined: bool = True) -> DataFrame:
     return out.select(F.col("record_id"), col.alias(name))
 
 
+def _sq(s: str) -> str:
+    """SQL single-quote a python string (apostrophes doubled — real
+    marc_languages values like \"Gwich'in\" would otherwise break the
+    oracle's syntax the first time the synth lang set grows)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _case_map(expr: str, mapping: dict, default: str | None) -> str:
     """Build a SQL CASE translating ``expr`` through a python dict."""
     arms = " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items() if v is not None
+        f"WHEN {_sq(k)} THEN {_sq(v)}"
+        for k, v in mapping.items()
+        if v is not None
     )
-    dflt = "NULL" if default is None else f"'{default}'"
+    dflt = "NULL" if default is None else _sq(default)
     return f"CASE {expr} {arms} ELSE {dflt} END"
 
 
@@ -642,7 +651,18 @@ def q_stream_dedup_fingerprint(spark, sf_dir):
 def _with_planted_copies(docs):
     """docs + EXACT copies of every 25th doc re-id'd +1000000 — the one
     planted-pair construction behind all three dedup oracles (their SQL
-    twins hard-code doc_id % 25 = 0 / +1000000 in lockstep)."""
+    twins hard-code doc_id % 25 = 0 / +1000000 in lockstep).
+
+    The offset assumes doc_ids < 1,000,000 (true for every driver sf
+    dir); a larger corpus would collide planted ids with real documents
+    and silently corrupt all three oracles — fail loudly instead."""
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    if max_id >= 1_000_000:
+        raise ValueError(
+            f"planted-copy id offset 1000000 collides with real doc_ids "
+            f"(max {max_id}); the planted-pair oracles assume a smaller "
+            "corpus"
+        )
     copies = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -710,6 +730,18 @@ def q_dedup_simhash_planted(spark, sf_dir):
     )
 
 
+def _ivf_centroids(emb):
+    """The oracle's explicit centroid set (corpus vec_ids 8..11), shared
+    by q_ann_ivf_topk and q_ann_ivf_layout_topk — it must stay identical
+    in both for the common _SQL_IVF oracle to be valid for either."""
+    return [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).orderBy("vec_id").collect()
+    ]
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(
@@ -729,12 +761,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     from traject_spark.corpus import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(
-            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
-        ).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_centroids(emb)
     return ivf_topk(
         emb.filter(F.col("vec_id") >= 8),
         emb.filter(F.col("vec_id") < 8),
@@ -769,12 +796,7 @@ def q_ann_ivf_layout_topk(spark, sf_dir):
     from traject_spark.corpus import ivf_topk_from_layout, write_ivf_layout
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(
-            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
-        ).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_centroids(emb)
     path = _IVF_LAYOUT_CACHE.get(sf_dir)
     if path is None:
         base = tempfile.mkdtemp(prefix="entry_ivf_layout_")
@@ -854,10 +876,11 @@ def q_multimodal_features(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full multi-field indexing pipeline (the reference's
-    demo_config.rb shape) over sf0.001, one narrow select."""
-    p = (
+def flagship_pipeline() -> Pipeline:
+    """THE 12-rule full indexing pipeline (the reference's demo_config.rb
+    shape) — single definition shared by ``entry()`` and bench.py's B1,
+    so the benchmark always measures exactly the contract pipeline."""
+    return (
         Pipeline()
         .to_field("title", extract_marc("245ab", trim_punctuation=True))
         .to_field("title_sort", marc_sortable_title())
@@ -872,7 +895,12 @@ def entry(spark: SparkSession) -> DataFrame:
         .to_field("pub_date", marc_publication_date())
         .to_field("all_text", extract_all_marc_values())
     )
-    return p.apply(_marc(spark, "/root/testdata/sf0.001"))
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full multi-field indexing pipeline over sf0.001,
+    one narrow select."""
+    return flagship_pipeline().apply(_marc(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1256,8 +1284,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id + 1000000 AS doc_id, text
               FROM documents WHERE doc_id % 25 = 0
             ), f AS (
+              -- null-safe partition key, like the engine: each NULL-text
+              -- row survives as its own 1-doc cluster
               SELECT doc_id,
-                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+                COALESCE(
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                  chr(1) || CAST(doc_id AS VARCHAR)) AS fp
               FROM all_docs
             )
             SELECT doc_id FROM (
@@ -1318,10 +1350,16 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'es' END AS lang_guess
             FROM s""",
         "dedup_exact": r"""
-            SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+            -- null-safe group key mirrors the engine (dedup.py): NULL-text
+            -- rows are NOT duplicates of each other; a plain GROUP BY on
+            -- the fingerprint would merge them into one cluster
+            SELECT min(md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
               min(doc_id) AS keep_id,
               count(*) AS n_docs
-            FROM documents GROUP BY 1""",
+            FROM documents
+            GROUP BY COALESCE(
+              md5(regexp_replace(lower(text), '\s+', ' ', 'g')),
+              chr(1) || CAST(doc_id AS VARCHAR))""",
         "dedup_jaccard_adjacent": """
             WITH sh AS (
               SELECT doc_id,

@@ -41,6 +41,15 @@ def _tmpdir(prefix: str) -> str:
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _parse_sf(tail: str):
+    """Scale factor from an sf-dir suffix; the raw string when it is not
+    a number (shared by the records target and the JSON 'sf' field)."""
+    try:
+        return float(tail)
+    except ValueError:
+        return tail
+
+
 def _target_records() -> int:
     """600k synthetic MARC records at sf0.1, scaling linearly with the SF
     parsed from the dir name (sf1 -> 6M) so soak runs stress the mapping
@@ -48,11 +57,10 @@ def _target_records() -> int:
     env = os.environ.get("SPARK_GRAFT_TARGET_RECORDS")
     if env:
         return int(env)
-    tail = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        return max(1, int(600_000 * float(tail) / 0.1))
-    except ValueError:
-        return 600_000
+    sf = _parse_sf(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    if isinstance(sf, float):
+        return max(1, int(600_000 * sf / 0.1))
+    return 600_000
 
 
 TARGET_RECORDS = _target_records()
@@ -122,29 +130,11 @@ def synth_marc(spark, n_target: int = TARGET_RECORDS):
 
 
 def _full_pipeline():
-    from traject_spark import Pipeline
-    from traject_spark.macros import (
-        extract_all_marc_values, extract_marc, marc_formats, marc_geo_facet,
-        marc_languages, marc_lcc_to_broad_category, marc_lcsh_formatted,
-        marc_publication_date, marc_sortable_author, marc_sortable_title,
-        oclcnum,
-    )
+    # single source of truth: B1 must measure exactly the contract
+    # pipeline entry() exposes, not an independently-maintained copy
+    from __spark_entry__ import flagship_pipeline
 
-    return (
-        Pipeline()
-        .to_field("title", extract_marc("245ab", trim_punctuation=True))
-        .to_field("title_sort", marc_sortable_title())
-        .to_field("author", extract_marc("100a:110a:111a"))
-        .to_field("author_sort", marc_sortable_author())
-        .to_field("language", marc_languages())
-        .to_field("oclc", oclcnum())
-        .to_field("lcc_category", marc_lcc_to_broad_category())
-        .to_field("subject", marc_lcsh_formatted())
-        .to_field("geo", marc_geo_facet())
-        .to_field("format", marc_formats())
-        .to_field("pub_date", marc_publication_date())
-        .to_field("all_text", extract_all_marc_values())
-    )
+    return flagship_pipeline()
 
 
 def b_map_full(spark):
@@ -157,8 +147,14 @@ def b_map_minimum(spark):
 
     p = Pipeline().to_field("title", extract_marc("245ab"))
     out = p.apply(synth_marc(spark))
-    with tempfile.TemporaryDirectory() as d:
-        out.write.mode("overwrite").json(f"{d}/out")
+    # fresh subdir per run under an atexit-cleaned parent: deleting the
+    # 600k-record output INSIDE the timed region (the old
+    # TemporaryDirectory context) inflated B2 with rmtree cost
+    d = tempfile.mkdtemp(dir=_B2_DIR)
+    out.write.mode("overwrite").json(f"{d}/out")
+
+
+_B2_DIR = _tmpdir("bench_b2_")
 
 
 def b_map_translation(spark):
@@ -209,6 +205,7 @@ def b_sink_solr(spark):
         )
     finally:
         srv.shutdown()
+        srv.server_close()  # release the listening socket (one per run)
 
 
 _NDJSON_PATH: str | None = None
@@ -358,14 +355,11 @@ def b_rel_top_nations(spark):
 
 
 def b_rel_events_hourly(spark):
-    from traject_spark.streaming.ops import read_events_batch
+    # time the PRODUCTION operator (decimal-exact sums), not a hand-
+    # rolled cheaper double-sum equivalent
+    from traject_spark.streaming.ops import hourly_rollup, read_events_batch
 
-    ev = read_events_batch(spark, SF_DIR)
-    noop(
-        ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
-        )
-    )
+    noop(hourly_rollup(read_events_batch(spark, SF_DIR)))
 
 
 def b_rel_sessionize(spark):
@@ -519,7 +513,9 @@ def main() -> None:
                 "runs": {
                     n: [round(r, 3) for r in rs] for n, rs in run_lists.items()
                 },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # same lenient parse as _target_records ('0.1.2'.replace
+                # ('.','').isdigit() is True but float() would crash here)
+                "sf": _parse_sf(sf),
             }
         )
     )
