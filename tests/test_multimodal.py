@@ -59,6 +59,17 @@ def test_extract_features_auto_runs_without_libs(spark):
     assert len(rows) == 4 and all(len(r["feature"]) == 4 for r in rows)
 
 
+def test_extract_features_decoded_real_marker(spark):
+    """Every fake/degraded row carries decoded_real=False so auto-mode
+    fallbacks are auditable after the fact (heterogeneous clusters)."""
+    fake = extract_features(_media_df(spark), "payload", mode="fake", dim=4)
+    assert "decoded_real" in fake.columns
+    assert all(r["decoded_real"] is False for r in fake.collect())
+    if not HAVE_PIL:
+        auto = extract_features(_media_df(spark), "payload", mode="auto", dim=4)
+        assert all(r["decoded_real"] is False for r in auto.collect())
+
+
 @pytest.mark.skipif(HAVE_PIL, reason="Pillow installed: real path active")
 def test_extract_features_real_raises_without_libs(spark):
     from pyspark.errors.exceptions.base import PySparkException
@@ -80,11 +91,10 @@ def test_extract_features_real_decode_with_pillow(spark):
     Image.new("L", (2, 2), color=255).save(buf, format="PNG")
     png = buf.getvalue()
     df = spark.createDataFrame([(0, png)], "media_id long, payload binary")
-    feat = extract_features(df, "payload", mode="real", dim=4).collect()[0][
-        "feature"
-    ]
+    row = extract_features(df, "payload", mode="real", dim=4).collect()[0]
     # all-white image -> every thumbnail pixel scales to 1.0
-    assert feat == pytest.approx([1.0] * 4)
+    assert row["feature"] == pytest.approx([1.0] * 4)
+    assert row["decoded_real"] is True
 
 
 def test_extract_features_rejects_bad_mode(spark):

@@ -181,6 +181,42 @@ def test_iso2709_oversized_roundtrip():
     assert back["datafields"][1]["ind1"] == "1"
 
 
+def test_iso2709_skipped_entry_invalidates_zero_offset_recovery():
+    """A directory entry with non-numeric length/start is skipped; a LATER
+    zeroed start must NOT be recovered from the stale pre-gap `pos` (it
+    would read garbage bytes). The field is dropped instead."""
+    from traject_spark.marc.serialize import FT, from_iso2709, to_iso2709
+
+    rec = {
+        "leader": " " * 24,
+        "controlfields": [{"tag": "001", "value": "ok"}],
+        "datafields": [
+            {"tag": "500", "ind1": " ", "ind2": " ",
+             "subfields": [{"code": "a", "value": "first"}]},
+            {"tag": "520", "ind1": " ", "ind2": " ",
+             "subfields": [{"code": "a", "value": "second"}]},
+        ],
+    }
+    raw = bytearray(to_iso2709(rec))
+    base = int(raw[12:17])
+    # entry 1 (the 500): corrupt its length slot -> skipped
+    e1 = 24 + 12
+    raw[e1 + 3 : e1 + 7] = b"XXXX"
+    # entry 2 (the 520): zero its start slot -> would trigger recovery
+    e2 = 24 + 24
+    raw[e2 + 7 : e2 + 12] = b"00000"
+    back = from_iso2709(bytes(raw))
+    assert back is not None
+    assert back["controlfields"] == [{"tag": "001", "value": "ok"}]
+    # the 520's zeroed start must not resolve via the stale pos: with
+    # the chain broken the field is DROPPED, never read from a wrong
+    # offset — no garbage field may surface under any tag
+    assert all(df["tag"] != "520" for df in back["datafields"])
+    for df in back["datafields"]:
+        for sf in df.get("subfields", []):
+            assert sf.get("value") in ("first", "second")
+
+
 def test_marc_in_json_null_controlfield_value_roundtrip():
     """{"001": null} — a shape to_marc_in_json itself emits — must parse
     as a controlfield, not crash on body.get()."""

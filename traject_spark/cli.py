@@ -308,7 +308,14 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     ISO 2709 byte stream (one FILE, not base64 lines — yaz-marcdump and
     read_iso2709 can consume it), ``xml`` is one well-formed document
     with a single <collection> root, ``json`` is NDJSON lines (the one
-    type that keeps the distributed directory write under -o)."""
+    type that keeps the distributed directory write under -o).
+
+    Scale note: ``binary``/``xml`` single-file output is DRIVER-SERIAL
+    by design — reference parity requires exactly one well-formed output
+    file, so rows stream through the driver via ``toLocalIterator`` (one
+    partition in flight, bounded memory). For corpus-scale exports use
+    ``json``: it is the distributed writer (executors write partitioned
+    NDJSON in parallel, no driver bottleneck)."""
     import base64
     import sys as _sys
 

@@ -29,8 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, BooleanType, FloatType, LongType, StringType,
+    StructField, StructType,
 )
 
 #: typed metadata carried alongside every opaque media payload
@@ -45,6 +45,12 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
     StructField("feature", ArrayType(FloatType())),
+    # per-row audit marker: True iff the real decoder produced this
+    # feature. mode='auto' silently degrades rows (missing library on
+    # THIS executor, corrupt payload) — on a heterogeneous cluster the
+    # one-time driver warning probes the wrong environment, so the only
+    # trustworthy signal is in the data itself.
+    StructField("decoded_real", BooleanType()),
 ])
 
 _MAGIC = [
@@ -211,8 +217,11 @@ def extract_features(
     run_mode = _resolve_mode(mode, fake, kind, has_real_impl=real_fn is not None)
 
     def one_feature(payload):
+        """-> (feature, decoded_real). decoded_real=False is the audit
+        marker for every fake/degraded row — on a heterogeneous cluster
+        it is the only per-row evidence of an auto-mode fallback."""
         if payload is None:
-            return _fake_feature(None, dim)  # zero vector in every mode
+            return _fake_feature(None, dim), False  # zero vector, every mode
         if run_mode in ("auto", "real") and real_fn:
             try:
                 feat = real_fn(payload, dim)
@@ -223,8 +232,9 @@ def extract_features(
                 if run_mode == "real":
                     raise
                 feat = _fake_feature(payload, dim)
+                return feat, False
             if feat is not None:
-                return feat
+                return feat, True
         # feat is None <=> the decode library failed to import
         if run_mode == "real":
             lib = {"image": "Pillow", "audio": "soundfile"}.get(
@@ -234,15 +244,17 @@ def extract_features(
                 f"{kind} decoding requires {lib} on the executors; "
                 "install it or use mode='auto'/'fake'"
             )
-        return _fake_feature(payload, dim)
+        return _fake_feature(payload, dim), False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [one_feature(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "kind": kind,
-                    "feature": [one_feature(p) for p in pdf[payload_col]],
+                    "feature": [f for f, _ in pairs],
+                    "decoded_real": [r for _, r in pairs],
                 }
             )
 

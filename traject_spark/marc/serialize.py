@@ -242,6 +242,10 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
             length = int(entry[3:7])
             start = int(entry[7:12])
         except ValueError:
+            # a skipped entry breaks the end-of-previous-field chain:
+            # the NEXT field's zeroed start can no longer be recovered
+            # from pos (it would point at the field before the gap)
+            pos = -1
             continue
         # allow_oversized zeroes slots that overflow their fixed width;
         # recover by scanning like the reference's forgiving readers: a
@@ -250,6 +254,11 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
         # byte, it always ends with FT) means "up to the next FT".
         if start == 0 and pos > 0:
             start = pos
+        elif start == 0 and pos < 0:
+            # recovery chain broken by a skipped entry: a zeroed start
+            # here cannot be resolved — reading from offset 0 would
+            # return some earlier field's bytes. Drop the field.
+            continue
         if length == 0:
             end = data_region.find(FT, start)
             if end == -1:

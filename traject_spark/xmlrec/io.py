@@ -335,7 +335,10 @@ def harvest_oai_pmh_restartable(
         pages_this_run += 1
         if max_pages is not None and pages_this_run >= max_pages:
             break
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # the shared base class: common ancestor of both the classic
+    # captured variant and the Spark Connect variant, so the
+    # zero-records-harvested case is recognized under either runtime
+    from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(output_path)
