@@ -98,6 +98,31 @@ def noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+CALIBRATION_WORKLOAD = "spark.range(2e10).sum(id % 1000) median-of-3"
+
+
+def calibration(spark) -> float:
+    """Median-of-3 of a FIXED pure-JVM workload (range->sum, whole-stage
+    codegen, no Python, no IO). Its time depends only on the box, never
+    on repo code — recorded at the start AND end of every bench run so a
+    future reader can distinguish environment drift from code
+    regressions: if calibration moved by the same factor as the queries,
+    the box moved, not the code. Normalization rule (documented in
+    README): compare query medians across rounds as
+    query_sec / (calibration_sec / reference_calibration_sec)."""
+    runs = []
+    for _ in range(3):
+        spark._jvm.System.gc()
+        t0 = time.time()
+        # id % 1000 keeps the 2e10-row sum inside a long under
+        # ANSI mode (sum(id) itself would overflow and throw)
+        spark.range(20_000_000_000, numPartitions=CPUS).agg(
+            F.sum(F.col("id") % 1000)
+        ).collect()
+        runs.append(time.time() - t0)
+    return round(sorted(runs)[1], 3)
+
+
 _MARC_PATH: str | None = None
 
 
@@ -449,6 +474,8 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()  # initialize shuffle machinery off the clock
     print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    cal_start = calibration(spark)
+    print(f"BENCH calibration (start): {cal_start}s", file=sys.stderr)
     # median of N runs per query: single-run timings on this box wobble
     # 2-4x — the VM occasionally stalls whole runs (host scheduling, not
     # GC: measured total GC pause is ~3.6s across a full probe while
@@ -499,6 +526,8 @@ def main() -> None:
             f"(runs in order: {[round(r, 2) for r in runs]})",
             file=sys.stderr,
         )
+    cal_end = calibration(spark)
+    print(f"BENCH calibration (end): {cal_end}s", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the per-run lists ride INSIDE the one-line JSON artifact: the driver
     # keeps only a truncated stderr tail, and a single recorded median is
@@ -512,6 +541,14 @@ def main() -> None:
                 "queries": timings,
                 "runs": {
                     n: [round(r, 3) for r in rs] for n, rs in run_lists.items()
+                },
+                # box-speed reference: a fixed pure-JVM job timed before
+                # the first and after the last query — lets a reader
+                # separate environment drift from code regressions
+                "calibration": {
+                    "workload": CALIBRATION_WORKLOAD,
+                    "start_sec": cal_start,
+                    "end_sec": cal_end,
                 },
                 # same lenient parse as _target_records ('0.1.2'.replace
                 # ('.','').isdigit() is True but float() would crash here)
