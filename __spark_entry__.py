@@ -519,10 +519,45 @@ def q_dedup_jaccard_adjacent(spark, sf_dir):
 
 
 def q_embed_norm(spark, sf_dir):
+    """Kept as a library probe; NOT registered in queries() — the driver
+    window holds 50 rows and this L2-norm projection is fully subsumed
+    by the four hash-verified cosine/ANN rows (its slot now carries
+    dedup_witness_clusters)."""
     from traject_spark.corpus.similarity import norm_expr
 
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.round(norm_expr(F.col("embedding")), 4).alias("norm")
+    )
+
+
+def q_dedup_witness_clusters(spark, sf_dir):
+    """Transitive closure over witness edges (minhash_near_dup_clusters):
+    planted exact-copy CHAINS — every 25th non-NULL doc copied at +1M,
+    +2M and +3M — must all resolve to the ORIGINAL doc_id as cluster_id.
+    The +3M copy's direct witness is the +2M copy (its sorted-
+    neighborhood predecessor in every band bucket), so reaching the base
+    id requires genuine multi-hop closure, not one-hop witness output.
+    min_est=1.0 keeps the edge set SQL-predictable: full 64-hash
+    agreement happens only for identical texts (the planted-pair trick),
+    and sf0.01/sf0.001 documents contain no natural exact-dup texts.
+    Output restricted to planted ids: natural docs' cluster labels
+    depend on hash-dependent near-dup edges, not SQL-predictable."""
+    from traject_spark.corpus import minhash_near_dup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(
+        (F.col("doc_id") % 25 == 0) & F.col("text").isNotNull()
+    )
+    chain = docs
+    for off in (1_000_000, 2_000_000, 3_000_000):
+        chain = chain.unionAll(
+            base.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    out = minhash_near_dup_clusters(
+        chain, num_hashes=64, bands=16, min_est=1.0
+    )
+    return out.filter(F.col("doc_id") >= 1_000_000).select(
+        F.col("doc_id").alias("id"), "cluster_id"
     )
 
 
@@ -943,7 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_adjacent": q_dedup_jaccard_adjacent,
-        "embed_norm": q_embed_norm,
+        "dedup_witness_clusters": q_dedup_witness_clusters,
         "embed_topk": q_embed_topk,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,
@@ -1375,11 +1410,11 @@ def oracle_sql() -> dict[str, str]:
               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
-        "embed_norm": """
-            SELECT vec_id,
-              round(sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
-            FROM embeddings""",
+        "dedup_witness_clusters": """
+            SELECT doc_id + 1000000 * h.h AS id,
+              CAST(doc_id AS BIGINT) AS cluster_id
+            FROM documents, (VALUES (1), (2), (3)) h(h)
+            WHERE doc_id % 25 = 0 AND text IS NOT NULL""",
         "embed_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

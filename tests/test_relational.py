@@ -193,6 +193,52 @@ def test_minhash_near_dup_witness_predecessor_beats_shadowing(spark):
     assert out[51]["est_jaccard"] == 1.0
 
 
+def test_minhash_near_dup_clusters_transitive_closure(spark):
+    """Multi-hop witness chains resolve to the GLOBAL minimum: a 6-copy
+    clique (witness edges form a chain/forest toward smaller ids) labels
+    every member with cluster_id 0, unrelated docs and NULL-text rows
+    label themselves, and survivors are exactly the id==cluster_id set."""
+    from traject_spark.corpus import minhash_near_dup_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the river bend"
+    )
+    rows = [(i, base) for i in range(6)]
+    rows += [(100 + i, f"totally unrelated document number {i} about "
+                       f"spark catalyst optimizer internals part {i}")
+             for i in range(4)]
+    rows += [(200, None), (201, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in minhash_near_dup_clusters(
+        df, num_hashes=32, bands=8, min_est=0.9
+    ).collect()}
+    assert len(out) == 12  # one label per input row
+    assert all(out[i] == 0 for i in range(6))
+    assert all(out[i] == i for i in (100, 101, 102, 103, 200, 201))
+    survivors = {i for i, c in out.items() if i == c}
+    assert survivors == {0, 100, 101, 102, 103, 200, 201}
+
+
+def test_witness_clusters_deep_chain_and_guards(spark):
+    """Pointer doubling closes a deep chain (0<-1<-2<-...<-40) in
+    log-depth rounds; an upward/self edge (user-supplied) is dropped
+    rather than cycling forever."""
+    from traject_spark.corpus import witness_clusters
+
+    edges = [(i, i - 1) for i in range(1, 41)]  # depth-40 chain
+    edges += [(5, 7), (9, 9)]  # upward + self edge: must be ignored
+    wit = spark.createDataFrame(edges, "id long, witness_id long")
+    out = {r["id"]: r["cluster_id"] for r in witness_clusters(wit).collect()}
+    assert all(out[i] == 0 for i in range(41))
+    # two disjoint components stay disjoint
+    wit2 = spark.createDataFrame(
+        [(1, 0), (2, 1), (11, 10), (12, 11)], "id long, witness_id long"
+    )
+    out2 = {r["id"]: r["cluster_id"] for r in witness_clusters(wit2).collect()}
+    assert out2[2] == 0 and out2[12] == 10 and out2[0] == 0 and out2[10] == 10
+
+
 def test_near_dup_operators_exclude_null_text(spark):
     """NULL-text documents are not near-duplicates of each other: without
     NULL signature propagation they all share one constant shingle/token

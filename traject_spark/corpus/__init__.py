@@ -25,6 +25,8 @@ from traject_spark.corpus.dedup import (
     minhash_signature_expr,
     minhash_lsh_candidates,
     minhash_near_dup_witness,
+    minhash_near_dup_clusters,
+    witness_clusters,
     simhash_expr,
     simhash_near_dup,
     ngram_jaccard_pairs,
@@ -54,6 +56,8 @@ __all__ = [
     "minhash_signature_expr",
     "minhash_lsh_candidates",
     "minhash_near_dup_witness",
+    "minhash_near_dup_clusters",
+    "witness_clusters",
     "simhash_expr",
     "simhash_near_dup",
     "ngram_jaccard_pairs",

@@ -392,6 +392,119 @@ def minhash_near_dup_witness(
     )
 
 
+def witness_clusters(
+    witness: DataFrame,
+    members: Optional[DataFrame] = None,
+    id_col: str = "id",
+    witness_col: str = "witness_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure over witness edges: (id, cluster_id) labels.
+
+    ``minhash_near_dup_witness`` is one-hop by design (A's witness B may
+    itself have witness C); this computes the connected components of
+    the witness forest so survivors are pickable without driver logic:
+    ``cluster_id`` is the smallest id reachable through witness edges,
+    and the survivor of each cluster is the row with
+    ``id == cluster_id``.
+
+    Algorithm: pointer doubling (iterated hash-to-min on a functional
+    graph). The witness relation always points to a STRICTLY smaller id
+    (enforced here), so the edge set is a forest — no cycles, and each
+    round of ``parent := parent(parent)`` halves every chain's remaining
+    depth. Convergence needs ceil(log2(max chain depth)) rounds: the
+    default ``max_iters=20`` covers chains a million hops deep. Each
+    round is ONE left self-join shuffled on id plus an existence check —
+    O(E) per round, O(E log D) total, no driver-side graph.
+
+    Lineage is truncated per round with ``localCheckpoint`` (without it
+    the self-join plan doubles every iteration and planning time
+    explodes). On a cluster with executor churn, set a reliable
+    checkpoint dir and swap to ``checkpoint`` if recomputation-on-loss
+    matters for a long chain of rounds.
+
+    ``members`` (optional, one id column named ``id_col``): the id
+    universe for the output — unmarked ids label themselves
+    (``cluster_id = id``). Default: only ids appearing in the edge set.
+    """
+    parents = witness.select(
+        F.col(id_col).alias("id"), F.col(witness_col).alias("parent")
+    )
+    # the no-cycle guarantee the doubling relies on: drop any edge that
+    # does not point strictly downward (witness construction never emits
+    # one, but a user-supplied edge set might)
+    parents = parents.filter(F.col("parent") < F.col("id")).localCheckpoint()
+    for _ in range(max_iters):
+        a, b = parents.alias("a"), parents.alias("b")
+        step = (
+            a.join(b, F.col("a.parent") == F.col("b.id"), "left")
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("a.parent").alias("old"),
+                F.coalesce(F.col("b.parent"), F.col("a.parent")).alias(
+                    "parent"
+                ),
+            )
+            .localCheckpoint()
+        )
+        advanced = step.filter(F.col("parent") != F.col("old")).limit(1)
+        parents = step.select("id", "parent")
+        if advanced.count() == 0:
+            break
+    if members is None:
+        members = (
+            witness.select(F.col(id_col).alias("id"))
+            .union(witness.select(F.col(witness_col).alias("id")))
+            .distinct()
+        )
+    else:
+        members = members.select(F.col(id_col).alias("id"))
+    return members.join(parents, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("parent", F.col("id")).alias("cluster_id"),
+    )
+
+
+def minhash_near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    min_est: float = 0.8,
+    sig_col: Optional[str] = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup cluster ids for EVERY document: witness marking
+    (``minhash_near_dup_witness``) followed by transitive closure
+    (``witness_clusters``).
+
+    Returns (``id_col``, cluster_id) for every input row; unmarked
+    documents (including NULL-text rows) are their own singleton
+    cluster. Survivor selection is ``filter(id == cluster_id)``; corpus
+    dedup is one join away. Output is LINEAR in corpus size regardless
+    of duplicate-clique size — the 100 TB composition the witness
+    operator was built for.
+    """
+    wit = minhash_near_dup_witness(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        ngram=ngram,
+        min_est=min_est,
+        sig_col=sig_col,
+    )
+    out = witness_clusters(
+        wit,
+        members=df.select(F.col(id_col).alias("id")),
+        max_iters=max_iters,
+    )
+    return out.select(F.col("id").alias(id_col), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
