@@ -358,6 +358,46 @@ def b_embed_topk(spark):
     )
 
 
+_DOCS_NDJ_PATH: str | None = None
+_CURATE_DIR = _tmpdir("bench_curate_")
+
+
+def _docs_ndjson_path(spark) -> str:
+    """documents as plain NDJSON (untimed setup) so the curation bench
+    times the full ingest->curate->write path from a text format."""
+    global _DOCS_NDJ_PATH
+    if _DOCS_NDJ_PATH is None:
+        _DOCS_NDJ_PATH = _tmpdir("bench_docsndj_") + "/docs"
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        ).write.mode("overwrite").json(_DOCS_NDJ_PATH)
+    return _DOCS_NDJ_PATH
+
+
+def b_corpus_curate(spark):
+    """End-to-end LLM-corpus curation recipe: ingest NDJSON -> annotate
+    (tokens/quality/langid/fingerprint/minhash sig, one projection) ->
+    quality filter -> exact dedup -> witness near-dup marking -> write
+    curated parquet. The composition a real pipeline user runs as one
+    call (corpus/recipes.py)."""
+    from traject_spark.corpus import curate_documents
+
+    docs = spark.read.json(
+        _docs_ndjson_path(spark), schema="doc_id long, text string"
+    )
+    d = tempfile.mkdtemp(dir=_CURATE_DIR)
+    curate_documents(
+        docs,
+        min_tokens=5,
+        near_dup="mark",
+        num_hashes=32,
+        bands=8,
+        min_est=0.7,
+        work_dir=f"{d}/work",
+        output_path=f"{d}/curated",
+    )
+
+
 def b_rel_pricing(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     noop(
@@ -435,6 +475,7 @@ BENCHES = {
     "dedup_simhash": b_dedup_simhash,
     "dedup_simhash_near": b_dedup_simhash_near,
     "text_stats": b_text_stats,
+    "corpus_curate_e2e": b_corpus_curate,
     "embed_topk": b_embed_topk,
     "rel_pricing_summary": b_rel_pricing,
     "rel_top_nations": b_rel_top_nations,

@@ -190,6 +190,39 @@ def test_lsh_bucketing_single_scan(spark):
     assert plan2.count("Scan parquet") == 2, plan2[:2000]
 
 
+def test_lsh_topk_auto_bits_stable_occupancy(spark):
+    """bits=None sizes lsh_topk's tables from the CORPUS count: a 16x
+    bigger corpus gets ~4 more bits, so mean bucket occupancy (corpus
+    rows / 2^bits) stays within the target band instead of growing 16x —
+    the quadratic-candidate cliff the sf1 soak exposed for fixed bits."""
+    import numpy as np
+
+    from traject_spark.corpus import auto_lsh_bits, lsh_topk
+
+    rng = np.random.default_rng(7)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    small_n, big_n = 256, 4096
+    bits_small = auto_lsh_bits(small_n, target_bucket=64, lo=2, hi=16)
+    bits_big = auto_lsh_bits(big_n, target_bucket=64, lo=2, hi=16)
+    occ_small = small_n / 2 ** bits_small
+    occ_big = big_n / 2 ** bits_big
+    assert occ_big <= 2 * occ_small, (occ_small, occ_big)
+    # and the operator accepts bits=None end-to-end (runs the one count()
+    # job, builds valid buckets, returns ranked neighbors)
+    q = corpus(2).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    out = lsh_topk(corpus(small_n), q, k=3, dim=8, bits=None, tables=4)
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+
+
 def test_assign_cell_udf_matches_expr(spark, emb):
     """The broadcast-matrix Arrow assignment (the >256-centroid scale
     path) must agree with the literal-expression path row for row,

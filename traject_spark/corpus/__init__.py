@@ -31,6 +31,10 @@ from traject_spark.corpus.dedup import (
     simhash_near_dup,
     ngram_jaccard_pairs,
 )
+from traject_spark.corpus.recipes import (
+    annotate_documents,
+    curate_documents,
+)
 from traject_spark.corpus.similarity import (
     assign_cell_udf,
     cosine_similarity_expr,
@@ -61,6 +65,8 @@ __all__ = [
     "simhash_expr",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    "annotate_documents",
+    "curate_documents",
     "assign_cell_udf",
     "cosine_similarity_expr",
     "auto_lsh_bits",

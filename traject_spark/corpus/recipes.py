@@ -1,0 +1,209 @@
+"""End-to-end corpus curation recipes: the composition the individual
+operators were built for.
+
+``curate_documents`` is the one-call LLM-training-data pipeline:
+
+    annotate (tokens / quality / language / fingerprint / minhash sig)
+      -> quality + language filter          (same narrow projection)
+      -> exact dedup                        (one fingerprint window)
+      -> near-dup handling                  (witness mark/drop, or
+                                             cluster ids via closure)
+
+Plan shape (the 100 TB story):
+
+- The annotate+filter stage is ONE narrow projection: every derived
+  column is computed inside a single ``let``-bound struct and the row
+  filter is an explode of a 0/1-element array built in that same
+  projection — a separate ``.filter`` on computed columns would
+  re-evaluate the whole expression tree for the predicate (measured 2x
+  on the NDJSON parse; see ``traject_spark/expr.py``).
+- The annotated frame is MATERIALIZED to parquet at the stage boundary
+  (``work_dir``). This is the ``sig_col`` best practice from
+  ``corpus/dedup.py``: the minhash signature feeds the banding pass plus
+  two id-keyed signature fetches, and without materialization the
+  signature expression tree re-executes for every consumer. It also
+  means the text-annotation scan runs exactly once no matter how many
+  downstream stages read it.
+- Exact dedup is one window shuffle on the (null-safe) fingerprint that
+  was already computed in the annotate stage — no recomputation.
+- Near-dup output is LINEAR: witness marking (one row per duplicate) or
+  cluster ids (pointer-doubling closure), never pair enumeration.
+
+On a multi-node cluster pass a SHARED ``work_dir`` (HDFS/S3/NFS): the
+default is a driver-local temp dir, correct only where driver and
+executors share a filesystem (local mode, single node).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from traject_spark.expr import let
+from traject_spark.corpus.dedup import (
+    _null_safe_group_key,
+    minhash_near_dup_witness,
+    minhash_signature_expr,
+    witness_clusters,
+)
+from traject_spark.corpus.textstats import (
+    fingerprint_expr,
+    langid_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+def annotate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+    min_quality: float = 0.0,
+    langs: Optional[Sequence[str]] = None,
+    num_hashes: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """Annotate + filter in ONE narrow projection.
+
+    Returns (id, text, n_tokens, quality, lang, fp, msig) for rows that
+    pass the gates: text non-NULL, ``n_tokens >= min_tokens``,
+    ``quality >= min_quality``, and (when ``langs`` given) ``lang`` in
+    the allowlist. The filter is the explode-in-projection pattern so
+    every derived value is evaluated exactly once.
+    """
+    text = F.col(text_col)
+    lang = langid_expr(text)
+
+    def payload(n, q, lg):
+        return F.struct(
+            F.col(id_col).alias("id"),
+            text.alias("text"),
+            n.alias("n_tokens"),
+            q.alias("quality"),
+            lg.alias("lang"),
+            fingerprint_expr(text).alias("fp"),
+            minhash_signature_expr(text, num_hashes, ngram).alias("msig"),
+        )
+
+    def gated(n, q, lg):
+        keep = text.isNotNull() & (n >= min_tokens) & (q >= min_quality)
+        if langs is not None:
+            keep = keep & lg.isin(list(langs))
+        # slice(arr,1,0) is the typed empty array — no hand-written cast
+        # to drift out of sync with the payload struct's actual types
+        return let(
+            F.array(payload(n, q, lg)),
+            lambda arr: F.when(keep, arr).otherwise(F.slice(arr, 1, 0)),
+        )
+
+    gate = let(
+        token_count_expr(text),
+        lambda n: let(
+            quality_score_expr(text),
+            lambda q: let(lang, lambda lg: gated(n, q, lg)),
+        ),
+    )
+    return df.select(F.explode(gate).alias("r")).select("r.*")
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+    min_quality: float = 0.0,
+    langs: Optional[Sequence[str]] = None,
+    near_dup: Optional[str] = "mark",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    min_est: float = 0.8,
+    work_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+) -> DataFrame:
+    """The end-to-end curation recipe; see module docstring.
+
+    ``near_dup``:
+      - ``"mark"`` (default): keep every exact-dedup survivor, add
+        ``near_dup_of`` / ``near_dup_est`` columns (NULL for clean docs).
+      - ``"drop"``: keep only unmarked docs. Aggressive: a marked doc's
+        witness may itself be marked, so a chain A->B->C keeps only C —
+        standard LSH-dedup semantics, linear everything.
+      - ``"cluster"``: keep every survivor, add ``cluster_id`` (witness
+        transitive closure); survivors of near-dup dedup are the
+        ``id == cluster_id`` rows, selectable downstream.
+      - ``None``: skip near-dup handling entirely.
+
+    ``output_path``: when given, the curated frame is written there as
+    parquet and the returned DataFrame reads from it (the action has
+    already run); otherwise the result is returned lazily.
+    """
+    if near_dup not in ("mark", "drop", "cluster", None):
+        raise ValueError(f"unknown near_dup mode: {near_dup!r}")
+    annotated = annotate_documents(
+        df, text_col, id_col, min_tokens, min_quality, langs,
+        num_hashes, ngram,
+    )
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="curate_")
+    ann_path = f"{work_dir}/annotated.parquet"
+    annotated.write.mode("overwrite").parquet(ann_path)
+    spark = df.sparkSession
+    annotated = spark.read.parquet(ann_path)
+
+    # exact dedup: reuse the materialized fingerprint — one window
+    # shuffle, min-id survivor, NULL fp rows each their own group
+    w = Window.partitionBy(
+        _null_safe_group_key(F.col("fp"), "id")
+    ).orderBy(F.col("id"))
+    survivors = (
+        annotated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    if near_dup is not None:
+        # witness over the materialized narrow (id, msig) projection
+        surv_path = f"{work_dir}/survivors.parquet"
+        survivors.write.mode("overwrite").parquet(surv_path)
+        survivors = spark.read.parquet(surv_path)
+        wit = minhash_near_dup_witness(
+            survivors,
+            id_col="id",
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            min_est=min_est,
+            sig_col="msig",
+        )
+        if near_dup == "mark":
+            survivors = survivors.join(
+                wit.select(
+                    "id",
+                    F.col("witness_id").alias("near_dup_of"),
+                    F.col("est_jaccard").alias("near_dup_est"),
+                ),
+                "id",
+                "left",
+            )
+        elif near_dup == "drop":
+            survivors = survivors.join(
+                wit.select("id"), "id", "left_anti"
+            )
+        else:  # cluster
+            survivors = survivors.join(
+                witness_clusters(
+                    wit, members=survivors.select("id")
+                ),
+                "id",
+            )
+
+    out = survivors.drop("msig").withColumnRenamed("id", id_col)
+    if output_path is not None:
+        out.write.mode("overwrite").parquet(output_path)
+        return spark.read.parquet(output_path)
+    return out

@@ -571,14 +571,24 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    bits: int = 8,
+    bits: int | None = 8,
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH candidate buckets,
     exact rescoring of candidates only. Returns (query_id, neighbor_id,
-    score, rank) — an ANN result, NOT guaranteed equal to brute force."""
+    score, rank) — an ANN result, NOT guaranteed equal to brute force.
+
+    ``bits=None`` sizes the hash tables from the CORPUS row count (one
+    count() job) via :func:`auto_lsh_bits` — the same quadratic-occupancy
+    argument as ``cosine_near_dup``: at fixed bits, candidates per query
+    grow linearly with corpus size (n/2^bits per bucket per table), so
+    the rescoring stage degrades toward brute force as the corpus grows;
+    scaling bits with log2(n/target) keeps per-query candidate volume
+    constant."""
+    if bits is None:
+        bits = auto_lsh_bits(corpus.count())
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         # one scan: all table buckets in a single select + explode (a
         # per-table union would read the corpus `tables` times); null /
