@@ -204,3 +204,142 @@ def test_stream_foreach_batch_to_solr(spark, tmp_path):
     held_back = {r["id"] for r in groups} - expected
     assert expected <= ids, sorted(expected - ids)[:5]
     assert ids <= expected | held_back, sorted(ids - expected - held_back)[:5]
+
+
+def test_stream_marc_to_solr_flagship(spark, tmp_path):
+    """Streaming ingest parity for the flagship path: readStream NDJSON
+    -> the 12-rule contract pipeline -> foreachBatch Solr. Docs arrive
+    id-correct and field-identical to the batch path over the same
+    input."""
+    import http.server
+    import json
+    import threading
+
+    import __spark_entry__ as entry_mod
+    from traject_spark.marc.io import read_marc_json
+    from traject_spark.streaming import stream_marc_to_solr
+
+    ndj = tmp_path / "drop"
+    ndj.mkdir()
+    recs = [
+        {"leader": "01234cam a2200301 a 4500", "fields": [
+            {"001": f"rec{i}"},
+            {"008": "880520s1988    nyu      b    001 0 eng  "},
+            {"245": {"ind1": "1", "ind2": "0", "subfields": [
+                {"a": f"Stream title {i} /"}]}},
+            {"100": {"ind1": "1", "ind2": " ", "subfields": [
+                {"a": f"Author, S{i}."}]}},
+        ]}
+        for i in range(6)
+    ]
+    (ndj / "a.ndjson").write_text(
+        "\n".join(json.dumps(r) for r in recs[:4]) + "\n"
+    )
+    (ndj / "b.ndjson").write_text(
+        "\n".join(json.dumps(r) for r in recs[4:]) + "\n"
+    )
+
+    received, lock = [], threading.Lock()
+
+    class _Solr(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.extend(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Solr)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        stream_marc_to_solr(
+            spark,
+            str(ndj),
+            entry_mod.flagship_pipeline(),
+            f"http://127.0.0.1:{srv.server_address[1]}/solr/core",
+            checkpoint=str(tmp_path / "ckpt"),
+            batch_size=3,
+            max_skipped=0,
+        )
+    finally:
+        srv.shutdown()
+
+    assert {d["id"] for d in received} == {f"rec{i}" for i in range(6)}
+    # field parity with the batch path over the same files
+    batch_docs = {
+        r["record_id"]: r.asDict()
+        for r in entry_mod.flagship_pipeline()
+        .apply(read_marc_json(spark, str(ndj)))
+        .collect()
+    }
+    for d in received:
+        b = batch_docs[d["id"]]
+        assert d["title"] == b["title"]
+        assert d.get("language") == b["language"]
+        assert d.get("author_sort") == b["author_sort"]
+
+
+def test_cli_streaming_flag(spark, tmp_path):
+    """-s streaming=true drives the same NDJSON->pipeline->Solr path from
+    the CLI; non-NDJSON sources are rejected."""
+    import http.server
+    import json
+    import threading
+
+    import pytest
+
+    from traject_spark.cli import main
+
+    ndj = tmp_path / "in"
+    ndj.mkdir()
+    (ndj / "r.ndjson").write_text(
+        json.dumps({"leader": " " * 24, "fields": [
+            {"001": "s1"},
+            {"245": {"ind1": "1", "ind2": "0",
+                     "subfields": [{"a": "CLI stream title"}]}},
+        ]}) + "\n"
+    )
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+
+    received, lock = [], threading.Lock()
+
+    class _Solr(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.extend(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Solr)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rc = main(
+            ["-c", str(conf), "-t", "json", "-w", "solr",
+             "-u", f"http://127.0.0.1:{srv.server_address[1]}/solr/core",
+             "-s", "streaming=true",
+             "-s", f"streaming.checkpoint={tmp_path / 'ck'}",
+             str(ndj)],
+            spark=spark,
+        )
+    finally:
+        srv.shutdown()
+    assert rc == 0
+    assert [d["id"] for d in received] == ["s1"]
+    assert received[0]["title"] == ["CLI stream title"]
+
+    with pytest.raises(SystemExit, match="NDJSON"):
+        main(
+            ["-c", str(conf), "-w", "solr", "-u", "http://x/solr",
+             "-s", "streaming=true", str(ndj)],
+            spark=spark,
+        )

@@ -211,6 +211,78 @@ def _delimited_fields(df: DataFrame, settings: dict, kind: str) -> list:
     return list(df.columns)
 
 
+def _solr_url_and_kwargs(settings: dict) -> tuple:
+    """solr.url + solr_json_writer kwargs from settings — shared by the
+    batch writer branch and the streaming foreachBatch sink so the two
+    paths can never drift."""
+    url = str(settings.get("solr.url", ""))
+    if not url:
+        raise SystemExit("solr writer needs -u/-s solr.url=")
+    # solr_writer.solr_update_args: dict from a config file, or
+    # "k=v,k2=v2" from -s (e.g. -s solr_writer.solr_update_args=commitWithin=1000)
+    upd = settings.get("solr_writer.solr_update_args")
+    if isinstance(upd, str):
+        upd = dict(
+            kv.split("=", 1) for kv in upd.split(",") if "=" in kv
+        ) or None
+    commit_close = str(
+        settings.get("solr_writer.commit_on_close", "")
+    ).lower() == "true"
+    return url, dict(
+        batch_size=int(settings.get("solr_writer.batch_size", 100)),
+        solr_update_args=upd,
+        commit_on_close=commit_close,
+        max_skipped=int(settings.get("solr_writer.max_skipped", 0)),
+        basic_auth_user=settings.get("solr_writer.basic_auth_user"),
+        basic_auth_password=settings.get("solr_writer.basic_auth_password"),
+    )
+
+
+def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
+    """-s streaming=true: readStream NDJSON -> pipeline -> foreachBatch
+    Solr — the flagship path with Structured Streaming's checkpointed
+    file tracking (a restarted run never re-reads a completed
+    micro-batch). Net-new over the reference CLI (which is batch-only);
+    the mapping and the sink are byte-identical to the batch path."""
+    from traject_spark.streaming import stream_marc_to_solr
+
+    src_type = str(settings.get("marc_source.type", "binary"))
+    reader = str(settings.get("reader_class_name", "")).lower()
+    reader = reader.replace("::", ".").rsplit(".", 1)[-1]
+    if src_type != "json" and reader != "ndjreader":
+        raise SystemExit(
+            "streaming=true supports the NDJSON source only "
+            "(-t json or NDJReader); binary/xml inputs are batch"
+        )
+    if len(files) != 1:
+        raise SystemExit(
+            "streaming=true takes exactly one input path "
+            "(a directory or glob the stream watches)"
+        )
+    url, kwargs = _solr_url_and_kwargs(settings)
+    checkpoint = settings.get("streaming.checkpoint")
+    if not checkpoint:
+        import tempfile
+
+        checkpoint = tempfile.mkdtemp(prefix="traject_stream_ckpt_")
+        print(
+            f"streaming.checkpoint not set; using {checkpoint} "
+            "(pass -s streaming.checkpoint=<dir> for restartability)",
+            file=sys.stderr,
+        )
+    mft = settings.get("streaming.max_files_per_trigger")
+    stream_marc_to_solr(
+        spark,
+        files[0],
+        pipeline,
+        url,
+        checkpoint,
+        max_files_per_trigger=int(mft) if mft else None,
+        **kwargs,
+    )
+    return True
+
+
 def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     from traject_spark import writers as W
 
@@ -227,29 +299,8 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     kind = WRITER_SHORTCUTS.get(short, "json")
     out = settings.get("output_file")
     if kind == "solr":
-        url = str(settings.get("solr.url", ""))
-        if not url:
-            raise SystemExit("solr writer needs -u/-s solr.url=")
-        batch = int(settings.get("solr_writer.batch_size", 100))
-        # solr_writer.solr_update_args: dict from a config file, or
-        # "k=v,k2=v2" from -s (e.g. -s solr_writer.solr_update_args=commitWithin=1000)
-        upd = settings.get("solr_writer.solr_update_args")
-        if isinstance(upd, str):
-            upd = dict(
-                kv.split("=", 1) for kv in upd.split(",") if "=" in kv
-            ) or None
-        commit_close = str(
-            settings.get("solr_writer.commit_on_close", "")
-        ).lower() == "true"
-        W.solr_json_writer(
-            df, url, batch_size=batch, solr_update_args=upd,
-            commit_on_close=commit_close,
-            max_skipped=int(settings.get("solr_writer.max_skipped", 0)),
-            basic_auth_user=settings.get("solr_writer.basic_auth_user"),
-            basic_auth_password=settings.get(
-                "solr_writer.basic_auth_password"
-            ),
-        )
+        url, kwargs = _solr_url_and_kwargs(settings)
+        W.solr_json_writer(df, url, **kwargs)
         return True
     if kind == "null":
         W.write_noop(df)
@@ -420,6 +471,10 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
 
         if not args.conf:
             raise SystemExit("Error: Missing required configuration file (-c)")
+        if settings.get("streaming") is True:
+            ok = command_stream(spark, pipeline, settings, args.files)
+            pipeline.run_after_processing()
+            return 0 if ok else 1
         df = read_input(spark, settings, args.files, indexer=args.indexer)
         ok = write_output(pipeline.apply(df), pipeline, settings)
         pipeline.run_after_processing()  # indexer.rb:646-655 ordering

@@ -62,7 +62,32 @@ def read_marc_json(
     by full-struct parity tests; choose it where provisioning Python on
     executors is the constraint rather than raw parse throughput.
     """
-    lines = spark.read.text(paths)
+    return _parse_marc_json_lines(spark.read.text(paths), id_tag, engine)
+
+
+def read_marc_json_stream(
+    spark: SparkSession,
+    paths,
+    id_tag: str = "001",
+    engine: str = "python",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_marc_json`: a streaming
+    text source over an NDJSON directory, the same per-line-rescue parse
+    (both engines), the same (record_id, marc) schema. Compose with any
+    pipeline and a ``foreachBatch`` sink (see
+    ``streaming.stream_marc_to_solr`` for the flagship wiring);
+    ``max_files_per_trigger`` bounds micro-batch size for steady-state
+    ingest of a growing drop directory."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _parse_marc_json_lines(reader.text(paths), id_tag, engine)
+
+
+def _parse_marc_json_lines(
+    lines: DataFrame, id_tag: str, engine: str
+) -> DataFrame:
     if engine == "jvm":
         return _read_marc_json_jvm(lines, id_tag)
 

@@ -29,6 +29,7 @@ from traject_spark.streaming.ops import (
     read_events_batch,
     stream_dedup,
     stream_dedup_watermarked,
+    stream_marc_to_solr,
     stream_user_totals,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "read_events_batch",
     "stream_dedup",
     "stream_dedup_watermarked",
+    "stream_marc_to_solr",
     "stream_user_totals",
 ]

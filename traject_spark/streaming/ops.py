@@ -205,6 +205,60 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_marc_to_solr(
+    spark: SparkSession,
+    input_path: str,
+    pipeline,
+    url: str,
+    checkpoint: str,
+    id_tag: str = "001",
+    engine: str = "python",
+    max_files_per_trigger: Optional[int] = None,
+    available_now: bool = True,
+    await_termination: bool = True,
+    **solr_kwargs,
+):
+    """Streaming ingest parity for the flagship path: ``readStream``
+    marc-in-json NDJSON -> ``pipeline.apply`` (the same narrow mapping
+    select as batch) -> ``foreachBatch`` into the batch Solr sink.
+
+    The checkpoint gives exactly-once FILE tracking (a restarted query
+    never re-reads a completed micro-batch); the sink itself is
+    at-least-once on task retry and idempotent via Solr upsert-by-id —
+    the same contract as the batch writer. ``available_now=True`` drains
+    everything currently in the directory then stops (the batch-parity
+    mode, and what the CLI uses); ``False`` runs a continuous
+    micro-batch query over a growing drop directory — pair it with
+    ``max_files_per_trigger`` to bound batch size, and
+    ``await_termination=False`` to manage the query handle yourself.
+
+    Returns the StreamingQuery (already terminated when
+    ``await_termination`` and ``available_now`` are both true).
+    """
+    from traject_spark.marc.io import read_marc_json_stream
+    from traject_spark.writers import solr_json_writer
+
+    src = read_marc_json_stream(
+        spark, input_path, id_tag=id_tag, engine=engine,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    out = pipeline.apply(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        solr_json_writer(batch_df, url, **solr_kwargs)
+
+    writer = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if await_termination and available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_stream_to_table(
     sdf: DataFrame,
     name: str,
