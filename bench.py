@@ -328,6 +328,35 @@ def b_dedup_simhash_near(spark):
     noop(simhash_near_dup(sigs, sig_col="sig", max_distance=3, bands=4))
 
 
+def b_dedup_simhash_witness(spark):
+    """Linear-output SimHash marking (vs the pair-enumeration
+    dedup_simhash_near): materialized signatures + sig_col, like the
+    minhash witness bench."""
+    from traject_spark.corpus import simhash_expr, simhash_near_dup_witness
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig_path = _tmpdir("bench_swsig_") + "/sigs"
+    docs.select(
+        "doc_id", simhash_expr(F.col("text")).alias("sig")
+    ).write.mode("overwrite").parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    noop(
+        simhash_near_dup_witness(
+            sigs, sig_col="sig", max_distance=3, bands=4
+        )
+    )
+
+
+def b_embed_near_dup_witness(spark):
+    """Linear-output embedding near-dup marking (vs embed_near_dup_lsh's
+    pair enumeration — the slowest sf10 query, dominated by the
+    candidate-pair distinct+score shuffle)."""
+    from traject_spark.corpus import cosine_near_dup_witness
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    noop(cosine_near_dup_witness(emb, threshold=0.35, bits=None, tables=4))
+
+
 def b_text_stats(spark):
     from traject_spark.corpus import (
         fingerprint_expr, langid_expr, quality_score_expr, token_count_expr,
@@ -474,6 +503,8 @@ BENCHES = {
     "dedup_minhash_witness": b_dedup_minhash_witness,
     "dedup_simhash": b_dedup_simhash,
     "dedup_simhash_near": b_dedup_simhash_near,
+    "dedup_simhash_witness": b_dedup_simhash_witness,
+    "embed_near_dup_witness": b_embed_near_dup_witness,
     "text_stats": b_text_stats,
     "corpus_curate_e2e": b_corpus_curate,
     "embed_topk": b_embed_topk,

@@ -220,6 +220,57 @@ def test_minhash_near_dup_clusters_transitive_closure(spark):
     assert survivors == {0, 100, 101, 102, 103, 200, 201}
 
 
+def test_simhash_near_dup_witness_linear_output(spark):
+    """SimHash witness marking: a 5-copy exact clique yields 4 witness
+    rows at distance 0 (not 10 pairs); unrelated docs stay unmarked;
+    closure via witness_clusters labels the clique with its minimum."""
+    from traject_spark.corpus import (
+        simhash_near_dup,
+        simhash_near_dup_witness,
+        witness_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field toward the river bend"
+    )
+    rows = [(i, base) for i in range(5)]
+    rows += [(100 + i, f"totally unrelated document number {i} about "
+                       f"spark catalyst optimizer internals part {i}")
+             for i in range(3)]
+    rows += [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_dup_witness(df, max_distance=3, bands=4).collect()
+    marked = {r["id"]: r for r in out}
+    assert set(marked) == {1, 2, 3, 4}
+    assert all(r["witness_id"] < r["id"] for r in out)
+    assert all(r["distance"] == 0 for r in out)
+    pairs = simhash_near_dup(df, max_distance=3, bands=4).filter(
+        "distance = 0"
+    )
+    assert pairs.count() == 10 and len(out) == 4
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in witness_clusters(
+            spark.createDataFrame(
+                [(r["id"], r["witness_id"]) for r in out],
+                "id long, witness_id long",
+            )
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(5) if i in labels)
+
+
+def test_simhash_near_dup_witness_validates_bands(spark):
+    import pytest
+
+    from traject_spark.corpus import simhash_near_dup_witness
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        simhash_near_dup_witness(df, max_distance=4, bands=4)
+
+
 def test_witness_clusters_deep_chain_and_guards(spark):
     """Pointer doubling closes a deep chain (0<-1<-2<-...<-40) in
     log-depth rounds; an upward/self edge (user-supplied) is dropped

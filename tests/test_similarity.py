@@ -168,6 +168,35 @@ def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
     assert got == expected
 
 
+def test_cosine_near_dup_witness_linear_output(spark):
+    """Embedding witness marking: a 6-copy exact vector clique yields 5
+    witness rows at score 1.0 (not 15 pairs); orthogonal vectors stay
+    unmarked; wrong-dim vectors are excluded rather than bucket-collapsed."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import cosine_near_dup, cosine_near_dup_witness
+
+    v = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, v) for i in range(6)]
+    rows += [(100, [0.0, 0.0, 1.0, 0.0]), (101, [0.0, 0.0, 0.0, 1.0])]
+    rows += [(200, [1.0, 2.0])]  # wrong dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_near_dup_witness(
+        df, threshold=0.95, dim=4, bits=2, tables=4
+    ).collect()
+    marked = {r["id"]: r for r in out}
+    assert set(marked) == {1, 2, 3, 4, 5}
+    assert all(r["witness_id"] < r["id"] for r in out)
+    assert all(abs(r["score"] - 1.0) < 1e-6 for r in out)
+    pairs = cosine_near_dup(
+        df, threshold=0.95, mode="lsh", dim=4, bits=2, tables=4
+    )
+    assert pairs.count() == 15 and len(out) == 5
+    # bits=None auto-sizes without error
+    auto = cosine_near_dup_witness(df, threshold=0.95, dim=4, bits=None)
+    assert {r["id"] for r in auto.collect()} == {1, 2, 3, 4, 5}
+
+
 def test_lsh_bucketing_single_scan(spark):
     """The LSH candidate builders must compute all table buckets in ONE
     scan per side (select + explode), not a per-table union that re-reads

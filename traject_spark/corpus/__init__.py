@@ -29,6 +29,7 @@ from traject_spark.corpus.dedup import (
     witness_clusters,
     simhash_expr,
     simhash_near_dup,
+    simhash_near_dup_witness,
     ngram_jaccard_pairs,
 )
 from traject_spark.corpus.recipes import (
@@ -40,6 +41,7 @@ from traject_spark.corpus.similarity import (
     cosine_similarity_expr,
     auto_lsh_bits,
     cosine_near_dup,
+    cosine_near_dup_witness,
     brute_force_topk,
     ivf_topk,
     ivf_topk_from_layout,
@@ -64,6 +66,7 @@ __all__ = [
     "witness_clusters",
     "simhash_expr",
     "simhash_near_dup",
+    "simhash_near_dup_witness",
     "ngram_jaccard_pairs",
     "annotate_documents",
     "curate_documents",
@@ -71,6 +74,7 @@ __all__ = [
     "cosine_similarity_expr",
     "auto_lsh_bits",
     "cosine_near_dup",
+    "cosine_near_dup_witness",
     "brute_force_topk",
     "ivf_topk",
     "ivf_topk_from_layout",

@@ -300,6 +300,37 @@ def minhash_lsh_candidates(
     )
 
 
+def _witness_candidates(
+    banded_ids: DataFrame, bucket_cols: list
+) -> DataFrame:
+    """(id, *bucket_cols) -> deduped (id, cand) witness candidates:
+    per-bucket minimum id + sorted-neighborhood predecessor id.
+
+    The shared skew-aware core of every ``*_near_dup_witness`` operator
+    (MinHash, SimHash, cosine-LSH): bucket minima via hash-aggregate
+    (map-side partial, skew-immune), predecessors via a per-bucket
+    window over the NARROW id projection — signatures/vectors never
+    ride through a per-bucket shuffle; callers fetch them afterwards by
+    id-keyed joins. At most two candidates per (row, bucket), so
+    candidate volume is linear in rows x buckets regardless of
+    duplicate-clique size."""
+    bucket_min = banded_ids.groupBy(*bucket_cols).agg(
+        F.min("id").alias("cand")
+    )
+    min_cands = banded_ids.join(bucket_min, bucket_cols).filter(
+        F.col("cand") < F.col("id")
+    )
+    pred = Window.partitionBy(*bucket_cols).orderBy("id")
+    pred_cands = banded_ids.withColumn(
+        "cand", F.lag("id").over(pred)
+    ).filter(F.col("cand").isNotNull())
+    return (
+        min_cands.select("id", "cand")
+        .union(pred_cands.select("id", "cand"))
+        .dropDuplicates(["id", "cand"])
+    )
+
+
 def minhash_near_dup_witness(
     df: DataFrame,
     text_col: str = "text",
@@ -352,21 +383,7 @@ def minhash_near_dup_witness(
     banded_ids = _band_explode(sig, num_hashes, bands).select(
         "id", "band", "band_hash"
     )
-    bucket_min = banded_ids.groupBy("band", "band_hash").agg(
-        F.min("id").alias("cand")
-    )
-    min_cands = banded_ids.join(bucket_min, ["band", "band_hash"]).filter(
-        F.col("cand") < F.col("id")
-    )
-    pred = Window.partitionBy("band", "band_hash").orderBy("id")
-    pred_cands = banded_ids.withColumn(
-        "cand", F.lag("id").over(pred)
-    ).filter(F.col("cand").isNotNull())
-    candidates = (
-        min_cands.select("id", "cand")
-        .union(pred_cands.select("id", "cand"))
-        .dropDuplicates(["id", "cand"])
-    )
+    candidates = _witness_candidates(banded_ids, ["band", "band_hash"])
     scored = (
         candidates.join(sig, "id")
         .join(
@@ -432,8 +449,19 @@ def witness_clusters(
     )
     # the no-cycle guarantee the doubling relies on: drop any edge that
     # does not point strictly downward (witness construction never emits
-    # one, but a user-supplied edge set might)
-    parents = parents.filter(F.col("parent") < F.col("id")).localCheckpoint()
+    # one, but a user-supplied edge set might), and keep ONE parent per
+    # id (the minimum) so the self-join can never fan out and the output
+    # has exactly one label per member. Note this makes the input a
+    # forest by construction: components are those of the min-parent
+    # forest, which is the witness contract — general-graph connected
+    # components over an arbitrary multi-edge set need iterated
+    # min-label propagation over BOTH directions, not pointer doubling.
+    parents = (
+        parents.filter(F.col("parent") < F.col("id"))
+        .groupBy("id")
+        .agg(F.min("parent").alias("parent"))
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         a, b = parents.alias("a"), parents.alias("b")
         step = (
@@ -553,30 +581,16 @@ def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup(
+def _simhash_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_distance: int = 3,
-    bands: int = 4,
-    sig_col: Optional[str] = None,
-) -> DataFrame:
-    """Near-duplicate pairs with hamming(simhash_a, simhash_b) <= t.
-
-    Pigeonhole banding: the 64-bit signature splits into ``bands``
-    contiguous equal-width bands; any pair within hamming distance
-    < ``bands`` must agree EXACTLY on at least one band, so the candidate
-    set is pairs sharing a (band, band_bits) bucket — shuffle volume is
-    rows x bands, never the n^2 pair space — and the exact hamming filter
-    then verifies. Requires ``max_distance < bands`` for the guarantee.
-
-    ``sig_col`` uses a precomputed signature column instead of computing
-    SimHash from ``text_col``. At scale, materialize signatures FIRST
-    (one scan writing the narrow (id, sig) table) and pass ``sig_col`` —
-    a self-join over an unmaterialized signature expression recomputes
-    the 64-bit majority vote on both join sides. Returns
-    (id_a, id_b, distance).
-    """
+    text_col: str,
+    id_col: str,
+    max_distance: int,
+    bands: int,
+    sig_col: Optional[str],
+):
+    """Shared pigeonhole-banding build: validated params, then the
+    (id, sig) frame and its (id, sig, band, band_bits) explode."""
     if max_distance >= bands:
         raise ValueError(
             f"pigeonhole banding needs max_distance < bands "
@@ -617,6 +631,92 @@ def simhash_near_dup(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.band_bits")
+    return sig, banded
+
+
+def simhash_near_dup_witness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    sig_col: Optional[str] = None,
+) -> DataFrame:
+    """Witness-bounded SimHash near-dup marking: LINEAR output — the
+    ``minhash_near_dup_witness`` pattern over pigeonhole band buckets.
+
+    Each document is checked against at most two candidates per band
+    bucket (bucket minimum + sorted-neighborhood predecessor, computed
+    on the narrow (id, band, band_bits) projection — signatures fetched
+    afterwards by two id-keyed joins) and marked when the best
+    candidate's hamming distance is <= ``max_distance``. Every member
+    of an exact clique except its global minimum id is marked (identical
+    signatures agree on every band). Exhaustive enumeration is
+    ``simhash_near_dup`` (quadratic in clique size). Compose with
+    ``witness_clusters`` for transitive cluster ids.
+
+    Returns (id, witness_id, distance) for marked duplicates only.
+    """
+    sig, banded = _simhash_banded(
+        df, text_col, id_col, max_distance, bands, sig_col
+    )
+    candidates = _witness_candidates(
+        banded.select("id", "band", "band_bits"), ["band", "band_bits"]
+    )
+    scored = (
+        candidates.join(sig, "id")
+        .join(
+            sig.select(
+                F.col("id").alias("cand"), F.col("sig").alias("wsig")
+            ),
+            "cand",
+        )
+        .select(
+            "id",
+            F.col("cand").alias("witness_id"),
+            hamming64_expr(F.col("sig"), F.col("wsig"))
+            .cast("long")
+            .alias("distance"),
+        )
+    )
+    best = Window.partitionBy("id").orderBy(
+        F.col("distance").asc(), F.col("witness_id").asc()
+    )
+    return (
+        scored.filter(F.col("distance") <= max_distance)
+        .withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select("id", "witness_id", "distance")
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    sig_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash_a, simhash_b) <= t.
+
+    Pigeonhole banding: the 64-bit signature splits into ``bands``
+    contiguous equal-width bands; any pair within hamming distance
+    < ``bands`` must agree EXACTLY on at least one band, so the candidate
+    set is pairs sharing a (band, band_bits) bucket — shuffle volume is
+    rows x bands, never the n^2 pair space — and the exact hamming filter
+    then verifies. Requires ``max_distance < bands`` for the guarantee.
+
+    ``sig_col`` uses a precomputed signature column instead of computing
+    SimHash from ``text_col``. At scale, materialize signatures FIRST
+    (one scan writing the narrow (id, sig) table) and pass ``sig_col`` —
+    a self-join over an unmaterialized signature expression recomputes
+    the 64-bit majority vote on both join sides. Returns
+    (id_a, id_b, distance).
+    """
+    sig, banded = _simhash_banded(
+        df, text_col, id_col, max_distance, bands, sig_col
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

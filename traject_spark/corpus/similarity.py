@@ -566,6 +566,90 @@ def cosine_near_dup(
     )
 
 
+def cosine_near_dup_witness(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int | None = None,
+    tables: int = 4,
+) -> DataFrame:
+    """Witness-bounded embedding near-dup marking: LINEAR output — the
+    ``minhash_near_dup_witness`` pattern over random-hyperplane buckets.
+
+    ``cosine_near_dup(mode='lsh')`` enumerates pairs, whose output (and
+    candidate volume) is quadratic in the duplicate-CLIQUE size — a
+    boilerplate embedding with 100k copies lands in one bucket and
+    produces ~5e9 pairs. Here each vector is checked against at most two
+    candidates per (table, bucket) — the bucket minimum id and the
+    sorted-neighborhood predecessor — computed on the NARROW
+    (id, table, bucket) projection; vectors are fetched afterwards by
+    two id-keyed joins, so the heavy column never rides a per-bucket
+    shuffle. A vector is marked when its best candidate's cosine reaches
+    ``threshold``. Every member of an exact-copy clique except its
+    global minimum is marked in any table where the clique shares a
+    bucket. ``bits=None`` auto-sizes from the corpus count
+    (:func:`auto_lsh_bits`). Compose with
+    ``traject_spark.corpus.witness_clusters`` for cluster ids.
+
+    Returns (id, witness_id, score) for marked vectors only.
+    """
+    from traject_spark.corpus.dedup import _witness_candidates
+
+    if bits is None:
+        bits = auto_lsh_bits(df.count())
+    # narrow bucket projection, one scan: all table buckets in a single
+    # select + explode; null / wrong-dim vectors filtered on the RAW
+    # column (their bucket would be NULL -> at scale a single collapsed
+    # bucket is the O(n^2) failure shape)
+    banded = df.filter(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        signs_expr(F.col(vec_col), dim, bits, t).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
+    candidates = _witness_candidates(banded, ["table", "bucket"])
+    vecs = df.filter(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        candidates.join(vecs, "id")
+        .join(
+            vecs.select(
+                F.col("id").alias("cand"), F.col("vec").alias("wvec")
+            ),
+            "cand",
+        )
+        .select(
+            "id",
+            F.col("cand").alias("witness_id"),
+            F.round(
+                cosine_similarity_expr(F.col("vec"), F.col("wvec")), 6
+            ).alias("score"),
+        )
+    )
+    best = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("witness_id").asc()
+    )
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select("id", "witness_id", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
