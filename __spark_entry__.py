@@ -531,17 +531,21 @@ def q_embed_norm(spark, sf_dir):
 
 
 def q_dedup_witness_clusters(spark, sf_dir):
-    """Transitive closure over witness edges (minhash_near_dup_clusters):
+    """Cluster labels over witness edges (minhash_near_dup_clusters):
     planted exact-copy CHAINS — every 25th non-NULL doc copied at +1M,
     +2M and +3M — must all resolve to the ORIGINAL doc_id as cluster_id.
-    The +3M copy's direct witness is the +2M copy (its sorted-
-    neighborhood predecessor in every band bucket), so reaching the base
-    id requires genuine multi-hop closure, not one-hop witness output.
-    min_est=1.0 keeps the edge set SQL-predictable: full 64-hash
-    agreement happens only for identical texts (the planted-pair trick),
-    and sf0.01/sf0.001 documents contain no natural exact-dup texts.
-    Output restricted to planted ids: natural docs' cluster labels
-    depend on hash-dependent near-dup edges, not SQL-predictable."""
+    Note the direct witness of each copy is usually the base id itself
+    (the clique's global minimum is the bucket minimum in every shared
+    bucket and wins the est-desc/id-asc tie-break), so this row
+    validates marking completeness + label correctness; closure DEPTH
+    (multi-hop chains) is pinned by pytest instead
+    (test_witness_clusters_deep_chain_and_guards: a depth-40 chain, and
+    the hypothesis property test's random forests). min_est=1.0 keeps
+    the edge set SQL-predictable: full 64-hash agreement happens only
+    for identical texts (the planted-pair trick), and sf0.01/sf0.001
+    documents contain no natural exact-dup texts. Output restricted to
+    planted ids: natural docs' cluster labels depend on hash-dependent
+    near-dup edges, not SQL-predictable."""
     from traject_spark.corpus import minhash_near_dup_clusters
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")

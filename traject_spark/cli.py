@@ -259,6 +259,16 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
             "streaming=true takes exactly one input path "
             "(a directory or glob the stream watches)"
         )
+    # the streaming sink is Solr-only: a configured non-solr writer must
+    # error, not be silently overridden by a POST to solr.url
+    wname = str(settings.get("writer_class_name", "solr"))
+    wshort = wname.lower().replace("::", ".").rsplit(".", 1)[-1]
+    if WRITER_SHORTCUTS.get(wshort) != "solr":
+        raise SystemExit(
+            f"streaming=true supports the solr writer only "
+            f"(got writer_class_name {wname!r}); batch mode handles "
+            "file writers"
+        )
     url, kwargs = _solr_url_and_kwargs(settings)
     checkpoint = settings.get("streaming.checkpoint")
     if not checkpoint:
@@ -271,13 +281,26 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
             file=sys.stderr,
         )
     mft = settings.get("streaming.max_files_per_trigger")
+    if mft is not None:
+        try:
+            mft = int(mft)
+        except (TypeError, ValueError):
+            raise SystemExit(
+                f"streaming.max_files_per_trigger must be a positive "
+                f"integer, got {mft!r}"
+            )
+        if mft <= 0:
+            raise SystemExit(
+                f"streaming.max_files_per_trigger must be a positive "
+                f"integer, got {mft}"
+            )
     stream_marc_to_solr(
         spark,
         files[0],
         pipeline,
         url,
         checkpoint,
-        max_files_per_trigger=int(mft) if mft else None,
+        max_files_per_trigger=mft,
         **kwargs,
     )
     return True
@@ -471,7 +494,12 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
 
         if not args.conf:
             raise SystemExit("Error: Missing required configuration file (-c)")
-        if settings.get("streaming") is True:
+        # accept config-file strings too ('true'), like allow_oversized
+        # and commit_on_close — a silently-ignored streaming=true would
+        # run batch mode and lose checkpointed restartability
+        if settings.get("streaming") is True or str(
+            settings.get("streaming", "")
+        ).lower() == "true":
             ok = command_stream(spark, pipeline, settings, args.files)
             pipeline.run_after_processing()
             return 0 if ok else 1

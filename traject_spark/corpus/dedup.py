@@ -462,6 +462,7 @@ def witness_clusters(
         .agg(F.min("parent").alias("parent"))
         .localCheckpoint()
     )
+    retained = parents
     for _ in range(max_iters):
         a, b = parents.alias("a"), parents.alias("b")
         step = (
@@ -475,6 +476,11 @@ def witness_clusters(
             )
             .localCheckpoint()
         )
+        # release the PREVIOUS round's checkpointed blocks now that the
+        # new round is materialized — without this every round pins a
+        # full |E|-row copy in executor storage until session end
+        retained.unpersist()
+        retained = step
         advanced = step.filter(F.col("parent") != F.col("old")).limit(1)
         parents = step.select("id", "parent")
         if advanced.count() == 0:

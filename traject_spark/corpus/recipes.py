@@ -66,28 +66,36 @@ def annotate_documents(
     langs: Optional[Sequence[str]] = None,
     num_hashes: int = 64,
     ngram: int = 3,
+    with_minhash: bool = True,
 ) -> DataFrame:
     """Annotate + filter in ONE narrow projection.
 
-    Returns (id, text, n_tokens, quality, lang, fp, msig) for rows that
-    pass the gates: text non-NULL, ``n_tokens >= min_tokens``,
+    Returns (id, text, n_tokens, quality, lang, fp[, msig]) for rows
+    that pass the gates: text non-NULL, ``n_tokens >= min_tokens``,
     ``quality >= min_quality``, and (when ``langs`` given) ``lang`` in
     the allowlist. The filter is the explode-in-projection pattern so
-    every derived value is evaluated exactly once.
+    every derived value is evaluated exactly once. ``with_minhash=False``
+    skips the signature column — ``num_hashes`` xxhash64 passes per doc
+    plus a 64-element array per row in the materialized output are pure
+    waste when no near-dup stage will consume them.
     """
     text = F.col(text_col)
     lang = langid_expr(text)
 
     def payload(n, q, lg):
-        return F.struct(
+        cols = [
             F.col(id_col).alias("id"),
             text.alias("text"),
             n.alias("n_tokens"),
             q.alias("quality"),
             lg.alias("lang"),
             fingerprint_expr(text).alias("fp"),
-            minhash_signature_expr(text, num_hashes, ngram).alias("msig"),
-        )
+        ]
+        if with_minhash:
+            cols.append(
+                minhash_signature_expr(text, num_hashes, ngram).alias("msig")
+            )
+        return F.struct(*cols)
 
     def gated(n, q, lg):
         keep = text.isNotNull() & (n >= min_tokens) & (q >= min_quality)
@@ -146,7 +154,7 @@ def curate_documents(
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
     annotated = annotate_documents(
         df, text_col, id_col, min_tokens, min_quality, langs,
-        num_hashes, ngram,
+        num_hashes, ngram, with_minhash=near_dup is not None,
     )
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="curate_")

@@ -597,20 +597,28 @@ def cosine_near_dup_witness(
     """
     from traject_spark.corpus.dedup import _witness_candidates
 
+    # one shared valid-row projection: null / wrong-dim vectors excluded
+    # on the RAW column (their bucket would be NULL -> at scale a single
+    # collapsed bucket is the O(n^2) failure shape); both the banding
+    # pass and the two vector fetches read it
+    vecs = df.filter(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
     if bits is None:
-        bits = auto_lsh_bits(df.count())
+        # size from the VALID population — counting raw rows would
+        # over-size bits when many embeddings are null/wrong-dim and
+        # undershoot the occupancy (= recall) target
+        bits = auto_lsh_bits(vecs.count())
     # narrow bucket projection, one scan: all table buckets in a single
-    # select + explode; null / wrong-dim vectors filtered on the RAW
-    # column (their bucket would be NULL -> at scale a single collapsed
-    # bucket is the O(n^2) failure shape)
-    banded = df.filter(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col).alias("id"),
+    # select + explode
+    banded = vecs.select(
+        "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        signs_expr(F.col(vec_col), dim, bits, t).alias(
+                        signs_expr(F.col("vec"), dim, bits, t).alias(
                             "bucket"
                         ),
                     )
@@ -620,9 +628,6 @@ def cosine_near_dup_witness(
         ).alias("tb"),
     ).select("id", "tb.table", "tb.bucket")
     candidates = _witness_candidates(banded, ["table", "bucket"])
-    vecs = df.filter(F.size(F.col(vec_col)) == dim).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )
     scored = (
         candidates.join(vecs, "id")
         .join(
@@ -634,19 +639,23 @@ def cosine_near_dup_witness(
         .select(
             "id",
             F.col("cand").alias("witness_id"),
+            # 9-decimal rounding for the THRESHOLD decision — the same
+            # boundary rule as cosine_near_dup, so witness marking is a
+            # consistent companion of the pair enumerator; 6 decimals
+            # only on the reported score
             F.round(
-                cosine_similarity_expr(F.col("vec"), F.col("wvec")), 6
-            ).alias("score"),
+                cosine_similarity_expr(F.col("vec"), F.col("wvec")), 9
+            ).alias("cos"),
         )
     )
     best = Window.partitionBy("id").orderBy(
-        F.col("score").desc(), F.col("witness_id").asc()
+        F.col("cos").desc(), F.col("witness_id").asc()
     )
     return (
-        scored.filter(F.col("score") >= threshold)
+        scored.filter(F.col("cos") >= threshold)
         .withColumn("_rn", F.row_number().over(best))
         .filter(F.col("_rn") == 1)
-        .select("id", "witness_id", "score")
+        .select("id", "witness_id", F.round("cos", 6).alias("score"))
     )
 
 

@@ -229,11 +229,15 @@ def stream_marc_to_solr(
     everything currently in the directory then stops (the batch-parity
     mode, and what the CLI uses); ``False`` runs a continuous
     micro-batch query over a growing drop directory — pair it with
-    ``max_files_per_trigger`` to bound batch size, and
-    ``await_termination=False`` to manage the query handle yourself.
+    ``max_files_per_trigger`` to bound batch size. ``await_termination``
+    blocks until the query ends in EITHER mode (for continuous mode that
+    is "forever, until stopped/failed" — the standard Structured
+    Streaming driver-keepalive); pass ``await_termination=False`` to
+    manage the query handle yourself, and keep the driver alive, or the
+    unawaited continuous query dies when the script exits.
 
-    Returns the StreamingQuery (already terminated when
-    ``await_termination`` and ``available_now`` are both true).
+    Returns the StreamingQuery (already terminated when awaited and the
+    query drained/stopped).
     """
     from traject_spark.marc.io import read_marc_json_stream
     from traject_spark.writers import solr_json_writer
@@ -254,7 +258,7 @@ def stream_marc_to_solr(
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
-    if await_termination and available_now:
+    if await_termination:
         q.awaitTermination()
     return q
 
