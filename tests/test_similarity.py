@@ -168,6 +168,56 @@ def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
     assert got == expected
 
 
+def test_quantizer_paths_handle_invalid_vectors(spark):
+    """NULL / wrong-dim / null-element embeddings: expr and UDF quantizer
+    paths both yield NULL (no silent cell-0 pileup, no ragged-batch
+    crash); a 1-centroid quantizer plans and runs; training skips
+    invalid sampled rows instead of crashing the driver."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import train_centroids
+    from traject_spark.corpus.similarity import (
+        assign_cell_expr,
+        assign_cell_udf,
+        probe_cells_expr,
+        signs_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, None),
+            (2, [1.0, 2.0]),            # wrong dim
+            (3, [1.0, None, 0.0, 0.0]),  # null element
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(7, [1.0, 0.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0, 0.0])]
+    got = df.select(
+        "vec_id",
+        assign_cell_expr(F.col("embedding"), cents).alias("ce"),
+        assign_cell_udf(cents).alias("cu"),
+        probe_cells_expr(F.col("embedding"), cents, 2).alias("pe"),
+        signs_expr(F.col("embedding"), 4, 3, 0).alias("bucket"),
+    ).collect()
+    rows = {r["vec_id"]: r for r in got}
+    assert rows[0]["ce"] == 7 and rows[0]["cu"] == 7
+    assert rows[0]["pe"] is not None and rows[0]["bucket"] is not None
+    for bad in (1, 2, 3):
+        assert rows[bad]["ce"] is None, (bad, rows[bad])
+        assert rows[bad]["cu"] is None, (bad, rows[bad])
+        assert rows[bad]["pe"] is None, (bad, rows[bad])
+        assert rows[bad]["bucket"] is None, (bad, rows[bad])
+    # 1-centroid quantizer: must plan and assign (was array<void> crash)
+    one = df.select(
+        assign_cell_expr(F.col("embedding"), cents[:1]).alias("c")
+    ).collect()
+    assert one[0]["c"] == 7
+    # training over a corpus containing invalid rows must not crash
+    trained = train_centroids(df, n_centroids=1, iters=2)
+    assert len(trained) == 1 and len(trained[0][1]) == 4
+
+
 def test_cosine_near_dup_witness_linear_output(spark):
     """Embedding witness marking: a 6-copy exact vector clique yields 5
     witness rows at score 1.0 (not 15 pairs); orthogonal vectors stay

@@ -352,8 +352,13 @@ def minhash_near_dup_witness(
     signature agreement reaches ``min_est``.
 
     Guarantees and recall: every member of an exact/near-exact clique
-    except its GLOBAL minimum id is marked (all its band buckets contain
-    smaller clique members). A bucket minimum is NOT necessarily a
+    except its GLOBAL minimum id is marked PROVIDED some shared bucket
+    offers it a clique candidate — i.e. in at least one of its buckets
+    the bucket minimum or its immediate predecessor is a clique member.
+    Dissimilar colliders stealing BOTH slots in every shared bucket is
+    the shadowing case quantified below (multiple rare whole-band
+    collisions at once), so treat the marking as high-recall, not
+    absolute. A bucket minimum is NOT necessarily a
     survivor — it can be marked through another bucket where it is not
     minimal; the unmarked set are documents for which no checked
     candidate cleared ``min_est``. Marking can miss a true near-dup pair
@@ -462,7 +467,6 @@ def witness_clusters(
         .agg(F.min("parent").alias("parent"))
         .localCheckpoint()
     )
-    retained = parents
     for _ in range(max_iters):
         a, b = parents.alias("a"), parents.alias("b")
         step = (
@@ -476,11 +480,14 @@ def witness_clusters(
             )
             .localCheckpoint()
         )
-        # release the PREVIOUS round's checkpointed blocks now that the
-        # new round is materialized — without this every round pins a
-        # full |E|-row copy in executor storage until session end
-        retained.unpersist()
-        retained = step
+        # storage note: Dataset.unpersist does NOT release localCheckpoint
+        # blocks (they are RDD storage, not CacheManager entries); the
+        # working release mechanism is reference dropping — each round
+        # rebinds `parents`, the superseded round's checkpoint RDD loses
+        # its last reference (the new step's lineage STARTS at its own
+        # checkpoint), and Spark's ContextCleaner reclaims the blocks
+        # asynchronously on driver GC. Peak pinned storage is therefore a
+        # few |E|-row copies between GC cycles, not rounds+1 forever.
         advanced = step.filter(F.col("parent") != F.col("old")).limit(1)
         parents = step.select("id", "parent")
         if advanced.count() == 0:
@@ -554,8 +561,10 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     NULL text -> NULL signature (every majority vote on NULL token counts
     would otherwise take the otherwise(0) branch, giving all NULL-text
     documents the identical signature 0 — a false distance-0 clique).
-    Empty text keeps signature 0: empty documents ARE mutual duplicates,
-    consistent with exact_dedup.
+    Empty text gets xxhash64('')'s bit pattern (a constant, NOT 0):
+    all empty documents share one signature and so ARE mutual
+    duplicates, consistent with exact_dedup — but don't filter on
+    sig = 0 to find them.
     """
 
     def body(hashes: Column, n: Column) -> Column:
@@ -656,8 +665,10 @@ def simhash_near_dup_witness(
     on the narrow (id, band, band_bits) projection — signatures fetched
     afterwards by two id-keyed joins) and marked when the best
     candidate's hamming distance is <= ``max_distance``. Every member
-    of an exact clique except its global minimum id is marked (identical
-    signatures agree on every band). Exhaustive enumeration is
+    of an exact clique except its global minimum id is marked whenever
+    some band bucket offers it a clique candidate (identical signatures
+    agree on every band; the minhash witness docstring's shadowing
+    caveat applies here too). Exhaustive enumeration is
     ``simhash_near_dup`` (quadratic in clique size). Compose with
     ``witness_clusters`` for transitive cluster ids.
 

@@ -195,9 +195,13 @@ def extract_features(
     dim: int = 16,
     fake: bool = False,
     mode: str | None = None,
-    batch_size_hint: int = 64,
 ) -> DataFrame:
     """Decode + feature-extract media payloads via mapInPandas.
+
+    Arrow batch size is controlled by the session conf
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low for
+    huge video payloads to bound executor memory) — there is no
+    per-call knob.
 
     ``mode='auto'`` (default) uses the real decoder when its library
     imports on the executor (Pillow for images, soundfile for audio; see

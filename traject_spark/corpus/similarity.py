@@ -123,7 +123,12 @@ def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return F.when(F.size(vec) == dim, bucket)
+    # also NULL when any element is null or NaN: such a vector passes
+    # the size guard but every projection is NULL/NaN, so without this
+    # it would take otherwise(0) on every bit and all such rows would
+    # collapse into bucket 0 — the same O(n^2) single-bucket failure
+    # shape the size guard exists to prevent
+    return F.when(_valid_vec(vec, dim), bucket)
 
 
 def _lit_vec(vals) -> Column:
@@ -147,21 +152,43 @@ def _centroid_scores(vec: Column, centroids: list) -> Column:
     )
 
 
+def _valid_vec(vec: Column, dim: int) -> Column:
+    """True iff the vector is usable: right length, no NULL elements
+    (a NULL element nulls every projection/score and would otherwise
+    fall through folds to the first branch), no NaN elements (Arrow
+    surfaces null floats as NaN on the UDF side — both paths must
+    agree on what is invalid)."""
+    return (
+        (F.size(vec) == dim)
+        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+    )
+
+
 def assign_cell_expr(vec: Column, centroids: list) -> Column:
     """Coarse-quantizer assignment: id of the nearest centroid by cosine
     (ties -> lowest centroid id). Pure per-row expression — assignment of
-    a 100 TB corpus is a narrow scan, no shuffle."""
+    a 100 TB corpus is a narrow scan, no shuffle. NULL / wrong-length
+    vectors assign NULL (parity with ``assign_cell_udf``); without the
+    guard their all-NULL scores would fall through the fold to the FIRST
+    centroid and every invalid row would pile into one skewed cell."""
+    dim = len(centroids[0][1])
     pairs = _centroid_scores(vec, centroids)
+    # slice(pairs, 2, 0) is the TYPED empty array for the 1-centroid
+    # case — a bare F.array() is array<void> and fails to resolve
+    # p['score'] at plan time
     best = F.aggregate(
-        F.slice(pairs, 2, len(centroids) - 1) if len(centroids) > 1 else F.array(),
+        F.slice(pairs, 2, len(centroids) - 1),
         F.element_at(pairs, 1),
         lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
     )
-    return best["cid"]
+    return F.when(_valid_vec(vec, dim), best["cid"])
 
 
 def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
-    """The ``nprobe`` nearest centroid ids (score desc, cid asc)."""
+    """The ``nprobe`` nearest centroid ids (score desc, cid asc).
+    NULL / wrong-length vectors probe NULL (parity with
+    ``probe_cells_udf``) — not the lowest-cid cells."""
+    dim = len(centroids[0][1])
     pairs = _centroid_scores(vec, centroids)
     ordered = F.array_sort(
         pairs,
@@ -173,7 +200,10 @@ def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
             .otherwise(F.lit(0))
         ),
     )
-    return F.transform(F.slice(ordered, 1, nprobe), lambda p: p["cid"])
+    return F.when(
+        _valid_vec(vec, dim),
+        F.transform(F.slice(ordered, 1, nprobe), lambda p: p["cid"]),
+    )
 
 
 def _centroid_matrix(centroids: list):
@@ -186,12 +216,22 @@ def _centroid_matrix(centroids: list):
 
 
 def _batch_scores(vecs: "pd.Series", Cn):
-    """(valid_mask, scores) for one Arrow batch; null embeddings are
-    masked out instead of crashing the task (the expression path yields
-    a null score for them, and they must stay null here too)."""
+    """(valid_mask, scores) for one Arrow batch; null AND wrong-length
+    embeddings are masked out instead of crashing the task — np.array
+    over a ragged list raises, and one malformed vector must not kill
+    the job (the expression path yields NULL for the same rows)."""
     import numpy as np
 
-    valid = np.array([v is not None for v in vecs], dtype=bool)
+    dim = Cn.shape[1]
+    valid = np.array(
+        [
+            v is not None
+            and len(v) == dim
+            and not any(x is None or x != x for x in v)  # None or NaN
+            for v in vecs
+        ],
+        dtype=bool,
+    )
     if not valid.any():
         return valid, np.empty((0, Cn.shape[0]))
     X = np.array([list(v) for v, ok in zip(vecs, valid) if ok],
@@ -288,10 +328,13 @@ def train_centroids(
 
     from pyspark.sql import functions as F2
 
-    n = df.count()
+    # NULL embeddings never train (every other operator excludes them
+    # too); one bad row must not crash the driver-side np.array below
+    pool = df.filter(F2.col(vec_col).isNotNull()).select(id_col, vec_col)
+    n = pool.count()
     # choose modulus so the expected pass-through is ~`sample` rows
     mod = max(1, n // max(sample, 1))
-    sampled = df.select(id_col, vec_col)
+    sampled = pool
     if mod > 1:
         sampled = sampled.filter(
             F2.pmod(F2.xxhash64(F2.col(id_col)), F2.lit(mod)) == 0
@@ -301,7 +344,20 @@ def train_centroids(
     rows = sampled.orderBy(id_col).limit(sample).collect()
     if not rows:
         return []
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    # wrong-length / null-element vectors would make np.array ragged and
+    # raise — drop them against the sample's modal dimension
+    vec_lists = [
+        r[vec_col]
+        for r in rows
+        if r[vec_col] is not None and not any(x is None for x in r[vec_col])
+    ]
+    if not vec_lists:
+        return []
+    from collections import Counter
+
+    dim = Counter(len(v) for v in vec_lists).most_common(1)[0][0]
+    vec_lists = [v for v in vec_lists if len(v) == dim]
+    X = np.array(vec_lists, dtype=np.float64)
     k = min(n_centroids, len(X))
     C = X[:k].copy()
     # X is constant across iterations; only C (and Cn) changes
@@ -520,8 +576,14 @@ def cosine_near_dup(
     else:
         if bits is None:
             # the one eager job this builder runs, and only on the lsh
-            # path that needs the row count to size the tables
-            bits = auto_lsh_bits(df.count())
+            # path that needs the row count to size the tables. Count
+            # the VALID population (null / wrong-dim rows never bucket):
+            # raw counting over-sizes bits when many embeddings are
+            # invalid and silently undershoots the occupancy (= recall)
+            # target
+            bits = auto_lsh_bits(
+                df.filter(F.size(F.col(vec_col)) == dim).count()
+            )
         # ONE scan per side: all table buckets computed in a single
         # select then exploded — a per-table union would scan the corpus
         # `tables` times (4x the I/O at 100 TB for the same rows)
@@ -681,7 +743,10 @@ def lsh_topk(
     scaling bits with log2(n/target) keeps per-query candidate volume
     constant."""
     if bits is None:
-        bits = auto_lsh_bits(corpus.count())
+        # valid population, not raw rows — see cosine_near_dup
+        bits = auto_lsh_bits(
+            corpus.filter(F.size(F.col(vec_col)) == dim).count()
+        )
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         # one scan: all table buckets in a single select + explode (a
         # per-table union would read the corpus `tables` times); null /
