@@ -239,17 +239,33 @@ def stream_marc_to_solr(
     Returns the StreamingQuery (already terminated when awaited and the
     query drained/stopped).
     """
+    import sys as _sys
+
     from traject_spark.marc.io import read_marc_json_stream
-    from traject_spark.writers import solr_json_writer
+    from traject_spark.writers import solr_commit, solr_json_writer
 
     src = read_marc_json_stream(
         spark, input_path, id_tag=id_tag, engine=engine,
         max_files_per_trigger=max_files_per_trigger,
     )
     out = pipeline.apply(src)
+    # commit once at stream end, NOT per micro-batch: forwarding
+    # commit_on_close into the per-batch writer would issue a full Solr
+    # commit (minutes on a large core) after EVERY micro-batch
+    commit_close = bool(solr_kwargs.pop("commit_on_close", False))
+    skipped_total = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        solr_json_writer(batch_df, url, **solr_kwargs)
+        n = solr_json_writer(batch_df, url, **solr_kwargs)
+        if n:
+            # surface per-batch losses: the batch path returns this count
+            # to its caller; a streaming run must not lose it silently
+            skipped_total[0] += n
+            print(
+                f"stream_marc_to_solr: batch {batch_id} skipped {n} "
+                f"docs ({skipped_total[0]} total)",
+                file=_sys.stderr,
+            )
 
     writer = (
         out.writeStream.foreachBatch(sink)
@@ -260,6 +276,21 @@ def stream_marc_to_solr(
     q = writer.start()
     if await_termination:
         q.awaitTermination()
+        if commit_close:
+            solr_commit(
+                url,
+                basic_auth_user=solr_kwargs.get("basic_auth_user"),
+                basic_auth_password=solr_kwargs.get("basic_auth_password"),
+            )
+    elif commit_close:
+        print(
+            "stream_marc_to_solr: commit_on_close requires "
+            "await_termination=True (the commit runs after the query "
+            "ends) — ignored; use commitWithin via solr_update_args",
+            file=_sys.stderr,
+        )
+    # expose the aggregate for callers holding the query handle
+    q.skipped_docs = skipped_total
     return q
 
 

@@ -71,10 +71,22 @@ def yaml_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
         col = F.col(name)
         if dtype.startswith("array"):
             body = F.array_join(
-                F.transform(col, lambda v: F.concat(F.lit("   - "), yq(v))),
+                # a null ELEMENT renders as YAML null (~) — concat's null
+                # propagation would otherwise make array_join silently
+                # DROP the element and shift every later position
+                F.transform(
+                    col,
+                    lambda v: F.concat(
+                        F.lit("   - "), F.coalesce(yq(v), F.lit("~"))
+                    ),
+                ),
                 "\n",
             )
-            block = F.concat(F.lit(f"{name}:\n"), body)
+            # an empty array is [] — a bare "name:" parses as null and
+            # would not round-trip
+            block = F.when(F.size(col) == 0, F.lit(f"{name}: []")).otherwise(
+                F.concat(F.lit(f"{name}:\n"), body)
+            )
         else:
             block = F.concat(F.lit(f"{name}: "), yq(col.cast("string")))
         parts.append(F.when(col.isNotNull(), block))
@@ -113,10 +125,16 @@ def write_delimited(
     header row (lib/traject/delimited_writer.rb:24-110)."""
     import re as _re
 
-    esc_class = "[" + _re.escape(delimiter + internal_delimiter) + "]"
+    # replace the EXACT delimiter strings (the reference gsubs the
+    # literal string) — a character class would mangle values char by
+    # char for multi-character delimiters like ', ' or '||'
+    pats = [_re.escape(d) for d in dict.fromkeys([delimiter, internal_delimiter]) if d]
+    repl = edelim.replace("\\", "\\\\").replace("$", "\\$")
 
     def esc(c: Column) -> Column:
-        return F.regexp_replace(c, esc_class, edelim)
+        for p in pats:
+            c = F.regexp_replace(c, p, repl)
+        return c
 
     cols = []
     for name in fields:
@@ -152,6 +170,14 @@ def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
     DataFrame of lines; write with ``.write.text``."""
     fields = [c for c in df.columns if c != id_col]
     dtypes = dict(df.dtypes)
+    if not fields:
+        # zero mapped fields -> zero lines (the reference prints one line
+        # per field); an empty F.array() would be array<void> and crash
+        # the filter's field extraction at plan time
+        return df.select(F.lit("").alias("value")).limit(0)
+    id_expr = (
+        F.col(id_col) if id_col in df.columns else F.lit("")
+    )
 
     def vals_of(name: str) -> Column:
         # scalar keep-columns (or a keep_source struct) must not hit
@@ -171,11 +197,12 @@ def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
         ]
     )
     exploded = df.select(
-        F.col(id_col), F.explode(F.filter(pairs, lambda p: p["present"])).alias("p")
+        id_expr.alias("_id"),
+        F.explode(F.filter(pairs, lambda p: p["present"])).alias("p"),
     )
     return exploded.select(
         F.format_string(
-            "%-12s %-25s %s", F.col(id_col), F.col("p.field"), F.col("p.vals")
+            "%-12s %-25s %s", F.col("_id"), F.col("p.field"), F.col("p.vals")
         ).alias("value")
     )
 
@@ -214,13 +241,22 @@ def _basic_auth_header(
     import urllib.parse
 
     parsed = urllib.parse.urlsplit(url)
-    u = user or parsed.username
+    # userinfo arrives percent-encoded (a password with ':' or '@' MUST
+    # be encoded to be a valid URL) — unquote before building the header
+    # or the credentials are sent still-encoded and every request 401s
+    u = user or (
+        urllib.parse.unquote(parsed.username) if parsed.username else None
+    )
     if not u:
         return None
     # an explicitly-passed password wins even when the USER came from the
     # URL userinfo (user in URL + password as an argument is a sensible
     # way to keep the secret out of the URL)
-    p = password if password is not None else (parsed.password or "")
+    p = (
+        password
+        if password is not None
+        else (urllib.parse.unquote(parsed.password) if parsed.password else "")
+    )
     cred = f"{u}:{p or ''}".encode("utf-8")
     return "Basic " + base64.b64encode(cred).decode("ascii")
 
@@ -347,7 +383,10 @@ def solr_json_writer(
                     )
                     resp = conn_box[0].getresponse()
                     body = resp.read()
-                    if resp.status >= 400:
+                    # non-2xx is failure, INCLUDING 3xx: http.client never
+                    # follows redirects, so a proxy 301 with no documents
+                    # indexed must not count as success (silent data loss)
+                    if not 200 <= resp.status < 300:
                         raise SolrHTTPError(
                             f"Solr HTTP {resp.status}: {body[:200]!r}"
                         )
@@ -459,9 +498,17 @@ def _solr_post_json(
         headers=headers,
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        # urllib re-issues a redirected POST as a bodyless GET — a proxy
+        # 301 would silently no-op the update; fail loudly instead
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    with opener.open(req, timeout=timeout) as resp:  # noqa: S310
         body = resp.read()
-        if resp.status >= 400:  # urlopen raises on >=400; belt-and-braces
+        if not 200 <= resp.status < 300:  # opener raises on >=400 and 3xx
             raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")
 
 
@@ -512,6 +559,8 @@ def solr_delete_ids(
     timeout: float = 30.0,
     basic_auth_user: Optional[str] = None,
     basic_auth_password: Optional[str] = None,
+    max_retries: int = 2,
+    retry_backoff: float = 0.5,
 ) -> None:
     """Distributed delete-by-id for a DataFrame of ids — the Spark-scale
     extension of the reference's one-id-at-a-time #delete: each partition
@@ -547,8 +596,8 @@ def solr_delete_ids(
             import time as _time
 
             payload = _json.dumps({"delete": ids}).encode("utf-8")
-            last_exc: Optional[Exception] = None
-            for attempt in range(3):
+            delay = retry_backoff
+            for attempt in range(max_retries + 1):
                 try:
                     if conn is None:
                         conn = conn_cls(
@@ -557,20 +606,25 @@ def solr_delete_ids(
                     conn.request("POST", path, body=payload, headers=headers)
                     resp = conn.getresponse()
                     body = resp.read()
-                    if resp.status >= 400:
+                    # non-2xx (including proxy 3xx) = deletes not executed
+                    if not 200 <= resp.status < 300:
                         raise SolrHTTPError(
                             f"Solr HTTP {resp.status}: {body[:200]!r}"
                         )
                     return
-                except (OSError, http.client.HTTPException) as e:
-                    last_exc = e
+                except SolrHTTPError:
+                    raise  # server judged the request — no transport retry
+                except (OSError, http.client.HTTPException):
                     try:
-                        conn.close()
+                        if conn is not None:
+                            conn.close()
                     except Exception:
                         pass
                     conn = None
-                    _time.sleep(0.2 * (attempt + 1))
-            raise last_exc
+                    if attempt == max_retries:
+                        raise
+                    _time.sleep(delay)
+                    delay *= 2
 
         buf: list = []
         try:
