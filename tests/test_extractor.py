@@ -264,3 +264,22 @@ def test_880_linking_control_tag_still_matches_in_include_mode(spark):
         datafields=[("880", " ", " ", [("6", "008-01"), ("a", "alt")])],
     )
     assert extract(spark, rec, "008[0-1]") == ["zz", "008-01 alt"]
+
+
+def test_non_control_00x_tags_extract_from_datafields(spark):
+    """Control-kind dispatch is MEMBERSHIP in ruby-marc's 001-009 set,
+    not tag < '010': '000' and '00a' are DataFields there (and the ingest
+    engines place them in datafields), so their specs must scan the
+    datafield branch — a lexicographic predicate scanned controlfields
+    and silently extracted nothing."""
+    rec = marc_record(
+        controlfields=[("008", "ctrl-body")],
+        datafields=[
+            ("000", " ", " ", [("a", "zero-tag")]),
+            ("00a", " ", " ", [("a", "alpha-tag")]),
+        ],
+    )
+    assert extract(spark, rec, "000a", alternate_script=False) == ["zero-tag"]
+    assert extract(spark, rec, "00aa", alternate_script=False) == ["alpha-tag"]
+    # 008 stays on the control branch
+    assert extract(spark, rec, "008", alternate_script=False) == ["ctrl-body"]

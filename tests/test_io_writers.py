@@ -155,6 +155,45 @@ def test_marc_json_control_tag_scalar_bodies_survive(spark, tmp_path):
         ], f"engine={engine}: {cfs}"
 
 
+def test_marc_json_edge_shapes_engine_parity(spark, tmp_path):
+    """Shapes the r7 review flagged as engine-divergent, now identical:
+    non-string leaders are projected to JSON text (an uncoerced int used
+    to abort the whole Python-engine job at Arrow conversion); a present
+    non-array "fields" drops the line in BOTH engines (the JVM engine
+    used to emit a phantom empty record); an EXPLICIT null indicator
+    stays NULL in both (the JVM engine used to rewrite it to ' ')."""
+    path = tmp_path / "edge.ndjson"
+    path.write_text(
+        "\n".join(
+            [
+                '{"leader": 1234, "fields": []}',
+                '{"leader": {"x": 1}, "fields": []}',
+                '{"leader": null, "fields": []}',
+                '{"leader": "L", "fields": "oops"}',   # drop
+                '{"leader": "M", "fields": 5}',        # drop
+                '{"leader": "N", "fields": {"a": 1}}',  # drop
+                '{"leader": "K", "fields": null}',     # empty record
+                '{"fields": [{"245": {"ind1": null, "ind2": "0", '
+                '"subfields": [{"a": "T"}]}}]}',
+            ]
+        )
+    )
+    results = {}
+    for engine in ("jvm", "python"):
+        out = read_marc_json(spark, str(path), engine=engine).collect()
+        results[engine] = sorted(
+            (r["marc"]["leader"], r["marc"]["datafields"]) for r in out
+        )
+    assert results["jvm"] == results["python"]
+    leaders = sorted(ld for ld, _ in results["jvm"])
+    # 5 kept (3 non-array-fields lines dropped); null leader -> blanks,
+    # scalar/object leaders -> JSON text
+    assert leaders == sorted([" " * 24, " " * 24, "1234", '{"x":1}', "K"])
+    dfields = [d for _, dfs in results["jvm"] for d in dfs]
+    assert len(dfields) == 1
+    assert dfields[0]["ind1"] is None and dfields[0]["ind2"] == "0"
+
+
 def test_json_writer_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("r1", ["a", "b"]), ("r2", None)], "record_id string, vals array<string>"

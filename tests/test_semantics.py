@@ -307,3 +307,37 @@ def test_genre_array_valued_map_entries_flatten(spark):
         genre_expr(df["marc"], leader_map=lmap).alias("g")
     ).collect()[0]["g"]
     assert out == ["Book", "Monograph"]
+
+
+def test_null_subfields_field_does_not_wipe_semantic_macros(spark):
+    """The custom per-field callbacks (geo $z pairing, era $y, lcsh
+    assembly, instrument expansion) transform f['subfields'] directly;
+    collect_matching_lines now coalesces each contribution so one field
+    with subfields=NULL (schema-legal in user parquet) contributes
+    nothing instead of nulling the whole record's output."""
+    base = marc_record(
+        controlfields=[("048", None)],
+        datafields=[
+            ("043", " ", " ", [("a", "n-us---")]),
+            ("651", " ", "0", [("a", "Indiana"), ("z", "Alpha"), ("z", "Beta")]),
+            ("650", " ", "0", [("a", "Art"), ("y", "500-1400")]),
+            ("600", "1", "0", [("a", "Smith, J."), ("x", "Criticism")]),
+            ("048", " ", " ", [("a", "ka01"), ("b", "va02")]),
+        ],
+    )
+    broken = {
+        **base,
+        "datafields": base["datafields"]
+        + [{"tag": t, "ind1": " ", "ind2": "0", "subfields": None}
+           for t in ("651", "650", "600", "048")],
+    }
+    for macro in (
+        marc_geo_facet(),
+        marc_era_facet(),
+        marc_lcsh_formatted(),
+        marc_instrument_codes_normalized(),
+    ):
+        clean = run(spark, base, macro)
+        dirty = run(spark, broken, macro)
+        assert clean, f"{macro}: fixture produced nothing"
+        assert dirty == clean, f"{macro}: NULL-subfields field changed output"

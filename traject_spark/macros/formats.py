@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from traject_spark.expr import let
+from traject_spark.expr import let, let2
 from traject_spark.translation_map import TranslationMap
 
 _EMPTY = "array<string>"
@@ -31,14 +31,27 @@ def _normalized_gmd(marc: Column) -> Column:
     return F.coalesce(F.lower(h), F.lit(""))
 
 
-def _has_007_starting(marc: Column, ch: str) -> Column:
-    return F.exists(
-        marc["controlfields"],
-        lambda f: (f["tag"] == "007") & (F.substring(f["value"], 1, 1) == ch),
+def _f007_values(marc: Column) -> Column:
+    """Values of all 007 control fields, the shared input of the genre /
+    online / microform predicates — formats_expr let-binds this ONCE so
+    the composed expression scans controlfields a single time instead of
+    once per predicate."""
+    return F.transform(
+        F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
+        lambda f: f["value"],
     )
 
 
-def genre_expr(marc: Column, leader_map=None, f007_map=None) -> Column:
+def _has_007_starting(
+    marc: Column, ch: str, f007_values: Column | None = None
+) -> Column:
+    vals = _f007_values(marc) if f007_values is None else f007_values
+    return F.exists(vals, lambda v: F.substring(v, 1, 1) == ch)
+
+
+def genre_expr(
+    marc: Column, leader_map=None, f007_map=None, f007_values=None
+) -> Column:
     """Leader bytes 6-7 pair, else leader byte 6, else each 007 byte 0
     through the genre maps — lookup misses on the 007 path stay NULL,
     matching the reference's collect-with-nils
@@ -52,13 +65,14 @@ def genre_expr(marc: Column, leader_map=None, f007_map=None) -> Column:
     # rest of a custom array-valued entry
     two = lmap.lookup_expr(F.substring(leader, 7, 2))
     one = lmap.lookup_expr(F.substring(leader, 7, 1))
+    vals = _f007_values(marc) if f007_values is None else f007_values
     from_007 = F.flatten(
         F.transform(
-            F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
+            vals,
             # a lookup miss contributes one NULL element, matching the
             # reference's collect-with-nils
-            lambda f: F.coalesce(
-                cmap.lookup_expr(F.substring(f["value"], 1, 1)),
+            lambda v: F.coalesce(
+                cmap.lookup_expr(F.substring(v, 1, 1)),
                 F.array(F.lit(None).cast("string")),
             ),
         )
@@ -88,7 +102,7 @@ def proceeding_expr(marc: Column) -> Column:
     )
 
 
-def print_expr(marc: Column) -> Column:
+def print_expr(marc: Column, gmd: Column | None = None) -> Column:
     """RDA 338 (with $2=rdacarrier) says volume/sheet/card ($a) or
     nc/no/nb ($b); with no RDA 338, print iff no 245$h GMD
     (marc_format_classifier.rb:129-146)."""
@@ -113,29 +127,34 @@ def print_expr(marc: Column) -> Column:
             | ((sf["code"] == "b") & sf["value"].isin(["nc", "no", "nb"])),
         ),
     )
-    return F.when(F.size(rda338) > 0, rda_hit).otherwise(
-        F.length(_normalized_gmd(marc)) == 0
-    )
+    g = _normalized_gmd(marc) if gmd is None else gmd
+    return F.when(F.size(rda338) > 0, rda_hit).otherwise(F.length(g) == 0)
 
 
-def online_expr(marc: Column) -> Column:
+def online_expr(
+    marc: Column, gmd: Column | None = None, f007_values: Column | None = None
+) -> Column:
     """007 'cr' => online; else GMD '[electronic resource]' counts only
     when NO 007 starts with 'c' (marc_format_classifier.rb:150-163)."""
-    cr = F.exists(
-        marc["controlfields"],
-        lambda f: (f["tag"] == "007") & (F.substring(f["value"], 1, 2) == "cr"),
+    vals = _f007_values(marc) if f007_values is None else f007_values
+    g = _normalized_gmd(marc) if gmd is None else gmd
+    cr = F.exists(vals, lambda v: F.substring(v, 1, 2) == "cr")
+    gmd_online = g.startswith("[electronic resource]") & ~_has_007_starting(
+        marc, "c", f007_values=vals
     )
-    gmd_online = _normalized_gmd(marc).startswith("[electronic resource]") & ~_has_007_starting(marc, "c")
     return cr | gmd_online
 
 
-def microform_expr(marc: Column) -> Column:
+def microform_expr(
+    marc: Column, gmd: Column | None = None, f007_values: Column | None = None
+) -> Column:
     """GMD '[microform]', leader byte 6 'h' (obsolete), or 007 'h'
     (marc_format_classifier.rb:168-172)."""
+    g = _normalized_gmd(marc) if gmd is None else gmd
     return (
-        _normalized_gmd(marc).startswith("[microform]")
+        g.startswith("[microform]")
         | (F.substring(F.coalesce(marc["leader"], F.lit("")), 7, 1) == "h")
-        | _has_007_starting(marc, "h")
+        | _has_007_starting(marc, "h", f007_values=f007_values)
     )
 
 
@@ -153,46 +172,59 @@ def formats_expr(marc: Column, default: str = "Other") -> Column:
     genre + Manuscript/Archive + Microform + Online + Print (unless a
     recording) ; thesis replaces Book with Dissertation/Thesis; proceeding
     appends Conference; empty -> default."""
-    genre = genre_expr(marc)
-
     def flag(cond: Column, label: str) -> Column:
         return F.when(cond, F.array(F.lit(label))).otherwise(_empty())
 
-    def stage1(base: Column) -> Column:
-        is_recording = F.arrays_overlap(
-            F.filter(base, lambda x: x.isNotNull()),
-            F.array(F.lit("Non-musical Recording"), F.lit("Musical Recording")),
+    def build(gmd: Column, f007_vals: Column) -> Column:
+        genre = genre_expr(marc, f007_values=f007_vals)
+
+        def stage1(base: Column) -> Column:
+            is_recording = F.arrays_overlap(
+                F.filter(base, lambda x: x.isNotNull()),
+                F.array(F.lit("Non-musical Recording"), F.lit("Musical Recording")),
+            )
+            return F.concat(
+                base, flag(print_expr(marc, gmd=gmd) & ~is_recording, "Print")
+            )
+
+        def stage2(base: Column) -> Column:
+            return F.when(
+                thesis_expr(marc),
+                F.concat(
+                    F.filter(base, lambda x: x.isNull() | (x != "Book")),
+                    F.array(F.lit("Dissertation/Thesis")),
+                ),
+            ).otherwise(base)
+
+        def stage3(base: Column) -> Column:
+            # [nil] from unmapped 007s is non-empty -> default does NOT
+            # fire, replicating the reference's nil-in-formats quirk
+            return F.when(
+                F.size(base) == 0, F.array(F.lit(default))
+            ).otherwise(base)
+
+        base0 = F.concat(
+            genre,
+            flag(manuscript_archive_expr(marc), "Manuscript/Archive"),
+            flag(microform_expr(marc, gmd=gmd, f007_values=f007_vals), "Microform"),
+            flag(online_expr(marc, gmd=gmd, f007_values=f007_vals), "Online"),
         )
-        return F.concat(base, flag(print_expr(marc) & ~is_recording, "Print"))
-
-    def stage2(base: Column) -> Column:
-        return F.when(
-            thesis_expr(marc),
-            F.concat(
-                F.filter(base, lambda x: x.isNull() | (x != "Book")),
-                F.array(F.lit("Dissertation/Thesis")),
+        # let-bind between stages: each stage references its input 2-3 times
+        return let(
+            let(
+                let(base0, stage1),
+                stage2,
             ),
-        ).otherwise(base)
+            lambda b: stage3(
+                F.concat(b, flag(proceeding_expr(marc), "Conference"))
+            ),
+        )
 
-    def stage3(base: Column) -> Column:
-        # [nil] from unmapped 007s is non-empty -> default does NOT fire,
-        # replicating the reference's nil-in-formats quirk
-        return F.when(F.size(base) == 0, F.array(F.lit(default))).otherwise(base)
-
-    base0 = F.concat(
-        genre,
-        flag(manuscript_archive_expr(marc), "Manuscript/Archive"),
-        flag(microform_expr(marc), "Microform"),
-        flag(online_expr(marc), "Online"),
-    )
-    # let-bind between stages: each stage references its input 2-3 times
-    return let(
-        let(
-            let(base0, stage1),
-            stage2,
-        ),
-        lambda b: stage3(F.concat(b, flag(proceeding_expr(marc), "Conference"))),
-    )
+    # bind the two shared sub-expressions ONCE: gmd (a 245 + subfield
+    # scan, used by print/online/microform) and the 007 values (used by
+    # genre/online/microform) each appeared 3x in the composed tree,
+    # re-scanning the record's field arrays per appearance
+    return let2(_normalized_gmd(marc), _f007_values(marc), build)
 
 
 def marc_formats(default: str = "Other"):

@@ -110,7 +110,11 @@ def extract_all_marc_values(
         def per_field(f: Column) -> Column:
             vals = F.transform(f["subfields"], lambda sf: sf["value"])
             if separator is None:
-                return vals
+                # guard NULL subfields arrays (schema-legal in user
+                # parquet): a NULL contribution would null the whole
+                # record's flatten; the joined branch below is already
+                # safe (size(NULL) > 0 is NULL -> otherwise-empty)
+                return F.coalesce(vals, F.array().cast("array<string>"))
             return F.when(
                 F.size(vals) > 0, F.array(F.array_join(vals, separator))
             ).otherwise(F.array().cast("array<string>"))

@@ -37,6 +37,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from traject_spark.expr import let, let2
+from traject_spark.marc.serialize import CONTROL_TAGS
 from traject_spark.marc.spec import ALTERNATE_SCRIPT_TAG, MarcSpec, parse_marc_spec
 
 EMPTY_STR_ARRAY = "array<string>"
@@ -166,9 +167,13 @@ def collect_matching_lines(
     # datafield-only pipeline prunes marc.controlfields at the scan.
     # Under alternate_script='only' NO tag except 880 is interesting
     # (marc_extractor.rb:146-149), so control specs contribute nothing.
+    # membership in the canonical ruby-marc set, not tag < "010": specs
+    # like "000" or "00a" are DataFields in that model (and the ingest
+    # engines place them in datafields), so a lexicographic predicate
+    # would scan the wrong branch and silently extract nothing for them
     ctrl_specs = (
         [] if alternate_script == "only"
-        else [s for s in specs if s.tag < "010"]
+        else [s for s in specs if s.tag in CONTROL_TAGS]
     )
     ctrl_part = None
     if ctrl_specs:
@@ -198,7 +203,7 @@ def collect_matching_lines(
     # marc.datafields at the scan); with them on, only 880 fields need
     # considering.  Preserves the reference's (pathological) behavior of an
     # 880 whose $6 links a control tag being collected as subfields.
-    all_control = all(s.tag < "010" for s in specs)
+    all_control = all(s.tag in CONTROL_TAGS for s in specs)
     if all_control and not use_alt:
         return F.coalesce(ctrl_part, empty) if ctrl_part is not None else empty
 
@@ -260,8 +265,16 @@ def collect_matching_lines(
         groups = [([s.tag], s) for s in specs]
 
     def data_per_field(f: Column) -> Column:
+        # each contribution is coalesced so one field with subfields=NULL
+        # (allowed by the schema for user-supplied parquet) contributes
+        # nothing instead of nulling the concat+flatten for the whole
+        # record — the same guard collect_subfields_expr applies, hoisted
+        # here so every custom per-field callback (geo $z pairing, era $y,
+        # lcsh assembly, instrument-code expansion) gets it for free
         parts = [
-            F.when(match_cond(f, tags, s), data_fn(f, s)).otherwise(empty)
+            F.when(
+                match_cond(f, tags, s), F.coalesce(data_fn(f, s), empty)
+            ).otherwise(empty)
             for tags, s in groups
         ]
         return _concat_arrays(parts) if parts else empty

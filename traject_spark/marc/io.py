@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
 from traject_spark.marc.serialize import (
+    CONTROL_TAGS,
     from_iso2709,
     from_marc_in_json,
     split_iso2709_stream,
@@ -137,6 +138,19 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
     def body_str(val):
         return F.try_variant_get(val, "$", "string")
 
+    def ind_expr(body, path):
+        # MISSING indicator key -> " " (the Python engine's
+        # body.get("ind1", " ") default); an EXPLICIT JSON null stays
+        # NULL, matching _scalar_str(None) and ruby-marc keeping an
+        # explicitly-passed nil — coalescing the string cast could not
+        # tell the two apart and silently rewrote null to " "
+        return let(
+            F.try_variant_get(body, path, "variant"),
+            lambda iv: F.when(iv.isNull(), F.lit(" "))
+            .when(F.is_variant_null(iv), F.lit(None).cast("string"))
+            .otherwise(body_str(iv)),
+        )
+
     def subfield_structs(body):
         # a non-object subfield entry nulls the flatten -> null subfields
         # -> the whole LINE drops (validity check below), matching the
@@ -177,8 +191,10 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
         )
 
     # ruby-marc's default control-tag set: field-kind dispatch is
-    # TAG-based (serialize.CONTROL_TAGS has the full rationale)
-    control_tags = [f"00{i}" for i in range(1, 10)]
+    # TAG-based (serialize.CONTROL_TAGS has the full rationale); shared
+    # with the Python engine and the serializers so the four dispatch
+    # sites cannot drift
+    control_tags = sorted(CONTROL_TAGS)
 
     def _record_from_classified(v, entries):
         ctrl = F.transform(
@@ -202,12 +218,8 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
                 e["value"],
                 lambda body: F.struct(
                     e["key"].alias("tag"),
-                    F.coalesce(
-                        F.try_variant_get(body, "$.ind1", "string"), F.lit(" ")
-                    ).alias("ind1"),
-                    F.coalesce(
-                        F.try_variant_get(body, "$.ind2", "string"), F.lit(" ")
-                    ).alias("ind2"),
+                    ind_expr(body, "$.ind1").alias("ind1"),
+                    ind_expr(body, "$.ind2").alias("ind2"),
                     subfield_structs(body).alias("subfields"),
                 ),
             ),
@@ -259,11 +271,22 @@ def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
             ),
             F.lit(None),
         ).otherwise(
-            let(
+            let2(
+                F.try_variant_get(v, "$.fields", "variant"),
                 F.try_variant_get(v, "$.fields", "array<variant>"),
-                lambda fields: F.when(fields.isNull(), F.array()).otherwise(
-                    F.flatten(F.transform(fields, entries_of))
-                ),
+                # MISSING "fields" key (or explicit null) -> a valid empty
+                # record, matching the Python engine's `get("fields") or
+                # []`; a PRESENT non-array value ("fields": "oops" / 5 /
+                # {...}) -> null -> whole line drops, matching the Python
+                # engine iterating the non-array and raising into the
+                # rescue (ruby: hash['fields'].each raises the same way).
+                # Coalescing the failed array cast to F.array() here used
+                # to emit a phantom empty record for those lines.
+                lambda fv, fields: F.when(
+                    fv.isNull() | F.is_variant_null(fv), F.array()
+                )
+                .when(fields.isNull(), F.lit(None))
+                .otherwise(F.flatten(F.transform(fields, entries_of))),
             )
         )
         # 0/1-element array: explode IS the bad-line filter, keeping the

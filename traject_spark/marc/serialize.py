@@ -92,7 +92,15 @@ def from_marc_in_json(text: str) -> dict:
     ``{"001": null}`` — a shape to_marc_in_json itself emits for a NULL
     controlfield value — round-trips as a NULL value."""
     obj = json.loads(text)
-    out = {"leader": obj.get("leader") or " " * 24, "controlfields": [], "datafields": []}
+    # leader goes through the same scalar coercion as every other string
+    # slot: an uncoerced int/dict leader would fail the whole Arrow batch
+    # conversion (aborting the job), not just this line; the JVM engine's
+    # variant->string cast projects the same JSON text
+    out = {
+        "leader": _scalar_str(obj.get("leader")) or " " * 24,
+        "controlfields": [],
+        "datafields": [],
+    }
     for fld in obj.get("fields") or []:
         for tag, body in fld.items():
             if isinstance(body, dict):
@@ -267,7 +275,11 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
         pos = start + length
         body = data_region[start : start + length]
         body = body.rstrip(FT)
-        if tag < "010" and tag.isdigit():
+        if tag in CONTROL_TAGS:
+            # the canonical ruby-marc control-tag set (001-009): "000" or
+            # alphanumeric "00x" tags are DataFields there, and the JSON/
+            # XML serializers here dispatch on the same set — a wider
+            # predicate would make an ISO round-trip drop those records
             out["controlfields"].append(
                 {"tag": tag, "value": body.decode(encoding, errors="replace")}
             )
