@@ -382,3 +382,123 @@ def test_translation_map_non_string_keys_hit_every_strategy(spark):
         .collect()[0]["m"]
     )
     assert out == ["nineties"]
+
+
+# --- r7 review-pass regressions -------------------------------------------
+
+
+def test_split_nil_value_does_not_wipe_field(spark):
+    """flatten returns NULL if ANY nested array is NULL — one nil
+    accumulator value must drop (like add_output's compact), not
+    silently wipe every other value in the field."""
+    out = eval_exprs(
+        spark,
+        split=T.split("|")(
+            F.array(F.lit("a|b"), F.lit(None).cast("string"), F.lit("c")),
+            None,
+        ),
+    )
+    assert out["split"] == ["a", "b", "c"]
+
+
+def test_ruby_string_strip_nul_trailing_only(spark):
+    """MRI String#strip removes NUL at the TRAILING end only
+    (rstrip_offset accepts '\\0'; lstrip_offset stops at whitespace)."""
+    out = eval_exprs(
+        spark,
+        both=T.ruby_string_strip_expr(F.lit("\x00abc\x00")),
+        lead=T.ruby_string_strip_expr(F.lit("\x00abc")),
+        trail=T.ruby_string_strip_expr(F.lit("abc\x00 \t")),
+        ws=T.ruby_string_strip_expr(F.lit("  abc  ")),
+    )
+    assert out["both"] == "\x00abc"
+    assert out["lead"] == "\x00abc"
+    assert out["trail"] == "abc"
+    assert out["ws"] == "abc"
+
+
+def test_translation_map_macro_merges_instances(spark):
+    """The reference macro merges every argument (transformation.rb:34-42)
+    — passing multiple TranslationMap instances must merge, and a single
+    instance plus kwargs must not silently drop the kwargs."""
+    m1 = TranslationMap({"a": "A", "b": "B1"})
+    m2 = TranslationMap({"b": "B2", "c": "C"})
+    out = eval_exprs(
+        spark,
+        merged=T.translation_map(m1, m2)(arr("a", "b", "c"), None),
+        mixed=T.translation_map(m1, {"d": "D"})(arr("a", "d"), None),
+    )
+    assert out["merged"] == ["A", "B2", "C"]
+    assert out["mixed"] == ["A", "D"]
+
+
+def test_translation_map_instance_default_survives_merge(spark):
+    """as_dict round-trips the __default__ so an instance's default
+    applies after merging."""
+    m1 = TranslationMap({"a": "A", "__default__": "dflt"})
+    m2 = TranslationMap({"b": "B"})
+    out = eval_exprs(
+        spark,
+        v=T.translation_map(m1, m2)(arr("a", "b", "zzz"), None),
+    )
+    assert out["v"] == ["A", "B", "dflt"]
+
+
+def test_parse_properties_java_forms():
+    """java.util.Properties compatibility: whitespace key separators
+    (used by real traject-gem maps), line continuations, escapes."""
+    from traject_spark.translation_map import _parse_properties
+
+    text = (
+        "# comment\n"
+        "! also comment\n"
+        "aaa Abstracts\n"
+        "bbb = Bees\n"
+        "ccc: Sees\n"
+        "ddd\t\tTabbed\n"
+        "cont = one \\\n"
+        "       two\n"
+        "esc\\:key = v\\t1\n"
+        "uni = \\u0041BC\n"
+        "bare\n"
+    )
+    out = _parse_properties(text)
+    assert out["aaa"] == "Abstracts"
+    assert out["bbb"] == "Bees"
+    assert out["ccc"] == "Sees"
+    assert out["ddd"] == "Tabbed"
+    assert out["cont"] == "one two"
+    assert out["esc:key"] == "v\t1"
+    assert out["uni"] == "ABC"
+    assert out["bare"] == ""
+
+
+def test_transform_udf_skip_mode_single_evaluation(spark):
+    """The rescued (value, error) struct is materialized once: the plan
+    must carry exactly ONE ArrowEvalPython node, with the error filter
+    and field projection reading the computed attribute."""
+    from traject_spark import Pipeline
+
+    def fn(v):
+        if v == "boom":
+            raise ValueError("bad value")
+        return v.upper()
+
+    df = spark.createDataFrame(
+        [("r1", ["ok"]), ("r2", ["boom"])], "record_id string, vals array<string>"
+    )
+    p = (
+        Pipeline(source_col="vals")
+        .settings(mapping_rescue="skip")
+        .to_field("out", lambda acc, ctx: F.col("vals"), T.transform_udf(fn))
+    )
+    out = p.apply(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    rows = {r.record_id: r.out for r in out.collect()}
+    assert rows == {"r1": ["OK"]}  # r2 quarantined
+
+    good, bad = p.apply_with_quarantine(df)
+    assert {r.record_id for r in good.collect()} == {"r1"}
+    badrows = bad.collect()
+    assert len(badrows) == 1 and "bad value" in badrows[0]._error

@@ -541,3 +541,142 @@ def test_oai_error_inside_record_metadata_is_not_a_protocol_error(spark):
     )
     df = harvest_oai_pmh(spark, "http://x/oai", fetch=lambda url: page)
     assert df.count() == 1
+
+
+# --- r7 review-pass regressions -------------------------------------------
+
+
+OAI_LIKE = (
+    "<OAI-PMH><ListRecords>"
+    "<record><header><identifier>oai:1</identifier></header>"
+    "<metadata><identifier>doi:999</identifier>"
+    "<name>Meta Name</name></metadata></record>"
+    "</ListRecords></OAI-PMH>"
+)
+
+
+def test_udf_paths_honor_ancestor_steps(spark):
+    """//record/header/identifier on the join_text / to_text=False paths
+    must NOT also match the dc-style identifier inside <metadata> —
+    every element step in the chain is verified, not just the last."""
+    df = spark.createDataFrame([("1", OAI_LIKE)], "record_id string, xml string")
+    p = (
+        Pipeline(source_col="xml")
+        .to_field(
+            "hdr",
+            extract_xpath("//record/header/identifier", join_text=True),
+        )
+        .to_field(
+            "any_id", extract_xpath("//identifier", join_text=True)
+        )
+    )
+    row = p.apply(df).collect()[0]
+    assert row.hdr == ["oai:1"]
+    assert sorted(row.any_id) == ["doi:999", "oai:1"]
+
+
+def test_udf_path_absolute_anchors_at_root(spark):
+    """A single-/ rooted path must match from the document root."""
+    df = spark.createDataFrame(
+        [("1", "<a><b><a><c>deep</c></a></b><c>top</c></a>")],
+        "record_id string, xml string",
+    )
+    p = (
+        Pipeline(source_col="xml")
+        .to_field("topc", extract_xpath("/a/c", join_text=True))
+        .to_field("anyc", extract_xpath("//a/c", join_text=True))
+    )
+    row = p.apply(df).collect()[0]
+    assert row.topc == ["top"]
+    assert sorted(row.anyc) == ["deep", "top"]
+
+
+def test_udf_path_refuses_interior_descendant_axis():
+    with pytest.raises(ValueError, match="interior"):
+        extract_xpath("//a//b", join_text=True)
+    with pytest.raises(ValueError, match="predicate"):
+        extract_xpath("//x[1]/a/@href", to_text=False)
+
+
+def test_fast_path_null_xml_keeps_accumulator(spark):
+    """A NULL source xml must contribute nothing — not null the whole
+    accumulator (which would also disarm a later default())."""
+    from traject_spark.macros import literal
+    from traject_spark.transforms import default
+
+    df = spark.createDataFrame(
+        [("1", "<r><t>v</t></r>"), ("2", None)],
+        "record_id string, xml string",
+    )
+    p = Pipeline(source_col="xml").to_field(
+        "t", literal("pre"), extract_xpath("//t"), default("dflt")
+    )
+    out = {r.record_id: r.t for r in p.apply(df).collect()}
+    assert out["1"] == ["pre", "v"]
+    assert out["2"] == ["pre"]
+
+
+def test_resumption_token_ignored_inside_record_content(spark):
+    """A token-like element inside a harvested record's metadata must
+    not hijack (or, if empty, silently terminate) pagination — the
+    protocol puts resumptionToken as a direct child of the verb element."""
+    poisoned = (
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">'
+        "<ListRecords>"
+        "<record><header><identifier>1</identifier></header>"
+        "<metadata><resumptionToken>evil</resumptionToken>"
+        "</metadata></record>"
+        "<resumptionToken>tokA</resumptionToken>"
+        "</ListRecords></OAI-PMH>"
+    )
+    final = _oai_page([2], None)
+    pages = {
+        "verb=ListRecords&metadataPrefix=oai_dc": poisoned,
+        "verb=ListRecords&resumptionToken=tokA": final,
+    }
+    urls = []
+
+    def fetch(url):
+        urls.append(url)
+        return pages[url.split("?", 1)[1]]
+
+    df = harvest_oai_pmh(spark, "http://x/oai", fetch=fetch)
+    # the REAL token (tokA) drove pagination, not the embedded 'evil'
+    assert len(urls) == 2
+    assert df.count() == 2
+
+
+def test_hooks_scrape_outside_records_only(spark, tmp_path):
+    """extra_xpath_hooks honors its contract: nodes inside matched
+    record subtrees are not scraped; a zero-record file still emits a
+    clipboard-only row so the scrape is observable."""
+    doc = (
+        "<feed><meta><identifier>feed-id</identifier></meta>"
+        "<item><identifier>rec-1</identifier></item>"
+        "<item><identifier>rec-2</identifier></item></feed>"
+    )
+    (tmp_path / "a.xml").write_text(doc)
+    df = read_xml_records(
+        spark,
+        str(tmp_path / "a.xml"),
+        each_record_tag="item",
+        extra_xpath_hooks={"id": "//identifier"},
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert dict(r.clipboard)["id"] == ["feed-id"]
+
+    # zero record matches: one clipboard-only row, xml NULL, position 0
+    tokendoc = "<feed><meta><identifier>only-meta</identifier></meta></feed>"
+    (tmp_path / "b.xml").write_text(tokendoc)
+    df2 = read_xml_records(
+        spark,
+        str(tmp_path / "b.xml"),
+        each_record_tag="item",
+        extra_xpath_hooks={"id": "//identifier"},
+    )
+    r2 = df2.collect()
+    assert len(r2) == 1
+    assert r2[0].xml is None and r2[0].position_in_input == 0
+    assert dict(r2[0].clipboard)["id"] == ["only-meta"]

@@ -80,6 +80,20 @@ class PipelineContext:
         the reference's ``context.skip!``-in-handler pattern)."""
         return str(self._pipeline.settings_dict.get("mapping_rescue", "halt"))
 
+    def materialize(self, expr: Column, hint: str = "mat") -> Column:
+        """Register ``expr`` to be computed ONCE as a hidden column before
+        the pipeline's filters/select, returning a reference to it.
+
+        This is how a rescued UDF avoids double evaluation: its
+        (value, error) struct lands in one ``withColumns`` projection and
+        both the error filter and the field projection reference the
+        materialized attribute instead of re-embedding the UDF call
+        (Catalyst's filter pushdown / projection collapse would otherwise
+        re-inline the expression into BOTH consumers)."""
+        name = f"__traject_{hint}_{len(self._pipeline._materialized)}__"
+        self._pipeline._materialized.append((name, expr))
+        return F.col(name)
+
     def record_error(self, err: Column) -> None:
         """Report a per-record error Column (null = ok) from a rescued
         step; the pipeline routes errored records per ``mapping_rescue``
@@ -118,6 +132,7 @@ class Pipeline:
         self._field_exprs: dict[str, list[Column]] = {}
         self._skip_conds: list[Column] = []
         self._error_exprs: list[Column] = []
+        self._materialized: list[tuple[str, Column]] = []
 
     # -- DSL ---------------------------------------------------------------
     def settings(self, **kwargs) -> "Pipeline":
@@ -196,6 +211,7 @@ class Pipeline:
         self._field_exprs = {}
         self._skip_conds = []
         self._error_exprs = []
+        self._materialized = []
         ctx = PipelineContext(self)
         for step in self._steps:
             if step[0] == "to_field":
@@ -244,6 +260,11 @@ class Pipeline:
                 cols.append(F.col(self.source_col))
             cols.extend(expr for _, expr in fields)
             out = df
+            if self._materialized:
+                # one projection computes every registered expression
+                # (rescued-UDF structs) exactly once; the hidden columns
+                # never appear in the final select below
+                out = out.withColumns(dict(self._materialized))
             if skip is not None:
                 # skip! => record produces nothing (indexer.rb:591-595)
                 out = out.filter(~F.coalesce(skip, F.lit(False)))
@@ -309,7 +330,12 @@ class Pipeline:
             .alias("_error")
         )
         cols.append(F.col(self._adapted_source(df)))
-        bad = df.select(*cols).filter(F.col("_error").isNotNull())
+        base = (
+            df.withColumns(dict(self._materialized))
+            if self._materialized
+            else df
+        )
+        bad = base.select(*cols).filter(F.col("_error").isNotNull())
         return good, bad
 
     def process_with(
@@ -350,8 +376,19 @@ class Pipeline:
                 skip = None
                 for cond in self._skip_conds:
                     skip = cond if skip is None else (skip | cond)
+                # skip predicates compiled under rescue mode may reference
+                # materialized hidden columns; compute them here too, then
+                # hand the callback the ORIGINAL input shape
+                base = (
+                    df.withColumns(dict(self._materialized))
+                    if self._materialized
+                    else df
+                )
                 if skip is not None:
-                    on_skipped(df.filter(F.coalesce(skip, F.lit(False))))
+                    on_skipped(
+                        base.filter(F.coalesce(skip, F.lit(False)))
+                        .select(*df.columns)
+                    )
                 else:
                     on_skipped(df.filter(F.lit(False)))
             if destination is not None:

@@ -44,14 +44,17 @@ def ruby_strip_expr(v: Column) -> Column:
 
 
 def ruby_string_strip_expr(v: Column) -> Column:
-    """Ruby ``String#strip``: ASCII whitespace AND NUL only — no NBSP,
-    no Zs, no NEL. This is what the reference's bare ``.strip`` calls
-    do (sortable author marc21_semantics.rb:74-85, the final strip
-    inside trim_punctuation marc21.rb:268), DISTINCT from the
-    unicode-aware ``strip`` transform above — vendor data with a
-    trailing NBSP keeps it through these paths, faithfully."""
-    cls = "[ \\t\\n\\x0B\\f\\r\\x00]+"
-    return F.regexp_replace(v, rf"\A{cls}|{cls}\Z", "")
+    """Ruby ``String#strip``: ASCII whitespace both ends, NUL at the
+    TRAILING end only (MRI string.c: rstrip_offset accepts ``'\\0'``,
+    lstrip_offset stops at whitespace) — no NBSP, no Zs, no NEL. This is
+    what the reference's bare ``.strip`` calls do (sortable author
+    marc21_semantics.rb:74-85, the final strip inside trim_punctuation
+    marc21.rb:268), DISTINCT from the unicode-aware ``strip`` transform
+    above — vendor data with a trailing NBSP keeps it through these
+    paths, faithfully."""
+    lead = "[ \\t\\n\\x0B\\f\\r]+"
+    trail = "[ \\t\\n\\x0B\\f\\r\\x00]+"
+    return F.regexp_replace(v, rf"\A{lead}|{trail}\Z", "")
 
 
 def trim_punctuation_expr(v: Column) -> Column:
@@ -86,8 +89,19 @@ def ruby_to_i_expr(v: Column) -> Column:
 
 def translation_map(*maps, **kwargs) -> Macro:
     """Per-value dict lookup; nil removes, arrays flatten in; later maps
-    merge over earlier (transformation.rb:34-42, translation_map.rb:245-248)."""
-    tmap = maps[0] if len(maps) == 1 and isinstance(maps[0], TranslationMap) else TranslationMap(*maps, **kwargs)
+    merge over earlier (transformation.rb:34-42, translation_map.rb:245-248).
+
+    Accepts any mix of map names, Mappings, and ``TranslationMap``
+    instances; instances merge via their dict form (the reference macro
+    merges every argument, transformation.rb:34-42)."""
+    if len(maps) == 1 and isinstance(maps[0], TranslationMap) and not kwargs:
+        tmap = maps[0]
+    else:
+        sources = [
+            m.as_dict() if isinstance(m, TranslationMap) else m
+            for m in maps
+        ]
+        tmap = TranslationMap(*sources, **kwargs)
 
     def macro(acc: Column, ctx=None) -> Column:
         return tmap.translate_array_expr(acc)
@@ -116,8 +130,12 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
     ``halt`` a raising ``py_fn`` aborts the job (the reference's
     log+re-raise); under ``skip`` the exception is captured per record
     into the pipeline's error channel and the record is quarantined —
-    the UDF returns a (value, error) struct so the error ride-along
-    costs no second evaluation.
+    the UDF returns a (value, error) struct MATERIALIZED once as a
+    hidden column (``ctx.materialize``), so the error filter and the
+    field projection both read the computed attribute and the UDF runs
+    exactly once per row. The rescued UDF is marked nondeterministic to
+    keep Catalyst from re-inlining it into both consumers (filter
+    pushdown / projection collapse substitute deterministic aliases).
     """
 
     @pandas_udf("array<string>")
@@ -142,9 +160,16 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
                 errors.append(f"{type(e).__name__}: {e}")
         return pd.DataFrame({"value": values, "error": errors})
 
+    # nondeterministic: blocks filter pushdown / projection collapse
+    # from duplicating the call once it is materialized (see docstring)
+    _apply_rescued = _apply_rescued.asNondeterministic()
+
     def macro(acc: Column, ctx=None) -> Column:
         if ctx is not None and ctx.rescue_mode == "skip":
-            s = _apply_rescued(acc)
+            if hasattr(ctx, "materialize"):
+                s = ctx.materialize(_apply_rescued(acc), hint="rescue")
+            else:
+                s = _apply_rescued(acc)
             ctx.record_error(s["error"])
             return s["value"]
         return _apply(acc)
@@ -207,7 +232,15 @@ def split(separator: str) -> Macro:
         )
 
     def macro(acc: Column, ctx=None) -> Column:
-        return F.flatten(F.transform(acc, ruby_split))
+        # drop NULL inner arrays before flatten: Spark flatten returns
+        # NULL if ANY nested array is NULL, so one nil accumulator value
+        # would silently wipe the whole field (Ruby would raise on
+        # nil.split; the nil is dropped here like add_output's compact)
+        return F.flatten(
+            F.filter(
+                F.transform(acc, ruby_split), lambda x: x.isNotNull()
+            )
+        )
 
     return macro
 

@@ -52,15 +52,76 @@ _SEP_KV = "\x1c"
 _SEP_VAL = "\x1f"
 
 
+def _props_unescape(s: str) -> str:
+    """java.util.Properties escape handling: \\t \\n \\r \\f, \\uXXXX,
+    and \\<any> -> <any> (which also covers \\\\, \\=, \\:, '\\ ')."""
+    out = []
+    i, n = 0, len(s)
+    esc = {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= n:
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            out.append(esc.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _parse_properties(text: str) -> dict:
+    """java.util.Properties-compatible parse: '=', ':' OR whitespace key
+    separators, backslash line continuations, # / ! comments, and the
+    standard escapes — real traject-gem .properties maps use the
+    whitespace form ('aaa Abstracts'), which a [=:]-only regex would
+    silently drop."""
     out: dict = {}
-    for line in text.splitlines():
-        line = line.strip()
-        if not line or line.startswith("#") or line.startswith("!"):
+    lines = text.split("\n")
+    i = 0
+    while i < len(lines):
+        line = lines[i].rstrip("\r").lstrip(" \t\f")
+        i += 1
+        if not line or line[0] in "#!":
             continue
-        m = re.match(r"([^=:\s]+)\s*[=:]\s*(.*)", line)
-        if m:
-            out[m.group(1)] = m.group(2)
+        # logical line: an ODD number of trailing backslashes continues
+        # onto the next natural line (leading whitespace stripped)
+        while (len(line) - len(line.rstrip("\\"))) % 2 == 1:
+            line = line[:-1]
+            if i >= len(lines):
+                break
+            line += lines[i].rstrip("\r").lstrip(" \t\f")
+            i += 1
+        # key: up to the first unescaped '=', ':' or whitespace
+        j, n = 0, len(line)
+        key_raw = []
+        while j < n:
+            c = line[j]
+            if c == "\\" and j + 1 < n:
+                key_raw.append(line[j : j + 2])
+                j += 2
+                continue
+            if c in "=:" or c in " \t\f":
+                break
+            key_raw.append(c)
+            j += 1
+        # optional whitespace, one optional '='/':' separator, whitespace
+        while j < n and line[j] in " \t\f":
+            j += 1
+        if j < n and line[j] in "=:":
+            j += 1
+            while j < n and line[j] in " \t\f":
+                j += 1
+        key = _props_unescape("".join(key_raw))
+        if key:
+            out[key] = _props_unescape(line[j:])
     return out
 
 
@@ -165,6 +226,15 @@ class TranslationMap:
 
     def __len__(self) -> int:
         return len(self._map)
+
+    def as_dict(self) -> dict:
+        """The entries plus the ``__default__`` (when set) — the Mapping
+        form the constructor accepts back, so instances can merge
+        (transformation.rb:34-42 merges every macro argument)."""
+        out = dict(self._map)
+        if self._default is not None:
+            out[DEFAULT_KEY] = self._default
+        return out
 
     # -- column-expression compilation ------------------------------------
     def _as_array_dict(self) -> dict:

@@ -72,16 +72,28 @@ def _split_doc(text: str, each_record_tag: Optional[str]) -> list[str]:
     return _split_parsed(ET.fromstring(text), each_record_tag)
 
 
-def _scrape(root, xpath: str) -> list[str]:
+def _scrape(root, xpath: str, record_match=None) -> list[str]:
     """Match an ``//[ns:]tag``-style hook xpath by local element name and
     return the matched nodes' text (the useful subset of the reference's
-    arbitrary-xpath hooks — resumption tokens, header counts)."""
+    arbitrary-xpath hooks — resumption tokens, header counts).
+
+    ``record_match`` (the per-record split predicate) scopes the scrape
+    to nodes OUTSIDE matched record subtrees, honoring the documented
+    contract (nokogiri_reader.rb:171-177 removes each record from the
+    document before running the hooks): without it, a hook like
+    ``//identifier`` on an OAI file would collect every per-record
+    identifier into every row's clipboard."""
     tag = xpath.rsplit("/", 1)[-1].split(":")[-1].strip()
-    return [
-        "".join(el.itertext())
-        for el in root.iter()
-        if _local(el.tag) == tag
-    ]
+    out = []
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        if record_match is not None and record_match(el):
+            continue  # inside-record nodes are out of hook scope
+        if _local(el.tag) == tag:
+            out.append("".join(el.itertext()))
+        stack.extend(reversed(list(el)))
+    return out
 
 
 def read_xml_records(
@@ -103,7 +115,13 @@ def read_xml_records(
     split — e.g. an OAI-PMH ``resumptionToken`` — land in a ``clipboard``
     map<string,array<string>> column repeated on every record row of that
     file (the distributed analog of the reference's reader-level clipboard
-    dict, which driver code can read back with one ``first()``).
+    dict, which driver code can read back with one ``first()``). Nodes
+    inside matched record subtrees are NOT scraped (with no
+    ``each_record_tag`` the whole document is in scope). A file with
+    hooks but ZERO record matches (e.g. a final OAI page carrying only a
+    resumptionToken) still emits one clipboard-only row with ``xml`` NULL
+    and ``position_in_input`` 0, so the scrape is always observable —
+    filter ``xml IS NOT NULL`` for the records themselves.
     """
     raw = spark.read.text(paths, wholetext=True).select(
         F.col("value"), F.input_file_name().alias("input_name")
@@ -126,12 +144,28 @@ def read_xml_records(
                     # per-file cost; parsing twice doubled executor CPU
                     # on the hooks+split path OAI reading uses)
                     root = ET.fromstring(text)
-                    clip = {k: _scrape(root, xp) for k, xp in hooks.items()}
+                    record_match = (
+                        (
+                            lambda el: _local(el.tag) == each_record_tag
+                            or el.tag == each_record_tag
+                        )
+                        if each_record_tag
+                        else None
+                    )
+                    clip = {
+                        k: _scrape(root, xp, record_match)
+                        for k, xp in hooks.items()
+                    }
                     splits = (
                         _split_parsed(root, each_record_tag)
                         if each_record_tag
                         else [text]
                     )
+                    if not splits:
+                        # zero record matches (final OAI page carrying
+                        # only a token): a clipboard-only row keeps the
+                        # scrape observable via first()
+                        rows.append((None, name, 0, clip))
                 else:
                     splits = _split_doc(text, each_record_tag)
                 for i, xml in enumerate(splits):
@@ -202,13 +236,22 @@ def _fetch_oai_page(
             root, lambda el: _local(el.tag) == record_tag
         )
     ]
-    next_token = next(
-        (
-            (el.text or "").strip()
-            for el in root.iter()
-            if _local(el.tag) == "resumptionToken"
-        ),
-        "",
+    # the protocol puts resumptionToken as a DIRECT child of the verb
+    # element — scanning the whole document would let a token-like
+    # element embedded in a harvested record's metadata/about hijack
+    # (or, if empty, silently terminate) the pagination
+    verb_el = next((c for c in root if _local(c.tag) == verb), None)
+    next_token = (
+        next(
+            (
+                (el.text or "").strip()
+                for el in verb_el
+                if _local(el.tag) == "resumptionToken"
+            ),
+            "",
+        )
+        if verb_el is not None
+        else ""
     ) or None
     if next_token is not None and next_token == token:
         raise OaiPmhError(

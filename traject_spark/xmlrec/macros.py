@@ -74,43 +74,66 @@ def _normalize(v: Column) -> Column:
     return F.trim(F.regexp_replace(v, r"\s+", " "))
 
 
-def _parse_trailing_step(path: str):
-    """Parse the ``//[prefix:]name[/@[prefix:]attr|/text()]`` trailing-step
-    form the UDF paths support. Returns
-    ``(node_kind, attr_name, attr_prefix, elem, elem_prefix)`` where
-    ``node_kind`` is ``element | attr | text`` and prefixes are ``None``
-    when the step was unprefixed."""
-    steps = [s for s in path.split("/") if s]
+def _parse_steps(path: str):
+    """Parse the ``[/]/step/step/...[/@attr|/text()]`` path subset the UDF
+    paths support: a chain of element name tests (parent/child axis only)
+    plus an optional trailing ``@attr`` or ``text()``. Returns
+    ``(elem_steps, node_kind, attr_name, attr_prefix, absolute)`` where
+    ``elem_steps`` is ``[(prefix_or_None, localname), ...]`` for every
+    element step (``*`` wildcards allowed) and ``absolute`` is True for a
+    single-``/``-rooted path (must match from the document root).
+
+    Every element step is honored: ``//record/header/identifier`` matches
+    only an ``identifier`` whose parent chain ends ``record/header`` —
+    matching by bare trailing name would silently over-match (e.g. the
+    dc:identifier inside an OAI record's metadata)."""
+    p = path.strip()
+    absolute = p.startswith("/") and not p.startswith("//")
+    body = p.lstrip("/")
+    if "//" in body:
+        raise ValueError(
+            f"extract_xpath: interior '//' in {path!r} is not supported "
+            "on the join_text/to_text=False paths (parent/child steps "
+            "only); the default to_text=True path compiles the "
+            "descendant axis via xpath()"
+        )
+    steps = [s.strip() for s in body.split("/") if s.strip()]
     # the UDF paths match by element/attribute NAME only; a predicate in
-    # the trailing steps would be silently ignored (matching too much) —
-    # refuse instead, pointing at the fast path which compiles predicates
-    for s in steps[-2:]:
+    # ANY step would be silently ignored (matching too much) — refuse
+    # instead, pointing at the fast path which compiles predicates
+    for s in steps:
         if "[" in s:
             raise ValueError(
                 f"extract_xpath: predicate in {s!r} is not supported on "
                 "the join_text/to_text=False paths; the default "
                 "to_text=True path compiles predicates via xpath()"
             )
-    raw_last = steps[-1].strip() if steps else ""
-    # detect the @ BEFORE stripping a namespace prefix — '@dc:title'
-    # splits to 'title' and would otherwise be misread as an element
-    is_attr = raw_last.startswith("@")
-    body = raw_last.lstrip("@").strip()
-    prefix, _, local = body.rpartition(":")
-    prefix = prefix or None
-    if not local:
+    if not steps:
         raise ValueError(f"extract_xpath: empty xpath {path!r}")
-    if is_attr or local == "text()":
-        node_kind = "attr" if is_attr else "text"
-        attr_name, attr_prefix = (local, prefix) if is_attr else (None, None)
-        host = steps[-2].strip() if len(steps) > 1 else ""
-        host_prefix, _, host_local = host.rpartition(":")
-        elem = None if host_local in ("", "*") else host_local
-        elem_prefix = (host_prefix or None) if elem else None
+    last = steps[-1]
+    if last.startswith("@"):
+        node_kind = "attr"
+        b = last.lstrip("@").strip()
+        prefix, _, local = b.rpartition(":")
+        if not local:
+            raise ValueError(f"extract_xpath: empty attribute in {path!r}")
+        attr_name, attr_prefix = local, (prefix or None)
+        elem_raw = steps[:-1]
+    elif last == "text()":
+        node_kind, attr_name, attr_prefix = "text", None, None
+        elem_raw = steps[:-1]
     else:
         node_kind, attr_name, attr_prefix = "element", None, None
-        elem, elem_prefix = local, prefix
-    return node_kind, attr_name, attr_prefix, elem, elem_prefix
+        elem_raw = steps
+    elem_steps = []
+    for s in elem_raw:
+        prefix, _, local = s.rpartition(":")
+        if not local:
+            raise ValueError(f"extract_xpath: empty step in {path!r}")
+        elem_steps.append((prefix or None, local))
+    if node_kind == "element" and not elem_steps:
+        raise ValueError(f"extract_xpath: empty xpath {path!r}")
+    return elem_steps, node_kind, attr_name, attr_prefix, absolute
 
 
 def _xml_match_udf(path: str, ns: dict | None, mode: str):
@@ -129,8 +152,8 @@ def _xml_match_udf(path: str, ns: dict | None, mode: str):
     real namespace URIs, nokogiri_reader.rb:153-169); unprefixed steps
     match by local name across namespaces, like the fast path.
     """
-    node_kind, attr_name, attr_prefix, elem, elem_prefix = (
-        _parse_trailing_step(path)
+    elem_steps, node_kind, attr_name, attr_prefix, absolute = (
+        _parse_steps(path)
     )
     if mode == "join" and node_kind == "text":
         raise ValueError(
@@ -142,16 +165,20 @@ def _xml_match_udf(path: str, ns: dict | None, mode: str):
     # reference's rule, nokogiri_reader.rb:153-169) and matching becomes
     # URI-exact; with no mapping, prefixed steps match by local name
     if ns is not None:
-        for pfx in (elem_prefix, attr_prefix):
+        for pfx in [p for p, _ in elem_steps] + [attr_prefix]:
             if pfx is not None and pfx not in ns:
                 raise ValueError(
                     f"xpath prefix {pfx!r} not registered in namespaces "
                     f"{sorted(ns)}"
                 )
     ns = ns or {}
-    elem_exact = (
-        f"{{{ns[elem_prefix]}}}{elem}" if elem_prefix in ns else None
-    )
+    # each step compiles to ('exact', '{uri}local') when its prefix is
+    # registered, ('any', None) for '*', else ('local', localname)
+    step_tests = [
+        ("exact", f"{{{ns[p]}}}{local}") if p in ns
+        else (("any", None) if local == "*" else ("local", local))
+        for p, local in elem_steps
+    ]
     attr_exact = (
         f"{{{ns[attr_prefix]}}}{attr_name}" if attr_prefix in ns else None
     )
@@ -163,10 +190,36 @@ def _xml_match_udf(path: str, ns: dict | None, mode: str):
         def localname(tag):
             return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
 
-        def elem_ok(el):
-            if elem_exact is not None:
-                return el.tag == elem_exact
-            return localname(el.tag) == elem
+        def tag_ok(test, tag):
+            kind, want = test
+            if kind == "exact":
+                return tag == want
+            if kind == "any":
+                return True
+            return localname(tag) == want
+
+        def chain_ok(chain):
+            # chain = (root_tag, ..., el_tag). A '//' path matches when
+            # the chain ENDS with the steps (anchored anywhere); an
+            # absolute path must match the whole chain from the root.
+            if absolute and len(chain) != len(step_tests):
+                return False
+            if len(chain) < len(step_tests):
+                return False
+            tail = chain[len(chain) - len(step_tests):]
+            return all(
+                tag_ok(t, tag) for t, tag in zip(step_tests, tail)
+            )
+
+        def iter_chains(root):
+            # preorder DFS = document order; explicit stack (deep docs
+            # must not hit the executor's recursion limit)
+            stack = [(root, (root.tag,))]
+            while stack:
+                el, chain = stack.pop()
+                yield el, chain
+                for child in reversed(list(el)):
+                    stack.append((child, chain + (child.tag,)))
 
         def attr_ok(key):
             if attr_exact is not None:
@@ -189,14 +242,18 @@ def _xml_match_udf(path: str, ns: dict | None, mode: str):
                 return []
             if node_kind == "element":
                 if mode == "join":
-                    return [join_text(el) for el in root.iter() if elem_ok(el)]
+                    return [
+                        join_text(el)
+                        for el, chain in iter_chains(root)
+                        if chain_ok(chain)
+                    ]
                 return [
                     ET.tostring(el, encoding="unicode")
-                    for el in root.iter()
-                    if elem_ok(el)
+                    for el, chain in iter_chains(root)
+                    if chain_ok(chain)
                 ]
             hosts = [
-                el for el in root.iter() if elem is None or elem_ok(el)
+                el for el, chain in iter_chains(root) if chain_ok(chain)
             ]
             if node_kind == "attr":
                 out = []
@@ -251,8 +308,12 @@ def extract_xpath(
     element steps -> the node re-serialized as an XML snippet;
     ``@attr`` steps -> the attribute's value;
     ``text()`` steps -> each direct text node's raw content.
-    Both UDF paths support the ``//[prefix:]name[/@attr|/text()]``
-    trailing-step form.
+    Both UDF paths support parent/child step chains with an optional
+    trailing ``@attr`` or ``text()`` — every element step is honored
+    (``//record/header/identifier`` matches only a ``header``-parented
+    ``identifier`` under a ``record``), ``/``-rooted paths anchor at the
+    document root; predicates and the interior descendant axis are
+    refused with a pointer at the fast path.
     """
     if join_text and not to_text:
         raise ValueError(
@@ -292,6 +353,11 @@ def extract_xpath(
             F.transform(vals, _normalize),
             lambda x: x.isNotNull() & (x != ""),
         )
-        return F.concat(acc, vals)
+        # a NULL source xml yields xpath() NULL, and concat(acc, NULL)
+        # would null the ENTIRE accumulator (wiping earlier macros and
+        # disarming a later default()) — coalesce like node_macro does
+        return F.concat(
+            acc, F.coalesce(vals, F.array().cast("array<string>"))
+        )
 
     return macro
