@@ -279,7 +279,27 @@ def collect_matching_lines(
         ]
         return _concat_arrays(parts) if parts else empty
 
-    data_part = F.flatten(F.transform(considered, data_per_field))
+    # pre-filter to fields that match SOME group before running the
+    # extraction transform: data_per_field returns empty for a
+    # non-matching field anyway (every contribution is gated on its
+    # match_cond), but transform+flatten over the full datafields array
+    # allocates one (mostly empty) array per field per row — on a
+    # 600k-record corpus where ~1-2 of ~20 fields match a given spec
+    # that is tens of millions of dead allocations per mapped field.
+    # The filter re-evaluates the cheap tag/indicator conditions once
+    # per field; the per-field array allocation now happens only for
+    # matched fields. NULL lambda results drop the element in filter,
+    # exactly like when(NULL)->empty contributed nothing before.
+    def any_match(f: Column) -> Column:
+        cond = None
+        for tags, s in groups:
+            c = match_cond(f, tags, s)
+            cond = c if cond is None else (cond | c)
+        return cond if cond is not None else F.lit(False)
+
+    data_part = F.flatten(
+        F.transform(F.filter(considered, any_match), data_per_field)
+    )
 
     if ctrl_part is None:
         return F.coalesce(data_part, empty)
