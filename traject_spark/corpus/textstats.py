@@ -102,18 +102,29 @@ def langid_expr(text: Column) -> Column:
 
 
 def _argmax_lang(en: Column, de: Column, fr: Column, es: Column) -> Column:
-    mx = F.greatest(en, de, fr, es)
-    return (
-        # NULL text -> NULL guess: without the guard every when()
-        # condition is NULL (falsy) and control would fall through to
-        # the otherwise branch, mislabeling missing text as 'es'
-        F.when(mx.isNull(), F.lit(None).cast("string"))
-        .when(mx == 0, F.lit("und"))
-        .when(en == mx, F.lit("en"))
-        .when(de == mx, F.lit("de"))
-        .when(fr == mx, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    # each count is a token-array scan; let-bind them (and the max) so
+    # the when-chain references bound variables instead of re-evaluating
+    # every count subtree per comparison (greatest + 4 comparisons would
+    # otherwise scan the token array ~16x per row instead of 4)
+    from traject_spark.expr import let3
+
+    def pick(e: Column, d: Column, f: Column, s: Column) -> Column:
+        return let(
+            F.greatest(e, d, f, s),
+            lambda mx: (
+                # NULL text -> NULL guess: without the guard every when()
+                # condition is NULL (falsy) and control would fall through
+                # to the otherwise branch, mislabeling missing text as 'es'
+                F.when(mx.isNull(), F.lit(None).cast("string"))
+                .when(mx == 0, F.lit("und"))
+                .when(e == mx, F.lit("en"))
+                .when(d == mx, F.lit("de"))
+                .when(f == mx, F.lit("fr"))
+                .otherwise(F.lit("es"))
+            ),
+        )
+
+    return let(en, lambda e: let3(de, fr, es, lambda d, f, s: pick(e, d, f, s)))
 
 
 def fingerprint_expr(text: Column, normalize: bool = True) -> Column:
