@@ -120,3 +120,22 @@ def test_curate_documents_rejects_bad_mode(spark):
 
     with pytest.raises(ValueError, match="near_dup"):
         curate_documents(_corpus(spark), near_dup="nope")
+
+
+def test_curate_documents_decontaminates(spark, tmp_path):
+    """A benchmark DataFrame drops contaminated docs after the quality
+    gate and before dedup; clean docs are untouched."""
+    from traject_spark.corpus import curate_documents
+
+    # benchmark shares BASE's text verbatim -> docs 0, 1 AND the
+    # near-dup 2 (which still shares >= one 13-gram run with BASE) go
+    bench = spark.createDataFrame([(BASE,)], "text string")
+    out = curate_documents(
+        _corpus(spark),
+        min_tokens=5,
+        near_dup=None,
+        num_hashes=32,
+        benchmark=bench,
+        work_dir=str(tmp_path / "w"),
+    )
+    assert {r["doc_id"] for r in out.collect()} == {3}

@@ -32,6 +32,10 @@ from traject_spark.corpus.dedup import (
     simhash_near_dup_witness,
     ngram_jaccard_pairs,
 )
+from traject_spark.corpus.contamination import (
+    contamination_mark,
+    decontaminate,
+)
 from traject_spark.corpus.recipes import (
     annotate_documents,
     curate_documents,
@@ -70,6 +74,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "annotate_documents",
     "curate_documents",
+    "contamination_mark",
+    "decontaminate",
     "assign_cell_udf",
     "cosine_similarity_expr",
     "auto_lsh_bits",

@@ -5,6 +5,8 @@ operators were built for.
 
     annotate (tokens / quality / language / fingerprint / minhash sig)
       -> quality + language filter          (same narrow projection)
+      -> benchmark decontamination          (optional: broadcast n-gram
+                                             anti-join, contamination.py)
       -> exact dedup                        (one fingerprint window)
       -> near-dup handling                  (witness mark/drop, or
                                              cluster ids via closure)
@@ -130,10 +132,18 @@ def curate_documents(
     bands: int = 16,
     ngram: int = 3,
     min_est: float = 0.8,
+    benchmark: Optional[DataFrame] = None,
+    contamination_n: int = 13,
     work_dir: Optional[str] = None,
     output_path: Optional[str] = None,
 ) -> DataFrame:
     """The end-to-end curation recipe; see module docstring.
+
+    ``benchmark``: optional eval-set DataFrame (a ``text`` column);
+    when given, documents sharing any exact ``contamination_n``-gram
+    with it are dropped AFTER the quality gate and BEFORE dedup
+    (``corpus.contamination.decontaminate`` — the GPT-3-style
+    decontamination step; benchmark shingles broadcast).
 
     ``near_dup``:
       - ``"mark"`` (default): keep every exact-dedup survivor, add
@@ -156,6 +166,13 @@ def curate_documents(
         df, text_col, id_col, min_tokens, min_quality, langs,
         num_hashes, ngram, with_minhash=near_dup is not None,
     )
+    if benchmark is not None:
+        from traject_spark.corpus.contamination import decontaminate
+
+        annotated = decontaminate(
+            annotated, benchmark, text_col="text", id_col="id",
+            n=contamination_n,
+        )
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="curate_")
     ann_path = f"{work_dir}/annotated.parquet"
