@@ -1327,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
               -- row survives as its own 1-doc cluster
               SELECT doc_id,
                 COALESCE(
-                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
                   chr(1) || CAST(doc_id AS VARCHAR)) AS fp
               FROM all_docs
             )
@@ -1348,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_fingerprint": r"""
             SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
         "text_quality": """
             WITH t AS (
@@ -1392,12 +1392,12 @@ def oracle_sql() -> dict[str, str]:
             -- null-safe group key mirrors the engine (dedup.py): NULL-text
             -- rows are NOT duplicates of each other; a plain GROUP BY on
             -- the fingerprint would merge them into one cluster
-            SELECT min(md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+            SELECT min(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS fingerprint,
               min(doc_id) AS keep_id,
               count(*) AS n_docs
             FROM documents
             GROUP BY COALESCE(
-              md5(regexp_replace(lower(text), '\s+', ' ', 'g')),
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
               chr(1) || CAST(doc_id AS VARCHAR))""",
         "dedup_jaccard_adjacent": """
             WITH sh AS (
@@ -1478,7 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionize": _SQL_SESSIONIZE,
         "stream_dedup_fingerprint": r"""
             SELECT DISTINCT
-              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
         "ann_ivf_topk": _SQL_IVF,
         # the layout path is result-identical by construction (same

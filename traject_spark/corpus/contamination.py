@@ -1,10 +1,10 @@
 """Benchmark decontamination: exact n-gram collision against an eval set.
 
 The standard LLM-training hygiene step (GPT-3 appendix C / The Pile):
-a training document is "contaminated" when it shares at least
-``min_matches`` exact word n-grams (n=13 is the conventional window)
-with any document in a benchmark/eval set. This module marks and
-removes such documents.
+a training document is "contaminated" when at least ``min_matches`` of
+its distinct word n-grams (n=13 is the conventional window) appear
+anywhere in a benchmark/eval set. This module marks and removes such
+documents.
 
 Scale design (the 100 TB story):
 - The corpus side explodes to one narrow (id, shingle-hash) row per
@@ -74,8 +74,15 @@ def contamination_mark(
     hash_shingles: bool = True,
     broadcast_bench: bool = True,
 ) -> DataFrame:
-    """Mark corpus docs sharing >= ``min_matches`` exact word ``n``-grams
-    with ANY benchmark document.
+    """Mark corpus docs whose distinct word ``n``-grams collide with the
+    benchmark set's n-gram POOL at least ``min_matches`` times.
+
+    The pool is the distinct union over all benchmark documents — a doc
+    matching one gram from eval item X and another from eval item Y
+    counts 2. That is the conventional (GPT-3-style) reading: any
+    training n-gram that appears anywhere in the eval set is tainted;
+    per-eval-document thresholds would need the bench doc id kept
+    through the join and a max over per-bench-doc counts instead.
 
     Returns (``id_col``, n_matched_ngrams) for contaminated documents
     only — join or anti-join it back to act on the corpus (or call

@@ -90,6 +90,7 @@ def apply_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    fp_col: Optional[str] = None,
 ) -> DataFrame:
     """The corpus with duplicates removed: one survivor (min id) per
     content fingerprint.
@@ -98,11 +99,19 @@ def apply_exact_dedup(
     shuffle as ``exact_dedup``'s aggregate, with no second join back, so
     at 100 TB the cost stays one hash-partitioned pass. AQE splits skewed
     fingerprints (boilerplate dups) at runtime.
+
+    ``fp_col``: name of a PRECOMPUTED fingerprint column (the ``sig_col``
+    convention used throughout this module) — pass it when the
+    fingerprint is already materialized (e.g. the curation recipe's
+    annotate stage) so it isn't recomputed from text here.
     """
+    fp = (
+        F.col(fp_col)
+        if fp_col
+        else fingerprint_expr(F.col(text_col), normalize)
+    )
     w = Window.partitionBy(
-        _null_safe_group_key(
-            fingerprint_expr(F.col(text_col), normalize), id_col
-        )
+        _null_safe_group_key(fp, id_col)
     ).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -566,6 +575,11 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     duplicates, consistent with exact_dedup — but don't filter on
     sig = 0 to find them.
     """
+    if not 1 <= bits <= 64:
+        # bits > 64 would silently produce garbage: shiftright wraps its
+        # shift amount mod 64 on the JVM (bit 64 re-tests bit 0) and
+        # every i >= 63 adds the same sign-bit constant
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
 
     def body(hashes: Column, n: Column) -> Column:
         sig = F.lit(0).cast("long")

@@ -38,15 +38,18 @@ executors share a filesystem (local mode, single node).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from traject_spark.expr import let
 from traject_spark.corpus.dedup import (
-    _null_safe_group_key,
+    _check_bands,
+    apply_exact_dedup,
     minhash_near_dup_witness,
     minhash_signature_expr,
     witness_clusters,
@@ -162,33 +165,41 @@ def curate_documents(
     """
     if near_dup not in ("mark", "drop", "cluster", None):
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
+    if near_dup is not None:
+        # validate BEFORE the expensive annotate scan + materialization:
+        # without this, a bands/num_hashes typo raises only after the
+        # whole corpus has been annotated and written
+        _check_bands(num_hashes, bands)
     annotated = annotate_documents(
         df, text_col, id_col, min_tokens, min_quality, langs,
         num_hashes, ngram, with_minhash=near_dup is not None,
     )
-    if benchmark is not None:
-        from traject_spark.corpus.contamination import decontaminate
-
-        annotated = decontaminate(
-            annotated, benchmark, text_col="text", id_col="id",
-            n=contamination_n,
-        )
-    if work_dir is None:
+    created_work_dir = work_dir is None
+    if created_work_dir:
         work_dir = tempfile.mkdtemp(prefix="curate_")
     ann_path = f"{work_dir}/annotated.parquet"
     annotated.write.mode("overwrite").parquet(ann_path)
     spark = df.sparkSession
     annotated = spark.read.parquet(ann_path)
 
-    # exact dedup: reuse the materialized fingerprint — one window
-    # shuffle, min-id survivor, NULL fp rows each their own group
-    w = Window.partitionBy(
-        _null_safe_group_key(F.col("fp"), "id")
-    ).orderBy(F.col("id"))
-    survivors = (
-        annotated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    if benchmark is not None:
+        # AFTER the stage-boundary materialization: decontaminate reads
+        # `annotated` twice (shingle-explode side + the anti-join back),
+        # and on the raw plan each read would re-execute the whole
+        # annotate expression tree — against the parquet it is two cheap
+        # scans. Ordering is unchanged: after the quality gate, before
+        # dedup.
+        from traject_spark.corpus.contamination import decontaminate
+
+        annotated = decontaminate(
+            annotated, benchmark, text_col="text", id_col="id",
+            n=contamination_n,
+        )
+
+    # exact dedup: reuse the materialized fingerprint (fp_col) — one
+    # window shuffle, min-id survivor, NULL fp rows each their own group
+    survivors = apply_exact_dedup(
+        annotated, text_col="text", id_col="id", fp_col="fp"
     )
 
     if near_dup is not None:
@@ -230,5 +241,14 @@ def curate_documents(
     out = survivors.drop("msig").withColumnRenamed("id", id_col)
     if output_path is not None:
         out.write.mode("overwrite").parquet(output_path)
+        if created_work_dir:
+            # the result now reads from output_path; the corpus-sized
+            # intermediates in our own temp dir are dead weight
+            shutil.rmtree(work_dir, ignore_errors=True)
         return spark.read.parquet(output_path)
+    if created_work_dir:
+        # the lazy result still reads the intermediates — defer cleanup
+        # to interpreter exit (callers who need tighter control pass
+        # work_dir and own its lifecycle)
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
     return out

@@ -28,7 +28,12 @@ def tokens_expr(text: Column) -> Column:
 
 
 def token_count_expr(text: Column) -> Column:
-    return F.size(tokens_expr(text)).cast("long")
+    # explicit NULL-text guard: under Spark 3.x legacy defaults
+    # (spark.sql.legacy.sizeOfNull=true) size(NULL) is -1, not NULL —
+    # the when() pins NULL-in -> NULL-out on every supported version
+    return F.when(
+        text.isNotNull(), F.size(tokens_expr(text)).cast("long")
+    )
 
 
 def _count_in(tokens: Column, words: list[str]) -> Column:
@@ -39,10 +44,14 @@ def stopword_ratio_expr(text: Column, stopwords: list[str] | None = None) -> Col
     """Fraction of tokens that are stopwords, 4dp. An explicitly-passed
     empty list means "no stopwords" (ratio 0), not the English default."""
     sw = EN_STOPWORDS if stopwords is None else stopwords
-    return let(
-        tokens_expr(text),
-        lambda toks: F.round(
-            _count_in(toks, sw) / F.greatest(F.size(toks), F.lit(1)), 4
+    # when(): NULL text -> NULL ratio on Spark 3.x legacy sizeOfNull too
+    return F.when(
+        text.isNotNull(),
+        let(
+            tokens_expr(text),
+            lambda toks: F.round(
+                _count_in(toks, sw) / F.greatest(F.size(toks), F.lit(1)), 4
+            ),
         ),
     )
 
@@ -90,13 +99,20 @@ def quality_score_expr(text: Column, min_tokens: int = 50, max_tokens: int = 100
 def langid_expr(text: Column) -> Column:
     """Marker-word language guess: highest marker count wins, ties broken
     en > de > fr > es; 'und' when no markers hit."""
-    return let(
-        tokens_expr(text),
-        lambda toks: _argmax_lang(
-            _count_in(toks, EN_STOPWORDS),
-            _count_in(toks, DE_MARKERS),
-            _count_in(toks, FR_MARKERS),
-            _count_in(toks, ES_MARKERS),
+    # outer when(): on Spark 3.x legacy sizeOfNull, size(filter(NULL))
+    # is -1 and every count would tie at -1 ('en'); the explicit text
+    # guard pins NULL-text -> NULL guess on every supported version
+    # (the mx.isNull() branch inside _argmax_lang covers Spark 4 alone)
+    return F.when(
+        text.isNotNull(),
+        let(
+            tokens_expr(text),
+            lambda toks: _argmax_lang(
+                _count_in(toks, EN_STOPWORDS),
+                _count_in(toks, DE_MARKERS),
+                _count_in(toks, FR_MARKERS),
+                _count_in(toks, ES_MARKERS),
+            ),
         ),
     )
 
@@ -128,9 +144,12 @@ def _argmax_lang(en: Column, de: Column, fr: Column, es: Column) -> Column:
 
 
 def fingerprint_expr(text: Column, normalize: bool = True) -> Column:
-    """128-bit content fingerprint (md5 hex). ``normalize`` lowercases and
-    collapses whitespace first — the usual exact-dedup key."""
+    """128-bit content fingerprint (md5 hex). ``normalize`` lowercases,
+    collapses whitespace, and trims the ends first — the usual
+    exact-dedup key (web-scraped corpora routinely differ only by a
+    trailing newline; without the trim those are distinct fingerprints
+    and exact dedup silently misses them)."""
     t = text
     if normalize:
-        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     return F.md5(t)

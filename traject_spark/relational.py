@@ -96,6 +96,13 @@ def salted_join(
             f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
             "right-side replication would duplicate unmatched right rows"
         )
+    if "_salt" in left.columns or "_salt" in right.columns:
+        # withColumn would silently overwrite the user's column, feed the
+        # synthetic value to the join, then drop the column entirely
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it on "
+            "the input first"
+        )
     if salt < 2:
         return left.join(right, on, how)
     lsalt = F.pmod(
