@@ -882,11 +882,24 @@ def q_multimodal_metadata(spark, sf_dir):
         .when(doc_id % 5 == 1, F.lit(b"\xff\xd8\xff"))
         .when(doc_id % 5 == 2, F.lit(b"GIF8"))
         .when(doc_id % 5 == 3, F.lit(b"RIFF"))
-        .otherwise(F.lit(b""))
+        # \x00 prefix: no container magic starts with NUL, so the
+        # magicless class can never accidentally sniff (a raw text
+        # starting with 'GIF8' would otherwise diverge from the oracle's
+        # unconditional 'unknown')
+        .otherwise(F.lit(b"\x00"))
     )
-    media = _docs(spark, sf_dir).select(
-        doc_id.alias("media_id"),
-        F.concat(magic, F.encode(F.col("text"), "utf-8")).alias("payload"),
+    media = (
+        _docs(spark, sf_dir)
+        # NULL text has no payload: concat(magic, encode(NULL)) is NULL
+        # and the sniffed format would be NULL while the oracle's
+        # doc_id%5 CASE is total — keep the population identical
+        .filter(F.col("text").isNotNull())
+        .select(
+            doc_id.alias("media_id"),
+            F.concat(magic, F.encode(F.col("text"), "utf-8")).alias(
+                "payload"
+            ),
+        )
     )
     with_meta = attach_media_metadata(media, "payload", kind="image")
     return with_meta.select(
@@ -900,9 +913,15 @@ def q_multimodal_metadata(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     from traject_spark.corpus.multimodal import attach_media_metadata, extract_features
 
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+    media = (
+        _docs(spark, sf_dir)
+        # NULL text -> NULL payload: keep the population identical to
+        # the oracle's (same rationale as multimodal_metadata)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
     )
     with_meta = attach_media_metadata(media, "payload", kind="image")
     feats = extract_features(with_meta, "payload", id_col="media_id", fake=True, dim=8)
@@ -1490,7 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             SELECT doc_id AS media_id, 'image' AS kind,
               CAST(8 AS BIGINT) AS feat_dim
-            FROM documents""",
+            FROM documents WHERE text IS NOT NULL""",
         "multimodal_metadata": """
             SELECT doc_id AS media_id,
               'image' AS kind,
@@ -1500,6 +1519,6 @@ def oracle_sql() -> dict[str, str]:
               CAST(octet_length(encode(text)) +
                 CASE CAST(doc_id % 5 AS INT)
                   WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 4
-                  ELSE 0 END AS BIGINT) AS n_bytes
-            FROM documents""",
+                  ELSE 1 END AS BIGINT) AS n_bytes
+            FROM documents WHERE text IS NOT NULL""",
     }

@@ -522,32 +522,6 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = session()
     t0 = time.time()
-    synth_marc(spark)  # untimed setup: materialize the synthetic corpus
-    _ndjson_path(spark)  # untimed setup: NDJSON twin for the ingest bench
-    print(f"BENCH setup synth_marc+ndjson: {time.time() - t0:.1f}s", file=sys.stderr)
-    # untimed warmup (the reference harness does the same: benchmark-ips
-    # 2s warmup phase, index_bench/index_bench.rb:18-30) — one FULL-SIZE
-    # pass of the mapping pipeline JIT-compiles the interpreted HOF
-    # expression paths on every executor thread before the first timed
-    # query (a 5k-row warmup leaves most of the 32 threads cold and makes
-    # the first timed run 2x noisy)
-    t0 = time.time()
-    _full_pipeline().apply(synth_marc(spark)).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    # spin up the Python worker pool + Arrow serialization off the clock
-    # (first pandas/mapInPandas query otherwise pays worker fork + import)
-    from traject_spark.marc.io import read_marc_json
-
-    read_marc_json(spark, _ndjson_path(spark)).limit(20_000).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    spark.range(100_000).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
-        "overwrite"
-    ).format("noop").save()  # initialize shuffle machinery off the clock
-    print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-    cal_start = calibration(spark)
-    print(f"BENCH calibration (start): {cal_start}s", file=sys.stderr)
     # median of N runs per query: single-run timings on this box wobble
     # 2-4x — the VM occasionally stalls whole runs (host scheduling, not
     # GC: measured total GC pause is ~3.6s across a full probe while
@@ -561,6 +535,45 @@ def main() -> None:
     selected = [
         (name, fn) for name, fn in BENCHES.items() if not only or name in only
     ]
+    selected_names = {name for name, _ in selected}
+    # setup/warmup gated on what the selection actually touches — a
+    # BENCH_ONLY=rel_* iteration run must not pay minutes of MARC corpus
+    # materialization + full-size pipeline warmup it never reads
+    marc_benches = {
+        "map_full_pipeline", "map_minimum_slice", "map_translation",
+        "sink_solr_mock", "ingest_ndjson",
+    }
+    if selected_names & marc_benches:
+        synth_marc(spark)  # untimed setup: materialize the synth corpus
+        _ndjson_path(spark)  # untimed setup: NDJSON twin for ingest
+        print(
+            f"BENCH setup synth_marc+ndjson: {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        # untimed warmup (the reference harness does the same:
+        # benchmark-ips 2s warmup phase, index_bench/index_bench.rb:18-30)
+        # — one FULL-SIZE pass of the mapping pipeline JIT-compiles the
+        # interpreted HOF expression paths on every executor thread before
+        # the first timed query (a 5k-row warmup leaves most of the 32
+        # threads cold and makes the first timed run 2x noisy)
+        t0 = time.time()
+        _full_pipeline().apply(synth_marc(spark)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        # spin up the Python worker pool + Arrow serialization off the
+        # clock (first pandas/mapInPandas query otherwise pays worker
+        # fork + import)
+        from traject_spark.marc.io import read_marc_json
+
+        read_marc_json(spark, _ndjson_path(spark)).limit(20_000).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    spark.range(100_000).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
+        "overwrite"
+    ).format("noop").save()  # initialize shuffle machinery off the clock
+    cal_start = calibration(spark)
+    print(f"BENCH calibration (start): {cal_start}s", file=sys.stderr)
     if any(name == "corpus_curate_e2e" for name, _ in selected):
         # untimed setup for the curation bench: without this the FIRST
         # timed run pays the one-time full-table NDJSON dump and the
@@ -602,7 +615,14 @@ def main() -> None:
         if name in failed or not runs:
             timings[name] = -1.0
             continue
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        # true median: for even N average the middle pair — taking the
+        # upper-middle sample would bias the headline toward this box's
+        # documented 2-4x stall outliers (e.g. BENCH_RUNS=2 with one
+        # stalled run would record the stall as the "median")
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        timings[name] = round(med, 3)
         print(
             f"BENCH {name}: {timings[name]}s "
             f"(runs in order: {[round(r, 2) for r in runs]})",

@@ -419,3 +419,49 @@ def test_train_centroids_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert train_centroids(df, n_centroids=4) == []
+
+
+def test_nan_vectors_excluded_everywhere(spark):
+    """A right-length vector with a NaN element must be EXCLUDED, never
+    falsely matched: Spark's ordering treats NaN as greater than any
+    value, so an unguarded NaN cosine ranks #1 / passes any threshold."""
+    from pyspark.sql import functions as F
+    from traject_spark.corpus.similarity import (
+        brute_force_topk,
+        cosine_near_dup,
+        cosine_near_dup_witness,
+        train_centroids,
+    )
+
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact copy of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1/2
+        (4, [nan, 1.0, 1.0, 1.0]),   # NaN element, right length
+        (5, [1.0, nan, 0.0, 0.0]),   # NaN element, right length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # brute force: NaN rows never appear as neighbors (or queries)
+    topk = brute_force_topk(df, df.filter("vec_id = 1"), k=5).collect()
+    assert {r["neighbor_id"] for r in topk} == {1, 2, 3}
+    assert topk[0]["neighbor_id"] in (1, 2)  # NaN didn't steal rank 1
+
+    # exact pair mode: no NaN pair passes the threshold
+    pairs = cosine_near_dup(df, threshold=0.9, mode="exact", dim=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    # witness path: NULL buckets dropped, invalid vectors never marked
+    wit = cosine_near_dup_witness(
+        df, threshold=0.9, dim=4, bits=2, tables=2
+    ).collect()
+    marked = {r["id"] for r in wit}
+    assert marked == {2}, wit
+    assert all(r["witness_id"] == 1 for r in wit)
+
+    # centroid training: the NaN vector cannot poison a centroid
+    cents = train_centroids(df, n_centroids=2)
+    assert cents and all(
+        all(x == x for x in c) for _, c in cents  # no NaN coordinates
+    )

@@ -91,16 +91,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str, kind: str) -> DataFra
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decode+embed (content-seeded)."""
+    """Deterministic stand-in for a real decode+embed (content-seeded);
+    the LCG stepping is shared with the LSH hyperplanes (_rng)."""
+    from traject_spark.corpus._rng import lcg_unit_floats
+
     if payload is None:
         return [0.0] * dim
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
-    out = []
-    state = seed & 0xFFFFFFFFFFFFFFFF
-    for _ in range(dim):
-        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-    return out
+    return lcg_unit_floats(seed, dim)
 
 
 def _real_image_feature(payload: bytes, dim: int):

@@ -62,14 +62,26 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries x narrow corpus scan.
 
     Returns (query_id, neighbor_id, score, rank), rank 1..k per query.
+
+    Vectors containing a NULL or NaN element are EXCLUDED on both sides
+    (one NaN score would otherwise rank #1 for every query — Spark's
+    ordering treats NaN as greater than any value — corrupting the
+    exactness baseline the ANN variants are measured against; the LSH/
+    IVF paths already exclude the same rows via NULL buckets/cells).
     """
+
+    def _finite(v: Column) -> Column:
+        return v.isNotNull() & ~F.exists(
+            v, lambda x: x.isNull() | F.isnan(x)
+        )
+
     qid = query_id_col or id_col
     q = F.broadcast(
-        queries.select(
+        queries.filter(_finite(F.col(vec_col))).select(
             F.col(qid).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    c = corpus.select(
+    c = corpus.filter(_finite(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = c.crossJoin(q).select(
@@ -90,14 +102,12 @@ def brute_force_topk(
 
 
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane (splitmix-style)."""
-    vals = []
-    state = (table * 1_000_003 + bit * 8191 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
-    for _ in range(dim):
-        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-        # map to [-1, 1)
-        vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-    return vals
+    """Deterministic pseudo-random unit-ish hyperplane (splitmix-style);
+    the LCG itself is shared with multimodal's fake features (_rng)."""
+    from traject_spark.corpus._rng import lcg_unit_floats
+
+    seed = table * 1_000_003 + bit * 8191 + 0x9E3779B9
+    return lcg_unit_floats(seed, dim)
 
 
 def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
@@ -129,6 +139,64 @@ def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
     # collapse into bucket 0 — the same O(n^2) single-bucket failure
     # shape the size guard exists to prevent
     return F.when(_valid_vec(vec, dim), bucket)
+
+
+def _banded(
+    side: DataFrame,
+    id_col: str,
+    id_alias: str,
+    vec_col: str,
+    vec_alias: Optional[str],
+    dim: int,
+    bits: int,
+    tables: int,
+) -> DataFrame:
+    """(id_alias[, vec_alias], table, bucket) rows — the ONE shared
+    banding projection for every hyperplane-LSH caller.
+
+    - ONE scan: all table buckets computed in a single select then
+      exploded (a per-table union would read the corpus ``tables``
+      times — 4x the I/O at 100 TB for the same rows).
+    - wrong-dim vectors are filtered on the RAW column (pushes to the
+      scan; filtering the computed bucket would re-evaluate the
+      hyperplane projections for the predicate).
+    - NULL buckets (NaN/null-element vectors that pass the size guard)
+      are dropped AFTER the explode — the filter references the
+      generator's output attribute, so nothing re-evaluates. Equi-join
+      callers never match NULL buckets anyway; window-based callers
+      (the witness path) MUST not see them, or every invalid vector
+      lands in one (table, NULL) window partition and gets falsely
+      paired.
+    """
+    cols = [F.col(id_col).alias(id_alias)]
+    if vec_alias:
+        cols.append(F.col(vec_col).alias(vec_alias))
+    out = (
+        side.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            *cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signs_expr(F.col(vec_col), dim, bits, t).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            id_alias,
+            *([vec_alias] if vec_alias else []),
+            "tb.table",
+            "tb.bucket",
+        )
+    )
+    return out.filter(F.col("bucket").isNotNull())
 
 
 def _lit_vec(vals) -> Column:
@@ -346,10 +414,15 @@ def train_centroids(
         return []
     # wrong-length / null-element vectors would make np.array ragged and
     # raise — drop them against the sample's modal dimension
+    # x != x catches NaN: one NaN element would make its centroid mean
+    # all-NaN, and at assignment time a NaN score compares GREATER than
+    # every real score (Spark nanSafeCompare), collapsing the whole
+    # corpus into that centroid's cell — the single-cell O(n^2) shape
     vec_lists = [
         r[vec_col]
         for r in rows
-        if r[vec_col] is not None and not any(x is None for x in r[vec_col])
+        if r[vec_col] is not None
+        and not any(x is None or x != x for x in r[vec_col])
     ]
     if not vec_lists:
         return []
@@ -584,35 +657,14 @@ def cosine_near_dup(
             bits = auto_lsh_bits(
                 df.filter(F.size(F.col(vec_col)) == dim).count()
             )
-        # ONE scan per side: all table buckets computed in a single
-        # select then exploded — a per-table union would scan the corpus
-        # `tables` times (4x the I/O at 100 TB for the same rows)
-        def bucketed(side: DataFrame, idn: str, vn: str) -> DataFrame:
-            # null / wrong-dim vectors bucket NULL and can never join —
-            # drop them on the RAW column before the bucket computation
-            # (filtering the computed bucket would re-evaluate the
-            # hyperplane projections for the predicate)
-            return side.filter(F.size(F.col(vn)) == dim).select(
-                idn,
-                vn,
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(t).alias("table"),
-                                signs_expr(F.col(vn), dim, bits, t).alias(
-                                    "bucket"
-                                ),
-                            )
-                            for t in range(tables)
-                        ]
-                    )
-                ).alias("tb"),
-            ).select(idn, vn, "tb.table", "tb.bucket")
-
+        # shared banding projection (_banded): one scan per side,
+        # raw-column size filter, NULL buckets dropped post-explode
         pairs = (
-            bucketed(a, "id_a", "va")
-            .join(bucketed(b, "id_b", "vb"), ["table", "bucket"])
+            _banded(a, "id_a", "id_a", "va", "va", dim, bits, tables)
+            .join(
+                _banded(b, "id_b", "id_b", "vb", "vb", dim, bits, tables),
+                ["table", "bucket"],
+            )
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -623,7 +675,12 @@ def cosine_near_dup(
             "cos",
             F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 9),
         )
-        .filter(F.col("cos") >= threshold)
+        # ~isnan: exact mode joins RAW vectors, so a NaN-element pair
+        # scores NaN — which passes >= threshold under Spark's ordering
+        # (NaN compares greater than everything) and would emit a false
+        # near-dup pair; the lsh path already excludes such rows via
+        # NULL buckets, and the two modes must agree
+        .filter(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
         .select("id_a", "id_b", F.round("cos", 6).alias("score"))
     )
 
@@ -671,24 +728,13 @@ def cosine_near_dup_witness(
         # over-size bits when many embeddings are null/wrong-dim and
         # undershoot the occupancy (= recall) target
         bits = auto_lsh_bits(vecs.count())
-    # narrow bucket projection, one scan: all table buckets in a single
-    # select + explode
-    banded = vecs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        signs_expr(F.col("vec"), dim, bits, t).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.table", "tb.bucket")
+    # narrow bucket projection via the shared _banded helper — which
+    # also drops NULL buckets (NaN-element vectors): the window-based
+    # candidate search below partitions by (table, bucket), and NULL
+    # buckets would otherwise gather every invalid vector into one
+    # partition and falsely pair them (their cosine is NaN, and NaN
+    # compares GREATER than any threshold under Spark ordering)
+    banded = _banded(vecs, "id", "id", "vec", None, dim, bits, tables)
     candidates = _witness_candidates(banded, ["table", "bucket"])
     scored = (
         candidates.join(vecs, "id")
@@ -748,29 +794,10 @@ def lsh_topk(
             corpus.filter(F.size(F.col(vec_col)) == dim).count()
         )
     def with_buckets(df: DataFrame, idname: str) -> DataFrame:
-        # one scan: all table buckets in a single select + explode (a
-        # per-table union would read the corpus `tables` times); null /
-        # wrong-dim vectors filtered on the RAW column (their bucket is
-        # NULL and can never join — and filtering the computed bucket
-        # would re-evaluate the projections for the predicate)
-        return df.filter(F.size(F.col(vec_col)) == dim).select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(f"{idname}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            signs_expr(F.col(vec_col), dim, bits, t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(
-            idname, f"{idname}_vec", "tb.table", "tb.bucket"
+        # shared banding projection (_banded): one scan, raw-column
+        # size filter, NULL buckets dropped post-explode
+        return _banded(
+            df, id_col, idname, vec_col, f"{idname}_vec", dim, bits, tables
         )
 
     cb = with_buckets(corpus, "neighbor_id")
