@@ -272,6 +272,20 @@ def b_dedup_exact(spark):
     noop(exact_dedup(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
 
 
+def b_decontaminate(spark):
+    """GPT-3-style 13-gram benchmark decontamination: every 100th doc's
+    text doubles as the eval set, so overlap is guaranteed and the
+    corpus-side shingle explode (the scale-dominant stage) runs for
+    real. Benchmark shingles broadcast; output is the filtered corpus."""
+    from traject_spark.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_set = docs.filter(
+        (F.col("doc_id") % 100 == 0) & F.col("text").isNotNull()
+    ).select("text")
+    noop(decontaminate(docs, bench_set))
+
+
 def b_dedup_minhash(spark):
     from traject_spark.corpus import minhash_lsh_candidates
 
@@ -499,6 +513,7 @@ BENCHES = {
     "ingest_ndjson": b_ingest_ndjson,
     "sink_solr_mock": b_sink_solr,
     "dedup_exact": b_dedup_exact,
+    "decontaminate": b_decontaminate,
     "dedup_minhash_lsh": b_dedup_minhash,
     "dedup_minhash_witness": b_dedup_minhash_witness,
     "dedup_simhash": b_dedup_simhash,
