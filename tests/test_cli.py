@@ -338,3 +338,79 @@ def test_marc_json_nonstring_subfield_value_coerced(spark, tmp_path):
         df0 = rows[0]["marc"]["datafields"][0]
         assert df0["subfields"][0]["value"] == "3", engine
         assert df0["ind1"] == "9", engine
+
+
+def test_settings_bool_coercion_is_allowlisted():
+    """Only known-boolean settings coerce; a password 'false' stays the
+    literal string."""
+    from traject_spark.cli import assemble_settings, build_parser
+
+    args = build_parser().parse_args(
+        ["-s", "allow_nil_values=false",
+         "-s", "solr_writer.basic_auth_password=false",
+         "-s", "streaming=TRUE", "x"]
+    )
+    s = assemble_settings(args)
+    assert s["allow_nil_values"] is False
+    assert s["solr_writer.basic_auth_password"] == "false"
+    assert s["streaming"] is True
+
+
+def test_solr_settings_parse_errors_and_nil_max_skipped():
+    from traject_spark.cli import _solr_url_and_kwargs
+
+    url, kw = _solr_url_and_kwargs(
+        {"solr.url": "http://x/solr", "solr_writer.max_skipped": "nil"}
+    )
+    assert kw["max_skipped"] is None
+    with pytest.raises(SystemExit, match="batch_size must be an integer"):
+        _solr_url_and_kwargs(
+            {"solr.url": "http://x/solr", "solr_writer.batch_size": "abc"}
+        )
+
+
+def test_cli_source_col_setting_does_not_crash(spark, tmp_path):
+    """-s source_col=... routes to the constructor instead of crashing
+    with 'multiple values for source_col'."""
+    import json as _json
+
+    from traject_spark.cli import main
+
+    ndj = tmp_path / "in"
+    ndj.mkdir()
+    (ndj / "r.ndjson").write_text(
+        _json.dumps({"leader": " " * 24, "fields": [
+            {"001": "s1"},
+            {"245": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": "T"}]}}]}) + "\n")
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+    out = tmp_path / "out"
+    rc = main(["-c", str(conf), "-t", "json", "-s", "source_col=marc",
+               "-o", str(out), str(ndj)], spark=spark)
+    assert rc == 0
+
+
+def test_cli_streaming_rejects_output_file(spark, tmp_path):
+    from traject_spark.cli import main
+
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+    with pytest.raises(SystemExit, match="output_file"):
+        main(["-c", str(conf), "-t", "json", "-w", "solr",
+              "-u", "http://x/solr", "-s", "streaming=true",
+              "-o", str(tmp_path / "o"), str(tmp_path)], spark=spark)
+
+
+def test_basic_auth_header_no_mismatched_pair():
+    """Explicit user overriding a DIFFERENT URL user must not reuse the
+    URL's password (mismatched credential pair)."""
+    import base64
+
+    from traject_spark.writers import _basic_auth_header
+
+    h = _basic_auth_header("http://alice:apw@x/solr", "bob", None)
+    assert base64.b64decode(h.split()[1]).decode() == "bob:"
+    # same user from both places: URL password still applies
+    h2 = _basic_auth_header("http://alice:apw@x/solr", "alice", None)
+    assert base64.b64decode(h2.split()[1]).decode() == "alice:apw"

@@ -29,6 +29,17 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: settings consumed as booleans (by truthiness or `is True`) — the ONLY
+#: keys -s coerces from 'true'/'false'; everything else stays a string
+BOOL_SETTINGS = {
+    "allow_nil_values",
+    "allow_duplicate_values",
+    "allow_empty_fields",
+    "streaming",
+    "solr_writer.commit_on_close",
+    "marcout.allow_oversized",
+}
+
 WRITER_SHORTCUTS = {
     "json": "json",
     "jsonwriter": "json",
@@ -45,6 +56,14 @@ WRITER_SHORTCUTS = {
     "null": "null",
     "nullwriter": "null",
 }
+
+
+def _normalize_class_name(value) -> str:
+    """Ruby-style class-name setting -> comparable short form:
+    'Traject::SolrJsonWriter' / 'traject.NDJReader' -> 'solrjsonwriter' /
+    'ndjreader'. One definition — read_input, command_stream, and
+    write_output all compare against the same normalization."""
+    return str(value).lower().replace("::", ".").rsplit(".", 1)[-1]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -83,9 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
 def assemble_settings(args) -> dict:
     """-s pairs + option shortcuts (command_line.rb:192-235).
 
-    Boolean-looking values coerce to real booleans: Pipeline tests
-    settings by truthiness, and the string 'false' is truthy — without
-    coercion ``-s allow_nil_values=false`` would turn the behavior ON.
+    Boolean-looking values coerce to real booleans for KNOWN-boolean
+    settings only: Pipeline tests those by truthiness, and the string
+    'false' is truthy — without coercion ``-s allow_nil_values=false``
+    would turn the behavior ON. String-valued settings are never
+    coerced: a Solr password that happens to be 'false' must stay the
+    literal string (blanket coercion turned it into Python False and
+    the auth header silently sent an empty password).
     """
     settings: dict = {}
     for pair in args.setting:
@@ -94,7 +117,7 @@ def assemble_settings(args) -> dict:
                 f"Unrecognized setting argument {pair!r}: use -s key=value"
             )
         key, value = pair.split("=", 1)
-        if value.lower() in ("true", "false"):
+        if key in BOOL_SETTINGS and value.lower() in ("true", "false"):
             settings[key] = value.lower() == "true"
         else:
             settings[key] = value
@@ -170,8 +193,7 @@ def read_input(
     if not files:
         raise SystemExit("No input files given")
     src_type = str(settings.get("marc_source.type", "binary"))
-    reader = str(settings.get("reader_class_name", "")).lower()
-    reader = reader.replace("::", ".").rsplit(".", 1)[-1]  # Traject::X forms
+    reader = _normalize_class_name(settings.get("reader_class_name", ""))
     if (
         reader in ("nokogirireader", "xml_records")
         or settings.get("nokogiri.each_record_xpath")
@@ -228,11 +250,30 @@ def _solr_url_and_kwargs(settings: dict) -> tuple:
     commit_close = str(
         settings.get("solr_writer.commit_on_close", "")
     ).lower() == "true"
+
+    def _int_setting(key: str, default):
+        raw = settings.get(key, default)
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            raise SystemExit(
+                f"{key} must be an integer, got {raw!r}"
+            )
+
+    # max_skipped: 'nil'/'none'/'' disable the abort threshold entirely
+    # (the writer's max_skipped=None contract — reference setting value
+    # nil, solr_json_writer.rb); otherwise an integer budget
+    raw_skip = settings.get("solr_writer.max_skipped", 0)
+    max_skipped = (
+        None
+        if str(raw_skip).strip().lower() in ("", "nil", "none")
+        else _int_setting("solr_writer.max_skipped", 0)
+    )
     return url, dict(
-        batch_size=int(settings.get("solr_writer.batch_size", 100)),
+        batch_size=_int_setting("solr_writer.batch_size", 100),
         solr_update_args=upd,
         commit_on_close=commit_close,
-        max_skipped=int(settings.get("solr_writer.max_skipped", 0)),
+        max_skipped=max_skipped,
         basic_auth_user=settings.get("solr_writer.basic_auth_user"),
         basic_auth_password=settings.get("solr_writer.basic_auth_password"),
     )
@@ -246,9 +287,15 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
     the mapping and the sink are byte-identical to the batch path."""
     from traject_spark.streaming import stream_marc_to_solr
 
+    if settings.get("output_file"):
+        # -o with the Solr-only streaming sink would silently write
+        # nothing at that path — reject like the non-solr writer below
+        raise SystemExit(
+            "streaming=true writes to Solr only; -o/output_file has no "
+            "effect — drop it or run batch mode for file output"
+        )
     src_type = str(settings.get("marc_source.type", "binary"))
-    reader = str(settings.get("reader_class_name", "")).lower()
-    reader = reader.replace("::", ".").rsplit(".", 1)[-1]
+    reader = _normalize_class_name(settings.get("reader_class_name", ""))
     if src_type != "json" and reader != "ndjreader":
         raise SystemExit(
             "streaming=true supports the NDJSON source only "
@@ -262,7 +309,7 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
     # the streaming sink is Solr-only: a configured non-solr writer must
     # error, not be silently overridden by a POST to solr.url
     wname = str(settings.get("writer_class_name", "solr"))
-    wshort = wname.lower().replace("::", ".").rsplit(".", 1)[-1]
+    wshort = _normalize_class_name(wname)
     if WRITER_SHORTCUTS.get(wshort) != "solr":
         raise SystemExit(
             f"streaming=true supports the solr writer only "
@@ -311,7 +358,7 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
 
     name = str(settings.get("writer_class_name", "json"))
     # accept Ruby-style qualified names too ('Traject::SolrJsonWriter')
-    short = name.lower().replace("::", ".").rsplit(".", 1)[-1]
+    short = _normalize_class_name(name)
     if name != "json" and short not in WRITER_SHORTCUTS:
         # a typo'd/unknown writer must error like the reference's failed
         # class resolution, not silently fall back to NDJSON output
@@ -477,7 +524,17 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
     # command (command_line.rb:273-274), so marcout.type / output_file /
     # solr.url defined in a config file apply to marcout and commit too.
     source_col = "xml" if args.indexer == "xml" else "marc"
-    pipeline = Pipeline(source_col=source_col, **assemble_settings(args))
+    # -s keys named like constructor params must not be splatted into
+    # them: -s source_col=marc crashed with 'multiple values for
+    # source_col', and -s id_col=x silently bound the constructor arg
+    # instead of landing in settings_dict where consumers read it
+    cli_settings = assemble_settings(args)
+    ctor = {}
+    if "source_col" in cli_settings:
+        source_col = str(cli_settings.pop("source_col"))
+    if "id_col" in cli_settings:
+        ctor["id_col"] = str(cli_settings.pop("id_col"))
+    pipeline = Pipeline(source_col=source_col, **ctor, **cli_settings)
     if args.conf:
         load_config_files(pipeline, args.conf)
     settings = pipeline.settings_dict  # config files may add settings

@@ -253,10 +253,22 @@ def stream_marc_to_solr(
     # commit_on_close into the per-batch writer would issue a full Solr
     # commit (minutes on a large core) after EVERY micro-batch
     commit_close = bool(solr_kwargs.pop("commit_on_close", False))
+    max_skipped = solr_kwargs.pop("max_skipped", 0)
     skipped_total = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        n = solr_json_writer(batch_df, url, **solr_kwargs)
+        # max_skipped is a PER-RUN budget like the batch path's (the
+        # reference aborts after max_skipped total, not per write call):
+        # each micro-batch gets only the remaining allowance, so N
+        # batches cannot silently lose N x max_skipped docs
+        remaining = (
+            None
+            if max_skipped is None
+            else max(0, max_skipped - skipped_total[0])
+        )
+        n = solr_json_writer(
+            batch_df, url, max_skipped=remaining, **solr_kwargs
+        )
         if n:
             # surface per-batch losses: the batch path returns this count
             # to its caller; a streaming run must not lose it silently

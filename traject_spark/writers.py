@@ -102,10 +102,11 @@ def write_yaml(df: DataFrame, path: str, id_col: str = "record_id",
 def _flatten_cols(
     df: DataFrame, fields: Sequence[str], internal_delimiter: str
 ) -> list[Column]:
+    dtypes = dict(df.dtypes)
     cols = []
     for name in fields:
         c = F.col(name)
-        if dict(df.dtypes)[name].startswith("array"):
+        if dtypes[name].startswith("array"):
             c = F.array_join(c, internal_delimiter)
         cols.append(c.alias(name))
     return cols
@@ -136,10 +137,11 @@ def write_delimited(
             c = F.regexp_replace(c, p, repl)
         return c
 
+    dtypes = dict(df.dtypes)
     cols = []
     for name in fields:
         c = F.col(name)
-        if dict(df.dtypes)[name].startswith("array"):
+        if dtypes[name].startswith("array"):
             c = F.array_join(F.transform(c, esc), internal_delimiter)
         else:
             c = esc(c.cast("string"))
@@ -244,18 +246,29 @@ def _basic_auth_header(
     # userinfo arrives percent-encoded (a password with ':' or '@' MUST
     # be encoded to be a valid URL) — unquote before building the header
     # or the credentials are sent still-encoded and every request 401s
-    u = user or (
+    url_user = (
         urllib.parse.unquote(parsed.username) if parsed.username else None
     )
+    u = user or url_user
     if not u:
         return None
     # an explicitly-passed password wins even when the USER came from the
     # URL userinfo (user in URL + password as an argument is a sensible
-    # way to keep the secret out of the URL)
+    # way to keep the secret out of the URL). The REVERSE pairing is NOT
+    # sensible: when an explicit user overrides a different URL user,
+    # reusing the URL's password would send a mismatched credential pair
+    # ('bob' + alice's password) and 401 with no hint why.
+    url_password_applies = parsed.password and (
+        user is None or user == url_user
+    )
     p = (
         password
         if password is not None
-        else (urllib.parse.unquote(parsed.password) if parsed.password else "")
+        else (
+            urllib.parse.unquote(parsed.password)
+            if url_password_applies
+            else ""
+        )
     )
     cred = f"{u}:{p or ''}".encode("utf-8")
     return "Basic " + base64.b64encode(cred).decode("ascii")
@@ -671,7 +684,16 @@ def solr_commit(
     auth = _basic_auth_header(url, basic_auth_user, basic_auth_password)
     if auth:
         req.add_header("Authorization", auth)
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        # same policy as every other Solr request in this module: a proxy
+        # 3xx (e.g. to a login page that returns 200) would make the
+        # commit a silent no-op — fail loudly instead
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    with opener.open(req, timeout=timeout) as resp:  # noqa: S310
         body = resp.read()
-        if resp.status >= 400:
+        if not 200 <= resp.status < 300:  # opener raises on >=400 and 3xx
             raise SolrHTTPError(f"Solr HTTP {resp.status}: {body[:200]!r}")
