@@ -341,3 +341,39 @@ def test_null_subfields_field_does_not_wipe_semantic_macros(spark):
         dirty = run(spark, broken, macro)
         assert clean, f"{macro}: fixture produced nothing"
         assert dirty == clean, f"{macro}: NULL-subfields field changed output"
+
+
+def test_lcsh_null_subfield_value_skips_only_itself(spark):
+    """A NULL subfield VALUE (schema-legal in user parquet) must not null
+    the whole assembled heading."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_lcsh_formatted
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    rec = marc_record(
+        controlfields=[("001", "x")],
+        datafields=[("650", " ", "0",
+                     [("a", "Mass media"), ("x", None),
+                      ("z", "United States")])],
+    )
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    out = Pipeline().to_field("s", marc_lcsh_formatted()).apply(df).collect()
+    assert out[0]["s"] == ["Mass media — United States"]
+
+
+def test_sortable_title_custom_spec_honors_indicators(spark):
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_sortable_title
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    rec = marc_record(
+        controlfields=[("001", "x")],
+        datafields=[("245", "1", "4", [("a", "The fateful triangle")])],
+    )
+    df = spark.createDataFrame([("r1", rec)], MARC_SOURCE_SCHEMA)
+    p = (Pipeline()
+         .to_field("hit", marc_sortable_title("245|14|ab"))
+         .to_field("miss", marc_sortable_title("245|10|ab")))
+    row = p.apply(df).collect()[0]
+    assert row["hit"] == ["fateful triangle"]
+    assert row["miss"] is None

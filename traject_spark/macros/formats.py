@@ -15,11 +15,8 @@ from pyspark.sql import functions as F
 from traject_spark.expr import let, let2
 from traject_spark.translation_map import TranslationMap
 
-_EMPTY = "array<string>"
-
-
-def _empty() -> Column:
-    return F.array().cast(_EMPTY)
+# one shared empty-array helper — three drifting copies otherwise
+from traject_spark.marc.extractor import EMPTY_STR_ARRAY as _EMPTY, _empty
 
 
 def _normalized_gmd(marc: Column) -> Column:

@@ -30,11 +30,8 @@ from traject_spark.transforms import (
 )
 from traject_spark.translation_map import TranslationMap
 
-_EMPTY = "array<string>"
-
-
-def _empty() -> Column:
-    return F.array().cast(_EMPTY)
+# one shared empty-array helper — three drifting copies otherwise
+from traject_spark.marc.extractor import EMPTY_STR_ARRAY as _EMPTY, _empty
 
 
 def _ruby_sub_first(v: Column, pattern_no_groups: str, replacement: str = "") -> Column:
@@ -145,14 +142,20 @@ def marc_sortable_title(spec: str = "245ab"):
             s = F.coalesce(joined, k)
             return trim_punctuation_expr(_nonfiling_slice(s, fld["ind2"]))
 
+        def field_match(f: Column) -> Column:
+            # honor indicator filters a CUSTOM spec carries (the
+            # reference's hardcoded '245ab' never has them, but its
+            # collect_matching_lines would apply them if it did — the
+            # faithful generalization of our net-new spec parameter)
+            cond = _effective_tag(f) == parsed.tag
+            if parsed.ind1 is not None:
+                cond = cond & (f["ind1"] == parsed.ind1)
+            if parsed.ind2 is not None:
+                cond = cond & (f["ind2"] == parsed.ind2)
+            return cond
+
         st = let(
-            F.get(
-                F.filter(
-                    ctx.marc["datafields"],
-                    lambda f: _effective_tag(f) == parsed.tag,
-                ),
-                0,
-            ),
+            F.get(F.filter(ctx.marc["datafields"], field_match), 0),
             with_field,
         )
         return F.concat(
@@ -637,7 +640,11 @@ def marc_lcsh_formatted(
                 .otherwise(F.lit(other_separator))
             )
             return F.when(
-                code.rlike(r"\A[a-z]\Z"),
+                # value.isNotNull(): a NULL subfield VALUE (schema-legal
+                # for user parquet; impossible in ruby-marc) must skip
+                # only that subfield — concat's null propagation would
+                # otherwise null the whole assembled heading
+                code.rlike(r"\A[a-z]\Z") & sf_i["value"].isNotNull(),
                 F.concat(acc_s, prefix, sf_i["value"]),
             ).otherwise(acc_s)
 
