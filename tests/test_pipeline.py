@@ -357,3 +357,61 @@ def test_quarantine_schema_stable_without_error_exprs(spark):
     good, bad = p.apply_with_quarantine(df)
     assert bad.columns == ["record_id", "_error", "marc"]
     assert bad.count() == 0 and good.count() == 1
+
+
+def test_null_contribution_does_not_wipe_field(spark):
+    """A NULL Column handed to ctx.add_output contributes nothing instead
+    of nulling every other step's values (concat NULL propagation)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark import Pipeline
+    from traject_spark.macros import literal
+
+    p = (
+        Pipeline()
+        .to_field("subject", literal("fromfield"))
+        .each_record(lambda ctx: ctx.add_output(
+            "subject", F.when(F.lit(False), F.array(F.lit("x")))
+        ))
+    )
+    rows = p.apply(source_df(spark, BOOK)).collect()
+    assert all(r["subject"] == ["fromfield"] for r in rows)
+
+
+def test_ctx_output_sees_processed_values(spark):
+    """ctx.output() applies the add-time invariants (nil drop, de-dup)
+    like the reference's output_hash, so derived fields see the same
+    view the writer will."""
+    from pyspark.sql import functions as F
+
+    from traject_spark import Pipeline
+
+    p = (
+        Pipeline()
+        .settings(allow_duplicate_values=False)
+        .to_field("t", lambda acc, ctx: F.concat(acc, F.array(
+            F.lit("A"), F.lit("A"), F.lit(None).cast("string"))))
+        .each_record(lambda ctx: ctx.add_output(
+            "t_len", F.array(F.size(ctx.output("t")).cast("string"))
+        ))
+    )
+    rows = p.apply(source_df(spark, BOOK)).collect()
+    assert all(r["t"] == ["A"] and r["t_len"] == ["1"] for r in rows)
+
+
+def test_map_record_field_named_like_id_col(spark):
+    """to_field('id') with id_col='id' — the canonical traject shape —
+    must not produce duplicate columns or crash map_record."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import extract_marc
+    from traject_spark.marc.schema import marc_record
+
+    rec = marc_record(
+        controlfields=[("001", "ctrl1")],
+        datafields=[("245", "1", "0", [("a", "T")])],
+    )
+    p = (Pipeline(id_col="id")
+         .to_field("id", extract_marc("001"))
+         .to_field("title", extract_marc("245a")))
+    out = p.map_record(rec, spark)
+    assert out == {"id": ["ctrl1"], "title": ["T"]}

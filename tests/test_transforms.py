@@ -502,3 +502,29 @@ def test_transform_udf_skip_mode_single_evaluation(spark):
     assert {r.record_id for r in good.collect()} == {"r1"}
     badrows = bad.collect()
     assert len(badrows) == 1 and "bad value" in badrows[0]._error
+
+
+def test_match_pred_honors_compiled_regex_flags(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from traject_spark.transforms import select as t_select
+
+    df = spark.createDataFrame([(["Harry Potter", "nope"],)], "v array<string>")
+    out = df.select(
+        t_select(re.compile("harry potter", re.I))(F.col("v"), None).alias("r")
+    ).collect()
+    assert out[0]["r"] == ["Harry Potter"]
+
+
+def test_transform_udf_coerces_non_string_returns(spark):
+    from pyspark.sql import functions as F
+
+    from traject_spark.transforms import transform_udf
+
+    df = spark.createDataFrame([(["abc", "de"],)], "v array<string>")
+    out = df.select(
+        transform_udf(lambda v: len(v))(F.col("v"), None).alias("r")
+    ).collect()
+    assert out[0]["r"] == ["3", "2"]

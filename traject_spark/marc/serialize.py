@@ -211,7 +211,12 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
         directory += (
             f"{tag:>3.3}" + slot(len(body), 4, f"field {tag}")
             + slot(len(data), 5, f"field {tag} offset")
-        ).encode("ascii")
+        ).encode("ascii", "replace")
+        # 'replace', like the leader below: directory entries must be
+        # exactly 12 BYTES each — a non-ASCII tag (legal in the
+        # string-typed schema, producible by JSON ingest) must degrade
+        # THIS record's tag to '?', not UnicodeEncodeError the whole
+        # Arrow serialization batch
         data += body
     directory += FT
     base = 24 + len(directory)

@@ -32,6 +32,24 @@ from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
 _EMPTY = "array<string>"
 
 
+def _concat_contributions(exprs: list) -> Column:
+    """Combine one field's per-step contributions.
+
+    Each contribution is coalesced to the empty array first: a NULL
+    contribution means "this step adds nothing" (the reference's
+    add_output just skips nil values, context.rb:117-129) — but
+    F.concat over arrays returns NULL if ANY argument is NULL, so one
+    nullable Column handed to ctx.add_output would otherwise silently
+    wipe every other step's values for the field.
+    """
+    if len(exprs) == 1:
+        # single contribution: NULL already flows to the omit-if-empty
+        # rule (field absent), same outcome as coalesce+concat
+        return exprs[0]
+    empty = F.array().cast(_EMPTY)
+    return F.concat(*[F.coalesce(e, empty) for e in exprs])
+
+
 class PipelineContext:
     """Per-compilation context handed to macros and each_record steps.
 
@@ -56,12 +74,29 @@ class PipelineContext:
         return F.col(self._pipeline.source_col)
 
     def output(self, name: str) -> Column:
-        """Expression for field ``name`` as accumulated so far (lets later
-        steps read earlier fields, doc/indexing_rules.md:210-257)."""
+        """Expression for field ``name`` as accumulated so far, with the
+        add_output invariants already applied (nil drop / de-dup per
+        settings) — the reference's output_hash holds the PROCESSED
+        values at read time (context.rb:117-129 runs compact/uniq as
+        values arrive), so a later step keying on an earlier field's
+        size or content must see the same view the writer will.
+        (Lets later steps read earlier fields,
+        doc/indexing_rules.md:210-257.)"""
         exprs = self._pipeline._field_exprs.get(name)
         if not exprs:
             return F.array().cast(_EMPTY)
-        return exprs[0] if len(exprs) == 1 else F.concat(*exprs)
+        # add-time invariants only: the omit-if-empty rule ([] -> NULL)
+        # is a write-time concern — a reader doing size()/exists() over
+        # an empty field must see [], not NULL
+        out = F.coalesce(
+            _concat_contributions(exprs), F.array().cast(_EMPTY)
+        )
+        s = self._pipeline.settings_dict
+        if not s.get("allow_nil_values", False):
+            out = F.filter(out, lambda x: x.isNotNull())
+        if not s.get("allow_duplicate_values", True):
+            out = F.array_distinct(out)
+        return out
 
     def add_output(self, name: str, values: Column) -> None:
         """each_record-style write to any output field
@@ -230,7 +265,7 @@ class Pipeline:
 
         fields = []
         for name, exprs in self._field_exprs.items():
-            raw = exprs[0] if len(exprs) == 1 else F.concat(*exprs)
+            raw = _concat_contributions(exprs)
             fields.append((name, self._post_process(raw).alias(name)))
         skip = None
         for cond in self._skip_conds:
@@ -252,7 +287,16 @@ class Pipeline:
         try:
             fields, skip = self.compile()
             cols: list[Column] = []
-            if self.id_col and self.id_col in df.columns:
+            field_names = {n for n, _ in fields}
+            # a to_field named like the id column wins (the reference's
+            # document id IS output_hash['id'] when mapped): emitting
+            # both would duplicate the column name and break asDict()/
+            # writers downstream
+            if (
+                self.id_col
+                and self.id_col in df.columns
+                and self.id_col not in field_names
+            ):
                 cols.append(F.col(self.id_col))
             for k in keep or []:
                 cols.append(F.col(k))
@@ -263,8 +307,17 @@ class Pipeline:
             if self._materialized:
                 # one projection computes every registered expression
                 # (rescued-UDF structs) exactly once; the hidden columns
-                # never appear in the final select below
-                out = out.withColumns(dict(self._materialized))
+                # never appear in the final select below. Columns ALREADY
+                # present on df are reused, not recomputed — this is how
+                # apply_with_quarantine shares one evaluation between the
+                # good and bad plans (it pre-materializes them on a
+                # checkpointed base; names are deterministic per compile)
+                missing = {
+                    n: e for n, e in self._materialized
+                    if n not in df.columns
+                }
+                if missing:
+                    out = out.withColumns(missing)
             if skip is not None:
                 # skip! => record produces nothing (indexer.rb:591-595)
                 out = out.filter(~F.coalesce(skip, F.lit(False)))
@@ -315,6 +368,22 @@ class Pipeline:
                 'apply_with_quarantine requires settings(mapping_rescue="skip")'
             )
         good = self.apply(df, keep=keep)
+        if self._materialized:
+            # the good and bad outputs are SEPARATE plans: without a
+            # shared materialization, a nondeterministic rescued UDF
+            # (e.g. a transiently-failing network call) could error in
+            # the good-plan run yet succeed in the bad-plan run — the
+            # record vanishing from BOTH frames. A lazy local checkpoint
+            # of the hidden columns evaluates the UDFs once on the first
+            # action and both frames read the persisted result. (Driver+
+            # executor storage holds one copy of df + the structs; on a
+            # cluster with executor churn prefer a reliable checkpoint
+            # dir upstream.)
+            base = df.withColumns(
+                dict(self._materialized)
+            ).localCheckpoint(eager=False)
+            good = self.apply(base, keep=keep)
+            df = base
         err = self._error_col()
         # one quarantine schema for BOTH paths (zero registered error
         # exprs vs some): id col (when configured and present) + keep
@@ -330,11 +399,14 @@ class Pipeline:
             .alias("_error")
         )
         cols.append(F.col(self._adapted_source(df)))
-        base = (
-            df.withColumns(dict(self._materialized))
-            if self._materialized
-            else df
-        )
+        # missing-only: when df is the checkpointed base from above, the
+        # hidden columns are already present and must be REUSED (a plain
+        # withColumns would overwrite them with the expressions and
+        # re-evaluate the UDFs, defeating the shared checkpoint)
+        missing = {
+            n: e for n, e in self._materialized if n not in df.columns
+        }
+        base = df.withColumns(missing) if missing else df
         bad = base.select(*cols).filter(F.col("_error").isNotNull())
         return good, bad
 
@@ -473,9 +545,12 @@ class Pipeline:
         """
         rows = [(f"__r{i}__", rec) for i, rec in enumerate(records)]
         df = spark.createDataFrame(rows, schema=MARC_SOURCE_SCHEMA)
-        id_name = self.id_col or "record_id"
-        if id_name != "record_id":
-            df = df.withColumnRenamed("record_id", id_name)
+        # reserved name: the positional row id must never collide with a
+        # to_field name (a pipeline with id_col='id' AND to_field('id')
+        # is the canonical traject shape — the mapped field would win in
+        # apply() and the positional correlation would break)
+        id_name = "__traject_rowid__"
+        df = df.withColumnRenamed("record_id", id_name)
         prev_id_col = self.id_col
         self.id_col = id_name
         try:

@@ -138,10 +138,17 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
     pushdown / projection collapse substitute deterministic aliases).
     """
 
+    def _coerce(x):
+        # the column is array<string>: a py_fn returning a non-string
+        # (reference procs routinely return Integers) would pass the
+        # per-record rescue and then ArrowTypeError the WHOLE batch at
+        # conversion time — str() it like the writers' to_s
+        return x if x is None or isinstance(x, str) else str(x)
+
     @pandas_udf("array<string>")
     def _apply(col: pd.Series) -> pd.Series:
         return col.map(
-            lambda vs: None if vs is None else [py_fn(v) for v in vs]
+            lambda vs: None if vs is None else [_coerce(py_fn(v)) for v in vs]
         )
 
     @pandas_udf("struct<value:array<string>,error:string>")
@@ -153,7 +160,7 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
                 errors.append(None)
                 continue
             try:
-                values.append([py_fn(v) for v in vs])
+                values.append([_coerce(py_fn(v)) for v in vs])
                 errors.append(None)
             except Exception as e:  # noqa: BLE001 — the rescue boundary
                 values.append(None)
@@ -276,8 +283,23 @@ def _match_pred(arg) -> Callable[[Column], Column]:
     (transformation.rb:166-189 supports array/regexp/proc)."""
     if isinstance(arg, _re.Pattern):
         # a compiled pattern: use its SOURCE (str(arg) would rlike the
-        # literal text "re.compile('...')" and match nothing)
-        return lambda v: v.rlike(arg.pattern)
+        # literal text "re.compile('...')" and match nothing) — and
+        # carry its FLAGS as an inline prefix, or re.I/M/S silently
+        # vanish on the JVM side
+        prefix = "".join(
+            inline
+            # re.UNICODE is implicitly set on every str pattern and is
+            # Java's UNICODE_CASE (meaningless without i) — skip it
+            for flag, inline in (
+                (_re.IGNORECASE, "i"),
+                (_re.MULTILINE, "m"),
+                (_re.DOTALL, "s"),
+                (_re.VERBOSE, "x"),
+            )
+            if arg.flags & flag
+        )
+        pat = f"(?{prefix}){arg.pattern}" if prefix else arg.pattern
+        return lambda v: v.rlike(pat)
     if callable(arg):
         return arg
     if isinstance(arg, (list, tuple, set, frozenset)):

@@ -205,9 +205,27 @@ class TranslationMap:
 
     # -- python-side lookup (used by tests and the pandas-UDF path) -------
     def lookup(self, key):
-        """translation_map.rb:187-198: hash hit, else __default__ handling."""
+        """translation_map.rb:187-198: hash hit, else __default__ handling.
+
+        Probes raw keys first, then their str() form — every Spark path
+        (expression literals and both pandas-UDF strategies) probes
+        str()-normalized keys, so a numeric-keyed YAML map (unquoted
+        ``1990:`` parses as int) must hit python-side for the string
+        '1990' too, or driver code disagrees with what executors compute.
+        """
         if key in self._map:
             return self._map[key]
+        if isinstance(key, str):
+            strmap = self.__dict__.get("_str_key_fallback")
+            if strmap is None:
+                strmap = {
+                    str(k): v
+                    for k, v in self._map.items()
+                    if not isinstance(k, str)
+                }
+                self.__dict__["_str_key_fallback"] = strmap
+            if key in strmap:
+                return strmap[key]
         if self._default == PASSTHROUGH:
             return key
         return self._default
