@@ -319,6 +319,23 @@ def b_dedup_minhash_witness(spark):
     )
 
 
+def b_dedup_witness_clusters(spark):
+    """Witness transitive closure: pointer-doubling cluster ids over the
+    witness forest — the full near-dup dedup composition a user runs
+    (mark -> cluster label -> survivor = id == cluster_id). Bounded
+    log-depth rounds, each one id-keyed self-join on a two-column frame."""
+    from traject_spark.corpus import minhash_near_dup_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    noop(
+        minhash_near_dup_clusters(
+            docs, num_hashes=32, bands=8, min_est=0.5
+        )
+    )
+
+
 def b_dedup_simhash(spark):
     from traject_spark.corpus import simhash_expr
 
@@ -516,6 +533,7 @@ BENCHES = {
     "decontaminate": b_decontaminate,
     "dedup_minhash_lsh": b_dedup_minhash,
     "dedup_minhash_witness": b_dedup_minhash_witness,
+    "dedup_witness_clusters": b_dedup_witness_clusters,
     "dedup_simhash": b_dedup_simhash,
     "dedup_simhash_near": b_dedup_simhash_near,
     "dedup_simhash_witness": b_dedup_simhash_witness,
