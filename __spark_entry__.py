@@ -194,6 +194,10 @@ SQL_LANG_NAME = _case_map(SQL_LANG3, _LANG_NAME, None)
 # ---------------------------------------------------------------------------
 
 def q_marc_title_join(spark, sf_dir):
+    """Kept as a library probe; NOT registered in queries() since r8 —
+    the 245ab extract+join path stays hash-verified through
+    marc_title_first_trim / pipeline_two_rules (its slot now carries
+    corpus_decontaminate)."""
     return _field(spark, sf_dir, "title", extract_marc("245ab"))
 
 
@@ -249,6 +253,9 @@ def q_marc_era(spark, sf_dir):
 
 
 def q_marc_instruments(spark, sf_dir):
+    """Kept as a library probe; NOT registered in queries() since r8 —
+    the 048 spec walk stays hash-verified through marc_instrument_codes
+    (its slot now carries corpus_curate_planted)."""
     return _field(
         spark, sf_dir, "instrument", marc_instrumentation_humanized()
     )
@@ -769,6 +776,95 @@ def q_dedup_simhash_planted(spark, sf_dir):
     )
 
 
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (contamination.decontaminate) as an
+    exact full-rule oracle: benchmark pool = every 10th document's text,
+    corpus = documents + planted exact copies (+1000000 of every 25th
+    doc). A corpus doc is dropped when >= 2 of its distinct word
+    13-grams appear anywhere in the pool. min_matches=2 genuinely
+    exercises the threshold on this data: short docs (< 14 tokens)
+    carry a single whole-text shingle, so even the pool docs' own
+    planted copies survive when they can't muster two matching grams.
+    The default hashed-join path (xxhash64 gram keys) is what runs —
+    the SQL twin joins on the gram STRINGS; a 64-bit collision among
+    ~3e4 x 3e3 grams (~5e-12) is the only way they can diverge."""
+    from traject_spark.corpus.contamination import decontaminate
+
+    docs = _with_planted_copies(_docs(spark, sf_dir).select("doc_id", "text"))
+    bench = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("text")
+    )
+    return decontaminate(docs, bench, n=13, min_matches=2).select("doc_id")
+
+
+def _curate_cycles():
+    """Planted near-dup-but-not-exact-dup families for the curate oracle.
+
+    Each family is one 3-token cycle repeated to different lengths: the
+    texts differ (different fingerprints — exact dedup keeps them all)
+    but every 3-gram window is one of the same 3 rotations, so their
+    DISTINCT shingle sets are identical, their MinHash signatures agree
+    on all 64 components, and the witness/closure stage must label the
+    whole family with the family minimum id. 54+ tokens clears the
+    quality length gate (0.5 >= min_quality); zero stopwords keeps the
+    ratio component at 0 so the planted docs sit exactly ON the 0.5
+    gate boundary."""
+    rows = []
+    for fam in range(2):
+        cyc = [f"cyc{fam}a", f"cyc{fam}b", f"cyc{fam}c"]
+        for k in range(3):
+            n = 54 + 3 * k
+            rows.append(
+                (2_000_000 + fam * 10 + k,
+                 " ".join(cyc[i % 3] for i in range(n)))
+            )
+    return rows
+
+
+def q_corpus_curate_planted(spark, sf_dir):
+    """End-to-end curation recipe (recipes.curate_documents) with every
+    stage oracle-checkable: quality gate (min_tokens=5, min_quality=0.5
+    — the length/stopword components of quality_score_expr decide real
+    drops on this corpus), exact dedup (planted +1000000 exact copies
+    of every 25th doc must vanish, min-id original surviving), and
+    near-dup clustering in mode="cluster" with min_est=1.0 (planted
+    cyclic families — identical distinct-shingle sets, distinct texts —
+    must resolve to the family-min cluster_id). cluster_id is masked to
+    -1 outside the planted 2,000,000+ block (sentinel, not NULL — a
+    nullable BIGINT turns float64 in the oracle's pandas frame and the
+    value hashes diverge on format): distinct natural texts CAN
+    reach full 64-hash agreement by chance (docs 110/467 do at sf0.001),
+    so natural labels are hash-dependent, not SQL-predictable — the same
+    output restriction dedup_witness_clusters documents. Natural rows
+    still verify the gate + exact dedup columns in full.
+    This is the integration row VERDICT r7 asked for: a wrong join key,
+    a dropped filter, or a stale stage-boundary materialization in the
+    recipe shows up here even when each operator's own unit tests pass."""
+    from traject_spark.corpus.recipes import curate_documents
+
+    docs = _with_planted_copies(_docs(spark, sf_dir).select("doc_id", "text"))
+    planted = spark.createDataFrame(
+        _curate_cycles(), "doc_id long, text string"
+    )
+    out = curate_documents(
+        docs.unionAll(planted),
+        min_tokens=5,
+        min_quality=0.5,
+        near_dup="cluster",
+        min_est=1.0,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.when(F.col("doc_id") >= 2_000_000, F.col("cluster_id"))
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("cluster_id"),
+    )
+
+
 def _ivf_centroids(emb):
     """The oracle's explicit centroid set (corpus vec_ids 8..11), shared
     by q_ann_ivf_topk and q_ann_ivf_layout_topk — it must stay identical
@@ -969,8 +1065,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retrieval) are covered by bench.py + pytest instead, with an
     # oracle-able planted-pair completeness slice registered here
     # (dedup_minhash_exact_pairs, dedup_simhash_planted).
+    # r8 rotation (VERDICT r7 #1): marc_title_join and marc_instruments
+    # left the window — their expression trees stay hash-verified through
+    # the rows that subsume them (pipeline_two_rules / marc_title_first_trim
+    # exercise the same extractor+join path; marc_instrument_codes covers
+    # the same 048 spec walk) — making room for the two r7 compositions
+    # that had pytest-only coverage: corpus_decontaminate and
+    # corpus_curate_planted.
     return {
-        "marc_title_join": q_marc_title_join,
         "marc_title_first_trim": q_marc_title_first_trim,
         "marc_ctrl_byteslice": q_marc_ctrl_byteslice,
         "marc_untraced_series": q_marc_untraced_series,
@@ -983,7 +1085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_lcsh": q_marc_lcsh,
         "marc_geo": q_marc_geo,
         "marc_era": q_marc_era,
-        "marc_instruments": q_marc_instruments,
         "marc_instrument_codes": q_marc_instrument_codes,
         "marc_filing_title": q_marc_filing_title,
         "marc_formats": q_marc_formats,
@@ -1020,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "multimodal_features": q_multimodal_features,
         "multimodal_metadata": q_multimodal_metadata,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_curate_planted": q_corpus_curate_planted,
     }
 
 
@@ -1176,6 +1279,93 @@ _SQL_SESSIONIZE = """
     FROM s GROUP BY user_id, sess"""
 
 
+def _sql_grams(n: int) -> str:
+    """DuckDB twin of dedup.shingles_expr(text, n): distinct word
+    n-grams; short texts contribute the whole (single-space-rejoined)
+    text as the one shingle."""
+    toks = "string_split(text, ' ')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+# decontamination oracle: same corpus/benchmark construction as
+# q_corpus_decontaminate, joined on gram STRINGS (the engine joins on
+# xxhash64(gram) — identical result modulo 64-bit collisions)
+_SQL_DECONTAMINATE = f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0
+    ), cg AS (
+      SELECT doc_id, unnest({_sql_grams(13)}) AS gram
+      FROM all_docs WHERE text IS NOT NULL
+    ), pool AS (
+      SELECT DISTINCT unnest({_sql_grams(13)}) AS gram
+      FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ), marks AS (
+      SELECT doc_id FROM cg WHERE gram IN (SELECT gram FROM pool)
+      GROUP BY doc_id HAVING count(*) >= 2
+    )
+    SELECT doc_id FROM all_docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM marks)"""
+
+
+def _sql_curate_planted() -> str:
+    """DuckDB twin of q_corpus_curate_planted: quality gate (length +
+    stopword components, exactly quality_score_expr), min-id exact-dedup
+    survivor per normalized-text fingerprint, and cluster labels —
+    planted cyclic families resolve to the family minimum
+    ((doc_id // 10) * 10 over the 2,000,000+ id block), every natural
+    survivor labels itself."""
+    vals = ",\n        ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in _curate_cycles()
+    )
+    return rf"""
+    WITH planted(doc_id, text) AS (VALUES {vals}),
+    base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id, text FROM planted
+    ), g AS (
+      SELECT doc_id, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+          AS n_stop
+      FROM base WHERE text IS NOT NULL
+    ), q AS (
+      SELECT doc_id, text, n_tokens,
+        round(
+          (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0.5 ELSE 0.0 END)
+          + (CASE WHEN round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4)
+               BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END), 4) AS quality
+      FROM g
+    ), pass AS (
+      SELECT * FROM q WHERE n_tokens >= 5 AND quality >= 0.5
+    ), surv AS (
+      SELECT doc_id, n_tokens, quality FROM (
+        SELECT doc_id, n_tokens, quality,
+          row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM pass
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, n_tokens, quality,
+      CASE WHEN doc_id >= 2000000
+        THEN CAST((doc_id // 10) * 10 AS BIGINT)
+        ELSE CAST(-1 AS BIGINT) END AS cluster_id
+    FROM surv"""
+
+
 def oracle_sql() -> dict[str, str]:
     rid = "CAST(doc_id AS VARCHAR) AS record_id"
     title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
@@ -1186,12 +1376,6 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'Print' END"
     )
     return {
-        "marc_title_join": f"""
-            SELECT {rid},
-              CASE WHEN doc_id % 4 = 0
-                THEN {title_value} || '|Alt ' || {SQL_TITLE}
-                ELSE {title_value} END AS title
-            FROM documents""",
         "marc_title_first_trim": f"""
             SELECT {rid},
               CASE WHEN doc_id % 5 = 0 THEN 'The ' ELSE '' END
@@ -1248,12 +1432,6 @@ def oracle_sql() -> dict[str, str]:
         "marc_era": f"""
             SELECT {rid},
               CAST(18 + doc_id % 3 AS VARCHAR) || 'th century' AS era
-            FROM documents""",
-        "marc_instruments": f"""
-            SELECT {rid},
-              CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 3 THEN 'Trombone'
-                   WHEN doc_id % 3 = 0 THEN {_SQL_INSTR_NAME} || '|Trombone'
-                   ELSE {_SQL_INSTR_NAME} END AS instrument
             FROM documents""",
         "marc_instrument_codes": f"""
             SELECT {rid},
@@ -1521,4 +1699,6 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 4
                   ELSE 1 END AS BIGINT) AS n_bytes
             FROM documents WHERE text IS NOT NULL""",
+        "corpus_decontaminate": _SQL_DECONTAMINATE,
+        "corpus_curate_planted": _sql_curate_planted(),
     }
