@@ -181,3 +181,53 @@ def test_sample_frames_fake_count_is_ceil(spark):
     )
     out = sample_frames(df, "payload", every_n=1, mode="fake").collect()
     assert len(out) == 3
+
+
+def test_extract_features_real_audio_via_stdlib_wave(spark):
+    """mode='real' audio decodes a PCM WAV without soundfile: the stdlib
+    wave fallback turns one of the two perpetual real-decode skips into
+    a live assertion (VERDICT r7 #8). A constant-amplitude square wave
+    has RMS exactly |amplitude| in every window."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # 64 samples alternating +/- 16384 -> scaled amplitude 0.5
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", 16384 if i % 2 == 0 else -16384)
+                for i in range(64)
+            )
+        )
+    df = spark.createDataFrame(
+        [(0, buf.getvalue())], "media_id long, payload binary"
+    )
+    row = extract_features(df, "payload", kind="audio", mode="real", dim=4).collect()[0]
+    assert row["decoded_real"] is True
+    assert row["feature"] == _pytest.approx([0.5] * 4)
+
+
+def test_extract_features_real_audio_non_wav_payload_fails(spark):
+    """Without soundfile, a non-WAV payload is a per-payload decode
+    failure: real mode raises, auto mode degrades that row to the fake."""
+    import importlib.util
+
+    from pyspark.errors.exceptions.base import PySparkException
+
+    if importlib.util.find_spec("soundfile") is not None:
+        pytest.skip("soundfile installed: fallback path inactive")
+    df = spark.createDataFrame(
+        [(0, b"not audio at all")], "media_id long, payload binary"
+    )
+    with pytest.raises(PySparkException):
+        extract_features(df, "payload", kind="audio", mode="real", dim=4).collect()
+    row = extract_features(df, "payload", kind="audio", mode="auto", dim=4).collect()[0]
+    assert row["decoded_real"] is False
+    assert len(row["feature"]) == 4

@@ -139,3 +139,17 @@ def test_curate_documents_decontaminates(spark, tmp_path):
         work_dir=str(tmp_path / "w"),
     )
     assert {r["doc_id"] for r in out.collect()} == {3}
+
+
+def test_curate_default_work_dir_guard():
+    """The default (driver-local temp) work_dir must be refused under a
+    non-local master — silent wrong results otherwise (VERDICT r7 #4)."""
+    import pytest
+
+    from traject_spark.corpus.recipes import _check_default_work_dir_ok
+
+    _check_default_work_dir_ok("local[32]")
+    _check_default_work_dir_ok("local")
+    for master in ("spark://host:7077", "yarn", "k8s://https://api:6443"):
+        with pytest.raises(ValueError, match="executor-visible work_dir"):
+            _check_default_work_dir_ok(master)

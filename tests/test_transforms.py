@@ -528,3 +528,48 @@ def test_transform_udf_coerces_non_string_returns(spark):
         transform_udf(lambda v: len(v))(F.col("v"), None).alias("r")
     ).collect()
     assert out[0]["r"] == ["3", "2"]
+
+
+def test_transform_udf_list_return_flattens(spark):
+    """A proc returning a list flattens into the accumulator (the
+    reference's accumulator.concat shape), never the python repr
+    "['a', 'b']" as one value; non-string elements coerce like scalars."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.transforms import transform_udf
+
+    df = spark.createDataFrame([(["ab", "c"],)], "v array<string>")
+    out = df.select(
+        transform_udf(lambda v: [v, len(v)])(F.col("v"), None).alias("r")
+    ).collect()
+    assert out[0]["r"] == ["ab", "2", "c", "1"]
+
+
+def test_transform_udf_dict_return_raises(spark):
+    """dict/set returns have no defined value shape — raise instead of
+    silently serializing the repr."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+    from pyspark.sql import functions as F
+
+    from traject_spark.transforms import transform_udf
+
+    df = spark.createDataFrame([(["x"],)], "v array<string>")
+    with pytest.raises(PythonException, match="transform_udf fn returned"):
+        df.select(
+            transform_udf(lambda v: {"a": v})(F.col("v"), None).alias("r")
+        ).collect()
+
+
+def test_translation_map_str_collision_merge_order_precedence():
+    """When a non-string key and a string key collide on str(), python
+    lookup() must pick the LAST one in merge order — the same winner
+    _as_array_dict computes for the Spark expression paths."""
+    from traject_spark.translation_map import TranslationMap
+
+    a = TranslationMap({1990: "int-entry"}, {"1990": "str-entry"})
+    b = TranslationMap({"1990": "str-entry"}, {1990: "int-entry"})
+    assert a.lookup("1990") == "str-entry"
+    assert b.lookup("1990") == "int-entry"
+    # non-string probes still hit the raw dict
+    assert b.lookup(1990) == "int-entry"

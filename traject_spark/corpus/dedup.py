@@ -446,7 +446,11 @@ def witness_clusters(
     depth. Convergence needs ceil(log2(max chain depth)) rounds: the
     default ``max_iters=20`` covers chains a million hops deep. Each
     round is ONE left self-join shuffled on id plus an existence check —
-    O(E) per round, O(E log D) total, no driver-side graph.
+    O(E) per round, O(E log D) total, no driver-side graph. The
+    existence check is a count() ACTION, so the driver runs up to
+    ``max_iters`` small jobs (+1 convergence probe when the budget is
+    exhausted); if the budget runs out before the deepest chain
+    resolves, a RuntimeWarning flags that labels are intermediate.
 
     Lineage is truncated per round with ``localCheckpoint`` (without it
     the self-join plan doubles every iteration and planning time
@@ -476,6 +480,7 @@ def witness_clusters(
         .agg(F.min("parent").alias("parent"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         a, b = parents.alias("a"), parents.alias("b")
         step = (
@@ -500,7 +505,35 @@ def witness_clusters(
         advanced = step.filter(F.col("parent") != F.col("old")).limit(1)
         parents = step.select("id", "parent")
         if advanced.count() == 0:
+            converged = True
             break
+    if not converged:
+        # the last round still advanced pointers — probe once more
+        # before alarming: convergence ON the final round looks
+        # identical inside the loop (that round's count was nonzero)
+        a, b = parents.alias("a"), parents.alias("b")
+        converged = (
+            a.join(b, F.col("a.parent") == F.col("b.id"), "inner")
+            .filter(F.col("b.parent") != F.col("a.parent"))
+            .limit(1)
+            .count()
+            == 0
+        )
+    if not converged:
+        # some chain is deeper than 2^max_iters and the labels below are
+        # intermediate ancestors, not roots — silent partial labels
+        # would corrupt survivor selection (id == cluster_id picks too
+        # many rows)
+        import warnings
+
+        warnings.warn(
+            f"witness_clusters did not converge within max_iters="
+            f"{max_iters} doubling rounds; returned cluster_id values "
+            "may be intermediate ancestors, not cluster roots — raise "
+            "max_iters (each round doubles resolvable chain depth)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if members is None:
         members = (
             witness.select(F.col(id_col).alias("id"))

@@ -114,19 +114,49 @@ def _real_image_feature(payload: bytes, dim: int):
     return [px / 127.5 - 1.0 for px in img.getdata()]
 
 
+def _wave_pcm_mono(payload: bytes):
+    """First-channel float samples of a PCM WAV via the stdlib ``wave``
+    module — the no-dependency fallback decoder. Scaling matches
+    soundfile's float convention (int16/2^15 etc.). Raises wave.Error
+    for non-WAV payloads and ValueError for exotic sample widths — a
+    per-payload decode failure, exactly like a corrupt file under
+    soundfile."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # WAV 8-bit is unsigned
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    return data[::n_ch] if n_ch > 1 else data
+
+
 def _real_audio_feature(payload: bytes, dim: int):
-    """soundfile decode -> ``dim`` windowed RMS values (first channel).
-    Returns None when soundfile is absent."""
-    try:
-        import soundfile as sf
-    except ImportError:
-        return None
+    """soundfile decode -> ``dim`` windowed RMS values (first channel);
+    when soundfile is absent, PCM WAV payloads decode through the
+    stdlib ``wave`` fallback (other formats then fail per-payload,
+    which mode='auto' degrades to the fake and mode='real' raises)."""
     import io
 
     import numpy as np
 
-    data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
-    mono = data[:, 0]
+    try:
+        import soundfile as sf
+    except ImportError:
+        mono = _wave_pcm_mono(payload)
+    else:
+        data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
+        mono = data[:, 0]
     if len(mono) == 0:
         return [0.0] * dim
     windows = np.array_split(mono, dim)
@@ -175,11 +205,17 @@ def _resolve_mode(
                 stacklevel=3,
             )
         elif lib and importlib.util.find_spec(lib) is None:
+            wav_note = (
+                " (PCM WAV payloads still decode REAL through the stdlib "
+                "wave fallback; only other audio formats degrade)"
+                if kind == "audio"
+                else ""
+            )
             warnings.warn(
                 f"multimodal {kind} decode: {lib} is not importable on "
                 "the driver — mode='auto' will fall back to DETERMINISTIC "
-                "FAKE features on executors without it. Install the "
-                "library or pass mode='real' to fail instead.",
+                f"FAKE features on executors without it{wav_note}. Install "
+                "the library or pass mode='real' to fail instead.",
                 stacklevel=3,
             )
     return mode
@@ -193,13 +229,17 @@ def extract_features(
     dim: int = 16,
     fake: bool = False,
     mode: str | None = None,
+    batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract media payloads via mapInPandas.
 
     Arrow batch size is controlled by the session conf
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low for
     huge video payloads to bound executor memory) — there is no
-    per-call knob.
+    per-call knob. ``batch_size_hint`` is DEPRECATED and ignored (it
+    never reached the Arrow reader); accepted for one release so
+    callers of the r6 signature keep working — set the session conf
+    instead.
 
     ``mode='auto'`` (default) uses the real decoder when its library
     imports on the executor (Pillow for images, soundfile for audio; see
@@ -214,6 +254,15 @@ def extract_features(
     ROW to the fake vector rather than failing the batch — at 100 TB a
     single bad object must not kill the job.
     """
+    if batch_size_hint is not None:
+        import warnings
+
+        warnings.warn(
+            "extract_features(batch_size_hint=...) is deprecated and "
+            "ignored; set spark.sql.execution.arrow.maxRecordsPerBatch",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     spark_conf_cols = [id_col, payload_col]
     real_fn = _REAL_FEATURE.get(kind)
     run_mode = _resolve_mode(mode, fake, kind, has_real_impl=real_fn is not None)

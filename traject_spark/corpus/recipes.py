@@ -123,6 +123,20 @@ def annotate_documents(
     return df.select(F.explode(gate).alias("r")).select("r.*")
 
 
+def _check_default_work_dir_ok(master: str) -> None:
+    """A driver-local temp dir is only a valid stage-boundary store when
+    driver and executors share a filesystem: on a real cluster the
+    executors would write partitions into THEIR local /tmp and the
+    read-back would silently see partial data — fail fast instead of
+    mis-running."""
+    if not master.startswith("local"):
+        raise ValueError(
+            "curate_documents needs an executor-visible work_dir "
+            "(HDFS/S3/NFS path) when spark.master is not local — "
+            f"master is {master!r}; pass work_dir=..."
+        )
+
+
 def curate_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -176,6 +190,9 @@ def curate_documents(
     )
     created_work_dir = work_dir is None
     if created_work_dir:
+        _check_default_work_dir_ok(
+            df.sparkSession.sparkContext.master or ""
+        )
         work_dir = tempfile.mkdtemp(prefix="curate_")
     ann_path = f"{work_dir}/annotated.parquet"
     annotated.write.mode("overwrite").parquet(ann_path)

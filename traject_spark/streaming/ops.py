@@ -236,6 +236,13 @@ def stream_marc_to_solr(
     manage the query handle yourself, and keep the driver alive, or the
     unawaited continuous query dies when the script exits.
 
+    ``max_skipped`` is a PER-PROCESS budget: the running skip count
+    lives in driver memory, not in the checkpoint, so a
+    checkpoint-restarted query starts a fresh allowance even though
+    file progress resumes — total skipped docs across restarts can
+    exceed one budget. Persist the count next to the checkpoint (and
+    seed a smaller ``max_skipped``) if a cross-restart cap matters.
+
     Returns the StreamingQuery (already terminated when awaited and the
     query drained/stopped).
     """

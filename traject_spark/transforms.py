@@ -138,18 +138,39 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
     pushdown / projection collapse substitute deterministic aliases).
     """
 
-    def _coerce(x):
+    def _coerce_into(out: list, x) -> None:
         # the column is array<string>: a py_fn returning a non-string
         # (reference procs routinely return Integers) would pass the
         # per-record rescue and then ArrowTypeError the WHOLE batch at
-        # conversion time — str() it like the writers' to_s
-        return x if x is None or isinstance(x, str) else str(x)
+        # conversion time. Scalars are str()'d like the writers' to_s;
+        # a list/tuple return FLATTENS into the accumulator (the
+        # reference's accumulator.concat shape) — str() would silently
+        # emit the python repr "['a', 'b']" as one value; other
+        # iterables (dict/set) have no defined value order/shape, so
+        # raise (the error surfaces per-record under mapping_rescue)
+        if x is None or isinstance(x, str):
+            out.append(x)
+        elif isinstance(x, (list, tuple)):
+            out.extend(
+                e if e is None or isinstance(e, str) else str(e) for e in x
+            )
+        elif isinstance(x, (dict, set, frozenset)):
+            raise TypeError(
+                f"transform_udf fn returned {type(x).__name__}; return a "
+                "string, scalar, or list of strings"
+            )
+        else:
+            out.append(str(x))
+
+    def _coerced(vs) -> list:
+        out: list = []
+        for v in vs:
+            _coerce_into(out, py_fn(v))
+        return out
 
     @pandas_udf("array<string>")
     def _apply(col: pd.Series) -> pd.Series:
-        return col.map(
-            lambda vs: None if vs is None else [_coerce(py_fn(v)) for v in vs]
-        )
+        return col.map(lambda vs: None if vs is None else _coerced(vs))
 
     @pandas_udf("struct<value:array<string>,error:string>")
     def _apply_rescued(col: pd.Series) -> pd.DataFrame:
@@ -160,7 +181,7 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
                 errors.append(None)
                 continue
             try:
-                values.append([_coerce(py_fn(v)) for v in vs])
+                values.append(_coerced(vs))
                 errors.append(None)
             except Exception as e:  # noqa: BLE001 — the rescue boundary
                 values.append(None)

@@ -207,25 +207,28 @@ class TranslationMap:
     def lookup(self, key):
         """translation_map.rb:187-198: hash hit, else __default__ handling.
 
-        Probes raw keys first, then their str() form — every Spark path
-        (expression literals and both pandas-UDF strategies) probes
-        str()-normalized keys, so a numeric-keyed YAML map (unquoted
-        ``1990:`` parses as int) must hit python-side for the string
-        '1990' too, or driver code disagrees with what executors compute.
+        String probes go through the str()-normalized key view (lazy,
+        cached) so a numeric-keyed YAML map (unquoted ``1990:`` parses
+        as int) hits for the string '1990' with the SAME merge-order
+        precedence the Spark expression paths encode; non-string probes
+        hit the raw dict.
         """
-        if key in self._map:
-            return self._map[key]
         if isinstance(key, str):
+            # probe the str()-normalized view, not the raw dict: when a
+            # string key and a non-string key collide on str() (int 1990
+            # vs '1990'), the winner must be the LAST one in merge order
+            # — exactly what _as_array_dict's str(k) overwrite computes
+            # for the expression paths; a raw-dict-first probe would pick
+            # the string-keyed entry regardless of merge order and
+            # diverge from what executors compute
             strmap = self.__dict__.get("_str_key_fallback")
             if strmap is None:
-                strmap = {
-                    str(k): v
-                    for k, v in self._map.items()
-                    if not isinstance(k, str)
-                }
+                strmap = {str(k): v for k, v in self._map.items()}
                 self.__dict__["_str_key_fallback"] = strmap
             if key in strmap:
                 return strmap[key]
+        elif key in self._map:
+            return self._map[key]
         if self._default == PASSTHROUGH:
             return key
         return self._default
