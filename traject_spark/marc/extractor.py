@@ -270,7 +270,16 @@ def collect_matching_lines(
         # nothing instead of nulling the concat+flatten for the whole
         # record — the same guard collect_subfields_expr applies, hoisted
         # here so every custom per-field callback (geo $z pairing, era $y,
-        # lcsh assembly, instrument-code expansion) gets it for free
+        # lcsh assembly, instrument-code expansion) gets it for free.
+        # Single-group fast path: the any_match pre-filter below IS that
+        # group's match_cond, so re-testing it per matched field would
+        # evaluate the identical condition tree twice per field — emit
+        # the extraction unconditionally (multi-group specs still need
+        # the per-group dispatch: a field passed the filter for SOME
+        # group, not necessarily this one).
+        if len(groups) == 1:
+            tags, s = groups[0]
+            return F.coalesce(data_fn(f, s), empty)
         parts = [
             F.when(
                 match_cond(f, tags, s), F.coalesce(data_fn(f, s), empty)
