@@ -123,6 +123,27 @@ def calibration(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def calibration_single(spark) -> float:
+    """ONE run of the fixed probe workload — the per-pass box-speed
+    stamp. A single start/end probe pair cannot normalize queries
+    inside a multi-minute drift window (the sf10 soak measured the host
+    slowing 2.5x mid-run, blurring three queries' medians 3-4.8x); a
+    probe after every round-robin pass localizes the stall to the
+    passes it actually polluted."""
+    spark._jvm.System.gc()
+    t0 = time.time()
+    spark.range(20_000_000_000, numPartitions=CPUS).agg(
+        F.sum(F.col("id") % 1000)
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+#: a pass is STALLED when its probe exceeds this multiple of the
+#: fastest pass's probe; stall-excluded medians drop those passes'
+#: samples (kept alongside the raw medians, never replacing them)
+STALL_PROBE_FACTOR = 1.5
+
+
 _MARC_PATH: str | None = None
 
 
@@ -626,6 +647,7 @@ def main() -> None:
     # sample of several queries instead of every sample of one query.
     run_lists: dict[str, list[float]] = {name: [] for name, _ in selected}
     failed: dict[str, str] = {}
+    pass_probes: list[float] = []
     for pass_i in range(n_runs):
         for name, fn in selected:
             if name in failed:
@@ -638,9 +660,13 @@ def main() -> None:
             except Exception as e:  # keep the harness alive; flag failure
                 failed[name] = str(e)
                 print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+        # per-pass box-speed stamp: localizes a host stall to the passes
+        # it polluted (see calibration_single)
+        pass_probes.append(calibration_single(spark))
         print(
             f"BENCH pass {pass_i + 1}/{n_runs} done "
-            f"({sum(sum(r) for r in run_lists.values()):.1f}s timed so far)",
+            f"({sum(sum(r) for r in run_lists.values()):.1f}s timed so far, "
+            f"probe {pass_probes[-1]}s)",
             file=sys.stderr,
         )
     timings: dict[str, float] = {}
@@ -663,6 +689,34 @@ def main() -> None:
         )
     cal_end = calibration(spark)
     print(f"BENCH calibration (end): {cal_end}s", file=sys.stderr)
+    # stall-excluded medians: drop samples from passes whose probe ran
+    # >= STALL_PROBE_FACTOR x the fastest pass's probe. Computed only
+    # for queries with one sample per pass (run index == pass index);
+    # falls back to the raw median when exclusion leaves < 2 samples.
+    stalled = [
+        p >= STALL_PROBE_FACTOR * min(pass_probes) for p in pass_probes
+    ] if pass_probes else []
+    excluded_medians: dict[str, float] = {}
+    if any(stalled):
+        for name, runs in run_lists.items():
+            if name in failed or len(runs) != len(pass_probes):
+                continue
+            kept = [r for r, s in zip(runs, stalled) if not s]
+            if len(kept) >= 2:
+                srt = sorted(kept)
+                mid = len(srt) // 2
+                med = (
+                    srt[mid] if len(srt) % 2
+                    else (srt[mid - 1] + srt[mid]) / 2
+                )
+                excluded_medians[name] = round(med, 3)
+        if excluded_medians:
+            print(
+                f"BENCH stall-excluded medians over passes "
+                f"{[i for i, s in enumerate(stalled) if not s]}: "
+                f"{excluded_medians}",
+                file=sys.stderr,
+            )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the per-run lists ride INSIDE the one-line JSON artifact: the driver
     # keeps only a truncated stderr tail, and a single recorded median is
@@ -693,7 +747,20 @@ def main() -> None:
                     "workload": CALIBRATION_WORKLOAD,
                     "start_sec": cal_start,
                     "end_sec": cal_end,
+                    # one single-run probe after each round-robin pass:
+                    # pass_probes[i] stamps the box speed around pass i,
+                    # so a mid-run host stall is attributable to the
+                    # specific passes it polluted
+                    "pass_probes": pass_probes,
+                    "stall_rule": (
+                        f"pass stalled iff probe >= {STALL_PROBE_FACTOR}"
+                        " * min(pass_probes)"
+                    ),
                 },
+                # medians excluding stalled passes' samples (only when
+                # some pass stalled and >= 2 samples survive); the raw
+                # in-sequence medians above stay the headline
+                "medians_stall_excluded": excluded_medians,
                 # same lenient parse as _target_records ('0.1.2'.replace
                 # ('.','').isdigit() is True but float() would crash here)
                 "sf": _parse_sf(sf),
