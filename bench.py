@@ -479,6 +479,30 @@ def b_corpus_curate(spark):
     )
 
 
+def b_corpus_curate_cluster(spark):
+    """The curate recipe in near_dup='cluster' mode: same stages as
+    corpus_curate_e2e but the near-dup tail is witness marking PLUS the
+    pointer-doubling transitive closure and a cluster_id join-back —
+    the one iterative operator in the repo, benched at scale so its
+    rounds x shuffle behavior is measured, not asserted."""
+    from traject_spark.corpus import curate_documents
+
+    docs = spark.read.json(
+        _docs_ndjson_path(spark), schema="doc_id long, text string"
+    )
+    d = tempfile.mkdtemp(dir=_CURATE_DIR)
+    curate_documents(
+        docs,
+        min_tokens=5,
+        near_dup="cluster",
+        num_hashes=32,
+        bands=8,
+        min_est=0.7,
+        work_dir=f"{d}/work",
+        output_path=f"{d}/curated",
+    )
+
+
 def b_rel_pricing(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     noop(
@@ -561,6 +585,7 @@ BENCHES = {
     "embed_near_dup_witness": b_embed_near_dup_witness,
     "text_stats": b_text_stats,
     "corpus_curate_e2e": b_corpus_curate,
+    "corpus_curate_cluster": b_corpus_curate_cluster,
     "embed_topk": b_embed_topk,
     "rel_pricing_summary": b_rel_pricing,
     "rel_top_nations": b_rel_top_nations,

@@ -359,3 +359,50 @@ def test_minhash_sig_col_precomputed(spark):
     ]
     wit = minhash_near_dup_witness(mat, sig_col="msig").collect()
     assert [(r["id"], r["witness_id"]) for r in wit] == [(2, 1)]
+
+
+def test_minhash_witness_verify_exact_jaccard(spark):
+    """verify=True attaches the EXACT n-gram jaccard to each witness row
+    and enforces it as the precision threshold: exact copies agree at
+    1.0 on both columns, a genuinely-similar pair's estimate tracks its
+    exact value, and raising min_jaccard above the true similarity
+    drops the pair even though the estimate cleared min_est."""
+    import pytest
+
+    from traject_spark.corpus import minhash_near_dup_witness
+
+    base_toks = [f"tok{i}" for i in range(40)]
+    base = " ".join(base_toks)
+    # near-dup: swap the final 4 tokens -> shingle overlap high but < 1.0
+    near = " ".join(base_toks[:-4] + [f"alt{i}" for i in range(4)])
+    rows = [(0, base), (1, base), (2, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = minhash_near_dup_witness(
+        df, num_hashes=64, bands=16, min_est=0.5, verify=True
+    )
+    assert out.columns == ["id", "witness_id", "est_jaccard", "jaccard"]
+    got = {r["id"]: r for r in out.collect()}
+    # exact copy: both columns exactly 1.0
+    assert got[1]["jaccard"] == 1.0 and got[1]["est_jaccard"] == 1.0
+    # near-dup: exact jaccard is deterministic set algebra — 38 distinct
+    # 3-gram shingles each; the 4 swapped tail tokens touch the 4
+    # shingles starting at positions 34-37 -> 34 shared / 42 union
+    assert got[2]["jaccard"] == pytest.approx(34 / 42, abs=1e-4)
+    # the 64-hash estimate tracks the exact value (std ~ 0.06)
+    assert abs(got[2]["est_jaccard"] - got[2]["jaccard"]) < 0.25
+
+    # precision gate: demand more similarity than doc 2 truly has
+    strict = minhash_near_dup_witness(
+        df, num_hashes=64, bands=16, min_est=0.5,
+        verify=True, min_jaccard=0.9,
+    )
+    assert {r["id"] for r in strict.collect()} == {1}
+
+    # guardrails
+    with pytest.raises(ValueError, match="min_jaccard requires"):
+        minhash_near_dup_witness(df, min_jaccard=0.9)
+    with pytest.raises(ValueError, match="needs 'text'"):
+        minhash_near_dup_witness(
+            df.select("doc_id"), sig_col="nope", verify=True
+        )

@@ -349,6 +349,8 @@ def minhash_near_dup_witness(
     ngram: int = 3,
     min_est: float = 0.8,
     sig_col: Optional[str] = None,
+    verify: bool = False,
+    min_jaccard: Optional[float] = None,
 ) -> DataFrame:
     """Witness-bounded near-dup marking: LINEAR output, no pair join.
 
@@ -391,8 +393,26 @@ def minhash_near_dup_witness(
     ``sig_col``: precomputed ``array<bigint>`` signature column — at
     scale pass one (the signature plan otherwise re-executes for the
     banding pass and each of the two id-keyed signature fetches).
+
+    ``verify=True`` upgrades the estimate to a PRECISION GUARANTEE:
+    because witness output is LINEAR, computing the EXACT n-gram
+    Jaccard on just the marked (id, witness) pairs is affordable at any
+    scale (one shingle rebuild + one pair join over rows that are
+    already O(corpus), reusing ``ngram_jaccard_pairs``). The output
+    gains an exact ``jaccard`` column and rows below ``min_jaccard``
+    (default: ``min_est``, the same threshold the estimate cleared) are
+    dropped — a chance whole-band collision that inflated ``est_jaccard``
+    can no longer mark a genuinely dissimilar document. Requires
+    ``text_col`` on ``df`` even when ``sig_col`` is passed.
     """
     _check_bands(num_hashes, bands)
+    if min_jaccard is not None and not verify:
+        raise ValueError("min_jaccard requires verify=True")
+    if verify and text_col not in df.columns:
+        raise ValueError(
+            f"verify=True recomputes exact shingles and needs {text_col!r} "
+            "on df (sig_col alone is not enough)"
+        )
     sig = _signatures(df, text_col, id_col, num_hashes, ngram, sig_col)
     banded_ids = _band_explode(sig, num_hashes, bands).select(
         "id", "band", "band_hash"
@@ -415,11 +435,33 @@ def minhash_near_dup_witness(
     best = Window.partitionBy("id").orderBy(
         F.col("est_jaccard").desc(), F.col("witness_id").asc()
     )
-    return (
+    wit = (
         scored.filter(F.col("est_jaccard") >= min_est)
         .withColumn("_rn", F.row_number().over(best))
         .filter(F.col("_rn") == 1)
         .select("id", "witness_id", "est_jaccard")
+    )
+    if not verify:
+        return wit
+    exact = ngram_jaccard_pairs(
+        df,
+        pairs=wit.select("id", "witness_id"),
+        text_col=text_col,
+        id_col=id_col,
+        ngram=ngram,
+    )
+    threshold = min_est if min_jaccard is None else min_jaccard
+    return (
+        wit.join(
+            exact.select(
+                F.col("id_a").alias("id"),
+                F.col("id_b").alias("witness_id"),
+                "jaccard",
+            ),
+            ["id", "witness_id"],
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id", "witness_id", "est_jaccard", "jaccard")
     )
 
 
@@ -481,7 +523,9 @@ def witness_clusters(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         a, b = parents.alias("a"), parents.alias("b")
         step = (
             a.join(b, F.col("a.parent") == F.col("b.id"), "left")
@@ -507,6 +551,10 @@ def witness_clusters(
         if advanced.count() == 0:
             converged = True
             break
+    # observability: doubling rounds actually run (soak harnesses record
+    # rounds-to-convergence at scale; the last round is the no-advance
+    # probe, so chains of depth d converge in ceil(log2(d)) + 1 rounds)
+    witness_clusters.last_rounds = rounds
     if not converged:
         # the last round still advanced pointers — probe once more
         # before alarming: convergence ON the final round looks
