@@ -190,9 +190,13 @@ def curate_documents(
     )
     created_work_dir = work_dir is None
     if created_work_dir:
-        _check_default_work_dir_ok(
-            df.sparkSession.sparkContext.master or ""
-        )
+        try:
+            master = df.sparkSession.sparkContext.master or ""
+        except Exception:
+            # Spark Connect has no sparkContext: the driver temp dir is
+            # definitely not executor-visible there — same fail-fast
+            master = "<connect-or-unknown>"
+        _check_default_work_dir_ok(master)
         work_dir = tempfile.mkdtemp(prefix="curate_")
     ann_path = f"{work_dir}/annotated.parquet"
     annotated.write.mode("overwrite").parquet(ann_path)
