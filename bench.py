@@ -714,13 +714,31 @@ def main() -> None:
         )
     cal_end = calibration(spark)
     print(f"BENCH calibration (end): {cal_end}s", file=sys.stderr)
-    # stall-excluded medians: drop samples from passes whose probe ran
-    # >= STALL_PROBE_FACTOR x the fastest pass's probe. Computed only
-    # for queries with one sample per pass (run index == pass index);
-    # falls back to the raw median when exclusion leaves < 2 samples.
-    stalled = [
+    # stall-excluded medians. Pass i runs BETWEEN boundary probes i and
+    # i+1 (boundary[0] is the start calibration), and a stall can sit at
+    # either edge: a window that ends mid-pass leaves a clean END probe
+    # over dirty early-pass runs (observed: the worst samples landed in
+    # the pass AFTER a 9.9s probe). So the primary rule is two-sided —
+    # a pass is stalled when EITHER adjacent probe reads
+    # >= STALL_PROBE_FACTOR x the fastest boundary probe. When that
+    # excludes too much (heavily stalled window), relax to end-probe
+    # only; a query falls back to its raw median when < 2 samples
+    # survive (absent from the excluded dict).
+    boundary = [cal_start] + pass_probes
+    ref = min(boundary) if boundary else 0.0
+    two_sided = [
+        boundary[i] >= STALL_PROBE_FACTOR * ref
+        or boundary[i + 1] >= STALL_PROBE_FACTOR * ref
+        for i in range(len(pass_probes))
+    ]
+    one_sided = [
         p >= STALL_PROBE_FACTOR * min(pass_probes) for p in pass_probes
     ] if pass_probes else []
+    stalled = (
+        two_sided
+        if sum(not s for s in two_sided) >= 2
+        else one_sided
+    )
     excluded_medians: dict[str, float] = {}
     if any(stalled):
         for name, runs in run_lists.items():
@@ -778,8 +796,11 @@ def main() -> None:
                     # specific passes it polluted
                     "pass_probes": pass_probes,
                     "stall_rule": (
-                        f"pass stalled iff probe >= {STALL_PROBE_FACTOR}"
-                        " * min(pass_probes)"
+                        f"pass stalled iff either adjacent boundary probe"
+                        f" (start calibration + pass_probes) >= "
+                        f"{STALL_PROBE_FACTOR} * the fastest boundary "
+                        "probe; relaxed to end-probe-only when fewer "
+                        "than 2 passes survive"
                     ),
                 },
                 # medians excluding stalled passes' samples (only when
