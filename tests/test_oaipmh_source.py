@@ -1,0 +1,158 @@
+"""OAI-PMH as a registered Spark data source (format("oaipmh")):
+batch drain, streaming one-page-per-micro-batch with the resumption
+token in Spark's own offset log, and the driver-side reader unit
+behavior — served by a real local HTTP endpoint (the protocol fetch
+path under test is the production one, not an injected stub)."""
+
+import http.server
+import threading
+import urllib.parse
+
+import pytest
+
+from traject_spark.xmlrec.streaming_source import (
+    OaiPmhDataSource,
+    _OaiPmhStreamReader,
+    register_oaipmh,
+)
+
+
+def _page(ids, token):
+    recs = "".join(
+        f"<record><header><identifier>oai:{i}</identifier>"
+        f"<datestamp>2024-01-0{i}</datestamp></header>"
+        f"<metadata><title>T{i}</title></metadata></record>"
+        for i in ids
+    )
+    tok = f"<resumptionToken>{token}</resumptionToken>" if token else ""
+    return (
+        '<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">'
+        f"<ListRecords>{recs}{tok}</ListRecords></OAI-PMH>"
+    )
+
+
+PAGES = {
+    None: _page([1, 2], "tokA"),
+    "tokA": _page([3], "tokB"),
+    "tokB": _page([4], None),
+}
+
+
+class _MockOai(http.server.BaseHTTPRequestHandler):
+    hits = []
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+        tok = q.get("resumptionToken", [None])[0]
+        type(self).hits.append(tok)
+        body = PAGES[tok].encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def oai_url():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockOai)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/oai"
+    srv.shutdown()
+
+
+def test_stream_reader_offsets_chain(oai_url):
+    """Driver-side unit behavior: one page per read(), token-as-offset,
+    done-state idles, replay refetches the addressed page."""
+    r = _OaiPmhStreamReader({"url": oai_url})
+    o0 = r.initialOffset()
+    rows1, o1 = r.read(o0)
+    rows1 = list(rows1)
+    assert [x[1] for x in rows1] == ["oai:1", "oai:2"]
+    assert o1 == {"token": "tokA", "page": 1, "done": False}
+    rows2, o2 = r.read(o1)
+    assert [x[1] for x in list(rows2)] == ["oai:3"]
+    rows3, o3 = r.read(o2)
+    assert [x[1] for x in list(rows3)] == ["oai:4"]
+    assert o3["done"] is True
+    # done: idles forever, offset unchanged
+    rows4, o4 = r.read(o3)
+    assert list(rows4) == [] and o4 == o3
+    # replay between committed offsets refetches page 2 exactly
+    replay = list(r.readBetweenOffsets(o1, o2))
+    assert [x[1] for x in replay] == ["oai:3"]
+    # rows carry (xml, identifier, datestamp, page, position_in_page)
+    assert rows1[0][2] == "2024-01-01"
+    assert rows1[1][3:] == (1, 2)
+
+
+def test_batch_read_drains_chain(spark, oai_url):
+    register_oaipmh(spark)
+    df = (
+        spark.read.format("oaipmh").option("url", oai_url).load()
+    )
+    rows = sorted(r["identifier"] for r in df.collect())
+    assert rows == ["oai:1", "oai:2", "oai:3", "oai:4"]
+    # maxPages caps the drain
+    two = (
+        spark.read.format("oaipmh")
+        .option("url", oai_url).option("maxPages", "2").load()
+    )
+    assert two.count() == 3
+
+
+def test_streaming_read_to_pipeline(spark, oai_url, tmp_path):
+    """readStream.format('oaipmh') -> extract_xpath pipeline -> memory
+    sink, availableNow: drains the whole token chain through Spark's
+    offset log, one page per micro-batch."""
+    from traject_spark import Pipeline
+    from traject_spark.xmlrec.macros import extract_xpath
+
+    register_oaipmh(spark)
+    stream = (
+        spark.readStream.format("oaipmh").option("url", oai_url).load()
+    )
+    assert stream.isStreaming
+    p = Pipeline(source_col="xml", id_col="identifier").to_field(
+        "title", extract_xpath("//title")
+    )
+    out = p.apply(stream, keep=("page",))
+    # NOT availableNow: the token chain's length is unknown up front, so
+    # "available now" is one prefetched page; a continuous trigger
+    # drains page-per-micro-batch until the reader reports done
+    q = (
+        out.writeStream.format("memory").queryName("t_oai")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from t_oai").collect()[0]["c"] >= 4:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    rows = {
+        r["identifier"]: (r["title"], r["page"])
+        for r in spark.sql("select * from t_oai").collect()
+    }
+    assert rows == {
+        "oai:1": (["T1"], 1),
+        "oai:2": (["T2"], 1),
+        "oai:3": (["T3"], 2),
+        "oai:4": (["T4"], 3),
+    }
+
+
+def test_options_validation():
+    with pytest.raises(ValueError, match="requires .option"):
+        _OaiPmhStreamReader({})
+    with pytest.raises(ValueError, match="verb must be"):
+        _OaiPmhStreamReader({"url": "http://x", "verb": "GetRecord"})
+    assert OaiPmhDataSource.name() == "oaipmh"

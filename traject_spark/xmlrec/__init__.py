@@ -13,11 +13,17 @@ from traject_spark.xmlrec.io import (
     read_xml_records,
 )
 from traject_spark.xmlrec.macros import extract_xpath, localname_path
+from traject_spark.xmlrec.streaming_source import (
+    OaiPmhDataSource,
+    register_oaipmh,
+)
 
 __all__ = [
+    "OaiPmhDataSource",
     "extract_xpath",
     "harvest_oai_pmh",
     "harvest_oai_pmh_restartable",
     "localname_path",
     "read_xml_records",
+    "register_oaipmh",
 ]
