@@ -150,9 +150,12 @@ def _banded(
     dim: int,
     bits: int,
     tables: int,
+    extra: tuple = (),
 ) -> DataFrame:
-    """(id_alias[, vec_alias], table, bucket) rows — the ONE shared
-    banding projection for every hyperplane-LSH caller.
+    """(id_alias[, vec_alias], *extra, table, bucket) rows — the ONE
+    shared banding projection for every hyperplane-LSH caller.
+    ``extra`` names precomputed per-row columns on ``side`` (e.g. a
+    hoisted norm) carried through the explode unchanged.
 
     - ONE scan: all table buckets computed in a single select then
       exploded (a per-table union would read the corpus ``tables``
@@ -171,6 +174,7 @@ def _banded(
     cols = [F.col(id_col).alias(id_alias)]
     if vec_alias:
         cols.append(F.col(vec_col).alias(vec_alias))
+    cols.extend(F.col(c) for c in extra)
     out = (
         side.filter(F.size(F.col(vec_col)) == dim)
         .select(
@@ -192,6 +196,7 @@ def _banded(
         .select(
             id_alias,
             *([vec_alias] if vec_alias else []),
+            *extra,
             "tb.table",
             "tb.bucket",
         )
@@ -642,8 +647,21 @@ def cosine_near_dup(
     corpus row count (one count() job) via :func:`auto_lsh_bits`, keeping
     bucket occupancy constant as the corpus grows — at a fixed ``bits``
     the candidate volume is quadratic in n."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms are hoisted to per-ROW columns before the pair join: scoring
+    # recomputed both norms per candidate PAIR (the dominant cost of the
+    # lsh path — candidate volume x two 64-element reductions), while
+    # dot/(na*nb) is the bit-identical arithmetic (same sqrt values,
+    # same division) at one norm per row
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("nb"),
+    )
     if mode == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
@@ -660,9 +678,15 @@ def cosine_near_dup(
         # shared banding projection (_banded): one scan per side,
         # raw-column size filter, NULL buckets dropped post-explode
         pairs = (
-            _banded(a, "id_a", "id_a", "va", "va", dim, bits, tables)
+            _banded(
+                a, "id_a", "id_a", "va", "va", dim, bits, tables,
+                extra=("na",),
+            )
             .join(
-                _banded(b, "id_b", "id_b", "vb", "vb", dim, bits, tables),
+                _banded(
+                    b, "id_b", "id_b", "vb", "vb", dim, bits, tables,
+                    extra=("nb",),
+                ),
                 ["table", "bucket"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
@@ -673,7 +697,11 @@ def cosine_near_dup(
         # reproducible across summation engines (same rationale as argmax)
         pairs.withColumn(
             "cos",
-            F.round(cosine_similarity_expr(F.col("va"), F.col("vb")), 9),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                9,
+            ),
         )
         # ~isnan: exact mode joins RAW vectors, so a NaN-element pair
         # scores NaN — which passes >= threshold under Spark's ordering
