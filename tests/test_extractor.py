@@ -283,3 +283,40 @@ def test_non_control_00x_tags_extract_from_datafields(spark):
     assert extract(spark, rec, "00aa", alternate_script=False) == ["alpha-tag"]
     # 008 stays on the control branch
     assert extract(spark, rec, "008", alternate_script=False) == ["ctrl-body"]
+
+
+def test_repeated_subfield_and_doubled_code_semantics(spark):
+    """The reference's repeated-subfield trio (marc_extractor_test.rb:
+    355-394): a SINGLE-code spec yields one value per subfield
+    occurrence; DOUBLING the code ('245aa') makes the spec multi-code,
+    hence joinable — repeated $a join into ONE value; a multi-code spec
+    joins every matching occurrence in ORIGINAL subfield order."""
+    rec = marc_record(
+        datafields=[
+            ("245", "1", "0",
+             [("a", "First A"), ("b", "The B"), ("a", "Second A")]),
+        ],
+    )
+    assert extract(spark, rec, "245a") == ["First A", "Second A"]
+    assert extract(spark, rec, "245aa") == ["First A Second A"]
+    assert extract(spark, rec, "245ab") == ["First A The B Second A"]
+    # no subfields given: one value per field (all subfields joined)
+    assert extract(spark, rec, "245") == ["First A The B Second A"]
+
+
+def test_repeated_tag_specs_do_not_merge(spark):
+    """'245a:245b' (same tag twice) must keep per-spec dispatch
+    (marc_extractor_test.rb:339-345): per field, spec order governs —
+    all 245a values, then all 245b values; and '001[0-1]:001[0-3]'
+    slices the same control field twice (marc_extractor_test.rb:396)."""
+    rec = marc_record(
+        controlfields=[("001", "2710183")],
+        datafields=[
+            ("245", "1", "0",
+             [("a", "First A"), ("b", "The B"), ("a", "Second A")]),
+        ],
+    )
+    assert extract(spark, rec, "245a:245b") == [
+        "First A", "Second A", "The B"
+    ]
+    assert extract(spark, rec, "001[0-1]:001[0-3]") == ["27", "2710"]

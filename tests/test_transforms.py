@@ -573,3 +573,44 @@ def test_translation_map_str_collision_merge_order_precedence():
     assert b.lookup("1990") == "int-entry"
     # non-string probes still hit the raw dict
     assert b.lookup(1990) == "int-entry"
+
+
+def test_translation_map_default_option_and_merge(spark):
+    """Reference parity (translation_map_test.rb:43-49, 181-211): the
+    :default option overrides an in-file __default__; an EXPLICIT nil
+    entry does not trigger the default (the value is removal, not a
+    miss); merge() returns a new map where the second's entries win and
+    the second's default wins only when set."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.translation_map import TranslationMap
+
+    m = TranslationMap(
+        {"alpha": "one", "beta": None, "__default__": "FILE"},
+        default="OPT",
+    )
+    assert m.lookup("alpha") == "one"
+    assert m.lookup("beta") is None          # explicit nil != miss
+    assert m.lookup("nope") == "OPT"         # option beat __default__
+    # expression path agrees: nil removes, miss takes the default
+    out = (
+        spark.range(1)
+        .select(
+            m.translate_array_expr(
+                F.array(F.lit("alpha"), F.lit("beta"), F.lit("nope"))
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    assert out == ["one", "OPT"]
+
+    a = TranslationMap({"k": "A"}, default="DEF_A")
+    b = TranslationMap({"k": "B", "only_b": "B2"})
+    merged = a.merge(b)
+    assert merged.lookup("k") == "B"
+    assert merged.lookup("only_b") == "B2"
+    assert merged.lookup("zzz") == "DEF_A"   # first map's default carries
+    c = TranslationMap({"x": "C"}, default="DEF_C")
+    assert a.merge(c).lookup("zzz") == "DEF_C"  # second's default wins
+    # plain-Mapping arg form
+    assert a.merge({"k": "PLAIN"}).lookup("k") == "PLAIN"

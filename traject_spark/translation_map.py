@@ -152,6 +152,7 @@ class TranslationMap:
         self,
         *sources: Union[str, Mapping],
         load_path: Optional[Iterable[str]] = None,
+        default=None,
     ):
         self._map: dict = {}
         load_path = list(load_path or [])
@@ -161,6 +162,11 @@ class TranslationMap:
             else:
                 self._merge(self._load_named(str(src), load_path))
         self._default = self._map.pop(DEFAULT_KEY, None)
+        if default is not None:
+            # the explicit option overrides any in-file __default__
+            # (translation_map.rb:180-184); pass PASSTHROUGH ("
+            # __passthrough__") for the reference's :passthrough
+            self._default = default
 
     def _merge(self, other: dict) -> None:
         self._map.update(other)
@@ -244,6 +250,24 @@ class TranslationMap:
             else:
                 out.append(r)
         return out
+
+    def merge(self, other: Union["TranslationMap", Mapping]) -> "TranslationMap":
+        """A NEW map with ``other``'s entries merged over this one's
+        (translation_map.rb:245-249); ``other``'s default wins when it
+        has one, else this map's carries through. Accepts a plain
+        Mapping too."""
+        other_tm = (
+            other if isinstance(other, TranslationMap)
+            else TranslationMap(other)
+        )
+        merged = dict(self._map)
+        merged.update(other_tm._map)
+        d = (
+            other_tm._default
+            if other_tm._default is not None
+            else self._default
+        )
+        return TranslationMap(merged, default=d)
 
     def __len__(self) -> int:
         return len(self._map)
