@@ -143,6 +143,51 @@ def calibration_single(spark) -> float:
 #: samples (kept alongside the raw medians, never replacing them)
 STALL_PROBE_FACTOR = 1.5
 
+#: fast-box value of the JVM calibration workload (median observed on
+#: this box across r7-r8 clean windows). The artifact's probe-normalized
+#: numbers are query_sec * (REFERENCE_CALIBRATION / observed_cal) — the
+#: README normalization rule applied at record time so cross-round
+#: comparisons start from a shared denominator.
+REFERENCE_CALIBRATION = 1.65
+
+
+def py_probe_single(spark) -> float:
+    """ONE run of a fixed PYTHON-DRIVER-path probe: build a ~150-node
+    Column expression tree in Python, analyze and execute it on a canned
+    1k-row DataFrame. The JVM calibration probe (range->sum) is pure
+    codegen compute and was flat across a round where 24 Python-planned
+    queries slowed ~15% (r8) — it cannot see drift in the Py4J/driver
+    path (plan construction, analysis round-trips). This probe exercises
+    exactly that path; together the two separate 'box CPU moved' from
+    'driver/Py4J path moved'."""
+    t0 = time.time()
+    df = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 97).cast("string").alias("s")
+    )
+    col = F.col("s")
+    for i in range(50):
+        # bounded growth: each round adds concat+substring+upper nodes
+        # without letting the value blow up
+        col = F.substring(
+            F.concat(F.upper(col), F.lit(str(i % 7))), 1, 24
+        )
+    df.select(col.alias("v")).filter(F.length("v") > 0).agg(
+        F.count(F.lit(1))
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def py_probe(spark) -> float:
+    """Median-of-3 of :func:`py_probe_single` (start/end stamps)."""
+    return round(sorted(py_probe_single(spark) for _ in range(3))[1], 3)
+
+
+PY_PROBE_WORKLOAD = (
+    "build+execute a ~150-node Column expression pipeline on a canned "
+    "1k-row DataFrame (Python plan construction + analysis + one tiny "
+    "job), median-of-3 at start/end, single run per pass"
+)
+
 
 _MARC_PATH: str | None = None
 
@@ -548,13 +593,45 @@ def b_stream_hourly(spark):
     )
 
 
-def b_ann_ivf(spark):
-    from traject_spark.corpus import ivf_topk, train_centroids
+_IVF_CENTROIDS: list | None = None
+
+
+def b_ann_ivf_train(spark):
+    """k-means quantizer training alone: count + hash-filter sample +
+    ``iters`` assignment jobs. Timed separately from the probe so the
+    one-time training cost never rides the per-query probe number
+    (r8's combined window conflated the two and muddied a 1.77x drift
+    read — VERDICT r8 item 4). Refreshes the cache the probe bench
+    reads, so each pass's probe uses that pass's centroids."""
+    global _IVF_CENTROIDS
+    from traject_spark.corpus import train_centroids
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _IVF_CENTROIDS = train_centroids(
+        emb.filter(F.col("vec_id") >= 8), n_centroids=8, iters=5
+    )
+
+
+def b_ann_ivf(spark):
+    """IVF probe only: centroid scoring + broadcast cell equi-join +
+    window top-k, over centroids trained by ``ann_ivf_train`` (dict
+    order runs it first each pass; a BENCH_ONLY=ann_ivf_topk run trains
+    lazily inside its first sample — median-of-5 absorbs that one)."""
+    from traject_spark.corpus import ivf_topk
+
+    if _IVF_CENTROIDS is None:
+        b_ann_ivf_train(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     corpus = emb.filter(F.col("vec_id") >= 8)
-    cents = train_centroids(corpus, n_centroids=8, iters=5)
-    noop(ivf_topk(corpus, emb.filter(F.col("vec_id") < 8), cents, k=10, nprobe=2))
+    noop(
+        ivf_topk(
+            corpus,
+            emb.filter(F.col("vec_id") < 8),
+            _IVF_CENTROIDS,
+            k=10,
+            nprobe=2,
+        )
+    )
 
 
 def b_embed_near_dup_lsh(spark):
@@ -592,9 +669,36 @@ BENCHES = {
     "rel_events_hourly": b_rel_events_hourly,
     "rel_sessionize": b_rel_sessionize,
     "stream_events_hourly": b_stream_hourly,
+    "ann_ivf_train": b_ann_ivf_train,
     "ann_ivf_topk": b_ann_ivf,
     "embed_near_dup_lsh": b_embed_near_dup_lsh,
 }
+
+
+def _b1_block(run_lists, failed, observed_cal):
+    """B1 (map_full_pipeline records/sec) raw + probe-normalized.
+    ``observed_cal`` is the run's fastest boundary probe — the cleanest
+    box-speed sample available; min-of-runs over the target record
+    count is the documented stall-robust floor."""
+    runs = run_lists.get("map_full_pipeline")
+    if not runs or "map_full_pipeline" in failed:
+        return None
+    raw_sec = min(runs)
+    norm = (
+        raw_sec * REFERENCE_CALIBRATION / observed_cal
+        if observed_cal > 0
+        else raw_sec
+    )
+    return {
+        "records": TARGET_RECORDS,
+        "min_sec_raw": round(raw_sec, 3),
+        "records_per_sec_raw": round(TARGET_RECORDS / raw_sec, 1),
+        "observed_cal_sec": observed_cal,
+        "min_sec_probe_normalized": round(norm, 3),
+        "records_per_sec_probe_normalized": round(
+            TARGET_RECORDS / norm, 1
+        ),
+    }
 
 
 def main() -> None:
@@ -652,7 +756,11 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()  # initialize shuffle machinery off the clock
     cal_start = calibration(spark)
-    print(f"BENCH calibration (start): {cal_start}s", file=sys.stderr)
+    py_start = py_probe(spark)
+    print(
+        f"BENCH calibration (start): {cal_start}s (py probe {py_start}s)",
+        file=sys.stderr,
+    )
     if any(name == "corpus_curate_e2e" for name, _ in selected):
         # untimed setup for the curation bench: without this the FIRST
         # timed run pays the one-time full-table NDJSON dump and the
@@ -673,6 +781,7 @@ def main() -> None:
     run_lists: dict[str, list[float]] = {name: [] for name, _ in selected}
     failed: dict[str, str] = {}
     pass_probes: list[float] = []
+    py_pass_probes: list[float] = []
     for pass_i in range(n_runs):
         for name, fn in selected:
             if name in failed:
@@ -686,12 +795,14 @@ def main() -> None:
                 failed[name] = str(e)
                 print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
         # per-pass box-speed stamp: localizes a host stall to the passes
-        # it polluted (see calibration_single)
+        # it polluted (see calibration_single); the py probe stamps the
+        # Python-driver path the JVM probe is blind to
         pass_probes.append(calibration_single(spark))
+        py_pass_probes.append(py_probe_single(spark))
         print(
             f"BENCH pass {pass_i + 1}/{n_runs} done "
             f"({sum(sum(r) for r in run_lists.values()):.1f}s timed so far, "
-            f"probe {pass_probes[-1]}s)",
+            f"probe {pass_probes[-1]}s, py {py_pass_probes[-1]}s)",
             file=sys.stderr,
         )
     timings: dict[str, float] = {}
@@ -713,7 +824,11 @@ def main() -> None:
             file=sys.stderr,
         )
     cal_end = calibration(spark)
-    print(f"BENCH calibration (end): {cal_end}s", file=sys.stderr)
+    py_end = py_probe(spark)
+    print(
+        f"BENCH calibration (end): {cal_end}s (py probe {py_end}s)",
+        file=sys.stderr,
+    )
     # stall-excluded medians. Pass i runs BETWEEN boundary probes i and
     # i+1 (boundary[0] is the start calibration), and a stall can sit at
     # either edge: a window that ends mid-pass leaves a clean END probe
@@ -731,35 +846,44 @@ def main() -> None:
         or boundary[i + 1] >= STALL_PROBE_FACTOR * ref
         for i in range(len(pass_probes))
     ]
+    # same baseline for both rules (ADVICE r8): the fallback must not
+    # switch reference minima mid-decision when the start calibration is
+    # the only clean probe
     one_sided = [
-        p >= STALL_PROBE_FACTOR * min(pass_probes) for p in pass_probes
+        p >= STALL_PROBE_FACTOR * ref for p in pass_probes
     ] if pass_probes else []
     stalled = (
         two_sided
         if sum(not s for s in two_sided) >= 2
         else one_sided
     )
+    # ALWAYS populated (r8 shipped an empty dict exactly when the signal
+    # was needed — VERDICT r8 item 2): with zero stalled passes these
+    # EQUAL the raw medians, which is itself the auditable statement
+    # "no pass was excluded". A query falls back to its raw median when
+    # < 2 samples survive exclusion (its excluded count still records
+    # how many samples the rule wanted to drop).
     excluded_medians: dict[str, float] = {}
+    excluded_counts: dict[str, int] = {}
+    for name, runs in run_lists.items():
+        if name in failed or not runs:
+            continue
+        pairs = list(zip(runs, stalled))  # zip truncates to runs taken
+        kept = [r for r, s in pairs if not s]
+        excluded_counts[name] = len(runs) - len(kept)
+        if len(kept) < 2:
+            kept = runs
+        srt = sorted(kept)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        excluded_medians[name] = round(med, 3)
     if any(stalled):
-        for name, runs in run_lists.items():
-            if name in failed or len(runs) != len(pass_probes):
-                continue
-            kept = [r for r, s in zip(runs, stalled) if not s]
-            if len(kept) >= 2:
-                srt = sorted(kept)
-                mid = len(srt) // 2
-                med = (
-                    srt[mid] if len(srt) % 2
-                    else (srt[mid - 1] + srt[mid]) / 2
-                )
-                excluded_medians[name] = round(med, 3)
-        if excluded_medians:
-            print(
-                f"BENCH stall-excluded medians over passes "
-                f"{[i for i, s in enumerate(stalled) if not s]}: "
-                f"{excluded_medians}",
-                file=sys.stderr,
-            )
+        print(
+            f"BENCH stall-excluded medians over passes "
+            f"{[i for i, s in enumerate(stalled) if not s]}: "
+            f"{excluded_medians}",
+            file=sys.stderr,
+        )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # the per-run lists ride INSIDE the one-line JSON artifact: the driver
     # keeps only a truncated stderr tail, and a single recorded median is
@@ -799,14 +923,39 @@ def main() -> None:
                         f"pass stalled iff either adjacent boundary probe"
                         f" (start calibration + pass_probes) >= "
                         f"{STALL_PROBE_FACTOR} * the fastest boundary "
-                        "probe; relaxed to end-probe-only when fewer "
+                        "probe (incl. start calibration); relaxed to "
+                        "one-sided vs the same baseline when fewer "
                         "than 2 passes survive"
                     ),
+                    "reference_sec": REFERENCE_CALIBRATION,
                 },
-                # medians excluding stalled passes' samples (only when
-                # some pass stalled and >= 2 samples survive); the raw
-                # in-sequence medians above stay the headline
+                # the Python-driver-path twin of the JVM probe: plan
+                # construction + analysis + a tiny job. The JVM probe
+                # was flat across r8's broad slowdown of Python-planned
+                # queries — this one measures the path it missed.
+                "py_probe": {
+                    "workload": PY_PROBE_WORKLOAD,
+                    "start_sec": py_start,
+                    "end_sec": py_end,
+                    "pass_probes": py_pass_probes,
+                },
+                # medians excluding stalled passes' samples — ALWAYS
+                # populated (== raw medians when nothing stalled; a
+                # query with < 2 surviving samples also falls back to
+                # its raw median). stall_excluded_counts records how
+                # many samples the rule dropped per query; the raw
+                # in-sequence medians above stay the headline.
                 "medians_stall_excluded": excluded_medians,
+                "stall_excluded_counts": excluded_counts,
+                "stalled_passes": [
+                    i for i, s in enumerate(stalled) if s
+                ],
+                # B1 headline, raw and probe-normalized (README rule:
+                # sec * REFERENCE_CALIBRATION / observed_cal, using the
+                # fastest boundary probe as the run's observed box
+                # speed): the normalized number is comparable across
+                # rounds recorded on different box-speed windows
+                "b1": _b1_block(run_lists, failed, ref),
                 # same lenient parse as _target_records ('0.1.2'.replace
                 # ('.','').isdigit() is True but float() would crash here)
                 "sf": _parse_sf(sf),

@@ -414,3 +414,53 @@ def test_basic_auth_header_no_mismatched_pair():
     # same user from both places: URL password still applies
     h2 = _basic_auth_header("http://alice:apw@x/solr", "alice", None)
     assert base64.b64decode(h2.split()[1]).decode() == "alice:apw"
+
+
+def test_cli_stdin_matches_file_input(spark, tmp_path, monkeypatch):
+    """--stdin reads records from standard input (command_line.rb:
+    148-153,256) and produces byte-identical output to the same bytes
+    passed as a file path; -t still picks the reader. Both binary MARC
+    and marc-in-json go through the one spool path."""
+    import io
+
+    def collect(out_dir):
+        rows = []
+        for f in sorted(os.listdir(out_dir)):
+            if f.startswith("part-"):
+                with open(os.path.join(out_dir, f)) as fh:
+                    rows += [json.loads(ln) for ln in fh if ln.strip()]
+        return sorted(rows, key=lambda r: json.dumps(r, sort_keys=True))
+
+    class FakeStdin:
+        def __init__(self, data):
+            self.buffer = io.BytesIO(data)
+
+    conf = tmp_path / "config.py"
+    conf.write_text(
+        'to_field("title", extract_marc("245ab", trim_punctuation=True))\n'
+    )
+    for src, mtype in [
+        ("/root/reference/test/test_support/test_data.utf8.json", "json"),
+        (MC, "binary"),
+    ]:
+        via_file = str(tmp_path / f"file_{mtype}")
+        rc = run_cli(
+            spark,
+            ["-c", str(conf), "-t", mtype, "-w", "json", "-o", via_file, src],
+        )
+        assert rc == 0
+        with open(src, "rb") as fh:
+            monkeypatch.setattr("sys.stdin", FakeStdin(fh.read()))
+        via_stdin = str(tmp_path / f"stdin_{mtype}")
+        rc = run_cli(
+            spark,
+            ["-c", str(conf), "-t", mtype, "-w", "json", "-o", via_stdin,
+             "--stdin"],
+        )
+        assert rc == 0
+        rows = collect(via_stdin)
+        assert rows == collect(via_file) and rows
+
+    # no files and no --stdin: the error now points at --stdin
+    with pytest.raises(SystemExit, match="--stdin"):
+        run_cli(spark, ["-c", str(conf), "-w", "json"])

@@ -231,3 +231,41 @@ def test_extract_features_real_audio_non_wav_payload_fails(spark):
     row = extract_features(df, "payload", kind="audio", mode="auto", dim=4).collect()[0]
     assert row["decoded_real"] is False
     assert len(row["feature"]) == 4
+
+
+def test_wave_pcm_mono_24bit():
+    """24-bit PCM (a common studio WAV width soundfile handles) decodes
+    through the stdlib fallback with sign-correct int32 widening —
+    under mode='auto' without soundfile these rows must not silently
+    degrade to fake features (ADVICE r8)."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from traject_spark.corpus.multimodal import _wave_pcm_mono
+
+    def pack24(v):
+        return int(v).to_bytes(3, "little", signed=True)
+
+    samples = [0, 1, -1, 8388607, -8388608, 4194304, -4194304]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"".join(pack24(s) for s in samples))
+    got = _wave_pcm_mono(buf.getvalue())
+    assert list(got) == _pytest.approx([s / 8388608.0 for s in samples])
+
+    # stereo: first channel only, same scaling
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(pack24(s) + pack24(99) for s in samples)
+        )
+    got2 = _wave_pcm_mono(buf2.getvalue())
+    assert list(got2) == _pytest.approx([s / 8388608.0 for s in samples])

@@ -406,3 +406,24 @@ def test_minhash_witness_verify_exact_jaccard(spark):
         minhash_near_dup_witness(
             df.select("doc_id"), sig_col="nope", verify=True
         )
+
+
+def test_minhash_witness_verify_null_text_raises(spark):
+    """With a precomputed sig_col, a MARKED pair whose text_col is NULL
+    cannot be rescored by the exact verifier — verify=True must fail
+    loudly (execution-time raise_error), not silently drop the pair it
+    promised to certify (ADVICE r8)."""
+    import pytest
+
+    from traject_spark.corpus import minhash_near_dup_witness
+
+    sig = list(range(64))
+    rows = [(0, "shared text", sig), (1, None, sig)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, msig array<long>"
+    )
+    out = minhash_near_dup_witness(
+        df, sig_col="msig", num_hashes=64, bands=16, verify=True
+    )
+    with pytest.raises(Exception, match="no exact jaccard"):
+        out.collect()

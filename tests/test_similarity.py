@@ -465,3 +465,22 @@ def test_nan_vectors_excluded_everywhere(spark):
     assert cents and all(
         all(x == x for x in c) for _, c in cents  # no NaN coordinates
     )
+
+
+def test_pair_and_witness_defaults_agree():
+    """cosine_near_dup and cosine_near_dup_witness share the auto-sizing
+    default (bits=None -> auto_lsh_bits): a fixed-bucket default on the
+    pair enumerator is the documented quadratic-candidate cliff, so the
+    signatures must not drift apart (VERDICT r8 item 3)."""
+    import inspect
+
+    from traject_spark.corpus.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_witness,
+        lsh_topk,
+    )
+
+    for fn in (cosine_near_dup, cosine_near_dup_witness, lsh_topk):
+        sig = inspect.signature(fn)
+        assert sig.parameters["bits"].default is None, fn.__name__
+        assert sig.parameters["tables"].default == 4, fn.__name__

@@ -614,3 +614,26 @@ def test_translation_map_default_option_and_merge(spark):
     assert a.merge(c).lookup("zzz") == "DEF_C"  # second's default wins
     # plain-Mapping arg form
     assert a.merge({"k": "PLAIN"}).lookup("k") == "PLAIN"
+
+
+def test_translation_map_explicit_none_clears_file_default():
+    """default=None is an EXPLICIT override (reference :default accepts
+    nil — translation_map.rb:180-184), distinct from 'not given': it
+    clears an in-file __default__, so merge() CAN produce a default-less
+    map from one that had a default (ADVICE r8)."""
+    from traject_spark.translation_map import TranslationMap
+
+    m = TranslationMap(
+        {"alpha": "one", "__default__": "FILE"}, default=None
+    )
+    assert m.lookup("alpha") == "one"
+    assert m.lookup("nope") is None          # file default cleared
+
+    a = TranslationMap({"k": "A"}, default="DEF_A")
+    cleared = a.merge(TranslationMap({"k": "B"}, default=None))
+    # the merge arm keeps reference semantics: an absent/cleared default
+    # on the second map lets the first's carry through
+    assert cleared.lookup("zzz") == "DEF_A"
+    # but constructing over as_dict of a cleared map stays default-less
+    again = TranslationMap(m.as_dict())
+    assert again.lookup("nope") is None

@@ -23,6 +23,8 @@ debug, or solr.
 from __future__ import annotations
 
 import argparse
+import os
+import shutil
 import sys
 from typing import Optional
 
@@ -94,9 +96,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--debug-mode", dest="debug_mode",
                    action="store_true",
                    help="human-readable debug output writer")
+    p.add_argument("--stdin", action="store_true",
+                   help="read input records from standard input")
     p.add_argument("--master", default="local[*]", help="Spark master")
     p.add_argument("files", nargs="*", help="input files")
     return p
+
+
+def _spool_stdin() -> str:
+    """Spool standard input to a temp file and return its path
+    (command_line.rb:148-153 reads $stdin when --stdin is given).
+
+    Spark data sources read PATHS — splittable, re-readable across
+    retried tasks — so a driver-side spool is the faithful adapter: the
+    bytes land once on local disk, then every reader (`-t binary/json/
+    xml`, any reader_class_name) treats the spool exactly like a named
+    file. Bytes, not text: ISO-2709 input is binary."""
+    import sys as _sys
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix="traject_stdin_")
+    with os.fdopen(fd, "wb") as fh:
+        shutil.copyfileobj(_sys.stdin.buffer, fh)
+    return path
 
 
 def assemble_settings(args) -> dict:
@@ -191,7 +213,9 @@ def read_input(
     from traject_spark.xmlrec.io import read_xml_records
 
     if not files:
-        raise SystemExit("No input files given")
+        raise SystemExit(
+            "No input files given (use '--stdin' to read standard input)"
+        )
     src_type = str(settings.get("marc_source.type", "binary"))
     reader = _normalize_class_name(settings.get("reader_class_name", ""))
     if (
@@ -542,6 +566,14 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
     if args.command == "commit":
         return 0 if command_commit(settings) else 1
 
+    stdin_spool = None
+    if args.stdin:
+        # reference parity (command_line.rb:148-153): --stdin replaces
+        # the file list; -t/marc_source.type still pick the reader
+        # because read_input dispatches on settings, not extensions
+        stdin_spool = _spool_stdin()
+        args.files = [stdin_spool]
+
     owns_session = spark is None
     if owns_session:
         spark = make_session(args.master)
@@ -567,6 +599,13 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
     finally:
         if owns_session:
             spark.stop()
+        if stdin_spool is not None:
+            # actions all ran inside this block (lazy plans over a
+            # deleted spool would fail), so the spool is safe to drop
+            try:
+                os.unlink(stdin_spool)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

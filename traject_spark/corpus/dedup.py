@@ -451,6 +451,29 @@ def minhash_near_dup_witness(
         ngram=ngram,
     )
     threshold = min_est if min_jaccard is None else min_jaccard
+    # LEFT join + execution-time raise_error on a missing exact score:
+    # ngram_jaccard_pairs shingles from text_col, so with a precomputed
+    # sig_col a marked pair whose text is NULL has no exact row — an
+    # inner join would silently drop it, quietly voiding the precision
+    # guarantee verify= promises (ADVICE r8)
+    jacc = F.when(
+        F.col("jaccard").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "minhash_near_dup_witness(verify=True): no exact "
+                    "jaccard for marked pair (id="
+                ),
+                F.col("id").cast("string"),
+                F.lit(", witness_id="),
+                F.col("witness_id").cast("string"),
+                F.lit(
+                    ") — its text_col is NULL while its sig_col is not; "
+                    "verify cannot certify a pair it cannot rescore"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("jaccard"))
     return (
         wit.join(
             exact.select(
@@ -459,7 +482,9 @@ def minhash_near_dup_witness(
                 "jaccard",
             ),
             ["id", "witness_id"],
+            "left",
         )
+        .withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)
         .select("id", "witness_id", "est_jaccard", "jaccard")
     )
@@ -471,6 +496,7 @@ def witness_clusters(
     id_col: str = "id",
     witness_col: str = "witness_id",
     max_iters: int = 20,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Transitive closure over witness edges: (id, cluster_id) labels.
 
@@ -499,6 +525,11 @@ def witness_clusters(
     explodes). On a cluster with executor churn, set a reliable
     checkpoint dir and swap to ``checkpoint`` if recomputation-on-loss
     matters for a long chain of rounds.
+
+    ``stats`` (optional dict): filled in place with ``rounds`` (doubling
+    rounds actually run) and ``converged`` — per-call observability for
+    soak harnesses. A caller-owned dict, not function-global state, so
+    concurrent callers in one driver can't clobber each other's value.
 
     ``members`` (optional, one id column named ``id_col``): the id
     universe for the output — unmarked ids label themselves
@@ -551,10 +582,6 @@ def witness_clusters(
         if advanced.count() == 0:
             converged = True
             break
-    # observability: doubling rounds actually run (soak harnesses record
-    # rounds-to-convergence at scale; the last round is the no-advance
-    # probe, so chains of depth d converge in ceil(log2(d)) + 1 rounds)
-    witness_clusters.last_rounds = rounds
     if not converged:
         # the last round still advanced pointers — probe once more
         # before alarming: convergence ON the final round looks
@@ -582,6 +609,11 @@ def witness_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        # chains of depth d converge in ceil(log2(d)) + 1 rounds (the
+        # last round is the no-advance probe)
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if members is None:
         members = (
             witness.select(F.col(id_col).alias("id"))

@@ -117,10 +117,12 @@ def _real_image_feature(payload: bytes, dim: int):
 def _wave_pcm_mono(payload: bytes):
     """First-channel float samples of a PCM WAV via the stdlib ``wave``
     module — the no-dependency fallback decoder. Scaling matches
-    soundfile's float convention (int16/2^15 etc.). Raises wave.Error
-    for non-WAV payloads and ValueError for exotic sample widths — a
-    per-payload decode failure, exactly like a corrupt file under
-    soundfile."""
+    soundfile's float convention (int16/2^15 etc.); widths 1/2/3/4
+    bytes (8/16/24/32-bit PCM) all decode — 24-bit is common studio
+    WAV, not exotic, so it must not degrade to fake features under
+    mode='auto' (ADVICE r8). Raises wave.Error for non-WAV payloads
+    and ValueError for other widths — a per-payload decode failure,
+    exactly like a corrupt file under soundfile."""
     import io
     import wave
 
@@ -134,6 +136,17 @@ def _wave_pcm_mono(payload: bytes):
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 3:
+        # 24-bit little-endian PCM: widen each 3-byte frame to int32 by
+        # a zero pad-byte then an arithmetic shift (sign-correct), the
+        # same values soundfile produces scaled by 2^23
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - (len(b) % 3)].reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = b
+        data = (
+            padded.view("<i4")[:, 0] >> 8
+        ).astype(np.float64) / 8388608.0
     elif width == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:

@@ -634,7 +634,7 @@ def cosine_near_dup(
     vec_col: str = "embedding",
     mode: str = "exact",
     dim: int = 64,
-    bits: int | None = 6,
+    bits: int | None = None,
     tables: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a < id_b, cosine >= threshold).
@@ -800,7 +800,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    bits: int | None = 8,
+    bits: int | None = None,
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

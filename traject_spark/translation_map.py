@@ -42,6 +42,11 @@ from traject_spark.expr import let
 PASSTHROUGH = "__passthrough__"
 DEFAULT_KEY = "__default__"
 
+# sentinel distinguishing "default= not given" from an explicit
+# default=None (the reference's :default option accepts nil to clear a
+# file-level __default__ — translation_map.rb:180-184,245-248)
+_UNSET = object()
+
 #: above this entry count, switch from a create_map literal to str_to_map
 LITERAL_MAP_MAX = 512
 
@@ -152,7 +157,7 @@ class TranslationMap:
         self,
         *sources: Union[str, Mapping],
         load_path: Optional[Iterable[str]] = None,
-        default=None,
+        default=_UNSET,
     ):
         self._map: dict = {}
         load_path = list(load_path or [])
@@ -162,10 +167,11 @@ class TranslationMap:
             else:
                 self._merge(self._load_named(str(src), load_path))
         self._default = self._map.pop(DEFAULT_KEY, None)
-        if default is not None:
-            # the explicit option overrides any in-file __default__
-            # (translation_map.rb:180-184); pass PASSTHROUGH ("
-            # __passthrough__") for the reference's :passthrough
+        if default is not _UNSET:
+            # the explicit option overrides any in-file __default__,
+            # INCLUDING an explicit None to clear it
+            # (translation_map.rb:180-184); pass PASSTHROUGH
+            # ("__passthrough__") for the reference's :passthrough
             self._default = default
 
     def _merge(self, other: dict) -> None:
