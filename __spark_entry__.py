@@ -1702,3 +1702,44 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _SQL_DECONTAMINATE,
         "corpus_curate_planted": _sql_curate_planted(),
     }
+
+
+def rotated_out() -> dict:
+    """Queries rotated OUT of the 50-row driver window, with their
+    preserved DuckDB oracle SQL: (callable, sql) per name.
+
+    The driver evaluates only the first 50 ``queries()`` entries, so
+    rotation is how new compositions earn oracle coverage once the
+    window is full. Rotation does NOT retire correctness signal — every
+    rotated row keeps its full hash-grade compare as a pytest
+    (tests/test_entry_oracle.py::test_rotated_out_matches_oracle), and
+    the policy (docs/extending.md "Oracle-window rotation policy")
+    requires each rotated row to be subsumed by an in-window row that
+    exercises the same expression path.
+    """
+    rid = "CAST(doc_id AS VARCHAR) AS record_id"
+    title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
+    return {
+        # r8: slot handed to corpus_decontaminate; 245ab extract+join
+        # subsumed in-window by marc_title_first_trim/pipeline_two_rules
+        "marc_title_join": (
+            q_marc_title_join,
+            f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 4 = 0
+                THEN {title_value} || '|Alt ' || {SQL_TITLE}
+                ELSE {title_value} END AS title
+            FROM documents""",
+        ),
+        # r8: slot handed to corpus_curate_planted; the 048 spec walk is
+        # subsumed in-window by marc_instrument_codes
+        "marc_instruments": (
+            q_marc_instruments,
+            f"""
+            SELECT {rid},
+              CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 3 THEN 'Trombone'
+                   WHEN doc_id % 3 = 0 THEN {_SQL_INSTR_NAME} || '|Trombone'
+                   ELSE {_SQL_INSTR_NAME} END AS instrument
+            FROM documents""",
+        ),
+    }
