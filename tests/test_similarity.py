@@ -484,3 +484,109 @@ def test_pair_and_witness_defaults_agree():
         sig = inspect.signature(fn)
         assert sig.parameters["bits"].default is None, fn.__name__
         assert sig.parameters["tables"].default == 4, fn.__name__
+
+
+def test_sql_fast_paths_match_column_builders(spark):
+    """The generated-SQL fast paths (vec passed as a column NAME) must
+    be value-identical to the Column reference builders on every row
+    shape: valid, NULL vec, wrong dim, NULL element, NaN element — the
+    fast path exists for driver-side build speed, never for different
+    answers."""
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.25, -0.5, 2.0]),
+        (2, [-1.0, 0.0, 0.125, -0.375]),
+        (3, None),
+        (4, [1.0, 2.0]),                 # wrong dim
+        (5, [1.0, None, 0.5, 0.25]),     # NULL element
+        (6, [nan, 1.0, 1.0, 1.0]),       # NaN element
+        (7, [0.0, 0.0, 0.0, 0.0]),       # zero vector (0/0 score)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from traject_spark.corpus.similarity import (
+        assign_cell_expr,
+        probe_cells_expr,
+        signs_expr,
+    )
+
+    for bits, table in [(2, 0), (6, 3)]:
+        got = df.select(
+            signs_expr("embedding", 4, bits, table).alias("fast"),
+            signs_expr(F.col("embedding"), 4, bits, table).alias("ref"),
+        ).collect()
+        assert all(r["fast"] == r["ref"] for r in got), (bits, table, got)
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),
+             (7, [0.5, 0.5, 0.5, 0.5])]
+    got = df.select(
+        assign_cell_expr("embedding", cents).alias("fast"),
+        assign_cell_expr(F.col("embedding"), cents).alias("ref"),
+        probe_cells_expr("embedding", cents, 2).alias("pfast"),
+        probe_cells_expr(F.col("embedding"), cents, 2).alias("pref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], got
+        assert r["pfast"] == r["pref"], got
+
+    # single-centroid edge (the slice(pairs, 2, 0) typed-empty case)
+    one = [(0, [1.0, 0.0, 0.0, 0.0])]
+    got = df.select(
+        assign_cell_expr("embedding", one).alias("fast"),
+        assign_cell_expr(F.col("embedding"), one).alias("ref"),
+    ).collect()
+    assert all(r["fast"] == r["ref"] for r in got), got
+
+
+def test_zero_vectors_excluded_not_crash(spark):
+    """An all-zero embedding has no direction: its cosine is 0/0, which
+    under ANSI mode is a job-killing DivideByZero, not NaN. Every
+    scoring path must EXCLUDE zero vectors like the other invalid
+    shapes (r9: one zero row would otherwise crash a 100 TB scan)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from traject_spark.corpus import (
+        brute_force_topk,
+        cosine_near_dup,
+        cosine_near_dup_witness,
+        lsh_topk,
+    )
+    from traject_spark.corpus.similarity import (
+        assign_cell_expr,
+        assign_cell_udf,
+        train_centroids,
+    )
+
+    exact = cosine_near_dup(df, threshold=0.5, mode="exact", dim=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    lsh = cosine_near_dup(
+        df, threshold=0.5, mode="lsh", dim=4, bits=2, tables=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(1, 2)}
+
+    bf = brute_force_topk(df, df, k=5, id_col="vec_id").collect()
+    assert 3 not in {r["neighbor_id"] for r in bf}
+    assert 3 not in {r["query_id"] for r in bf}
+
+    wit = cosine_near_dup_witness(df, threshold=0.5, dim=4, bits=2).collect()
+    assert {r["id"] for r in wit} == {2}
+
+    tk = lsh_topk(df, df, k=3, dim=4, bits=2, tables=2).collect()
+    assert 3 not in {r["neighbor_id"] for r in tk}
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    cells = df.select(
+        assign_cell_expr("embedding", cents).alias("fast"),
+        assign_cell_expr(F.col("embedding"), cents).alias("ref"),
+        assign_cell_udf(cents).alias("udf"),
+    ).collect()
+    for r in cells:
+        assert r["fast"] == r["ref"] == r["udf"]
+    assert cells[2]["fast"] is None  # the zero row assigns NULL
+
+    # and training tolerates it (sample filter keeps it out of centroids)
+    got = train_centroids(df, n_centroids=2)
+    assert got and all(any(x != 0 for x in c) for _, c in got)

@@ -68,20 +68,24 @@ def brute_force_topk(
     ordering treats NaN as greater than any value — corrupting the
     exactness baseline the ANN variants are measured against; the LSH/
     IVF paths already exclude the same rows via NULL buckets/cells).
+    All-zero vectors are excluded too: their cosine is 0/0, a
+    job-killing ANSI DivideByZero, not a score.
     """
 
-    def _finite(v: Column) -> Column:
-        return v.isNotNull() & ~F.exists(
-            v, lambda x: x.isNull() | F.isnan(x)
+    def _usable(v: Column) -> Column:
+        return (
+            v.isNotNull()
+            & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
+            & F.exists(v, lambda x: x != 0)
         )
 
     qid = query_id_col or id_col
     q = F.broadcast(
-        queries.filter(_finite(F.col(vec_col))).select(
+        queries.filter(_usable(F.col(vec_col))).select(
             F.col(qid).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    c = corpus.filter(_finite(F.col(vec_col))).select(
+    c = corpus.filter(_usable(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = c.crossJoin(q).select(
@@ -110,8 +114,31 @@ def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     return lcg_unit_floats(seed, dim)
 
 
-def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
+def _signs_sql(vec_sql: str, dim: int, bits: int, table: int) -> str:
+    """SQL-text twin of :func:`signs_expr` (see fast-path note): same
+    projections, same NULL-proj -> 0-bit CASE, same validity guard."""
+    terms = []
+    for b in range(bits):
+        plane = _hyperplane(dim, b, table)
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {_arr_sql(plane)}, "
+            f"(x, h) -> CAST((x * h) AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} >= 0 THEN {1 << b}L ELSE 0L END)"
+        )
+    bucket = " + ".join(terms) if terms else "0L"
+    return f"(CASE WHEN {_valid_sql(vec_sql, dim)} THEN {bucket} END)"
+
+
+def signs_expr(vec: Column | str, dim: int, bits: int, table: int) -> Column:
     """Random-hyperplane signature: int bucket id from ``bits`` sign bits.
+
+    ``vec`` may be a column NAME (string) — the fast path: the whole
+    signature is emitted as one parsed SQL string instead of ~70 Py4J
+    round trips per hyperplane (the Column path below stays as the
+    reference implementation for arbitrary Column inputs).
 
     NULL when ``vec`` is NULL or its length differs from ``dim``: zip_with
     pads the shorter side with nulls, so a mismatched vector's projections
@@ -120,13 +147,15 @@ def signs_expr(vec: Column, dim: int, bits: int, table: int) -> Column:
     bucket 0, degrading LSH to the full O(n^2) cross join with no error.
     Callers drop NULL buckets; a mismatch therefore EXCLUDES the row,
     visible in result counts rather than in runtime blowup."""
+    if isinstance(vec, str):
+        return F.expr(_signs_sql(_q(vec), dim, bits, table))
     bucket = F.lit(0).cast("long")
     for b in range(bits):
         plane = _hyperplane(dim, b, table)
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(p) for p in plane]),
+                _lit_vec(plane),
                 lambda x, h: (x * h).cast("double"),
             ),
             F.lit(0.0),
@@ -175,23 +204,19 @@ def _banded(
     if vec_alias:
         cols.append(F.col(vec_col).alias(vec_alias))
     cols.extend(F.col(c) for c in extra)
+    # the whole (table, bucket) struct array rides in ONE generated-SQL
+    # expression — tables x bits x dim literal hyperplanes as a single
+    # Py4J call (see fast-path note above _arr_sql)
+    tb_sql = "array(" + ",".join(
+        f"named_struct('table', {t}, 'bucket', "
+        f"{_signs_sql(_q(vec_col), dim, bits, t)})"
+        for t in range(tables)
+    ) + ")"
     out = (
         side.filter(F.size(F.col(vec_col)) == dim)
         .select(
             *cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            signs_expr(F.col(vec_col), dim, bits, t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
+            F.explode(F.expr(tb_sql)).alias("tb"),
         )
         .select(
             id_alias,
@@ -204,12 +229,68 @@ def _banded(
     return out.filter(F.col("bucket").isNotNull())
 
 
+# --- generated-SQL fast paths -------------------------------------------
+#
+# Column trees for vector scoring are built from hundreds of nodes
+# (64-dim literals x hyperplanes/centroids x HOF lambdas), and EVERY
+# node is a Py4J round trip: r9 profiling measured cosine_near_dup's
+# driver-side expression BUILD at 3.5s (7.2k Py4J commands) against
+# 2.6s of actual execution at sf0.1, with _create_lambda alone at 1.2s.
+# Emitting the whole expression as ONE SQL string (one round trip, JVM
+# parses) removes that driver tax without touching semantics: the SQL
+# forms below are written to produce the IDENTICAL expression semantics
+# as the Column builders they shadow, and equality is pinned
+# element-for-element by tests/test_similarity.py::test_sql_fast_paths_
+# match_column_builders. The Column builders remain the reference
+# implementations (and the path taken when a caller passes an arbitrary
+# Column instead of a column name).
+
+
+def _finite(vals) -> list:
+    vs = [float(v) for v in vals]
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vs):
+        # repr('inf')/'nan' are not SQL double literals; no caller
+        # produces them (hyperplanes and k-means centroids are finite) —
+        # fail loudly rather than hand the parser garbage
+        raise ValueError("vector literals must be finite")
+    return vs
+
+
+def _arr_sql(vals) -> str:
+    """array<double> literal as SQL text. repr() is Python's shortest
+    round-trip form and Spark parses double literals with Java's
+    parseDouble, so values are bit-identical to F.lit(float(v))."""
+    return "array(" + ",".join(f"{v!r}D" for v in _finite(vals)) + ")"
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _valid_sql(vec_sql: str, dim: int) -> str:
+    """SQL twin of :func:`_valid_vec`."""
+    return (
+        f"((size({vec_sql}) = {int(dim)}) AND NOT exists({vec_sql}, "
+        f"x -> (x IS NULL) OR isnan(x)) AND exists({vec_sql}, "
+        f"x -> x != 0))"
+    )
+
+
 def _lit_vec(vals) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    """array<double> literal in ONE Py4J call (see fast-path note)."""
+    return F.expr(_arr_sql(vals))
 
 
 def _centroid_scores(vec: Column, centroids: list) -> Column:
     """array<struct<cid,score>> of cosine(vec, centroid) per centroid."""
+    for cid, cvec in centroids:
+        if not any(float(x) != 0 for x in cvec):
+            # same build-time guard as _centroid_scores_sql: a zero
+            # centroid's 0/0 score is an ANSI DivideByZero at runtime
+            raise ValueError(
+                f"centroid {cid} has zero norm; cosine against it is "
+                "undefined"
+            )
     return F.array(
         *[
             F.struct(
@@ -225,26 +306,104 @@ def _centroid_scores(vec: Column, centroids: list) -> Column:
     )
 
 
+def _centroid_scores_sql(vec_sql: str, centroids: list) -> str:
+    """SQL-text twin of :func:`_centroid_scores` (see fast-path note),
+    with two value-preserving strength reductions the Column form pays
+    for at runtime:
+
+    - the VECTOR norm is hoisted once per row via the aggregate-let
+      (the Column form recomputes it per centroid — same double every
+      time, so hoisting is bit-identical);
+    - each CENTROID's norm is precomputed driver-side. Python and the
+      JVM fold the same IEEE doubles in the same order (s += x*x left
+      to right, then one correctly-rounded sqrt), so the literal equals
+      what norm_expr(lit) computes per row.
+
+    Together: per row work drops from k x (dot + 2 norms) to
+    k x dot + 1 norm — at 100 TB the assignment scan does ~1/3 the
+    arithmetic for identical scores.
+    """
+    import math
+
+    entries = []
+    for cid, cvec in centroids:
+        vs = _finite(cvec)
+        s = 0.0
+        for x in vs:
+            s += x * x
+        cn = _finite([math.sqrt(s)])[0]
+        if cn == 0.0:
+            # a zero centroid scores 0/0 per row — with ANSI on that is
+            # a job-killing DivideByZero at assignment time, so fail at
+            # BUILD time with a pointable message (train_centroids
+            # never emits one; a user-supplied list might)
+            raise ValueError(
+                f"centroid {cid} has zero norm; cosine against it is "
+                "undefined"
+            )
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {_arr_sql(vs)}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)"
+        )
+        entries.append(
+            f"named_struct('cid', {int(cid)}L, 'score', "
+            f"round({dot} / (nv * {cn!r}D), 9))"
+        )
+    norm = (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+        f"(acc, v) -> acc + v))"
+    )
+    return (
+        f"aggregate(CAST(array() AS ARRAY<INT>), {norm}, "
+        f"(acc, x) -> acc, nv -> array({','.join(entries)}))"
+    )
+
+
 def _valid_vec(vec: Column, dim: int) -> Column:
     """True iff the vector is usable: right length, no NULL elements
     (a NULL element nulls every projection/score and would otherwise
     fall through folds to the first branch), no NaN elements (Arrow
     surfaces null floats as NaN on the UDF side — both paths must
-    agree on what is invalid)."""
+    agree on what is invalid), and at least one nonzero element — a
+    zero vector has no direction, so its cosine is 0/0, which under
+    ANSI mode is not NaN but a JOB-KILLING DivideByZero: one all-zero
+    embedding in a 100 TB corpus must be excluded like the other
+    invalid shapes, not crash the scan (found by the r9 SQL/Column
+    equality test)."""
     return (
         (F.size(vec) == dim)
         & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(vec, lambda x: x != 0)
     )
 
 
-def assign_cell_expr(vec: Column, centroids: list) -> Column:
+def assign_cell_expr(vec: Column | str, centroids: list) -> Column:
     """Coarse-quantizer assignment: id of the nearest centroid by cosine
     (ties -> lowest centroid id). Pure per-row expression — assignment of
     a 100 TB corpus is a narrow scan, no shuffle. NULL / wrong-length
     vectors assign NULL (parity with ``assign_cell_udf``); without the
     guard their all-NULL scores would fall through the fold to the FIRST
-    centroid and every invalid row would pile into one skewed cell."""
+    centroid and every invalid row would pile into one skewed cell.
+
+    ``vec`` as a column NAME takes the generated-SQL fast path (one
+    Py4J call, scores let-bound so the fold's two references evaluate
+    the centroid scoring once; see fast-path note above _arr_sql)."""
     dim = len(centroids[0][1])
+    if isinstance(vec, str):
+        vs = _q(vec)
+        sc = _centroid_scores_sql(vs, centroids)
+        fold = (
+            f"aggregate(slice(sc, 2, {len(centroids) - 1}), "
+            f"element_at(sc, 1), "
+            f"(acc, p) -> CASE WHEN p.score > acc.score THEN p ELSE acc END)"
+        )
+        return F.expr(
+            f"CASE WHEN {_valid_sql(vs, dim)} THEN "
+            f"aggregate(CAST(array() AS ARRAY<INT>), {sc}, "
+            f"(acc, x) -> acc, sc -> {fold}.cid) END"
+        )
     pairs = _centroid_scores(vec, centroids)
     # slice(pairs, 2, 0) is the TYPED empty array for the 1-centroid
     # case — a bare F.array() is array<void> and fails to resolve
@@ -257,11 +416,30 @@ def assign_cell_expr(vec: Column, centroids: list) -> Column:
     return F.when(_valid_vec(vec, dim), best["cid"])
 
 
-def probe_cells_expr(vec: Column, centroids: list, nprobe: int) -> Column:
+def probe_cells_expr(vec: Column | str, centroids: list, nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid ids (score desc, cid asc).
     NULL / wrong-length vectors probe NULL (parity with
-    ``probe_cells_udf``) — not the lowest-cid cells."""
+    ``probe_cells_udf``) — not the lowest-cid cells. ``vec`` as a
+    column NAME takes the generated-SQL fast path."""
     dim = len(centroids[0][1])
+    if isinstance(vec, str):
+        vs = _q(vec)
+        sc = _centroid_scores_sql(vs, centroids)
+        cmp = (
+            "(a, b) -> CASE WHEN a.score > b.score THEN -1 "
+            "WHEN a.score < b.score THEN 1 "
+            "ELSE CASE WHEN a.cid < b.cid THEN -1 "
+            "WHEN a.cid > b.cid THEN 1 ELSE 0 END END"
+        )
+        body = (
+            f"transform(slice(array_sort(sc, {cmp}), 1, {int(nprobe)}), "
+            f"p -> p.cid)"
+        )
+        return F.expr(
+            f"CASE WHEN {_valid_sql(vs, dim)} THEN "
+            f"aggregate(CAST(array() AS ARRAY<INT>), {sc}, "
+            f"(acc, x) -> acc, sc -> {body}) END"
+        )
     pairs = _centroid_scores(vec, centroids)
     ordered = F.array_sort(
         pairs,
@@ -301,6 +479,7 @@ def _batch_scores(vecs: "pd.Series", Cn):
             v is not None
             and len(v) == dim
             and not any(x is None or x != x for x in v)  # None or NaN
+            and any(x != 0 for x in v)  # zero vector: no direction
             for v in vecs
         ],
         dtype=bool,
@@ -428,6 +607,10 @@ def train_centroids(
         for r in rows
         if r[vec_col] is not None
         and not any(x is None or x != x for x in r[vec_col])
+        # zero vectors train nothing (no direction) and a zero INIT
+        # seed would become a zero centroid, whose norm-0 score is an
+        # ANSI DivideByZero at assignment time
+        and any(x != 0 for x in r[vec_col])
     ]
     if not vec_lists:
         return []
@@ -468,13 +651,13 @@ def _use_udf(centroids: list, method: str) -> bool:
 def _assign_cell(vec_col: str, centroids: list, method: str = "auto"):
     if _use_udf(centroids, method):
         return assign_cell_udf(centroids, vec_col)
-    return assign_cell_expr(F.col(vec_col), centroids)
+    return assign_cell_expr(vec_col, centroids)
 
 
 def _probe_cells(vec_col: str, centroids: list, nprobe: int, method: str):
     if _use_udf(centroids, method):
         return probe_cells_udf(centroids, nprobe, vec_col)
-    return probe_cells_expr(F.col(vec_col), centroids, nprobe)
+    return probe_cells_expr(vec_col, centroids, nprobe)
 
 
 def ivf_topk(
@@ -651,13 +834,19 @@ def cosine_near_dup(
     # recomputed both norms per candidate PAIR (the dominant cost of the
     # lsh path — candidate volume x two 64-element reductions), while
     # dot/(na*nb) is the bit-identical arithmetic (same sqrt values,
-    # same division) at one norm per row
-    a = df.select(
+    # same division) at one norm per row. Sides are filtered on the RAW
+    # column to usable vectors (right dim, no NULL/NaN element, not
+    # all-zero): exact mode previously relied on NULL/NaN cos dropping
+    # at the threshold filter, but a ZERO vector's 0/0 is an ANSI
+    # DivideByZero that kills the job, and the raw-column filter pushes
+    # to the scan either way
+    valid = _valid_vec(F.col(vec_col), dim)
+    a = df.filter(valid).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         norm_expr(F.col(vec_col)).alias("na"),
     )
-    b = df.select(
+    b = df.filter(valid).select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         norm_expr(F.col(vec_col)).alias("nb"),
