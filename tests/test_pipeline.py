@@ -415,3 +415,65 @@ def test_map_record_field_named_like_id_col(spark):
          .to_field("title", extract_marc("245a")))
     out = p.map_record(rec, spark)
     assert out == {"id": ["ctrl1"], "title": ["T"]}
+
+
+def test_parallel_compile_matches_sequential(spark, monkeypatch):
+    """Speculative parallel compile is a pure build-time optimization:
+    same values as the sequential pass on a pure-to_field pipeline, and
+    an order-dependent pipeline (clipboard / output() / skip_when /
+    rescue) trips the speculation and falls back — observable ordering
+    semantics never change."""
+    import os
+
+    from traject_spark.macros import extract_marc, literal
+
+    def mk():
+        return (
+            Pipeline()
+            .to_field("title", extract_marc("245ab"))
+            .to_field("author", extract_marc("100a"))
+            .to_field("lang", extract_marc("008[35-37]"))
+            .to_field("lit", literal("x"))
+        )
+
+    df = source_df(spark, ("b", BOOK))
+    monkeypatch.setenv("TRAJECT_SPARK_PARALLEL_COMPILE", "0")
+    seq = [r.asDict() for r in mk().apply(df).collect()]
+    monkeypatch.setenv("TRAJECT_SPARK_PARALLEL_COMPILE", "1")
+    par = [r.asDict() for r in mk().apply(df).collect()]
+    assert seq == par and par
+
+    # order-dependent pipeline: a later rule reads an earlier field via
+    # the clipboard — must trip the speculation, not miscompile
+    def stash(acc, ctx):
+        ctx.clipboard["t"] = acc
+        return acc
+
+    def unstash(acc, ctx):
+        return ctx.clipboard["t"]
+
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245a"), stash)
+        .to_field("copy", unstash)
+        .to_field("a", literal("1"))
+        .to_field("b", literal("2"))
+    )
+    row = p.apply(df).collect()[0]
+    assert row["copy"] == row["title"] and row["title"]
+
+    # skip_when inside a to_field macro also trips (and still skips)
+    from pyspark.sql import functions as F
+
+    def skipper(acc, ctx):
+        ctx.skip_when(F.lit(True))
+        return acc
+
+    p2 = (
+        Pipeline()
+        .to_field("t", extract_marc("245a"), skipper)
+        .to_field("a", literal("1"))
+        .to_field("b", literal("2"))
+        .to_field("c", literal("3"))
+    )
+    assert p2.apply(df).count() == 0
