@@ -675,6 +675,17 @@ BENCHES = {
 }
 
 
+def _median(values: list) -> float:
+    """True median: for even N average the middle pair — taking the
+    upper-middle sample would bias toward this box's documented 2-4x
+    stall outliers (e.g. BENCH_RUNS=2 with one stalled run would record
+    the stall as the "median"). One definition for the headline and the
+    stall-excluded artifact fields, so the two cannot drift."""
+    srt = sorted(values)
+    mid = len(srt) // 2
+    return srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+
+
 def _b1_block(run_lists, failed, observed_cal):
     """B1 (map_full_pipeline records/sec) raw + probe-normalized.
     ``observed_cal`` is the run's fastest boundary probe — the cleanest
@@ -810,14 +821,7 @@ def main() -> None:
         if name in failed or not runs:
             timings[name] = -1.0
             continue
-        # true median: for even N average the middle pair — taking the
-        # upper-middle sample would bias the headline toward this box's
-        # documented 2-4x stall outliers (e.g. BENCH_RUNS=2 with one
-        # stalled run would record the stall as the "median")
-        srt = sorted(runs)
-        mid = len(srt) // 2
-        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
-        timings[name] = round(med, 3)
+        timings[name] = round(_median(runs), 3)
         print(
             f"BENCH {name}: {timings[name]}s "
             f"(runs in order: {[round(r, 2) for r in runs]})",
@@ -873,10 +877,7 @@ def main() -> None:
         excluded_counts[name] = len(runs) - len(kept)
         if len(kept) < 2:
             kept = runs
-        srt = sorted(kept)
-        mid = len(srt) // 2
-        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
-        excluded_medians[name] = round(med, 3)
+        excluded_medians[name] = round(_median(kept), 3)
     if any(stalled):
         print(
             f"BENCH stall-excluded medians over passes "

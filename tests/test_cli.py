@@ -464,3 +464,16 @@ def test_cli_stdin_matches_file_input(spark, tmp_path, monkeypatch):
     # no files and no --stdin: the error now points at --stdin
     with pytest.raises(SystemExit, match="--stdin"):
         run_cli(spark, ["-c", str(conf), "-w", "json"])
+
+
+def test_cli_stdin_rejects_cluster_master(spark, tmp_path):
+    """--stdin spools to a DRIVER-local temp file; under a cluster
+    master the executors cannot read it — fail loudly up front."""
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("t", extract_marc("245a"))\n')
+    with pytest.raises(SystemExit, match="local master"):
+        run_cli(
+            spark,
+            ["-c", str(conf), "-w", "json", "--stdin",
+             "--master", "spark://example:7077"],
+        )

@@ -590,3 +590,33 @@ def test_zero_vectors_excluded_not_crash(spark):
     # and training tolerates it (sample filter keeps it out of centroids)
     got = train_centroids(df, n_centroids=2)
     assert got and all(any(x != 0 for x in c) for _, c in got)
+
+
+def test_exact_mode_ignores_dim_parameter(spark):
+    """mode='exact' is the 'scores all pairs' baseline: it must work on
+    any uniform dimension WITHOUT the caller threading dim through
+    (r9 review: the zero-vector filter briefly added a size==dim clause
+    that silently emptied exact results for non-64-dim corpora)."""
+    rows = [(1, [1.0] * 128), (2, [1.0] * 128), (3, [0.0] * 128)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from traject_spark.corpus import cosine_near_dup
+
+    got = cosine_near_dup(df, threshold=0.9).collect()  # dim left at 64
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_centroid_guards_symmetric_across_paths(spark):
+    """Both quantizer expression paths reject the same bad centroid
+    lists at build time: NaN coordinates and zero norms (a NaN score
+    loses every comparison — all rows silently pile into cell 0)."""
+    import pytest as _pytest
+
+    from traject_spark.corpus.similarity import assign_cell_expr
+
+    bad_nan = [(0, [float("nan"), 1.0]), (1, [1.0, 0.0])]
+    bad_zero = [(0, [0.0, 0.0]), (1, [1.0, 0.0])]
+    for cents, msg in [(bad_nan, "finite"), (bad_zero, "zero norm")]:
+        with _pytest.raises(ValueError, match=msg):
+            assign_cell_expr("embedding", cents)
+        with _pytest.raises(ValueError, match=msg):
+            assign_cell_expr(F.col("embedding"), cents)

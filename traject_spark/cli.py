@@ -568,6 +568,15 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
 
     stdin_spool = None
     if args.stdin:
+        if not str(args.master).startswith("local"):
+            # the spool is a DRIVER-local temp file; remote executors
+            # under a cluster master cannot read it (or worse, read a
+            # stale same-named file on a shared mount) — fail loudly
+            raise SystemExit(
+                "--stdin requires a local master (the spooled input "
+                f"lives on the driver); got --master {args.master}. "
+                "Write the stream to shared storage and pass the path."
+            )
         # reference parity (command_line.rb:148-153): --stdin replaces
         # the file list; -t/marc_source.type still pick the reader
         # because read_input dispatches on settings, not extensions

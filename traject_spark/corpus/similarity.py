@@ -284,9 +284,13 @@ def _lit_vec(vals) -> Column:
 def _centroid_scores(vec: Column, centroids: list) -> Column:
     """array<struct<cid,score>> of cosine(vec, centroid) per centroid."""
     for cid, cvec in centroids:
+        # same build-time guards as _centroid_scores_sql, so the two
+        # paths reject the same bad centroid lists: NaN/inf coordinates
+        # (a NaN score loses every comparison and silently piles ALL
+        # rows into the first cell) and zero norm (0/0 = ANSI
+        # DivideByZero at runtime)
+        _finite(cvec)
         if not any(float(x) != 0 for x in cvec):
-            # same build-time guard as _centroid_scores_sql: a zero
-            # centroid's 0/0 score is an ANSI DivideByZero at runtime
             raise ValueError(
                 f"centroid {cid} has zero norm; cosine against it is "
                 "undefined"
@@ -835,12 +839,23 @@ def cosine_near_dup(
     # lsh path — candidate volume x two 64-element reductions), while
     # dot/(na*nb) is the bit-identical arithmetic (same sqrt values,
     # same division) at one norm per row. Sides are filtered on the RAW
-    # column to usable vectors (right dim, no NULL/NaN element, not
-    # all-zero): exact mode previously relied on NULL/NaN cos dropping
-    # at the threshold filter, but a ZERO vector's 0/0 is an ANSI
-    # DivideByZero that kills the job, and the raw-column filter pushes
-    # to the scan either way
-    valid = _valid_vec(F.col(vec_col), dim)
+    # column to usable vectors (no NULL/NaN element, not all-zero):
+    # exact mode previously relied on NULL/NaN cos dropping at the
+    # threshold filter, but a ZERO vector's 0/0 is an ANSI DivideByZero
+    # that kills the job, and the raw-column filter pushes to the scan
+    # either way. Exact mode deliberately does NOT require size == dim:
+    # it never did (the 'scores all pairs' baseline works on any
+    # uniform dimension without the caller passing dim), and mismatched-
+    # length pairs still drop via their NULL zip_with dot — only the
+    # lsh path's banding contract needs the size clause.
+    vec = F.col(vec_col)
+    valid = (
+        vec.isNotNull()
+        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(vec, lambda x: x != 0)
+    )
+    if mode != "exact":
+        valid = valid & (F.size(vec) == dim)
     a = df.filter(valid).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

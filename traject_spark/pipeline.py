@@ -180,7 +180,9 @@ class _TripwireClipboard(dict):
         raise _SpeculativeAccess("clipboard")
 
     __getitem__ = __setitem__ = __delitem__ = __contains__ = _trip
-    get = setdefault = pop = update = keys = values = items = _trip
+    __iter__ = __len__ = __or__ = __ror__ = __ior__ = __eq__ = _trip
+    get = setdefault = pop = popitem = update = clear = _trip
+    keys = values = items = copy = _trip
 
 
 class _SpeculativeContext(PipelineContext):
@@ -388,17 +390,19 @@ class Pipeline:
         ]
         try:
             results = [f.result() for f in futures]
-        except BaseException:
+        except (_SpeculativeAccess, Exception):
             # tripwire or macro error: wait out the stragglers (their
             # half-built expressions are garbage either way), then let
             # the sequential pass produce the result — or re-raise the
-            # error — with exact step ordering
+            # error — with exact step ordering. ONLY these two: a
+            # KeyboardInterrupt/SystemExit in the main thread must
+            # abort the job, not silently restart compilation
             for f in futures:
                 f.cancel()
                 if not f.cancelled():
                     try:
                         f.result()
-                    except BaseException:
+                    except (_SpeculativeAccess, Exception):
                         pass
             return False
         for step, acc in zip(self._steps, results):
