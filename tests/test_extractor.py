@@ -320,3 +320,47 @@ def test_repeated_tag_specs_do_not_merge(spark):
         "First A", "Second A", "The B"
     ]
     assert extract(spark, rec, "001[0-1]:001[0-3]") == ["27", "2710"]
+
+
+def test_spec_trailing_colon_and_empty_are_reference_parity():
+    """Ruby String#split drops trailing empties: '245ab:' is a valid
+    spec and '' is a no-op extractor; leading/interior empties raise in
+    both (r9 review)."""
+    import pytest as _pytest
+
+    from traject_spark.marc.spec import parse_marc_spec
+
+    assert [s.tag for s in parse_marc_spec("245ab:")] == ["245"]
+    assert [s.tag for s in parse_marc_spec("245ab::")] == ["245"]
+    assert parse_marc_spec("") == []
+    with _pytest.raises(ValueError):
+        parse_marc_spec(":245")
+    with _pytest.raises(ValueError):
+        parse_marc_spec("245::100")
+
+
+def test_null_field_arrays_do_not_wipe_accumulator(spark):
+    """marc.datafields / marc.controlfields = NULL are schema-legal in
+    user parquet: extract_all_marc_values and marc_formats must
+    contribute nothing / the default instead of nulling values earlier
+    macros appended to the same field (r9 review)."""
+    from traject_spark.macros import (
+        extract_all_marc_values,
+        literal,
+        marc_formats,
+    )
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+    from traject_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("r1", {"leader": None, "controlfields": None, "datafields": None})],
+        MARC_SOURCE_SCHEMA,
+    )
+    p = (
+        Pipeline()
+        .to_field("all_text", literal("seed"), extract_all_marc_values())
+        .to_field("format", literal("seed"), marc_formats())
+    )
+    row = p.apply(df).collect()[0]
+    assert row["all_text"] == ["seed"]
+    assert row["format"] is not None and "seed" in row["format"]

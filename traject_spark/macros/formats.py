@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 from traject_spark.expr import let, let2
 from traject_spark.translation_map import TranslationMap
 
-# one shared empty-array helper — three drifting copies otherwise
-from traject_spark.marc.extractor import EMPTY_STR_ARRAY as _EMPTY, _empty
+# one shared empty-array helper — drifting copies otherwise
+from traject_spark.marc.extractor import _empty
 
 
 def _normalized_gmd(marc: Column) -> Column:
@@ -32,10 +32,16 @@ def _f007_values(marc: Column) -> Column:
     """Values of all 007 control fields, the shared input of the genre /
     online / microform predicates — formats_expr let-binds this ONCE so
     the composed expression scans controlfields a single time instead of
-    once per predicate."""
-    return F.transform(
-        F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
-        lambda f: f["value"],
+    once per predicate. Coalesced: marc.controlfields = NULL is
+    schema-legal in user parquet, and a NULL here would ride
+    flatten/concat through genre_expr and null the whole formats
+    accumulator instead of yielding the default."""
+    return F.coalesce(
+        F.transform(
+            F.filter(marc["controlfields"], lambda f: f["tag"] == "007"),
+            lambda f: f["value"],
+        ),
+        F.array().cast("array<string>"),
     )
 
 
@@ -93,8 +99,12 @@ def proceeding_expr(marc: Column) -> Column:
         lambda f: (F.substring(f["tag"], 1, 1) == "6")
         & F.exists(
             f["subfields"],
+            # (?m): Ruby's ^/$ are ALWAYS line anchors — a multi-line
+            # $v value (producible via JSON ingest) matches on an
+            # interior line in the reference, so Java's string-anchor
+            # default would silently diverge
             lambda sf: (sf["code"] == "v")
-            & sf["value"].rlike(r"^\s*(C|c)ongresses\.?\s*$"),
+            & sf["value"].rlike(r"(?m)^\s*(C|c)ongresses\.?\s*$"),
         ),
     )
 

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import base64
-from typing import Optional, Union
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import Column
@@ -14,8 +14,6 @@ from traject_spark.marc.extractor import marc_extract
 from traject_spark.marc.spec import parse_marc_spec
 from traject_spark.transforms import trim_punctuation_expr
 from traject_spark.translation_map import TranslationMap
-
-_NOT_SET = object()
 
 EXTRACT_MARC_VALID_OPTIONS = {
     "first",
@@ -119,7 +117,18 @@ def extract_all_marc_values(
                 F.size(vals) > 0, F.array(F.array_join(vals, separator))
             ).otherwise(F.array().cast("array<string>"))
 
-        return F.concat(acc, F.flatten(F.transform(fields, per_field)))
+        # coalesce the OUTER array too: marc.datafields = NULL is
+        # schema-legal in user parquet, and transform(NULL) -> NULL
+        # would ride concat() and wipe earlier macros' contributions to
+        # the same field (every other macro guards this via the
+        # extractor's coalesce)
+        return F.concat(
+            acc,
+            F.coalesce(
+                F.flatten(F.transform(fields, per_field)),
+                F.array().cast("array<string>"),
+            ),
+        )
 
     return macro
 

@@ -30,8 +30,8 @@ from traject_spark.transforms import (
 )
 from traject_spark.translation_map import TranslationMap
 
-# one shared empty-array helper — three drifting copies otherwise
-from traject_spark.marc.extractor import EMPTY_STR_ARRAY as _EMPTY, _empty
+# one shared empty-array helper — drifting copies otherwise
+from traject_spark.marc.extractor import _empty
 
 
 def _ruby_sub_first(v: Column, pattern_no_groups: str, replacement: str = "") -> Column:

@@ -247,6 +247,14 @@ def collect_matching_lines(
     # in two specs (then a field matches at most one spec, so per-field
     # contribution order is unaffected); '880' specs stay unmerged (their
     # match rule differs).
+    #
+    # CALLBACK CONTRACT: a merged group hands data_fn the FIRST spec of
+    # the group, so a custom data_fn must not branch on s.tag or the
+    # byte-range fields (read the FIELD's f['tag'] instead — every
+    # in-repo callback does). The merge key carries (ind1, ind2,
+    # subfields, is-880), i.e. exactly the spec attributes the built-in
+    # callbacks consume; byte specs are control-tag specs and control
+    # fields never take this path.
     tag_counts = Counter(s.tag for s in specs)
     mergeable = all(c == 1 for c in tag_counts.values())
     groups: list[tuple[list[str], MarcSpec]] = []

@@ -21,7 +21,7 @@ guidance, lib/traject/marc_extractor.rb:85-108).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Union
 
 DATAFIELD_PATTERN = re.compile(
@@ -77,6 +77,13 @@ def parse_marc_spec(spec: Union[str, Sequence[str]]) -> list[MarcSpec]:
         parts = []
         for s in spec:
             parts.extend(re.split(r"\s*:\s*", s))
+    # Ruby's String#split drops TRAILING empty strings, so the
+    # reference accepts "245ab:" (and "" is a no-op extractor) —
+    # re.split keeps them and a previously-valid config would raise
+    # here at definition time. Leading/interior empties (":245",
+    # "245::100") stay and raise, as they do in the reference.
+    while parts and parts[-1] == "":
+        parts.pop()
 
     out: list[MarcSpec] = []
     for part in parts:
