@@ -477,3 +477,37 @@ def test_cli_stdin_rejects_cluster_master(spark, tmp_path):
             ["-c", str(conf), "-w", "json", "--stdin",
              "--master", "spark://example:7077"],
         )
+
+
+def test_cli_custom_id_col_reaches_writers(spark, capsys):
+    """A pipeline with a custom id_col (input that carries its own id
+    column) must hand that name to the writers: the debug writer's id
+    slot shows it (r9 review: every sink was invoked with the default
+    'record_id' and printed a blank id / POSTed id-less Solr docs)."""
+    from traject_spark.cli import write_output
+    from traject_spark.pipeline import Pipeline
+
+    mapped = spark.createDataFrame(
+        [("a1", ["T1"]), ("a2", ["T2"])],
+        "ident string, title array<string>",
+    )
+    ok = write_output(mapped, Pipeline(id_col="ident"),
+                      {"writer_class_name": "debug"})
+    assert ok
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert {ln.split()[0] for ln in lines} == {"a1", "a2"}, lines
+
+
+def test_cli_xpath_predicate_refused_loudly(spark, tmp_path):
+    """An each_record_xpath with predicate syntax would silently match
+    ZERO records after the tag-split; refuse instead (r9 review)."""
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("t", extract_xpath("//x"))\n')
+    with pytest.raises(SystemExit, match="predicate"):
+        run_cli(
+            spark,
+            ["-c", str(conf), "-i", "xml", "-w", "json",
+             "-s", "nokogiri.each_record_xpath=//record[@status='d']",
+             "-o", str(tmp_path / "o"), str(conf)],
+        )

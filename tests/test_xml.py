@@ -680,3 +680,19 @@ def test_hooks_scrape_outside_records_only(spark, tmp_path):
     assert len(r2) == 1
     assert r2[0].xml is None and r2[0].position_in_input == 0
     assert dict(r2[0].clipboard)["id"] == ["only-meta"]
+
+
+def test_extract_xpath_attribute_wildcard(spark):
+    """@* matches every attribute on the UDF path (r9 review: the
+    wildcard parsed fine but compared localname == '*' and silently
+    extracted nothing)."""
+    from traject_spark.xmlrec.macros import extract_xpath
+    from traject_spark.pipeline import Pipeline
+
+    xml = '<r><f a="1" b="2"/><f a="3"/></r>'
+    df = spark.createDataFrame([("x1", xml)], "record_id string, xml string")
+    p = Pipeline(source_col="xml").to_field(
+        "vals", extract_xpath("//f/@*", to_text=False)
+    )
+    row = p.apply(df).collect()[0]
+    assert sorted(row["vals"]) == ["1", "2", "3"]

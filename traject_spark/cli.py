@@ -228,6 +228,17 @@ def read_input(
         tag = settings.get("nokogiri.each_record_xpath")
         if tag:
             tag = str(tag).rsplit("/", 1)[-1].split(":")[-1]
+            if not tag.replace("-", "").replace("_", "").isalnum():
+                # a predicate / attribute / function step would be
+                # silently reduced to a never-matching literal tag and
+                # the run would exit 0 with EMPTY output — refuse loudly
+                # (the streaming splitter matches element NAMES only)
+                raise SystemExit(
+                    "nokogiri.each_record_xpath: only '//tag' (optionally "
+                    f"namespaced) is supported; got a step {tag!r} with "
+                    "predicate/attribute syntax the record splitter "
+                    "cannot honor"
+                )
         return read_xml_records(spark, files, each_record_tag=tag)
     if reader == "ndjreader":
         return read_marc_json(spark, files)
@@ -380,6 +391,11 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
 def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     from traject_spark import writers as W
 
+    # the pipeline's id column name rides into every id-aware sink:
+    # -s id_col=ident renames the column Pipeline.apply keeps, and a
+    # writer still looking for 'record_id' would POST id-less Solr docs
+    # / print a blank id slot (r9 review)
+    id_col = getattr(pipeline, "id_col", None) or "record_id"
     name = str(settings.get("writer_class_name", "json"))
     # accept Ruby-style qualified names too ('Traject::SolrJsonWriter')
     short = _normalize_class_name(name)
@@ -394,6 +410,7 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     out = settings.get("output_file")
     if kind == "solr":
         url, kwargs = _solr_url_and_kwargs(settings)
+        kwargs.setdefault("id_col", id_col)
         W.solr_json_writer(df, url, **kwargs)
         return True
     if kind == "null":
@@ -408,10 +425,10 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
                 "writers have no stdout mode)"
             )
         if kind == "debug":
-            for row in W.debug_lines(df).toLocalIterator():
+            for row in W.debug_lines(df, id_col).toLocalIterator():
                 print(row[0])
         elif kind == "yaml":
-            for row in W.yaml_lines(df).toLocalIterator():
+            for row in W.yaml_lines(df, id_col).toLocalIterator():
                 print(row[0])
         else:
             for line in df.toJSON().toLocalIterator():
@@ -433,9 +450,9 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
             ),
         )
     elif kind == "debug":
-        W.write_debug(df, out)
+        W.write_debug(df, out, id_col)
     elif kind == "yaml":
-        W.write_yaml(df, out)
+        W.write_yaml(df, out, id_col)
     else:
         W.write_json(df, out)
     return True
@@ -509,7 +526,10 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
         ser.write.mode("overwrite").text(out)
         return True
     for row in ser.toLocalIterator():
-        print(row[0])
+        # same NULL guard as the binary/xml branches: a bare 'None'
+        # line would corrupt the NDJSON stream for downstream readers
+        if row[0] is not None:
+            print(row[0])
     return True
 
 
@@ -521,8 +541,14 @@ def command_commit(settings: dict) -> bool:
         raise SystemExit("No solr.url setting provided")
     # writers.solr_commit handles userinfo URLs, basic auth, and the
     # 10-minute commit timeout (command_line.rb:91-100 + the writer's
-    # commit plumbing)
-    solr_commit(url)
+    # commit plumbing); the same auth settings the indexing run honors
+    # apply here too (r9 review: -x commit against a protected core
+    # previously sent no Authorization header)
+    solr_commit(
+        url,
+        basic_auth_user=settings.get("solr_writer.basic_auth_user"),
+        basic_auth_password=settings.get("solr_writer.basic_auth_password"),
+    )
     sys.stderr.write(f"committed {url}\n")
     return True
 

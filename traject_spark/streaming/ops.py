@@ -262,6 +262,12 @@ def stream_marc_to_solr(
     commit_close = bool(solr_kwargs.pop("commit_on_close", False))
     max_skipped = solr_kwargs.pop("max_skipped", 0)
     skipped_total = [0]
+    # ONE accumulator for the whole stream: PySpark's accumulator
+    # registry retains every accumulator until context stop, so letting
+    # the writer create one per micro-batch is an unbounded driver leak
+    # on a continuous query (the writer returns per-call deltas, so the
+    # skip accounting below is unchanged)
+    stream_acc = spark.sparkContext.accumulator(0)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # max_skipped is a PER-RUN budget like the batch path's (the
@@ -274,7 +280,8 @@ def stream_marc_to_solr(
             else max(0, max_skipped - skipped_total[0])
         )
         n = solr_json_writer(
-            batch_df, url, max_skipped=remaining, **solr_kwargs
+            batch_df, url, max_skipped=remaining,
+            skipped_accumulator=stream_acc, **solr_kwargs
         )
         if n:
             # surface per-batch losses: the batch path returns this count

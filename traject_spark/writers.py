@@ -14,7 +14,6 @@ need flat text join them with an internal delimiter
 
 from __future__ import annotations
 
-import json
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -232,6 +231,62 @@ class SolrHTTPError(RuntimeError):
     itself is the suspect, so it goes to the one-by-one path)."""
 
 
+def _post_retrying(
+    conn_box: list,
+    conn_cls,
+    host,
+    port,
+    timeout: float,
+    path: str,
+    headers: dict,
+    payload: bytes,
+    max_retries: int,
+    retry_backoff: float,
+) -> None:
+    """POST one JSON payload over a per-partition keep-alive connection
+    (``conn_box`` is the 1-slot mutable holder the partition owns).
+
+    THE shared transport policy for every executor-side Solr POST (the
+    add path and the delete path previously each carried a copy, which
+    had already drifted on which exceptions retried — r9 review):
+    non-2xx (including proxy 3xx: http.client never follows redirects,
+    and a 301 with nothing indexed must not count as success) raises
+    :class:`SolrHTTPError` with NO transport retry — the server judged
+    the request; transport errors (socket/HTTP-protocol) drop the
+    possibly-stale keep-alive connection, back off exponentially, and
+    retry up to ``max_retries`` times. Runs on executors: imports stay
+    local, state rides in arguments."""
+    import http.client as _hc
+    import time as _time
+
+    delay = retry_backoff
+    for attempt in range(max_retries + 1):
+        try:
+            if conn_box[0] is None:
+                conn_box[0] = conn_cls(host, port, timeout=timeout)
+            conn_box[0].request("POST", path, body=payload, headers=headers)
+            resp = conn_box[0].getresponse()
+            body = resp.read()
+            if not 200 <= resp.status < 300:
+                raise SolrHTTPError(
+                    f"Solr HTTP {resp.status}: {body[:200]!r}"
+                )
+            return
+        except SolrHTTPError:
+            raise  # server judged the request — no transport retry
+        except (OSError, _hc.HTTPException):
+            try:
+                if conn_box[0] is not None:
+                    conn_box[0].close()
+            except Exception:
+                pass
+            conn_box[0] = None
+            if attempt == max_retries:
+                raise
+            _time.sleep(delay)
+            delay *= 2
+
+
 def _basic_auth_header(
     url: str,
     user: Optional[str] = None,
@@ -321,6 +376,7 @@ def solr_json_writer(
     max_retries: int = 2,
     retry_backoff: float = 0.5,
     solr_update_args: Optional[dict] = None,
+    skipped_accumulator=None,
 ) -> int:
     """POST documents to Solr's /update/json in batches via
     ``foreachPartition`` (the Spark shape of
@@ -343,7 +399,18 @@ def solr_json_writer(
     task retry — idempotent because Solr add is upsert-by-id.
     """
     spark = df.sparkSession
-    skipped_acc = spark.sparkContext.accumulator(0)
+    # callers invoking this writer repeatedly (the streaming sink, once
+    # per micro-batch) pass a reusable accumulator: PySpark's
+    # _accumulatorRegistry retains every accumulator until context stop,
+    # so one-per-call on a continuous stream is an unbounded driver leak
+    skipped_acc = (
+        skipped_accumulator
+        if skipped_accumulator is not None
+        else spark.sparkContext.accumulator(0)
+    )
+    # per-CALL semantics regardless of reuse: the return value and the
+    # budget check are deltas against the accumulator's entry value
+    skipped_base = skipped_acc.value
     # solr_update_args ({"commitWithin": 1000}, {"softCommit": true}...)
     # ride on every update request's query string, batch AND retry-single
     # (solr_json_writer.rb:24-37,216,241); auth derives from args or the
@@ -383,41 +450,11 @@ def solr_json_writer(
         conn_box: list = [None]
 
         def post(docs: list) -> None:
-            payload = ("[" + ",".join(docs) + "]").encode("utf-8")
-            delay = retry_backoff
-            for attempt in range(max_retries + 1):
-                try:
-                    if conn_box[0] is None:
-                        conn_box[0] = conn_cls(
-                            parsed.hostname, parsed.port, timeout=timeout
-                        )
-                    conn_box[0].request(
-                        "POST", path, body=payload, headers=headers
-                    )
-                    resp = conn_box[0].getresponse()
-                    body = resp.read()
-                    # non-2xx is failure, INCLUDING 3xx: http.client never
-                    # follows redirects, so a proxy 301 with no documents
-                    # indexed must not count as success (silent data loss)
-                    if not 200 <= resp.status < 300:
-                        raise SolrHTTPError(
-                            f"Solr HTTP {resp.status}: {body[:200]!r}"
-                        )
-                    return
-                except SolrHTTPError:
-                    raise  # server judged the docs — no transport retry
-                except Exception:
-                    # connection-level: drop the connection, back off
-                    try:
-                        if conn_box[0] is not None:
-                            conn_box[0].close()
-                    except Exception:
-                        pass
-                    conn_box[0] = None
-                    if attempt == max_retries:
-                        raise
-                    _time.sleep(delay)
-                    delay *= 2
+            _post_retrying(
+                conn_box, conn_cls, parsed.hostname, parsed.port, timeout,
+                path, headers, ("[" + ",".join(docs) + "]").encode("utf-8"),
+                max_retries, retry_backoff,
+            )
 
         buf: list = []
         local_skipped = [0]
@@ -471,11 +508,12 @@ def solr_json_writer(
         if "MaxSkippedExceeded" in str(e):
             raise MaxSkippedExceeded(
                 f"skipped records exceed max_skipped={max_skipped} "
-                f"(aborted early; {skipped_acc.value} counted so far)"
+                f"(aborted early; {skipped_acc.value - skipped_base} "
+                "counted so far)"
             ) from e
         raise
 
-    skipped = skipped_acc.value
+    skipped = skipped_acc.value - skipped_base
     if max_skipped is not None and skipped > max_skipped:
         raise MaxSkippedExceeded(
             f"{skipped} skipped records exceed max_skipped={max_skipped}"
@@ -597,47 +635,18 @@ def solr_delete_ids(
         headers = {"Content-Type": "application/json"}
         if auth:
             headers["Authorization"] = auth
-        conn = None
+        conn_box: list = [None]
 
         def post(ids: list) -> None:
-            # connection-level resilience mirrors solr_json_writer's
-            # post(): a keep-alive socket the server closed between
-            # batches is dropped, backed off, and retried — a transient
-            # hiccup must not fail the task and re-post the whole
-            # partition's deletes
-            nonlocal conn
-            import time as _time
-
-            payload = _json.dumps({"delete": ids}).encode("utf-8")
-            delay = retry_backoff
-            for attempt in range(max_retries + 1):
-                try:
-                    if conn is None:
-                        conn = conn_cls(
-                            parsed.hostname, parsed.port, timeout=timeout
-                        )
-                    conn.request("POST", path, body=payload, headers=headers)
-                    resp = conn.getresponse()
-                    body = resp.read()
-                    # non-2xx (including proxy 3xx) = deletes not executed
-                    if not 200 <= resp.status < 300:
-                        raise SolrHTTPError(
-                            f"Solr HTTP {resp.status}: {body[:200]!r}"
-                        )
-                    return
-                except SolrHTTPError:
-                    raise  # server judged the request — no transport retry
-                except (OSError, http.client.HTTPException):
-                    try:
-                        if conn is not None:
-                            conn.close()
-                    except Exception:
-                        pass
-                    conn = None
-                    if attempt == max_retries:
-                        raise
-                    _time.sleep(delay)
-                    delay *= 2
+            # shared transport policy (_post_retrying): a keep-alive
+            # socket the server closed between batches is dropped,
+            # backed off, and retried — a transient hiccup must not
+            # fail the task and re-post the whole partition's deletes
+            _post_retrying(
+                conn_box, conn_cls, parsed.hostname, parsed.port, timeout,
+                path, headers, _json.dumps({"delete": ids}).encode("utf-8"),
+                max_retries, retry_backoff,
+            )
 
         buf: list = []
         try:
@@ -649,9 +658,9 @@ def solr_delete_ids(
             if buf:
                 post(buf)
         finally:
-            if conn is not None:
+            if conn_box[0] is not None:
                 try:
-                    conn.close()
+                    conn_box[0].close()
                 except Exception:
                     pass
 

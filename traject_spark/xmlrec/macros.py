@@ -222,6 +222,15 @@ def _xml_match_udf(path: str, ns: dict | None, mode: str):
                     stack.append((child, chain + (child.tag,)))
 
         def attr_ok(key):
+            # '@*' matches every attribute, like the element wildcard —
+            # comparing the localname against the literal '*' matched
+            # nothing and the wildcard silently extracted zero values;
+            # '@ns:*' matches every attribute in that namespace (r9
+            # review)
+            if attr_name == "*":
+                if attr_exact is not None:  # namespaced wildcard
+                    return key.startswith(attr_exact[: -1])
+                return True
             if attr_exact is not None:
                 return key == attr_exact
             return localname(key) == attr_name
