@@ -637,3 +637,97 @@ def test_translation_map_explicit_none_clears_file_default():
     # but constructing over as_dict of a cleared map stays default-less
     again = TranslationMap(m.as_dict())
     assert again.lookup("nope") is None
+
+
+def test_split_single_space_is_ruby_awk_mode(spark):
+    """Ruby String#split(' ') is the awk special case: leading
+    whitespace skipped, whitespace RUNS are one separator — ' a  b'
+    -> ['a','b'], never interior empties (r9 review). Other separators
+    keep literal semantics with interior empties surviving."""
+    from traject_spark.pipeline import Pipeline
+    from traject_spark.transforms import split
+    from traject_spark.macros import literal
+
+    df = spark.createDataFrame([("r1",)], "record_id string")
+    p = Pipeline().to_field("v", literal(" a  b\tc "), split(" "))
+    assert p.apply(df).collect()[0]["v"] == ["a", "b", "c"]
+    p2 = Pipeline().to_field("v", literal("a||b|"), split("|"))
+    assert p2.apply(df).collect()[0]["v"] == ["a", "", "b"]
+
+
+def test_compiled_pattern_unicode_classes_survive(spark):
+    """A compiled Python pattern's \\d/\\w are Unicode-aware; Java's
+    default is ASCII-only — the flag translation must carry (?U) or
+    select/delete_if silently mismatch on non-ASCII digits (r9)."""
+    import re
+
+    from traject_spark.pipeline import Pipeline
+    from traject_spark.transforms import select
+    from traject_spark.macros import literal
+
+    df = spark.createDataFrame([("r1",)], "record_id string")
+    p = Pipeline().to_field(
+        "v",
+        literal("١٩٩٠"), literal("abcd"),
+        select(re.compile(r"\A\d{4}\Z")),
+    )
+    assert p.apply(df).collect()[0]["v"] == ["١٩٩٠"]
+
+
+def test_transform_udf_bytes_return_raises(spark):
+    """bytes returns must raise, not silently emit the repr b'...'."""
+    import pytest as _pytest
+
+    from traject_spark.pipeline import Pipeline
+    from traject_spark.transforms import transform_udf
+    from traject_spark.macros import literal
+
+    df = spark.createDataFrame([("r1",)], "record_id string")
+    p = Pipeline().to_field(
+        "v", literal("x"), transform_udf(lambda v: v.encode())
+    )
+    with _pytest.raises(Exception, match="bytes"):
+        p.apply(df).collect()
+
+
+def test_translation_map_many_nil_keys_single_literal(spark):
+    """>64 nil-valued entries use one str_to_map literal, not an In()
+    with a literal per key — same values, constant plan size (r9)."""
+    from traject_spark.translation_map import TranslationMap
+
+    m = {f"k{i}": None for i in range(200)}
+    m.update({"keep": "KEPT"})
+    tm = TranslationMap(m)
+    from pyspark.sql import functions as F
+
+    out = (
+        spark.createDataFrame(
+            [(["k5", "keep", "nope"],)], "vals array<string>"
+        )
+        .select(tm.translate_array_expr(F.col("vals")).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert out == ["KEPT"]
+
+
+def test_yaml_fallback_bare_nil_entry(tmp_path, monkeypatch):
+    """Without PyYAML, 'key:' parses as nil (remove-this-value), only a
+    QUOTED empty is the empty string — matching safe_load (r9)."""
+    import builtins
+    import sys
+
+    from traject_spark.translation_map import _load_yaml
+
+    p = tmp_path / "m.yaml"
+    p.write_text('a: "A"\nsuppress:\nempty: ""\n')
+    real_import = builtins.__import__
+
+    def no_yaml(name, *a, **k):
+        if name == "yaml":
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "yaml", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_yaml)
+    got = _load_yaml(str(p))
+    assert got == {"a": "A", "suppress": None, "empty": ""}

@@ -323,10 +323,14 @@ class Pipeline:
         small thread pool; any step that touches an order-dependent
         channel (clipboard, other fields, skip!, materialize/rescue)
         trips :class:`_SpeculativeAccess` and the whole pipeline
-        recompiles sequentially, so ordering semantics are exactly the
-        reference's in every observable case. Results merge in
-        registration order either way. Disable with
-        ``TRAJECT_SPARK_PARALLEL_COMPILE=0``.
+        recompiles sequentially, so the COMPILED EXPRESSIONS are
+        order-exact in every case. Caveat: on a tripped attempt the
+        non-tripping macros ran once speculatively and run again
+        sequentially — a macro with Python-level side effects beyond
+        the ctx (logging, module-level counters) observes two
+        invocations per compile; keep macros pure w.r.t. everything but
+        ctx, or disable with ``TRAJECT_SPARK_PARALLEL_COMPILE=0``.
+        Results merge in registration order either way.
         """
         self._field_exprs = {}
         self._skip_conds = []
@@ -339,10 +343,16 @@ class Pipeline:
         for name, exprs in self._field_exprs.items():
             raw = _concat_contributions(exprs)
             fields.append((name, self._post_process(raw).alias(name)))
+        return fields, self._skip_condition()
+
+    def _skip_condition(self) -> Optional[Column]:
+        """OR-fold of the registered skip! predicates — ONE definition
+        (compile and process_with both need it; two inline folds had
+        already started to drift)."""
         skip = None
         for cond in self._skip_conds:
             skip = cond if skip is None else (skip | cond)
-        return fields, skip
+        return skip
 
     def _compile_steps_sequential(self) -> None:
         ctx = PipelineContext(self)
@@ -490,8 +500,11 @@ class Pipeline:
         return e
 
     def apply_with_quarantine(
-        self, df: DataFrame, keep: Optional[Sequence[str]] = None
-    ) -> tuple[DataFrame, DataFrame]:
+        self,
+        df: DataFrame,
+        keep: Optional[Sequence[str]] = None,
+        return_base: bool = False,
+    ):
         """``apply`` + the errored rows as a second DataFrame.
 
         The quarantine frame carries the record id, the first error
@@ -500,6 +513,12 @@ class Pipeline:
         reference's custom ``mapping_rescue`` handler that logs and
         skips (doc/settings.md:35-58). Requires
         ``settings(mapping_rescue="skip")``.
+
+        ``return_base=True`` additionally returns the frame BOTH outputs
+        were computed from (the checkpointed hidden-column base when the
+        pipeline materializes, else ``df``) — process_with's on_skipped
+        classification must read the SAME evaluation of any
+        nondeterministic rescued UDF, not a third one.
         """
         if self.settings_dict.get("mapping_rescue") != "skip":
             raise ValueError(
@@ -546,6 +565,8 @@ class Pipeline:
         }
         base = df.withColumns(missing) if missing else df
         bad = base.select(*cols).filter(F.col("_error").isNotNull())
+        if return_base:
+            return good, bad, df
         return good, bad
 
     def process_with(
@@ -578,22 +599,31 @@ class Pipeline:
             self.settings_dict["mapping_rescue"] = "skip"
         try:
             if callable(rescue_with):
-                good, bad = self.apply_with_quarantine(df)
+                good, bad, base = self.apply_with_quarantine(
+                    df, return_base=True
+                )
                 rescue_with(bad)
             else:
                 good = self.apply(df)
+                base = df
+                if on_skipped is not None and self._materialized:
+                    # share ONE evaluation of the nondeterministic
+                    # rescued-UDF columns between the output and the
+                    # skip classification (the apply_with_quarantine
+                    # mechanism): recomputing them per frame could land
+                    # a record in none/two of the frames when a UDF
+                    # fails transiently
+                    base = df.withColumns(
+                        dict(self._materialized)
+                    ).localCheckpoint(eager=False)
+                    good = self.apply(base)
             if on_skipped is not None:
-                skip = None
-                for cond in self._skip_conds:
-                    skip = cond if skip is None else (skip | cond)
-                # skip predicates compiled under rescue mode may reference
-                # materialized hidden columns; compute them here too, then
-                # hand the callback the ORIGINAL input shape
-                base = (
-                    df.withColumns(dict(self._materialized))
-                    if self._materialized
-                    else df
-                )
+                skip = self._skip_condition()
+                # skip predicates compiled under rescue mode may
+                # reference the materialized hidden columns — base
+                # carries them (checkpointed, so this is the SAME
+                # evaluation the good/bad frames read); the callback
+                # gets the ORIGINAL input shape back
                 if skip is not None:
                     on_skipped(
                         base.filter(F.coalesce(skip, F.lit(False)))

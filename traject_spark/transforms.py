@@ -154,7 +154,10 @@ def transform_udf(py_fn: Callable[[str], Optional[str]]) -> Macro:
             out.extend(
                 e if e is None or isinstance(e, str) else str(e) for e in x
             )
-        elif isinstance(x, (dict, set, frozenset)):
+        elif isinstance(x, (dict, set, frozenset, bytes, bytearray)):
+            # bytes would silently str() to the repr "b'...'" — the
+            # exact corruption the list branch above exists to prevent;
+            # the caller must decode
             raise TypeError(
                 f"transform_udf fn returned {type(x).__name__}; return a "
                 "string, scalar, or list of strings"
@@ -246,12 +249,24 @@ def split(separator: str) -> Macro:
     (transformation.rb:134-138). Ruby String#split drops TRAILING empty
     strings (interior ones survive): 'a|b|' -> ['a','b'], '||' -> [] —
     implemented by stripping trailing separator runs before the split
-    and mapping the fully-empty value to no elements."""
-    pat = _re.escape(separator)
+    and mapping the fully-empty value to no elements. A single-space
+    separator is Ruby's awk-mode special case: leading whitespace is
+    skipped and any whitespace RUN is one separator (' a  b' ->
+    ['a','b'], never interior empty strings)."""
+    if separator == " ":
+        # Ruby awk mode splits on ASCII whitespace runs
+        ws = r"[ \t\n\x0B\f\r]"
+        pat = f"{ws}+"
+        lead = f"\\A{ws}+"
+    else:
+        pat = _re.escape(separator)
+        lead = None
 
     def ruby_split(v: Column) -> Column:
         from traject_spark.expr import let as _let
 
+        if lead is not None:
+            v = F.regexp_replace(v, lead, "")
         return _let(
             F.regexp_replace(v, f"(?:{pat})+\\Z", ""),
             lambda s: F.when(s == "", F.array().cast(_EMPTY)).otherwise(
@@ -309,13 +324,17 @@ def _match_pred(arg) -> Callable[[Column], Column]:
         # vanish on the JVM side
         prefix = "".join(
             inline
-            # re.UNICODE is implicitly set on every str pattern and is
-            # Java's UNICODE_CASE (meaningless without i) — skip it
+            # re.UNICODE is implicitly set on every str pattern and maps
+            # to Java's (?U) UNICODE_CHARACTER_CLASS: Python \d/\w/\b
+            # are Unicode-aware, Java's default is ASCII-only — without
+            # it a pattern like \d{4} silently stops matching
+            # Arabic-Indic digits on the JVM side
             for flag, inline in (
                 (_re.IGNORECASE, "i"),
                 (_re.MULTILINE, "m"),
                 (_re.DOTALL, "s"),
                 (_re.VERBOSE, "x"),
+                (_re.UNICODE, "U"),
             )
             if arg.flags & flag
         )

@@ -146,7 +146,15 @@ def _load_yaml(path: str) -> dict:
                     continue
                 m = re.match(r"^(['\"]?)(.*?)\1\s*:\s*(['\"]?)(.*?)\3\s*$", line)
                 if m and m.group(2):
-                    out[m.group(2)] = m.group(4)
+                    # a bare 'key:' is YAML nil — the reference's
+                    # remove-this-value semantics; only an explicitly
+                    # QUOTED empty ('key: ""') is the empty string.
+                    # PyYAML's safe_load agrees, so the two loaders
+                    # cannot diverge on suppression entries.
+                    if m.group(4) == "" and not m.group(3):
+                        out[m.group(2)] = None
+                    else:
+                        out[m.group(2)] = m.group(4)
         return out
 
 
@@ -419,9 +427,23 @@ class TranslationMap:
                 F.coalesce(hit, fallback) if hit is not None else fallback
             )
             if nil_keys:
-                result = F.when(v.isin(nil_keys), null_array).otherwise(
-                    result
-                )
+                if len(nil_keys) > 64 and not any(
+                    "\x1e" in k or "\x1f" in k for k in nil_keys
+                ):
+                    # suppression-heavy maps (thousands of nil-valued
+                    # entries): an In() with one literal child per key
+                    # reintroduces the plan blowup the str_to_map
+                    # encoding exists to avoid — one string literal +
+                    # map_contains_key is a constant-size plan node
+                    nil_map = F.str_to_map(
+                        F.lit("\x1e".join(nil_keys)),
+                        F.lit("\x1e"),
+                        F.lit("\x1f"),
+                    )
+                    is_nil = F.map_contains_key(nil_map, v)
+                else:
+                    is_nil = v.isin(nil_keys)
+                result = F.when(is_nil, null_array).otherwise(result)
             # nil input: default applies (reference miss path); under
             # passthrough the nil itself passes through -> NULL (removal)
             return F.when(
