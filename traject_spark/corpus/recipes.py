@@ -19,13 +19,14 @@ Plan shape (the 100 TB story):
   projection — a separate ``.filter`` on computed columns would
   re-evaluate the whole expression tree for the predicate (measured 2x
   on the NDJSON parse; see ``traject_spark/expr.py``).
-- The annotated frame is MATERIALIZED to parquet at the stage boundary
-  (``work_dir``). This is the ``sig_col`` best practice from
-  ``corpus/dedup.py``: the minhash signature feeds the banding pass plus
-  two id-keyed signature fetches, and without materialization the
-  signature expression tree re-executes for every consumer. It also
-  means the text-annotation scan runs exactly once no matter how many
-  downstream stages read it.
+- Stage boundaries MATERIALIZE to parquet (``work_dir``) exactly where
+  a frame has more than one consumer: the annotated frame when a
+  ``benchmark`` is given (decontaminate reads it twice), and the
+  survivors frame when near-dup runs (banding pass + two id-keyed
+  signature fetches — the ``sig_col`` best practice from
+  ``corpus/dedup.py``). A single-consumer configuration skips the
+  boundary: an unconditional write would be a full extra corpus-sized
+  write + scan at 100 TB.
 - Exact dedup is one window shuffle on the (null-safe) fingerprint that
   was already computed in the annotate stage — no recomputation.
 - Near-dup output is LINEAR: witness marking (one row per duplicate) or
@@ -188,7 +189,8 @@ def curate_documents(
         df, text_col, id_col, min_tokens, min_quality, langs,
         num_hashes, ngram, with_minhash=near_dup is not None,
     )
-    created_work_dir = work_dir is None
+    needs_work_dir = benchmark is not None or near_dup is not None
+    created_work_dir = work_dir is None and needs_work_dir
     if created_work_dir:
         try:
             master = df.sparkSession.sparkContext.master or ""
@@ -198,10 +200,18 @@ def curate_documents(
             master = "<connect-or-unknown>"
         _check_default_work_dir_ok(master)
         work_dir = tempfile.mkdtemp(prefix="curate_")
-    ann_path = f"{work_dir}/annotated.parquet"
-    annotated.write.mode("overwrite").parquet(ann_path)
     spark = df.sparkSession
-    annotated = spark.read.parquet(ann_path)
+    if benchmark is not None:
+        # materialize the annotated frame ONLY when something reads it
+        # more than once: decontaminate reads it twice (shingle-explode
+        # side + anti-join back). Without a benchmark the single
+        # downstream consumer (exact dedup -> survivors materialization
+        # or the output write) executes the annotate tree exactly once,
+        # and an unconditional stage write here would be a full extra
+        # corpus-sized write + scan at 100 TB for nothing (r9 review).
+        ann_path = f"{work_dir}/annotated.parquet"
+        annotated.write.mode("overwrite").parquet(ann_path)
+        annotated = spark.read.parquet(ann_path)
 
     if benchmark is not None:
         # AFTER the stage-boundary materialization: decontaminate reads
@@ -262,7 +272,7 @@ def curate_documents(
     out = survivors.drop("msig").withColumnRenamed("id", id_col)
     if output_path is not None:
         out.write.mode("overwrite").parquet(output_path)
-        if created_work_dir:
+        if created_work_dir and work_dir is not None:
             # the result now reads from output_path; the corpus-sized
             # intermediates in our own temp dir are dead weight
             shutil.rmtree(work_dir, ignore_errors=True)

@@ -51,6 +51,41 @@ def cosine_similarity_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _usable_vec(vec: Column) -> Column:
+    """THE vector-usability rule, one definition (three hand-maintained
+    copies had already diverged once): non-NULL, no NULL/NaN element,
+    and at least one nonzero element (a zero vector's 0/0 cosine is a
+    job-killing ANSI DivideByZero, not a score). Dimension checks are
+    the caller's concern — the exact baselines take no dim parameter,
+    the LSH/IVF paths add ``size == dim`` via :func:`_valid_vec`."""
+    return (
+        vec.isNotNull()
+        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(vec, lambda x: x != 0)
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query top-k tail shared by every retrieval operator
+    (brute force, IVF, IVF-from-layout, LSH): window rank over
+    (score desc, neighbor_id asc), keep rank <= k, long-cast rank.
+    One definition so the ranking contract cannot drift between the
+    exact baseline and the ANN paths it calibrates."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,23 +104,19 @@ def brute_force_topk(
     exactness baseline the ANN variants are measured against; the LSH/
     IVF paths already exclude the same rows via NULL buckets/cells).
     All-zero vectors are excluded too: their cosine is 0/0, a
-    job-killing ANSI DivideByZero, not a score.
+    job-killing ANSI DivideByZero, not a score. Like the near-dup
+    exact mode, no dimension parameter is required — but a
+    length-MISMATCHED pair's NULL score is dropped rather than ranked
+    (phantom NULL-score 'neighbors' would pad out queries with fewer
+    than k valid candidates).
     """
-
-    def _usable(v: Column) -> Column:
-        return (
-            v.isNotNull()
-            & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
-            & F.exists(v, lambda x: x != 0)
-        )
-
     qid = query_id_col or id_col
     q = F.broadcast(
-        queries.filter(_usable(F.col(vec_col))).select(
+        queries.filter(_usable_vec(F.col(vec_col))).select(
             F.col(qid).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    c = corpus.filter(_usable(F.col(vec_col))).select(
+    c = corpus.filter(_usable_vec(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = c.crossJoin(q).select(
@@ -94,15 +125,8 @@ def brute_force_topk(
         F.round(
             cosine_similarity_expr(F.col("qvec"), F.col("cvec")), 6
         ).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
-    )
+    ).filter(F.col("score").isNotNull())
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
@@ -282,7 +306,14 @@ def _lit_vec(vals) -> Column:
 
 
 def _centroid_scores(vec: Column, centroids: list) -> Column:
-    """array<struct<cid,score>> of cosine(vec, centroid) per centroid."""
+    """array<struct<cid,score>> of cosine(vec, centroid) per centroid,
+    in ASCENDING cid order: the assignment fold keeps the FIRST max, so
+    list order is the tie-break — sorting here makes 'ties -> lowest
+    centroid id' true for ANY caller-supplied list and keeps assign
+    consistent with probe_cells' (score desc, cid asc) comparator
+    (r9 review: unsorted user lists assigned ties to the first listed
+    centroid while the probe preferred the lowest cid)."""
+    centroids = sorted(centroids, key=lambda c: int(c[0]))
     for cid, cvec in centroids:
         # same build-time guards as _centroid_scores_sql, so the two
         # paths reject the same bad centroid lists: NaN/inf coordinates
@@ -330,7 +361,8 @@ def _centroid_scores_sql(vec_sql: str, centroids: list) -> str:
     import math
 
     entries = []
-    for cid, cvec in centroids:
+    # ascending cid, same tie-break rationale as _centroid_scores
+    for cid, cvec in sorted(centroids, key=lambda c: int(c[0])):
         vs = _finite(cvec)
         s = 0.0
         for x in vs:
@@ -376,11 +408,7 @@ def _valid_vec(vec: Column, dim: int) -> Column:
     embedding in a 100 TB corpus must be excluded like the other
     invalid shapes, not crash the scan (found by the r9 SQL/Column
     equality test)."""
-    return (
-        (F.size(vec) == dim)
-        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
-        & F.exists(vec, lambda x: x != 0)
-    )
+    return (F.size(vec) == dim) & _usable_vec(vec)
 
 
 def assign_cell_expr(vec: Column | str, centroids: list) -> Column:
@@ -464,9 +492,22 @@ def probe_cells_expr(vec: Column | str, centroids: list, nprobe: int) -> Column:
 def _centroid_matrix(centroids: list):
     import numpy as np
 
+    # ascending cid: np.argmax keeps the FIRST max, so row order is the
+    # assignment tie-break — must match _centroid_scores' sorted order
+    centroids = sorted(centroids, key=lambda c: int(c[0]))
+    for cid, cvec in centroids:
+        # same build-time guards as the expression paths: under
+        # method='auto' the SAME bad centroid list must not validate
+        # loudly below 256 centroids and silently mis-score above
+        _finite(cvec)
+        if not any(float(x) != 0 for x in cvec):
+            raise ValueError(
+                f"centroid {cid} has zero norm; cosine against it is "
+                "undefined"
+            )
     cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
     C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     return cids, Cn
 
 
@@ -702,19 +743,7 @@ def ivf_topk(
             "score"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "score",
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def write_ivf_layout(
@@ -777,19 +806,7 @@ def ivf_topk_from_layout(
             cosine_similarity_expr(F.col("qvec"), F.col("cvec")), 6
         ).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "score",
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def auto_lsh_bits(
@@ -849,11 +866,7 @@ def cosine_near_dup(
     # length pairs still drop via their NULL zip_with dot — only the
     # lsh path's banding contract needs the size clause.
     vec = F.col(vec_col)
-    valid = (
-        vec.isNotNull()
-        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
-        & F.exists(vec, lambda x: x != 0)
-    )
+    valid = _usable_vec(vec)
     if mode != "exact":
         valid = valid & (F.size(vec) == dim)
     a = df.filter(valid).select(
@@ -1049,11 +1062,4 @@ def lsh_topk(
             6,
         ).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, k)

@@ -89,6 +89,13 @@ def read_marc_json_stream(
 def _parse_marc_json_lines(
     lines: DataFrame, id_tag: str, engine: str
 ) -> DataFrame:
+    if engine not in ("jvm", "python"):
+        # a typo ('JVM', 'jmv') must not silently take the Python path —
+        # on a cluster chosen for the jvm engine because executors have
+        # no Python, that surfaces as an opaque worker-startup failure
+        raise ValueError(
+            f"engine must be 'jvm' or 'python', got {engine!r}"
+        )
     if engine == "jvm":
         return _read_marc_json_jvm(lines, id_tag)
 
@@ -389,16 +396,32 @@ def read_marcxml(spark: SparkSession, paths, id_tag: str = "001") -> DataFrame:
     """MARCXML files -> struct records (marc_reader.rb xml branch :72-74).
 
     Whole-file DOM parse per file, distributed at file granularity like
-    the reference's one-DOM-per-input NokogiriReader."""
+    the reference's one-DOM-per-input NokogiriReader. A malformed /
+    truncated / empty file is SKIPPED with an executor-side stderr note
+    instead of failing the task: the other readers degrade per-unit
+    (NDJSON skips bad lines, ISO-2709 recovers per record), and one bad
+    file in a drop directory must not kill a whole-corpus ingest."""
     files = spark.read.option("wholetext", True).text(paths)
 
     def parse(batches: Iterator) -> Iterator:
+        import sys as _sys
+        import xml.etree.ElementTree as _ET
+
         import pandas as pd
 
         for pdf in batches:
             ids, recs = [], []
             for text in pdf["value"]:
-                for rec in parse_marcxml(text):
+                try:
+                    parsed = list(parse_marcxml(text))
+                except _ET.ParseError as e:
+                    print(
+                        f"read_marcxml: skipping malformed XML input "
+                        f"({e}; {len(text or '')} chars)",
+                        file=_sys.stderr,
+                    )
+                    continue
+                for rec in parsed:
                     ids.append(_id_from(rec, id_tag))
                     recs.append(rec)
             yield pd.DataFrame({"record_id": ids, "marc": recs})
