@@ -511,3 +511,47 @@ def test_cli_xpath_predicate_refused_loudly(spark, tmp_path):
              "-s", "nokogiri.each_record_xpath=//record[@status='d']",
              "-o", str(tmp_path / "o"), str(conf)],
         )
+
+
+def test_cli_xpath_dotted_element_name_accepted(spark, tmp_path):
+    """NCName allows '.' — //foo.bar is a legal element-name step and
+    must pass the predicate guard, not SystemExit (r10 advice)."""
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("t", extract_xpath("//t"))\n')
+    xml = tmp_path / "in.xml"
+    xml.write_text(
+        "<root><foo.bar><t>one</t></foo.bar>"
+        "<foo.bar><t>two</t></foo.bar></root>"
+    )
+    out = str(tmp_path / "out")
+    rc = run_cli(
+        spark,
+        ["-c", str(conf), "-i", "xml", "-w", "json",
+         "-s", "nokogiri.each_record_xpath=//foo.bar",
+         "-o", out, str(xml)],
+    )
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert sorted(d["t"][0] for d in lines) == ["one", "two"]
+
+
+def test_cli_marcxml_strict_fails_fast(spark, tmp_path):
+    """marc_source.xml_strict=true restores reference NokogiriReader
+    fail-fast parity on a malformed file; the default skips it but the
+    skipped_files accumulator surfaces the count (r10 advice)."""
+    from traject_spark.marc.io import read_marcxml
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<collection><record><leader>truncated")
+    # strict: job fails with a driver-visible error
+    with pytest.raises(Exception, match="malformed XML"):
+        read_marcxml(spark, str(bad), strict=True).collect()
+    # lenient: empty result, accumulator counts the skipped file
+    acc = spark.sparkContext.accumulator(0)
+    rows = read_marcxml(spark, str(bad), skipped_files=acc).collect()
+    assert rows == []
+    assert acc.value == 1

@@ -477,3 +477,51 @@ def test_parallel_compile_matches_sequential(spark, monkeypatch):
         .to_field("c", literal("3"))
     )
     assert p2.apply(df).count() == 0
+
+
+def test_parallel_compile_pool_reentry_goes_sequential(spark):
+    """A macro that compiles a sub-pipeline from inside a pool thread
+    must not re-submit to the shared 8-worker pool: with >=8 outer
+    rules each blocking on a nested compile, every worker would wait on
+    nested f.result() submissions that can never run — deadlock (r10
+    advice). The re-entry guard forces nested compiles sequential."""
+    import threading
+
+    from traject_spark.macros import literal
+
+    nested_parallel = []
+
+    def nested_compile(acc, ctx):
+        inner = (
+            Pipeline()
+            .to_field("w", literal("1"))
+            .to_field("x", literal("2"))
+            .to_field("y", literal("3"))
+            .to_field("z", literal("4"))
+        )
+        if threading.current_thread().name.startswith("traject-compile"):
+            nested_parallel.append(inner._compile_steps_parallel())
+            inner._field_exprs = {}
+            inner._skip_conds = []
+            inner._error_exprs = []
+            inner._materialized = []
+        inner.compile()
+        return acc
+
+    p = Pipeline()
+    for i in range(10):
+        p.to_field(f"f{i}", literal(str(i)), nested_compile)
+
+    done = {}
+
+    def run():
+        done["fields"], _ = p.compile()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "compile deadlocked on pool re-entry"
+    assert len(done["fields"]) == 10
+    # the guard was actually exercised: nested attempts from pool
+    # threads reported False (sequential path)
+    assert nested_parallel and not any(nested_parallel)

@@ -731,3 +731,25 @@ def test_yaml_fallback_bare_nil_entry(tmp_path, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_yaml)
     got = _load_yaml(str(p))
     assert got == {"a": "A", "suppress": None, "empty": ""}
+
+
+def test_split_awk_mode_no_catastrophic_backtracking(spark):
+    """awk-mode split must not wrap the whitespace-run pattern in an
+    outer quantifier — '(?:[ \\t..]+)+\\Z' backtracks exponentially on a
+    long interior whitespace run (~4s at 26 chars, hang at >=28) and one
+    padded value would hang the executor task (r10 advice, high)."""
+    import time
+
+    from traject_spark.pipeline import Pipeline
+    from traject_spark.transforms import split
+    from traject_spark.macros import literal
+
+    # 64-char interior whitespace run followed by a non-ws char: the
+    # trailing-strip regex scans it but cannot match \Z — the old
+    # nested-quantifier pattern hangs here, the fixed one is instant
+    padded = "a" + (" " * 64) + "b" + (" " * 64)
+    df = spark.createDataFrame([("r1",)], "record_id string")
+    p = Pipeline().to_field("v", literal(padded), split(" "))
+    t0 = time.monotonic()
+    assert p.apply(df).collect()[0]["v"] == ["a", "b"]
+    assert time.monotonic() - t0 < 30

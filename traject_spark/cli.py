@@ -228,7 +228,11 @@ def read_input(
         tag = settings.get("nokogiri.each_record_xpath")
         if tag:
             tag = str(tag).rsplit("/", 1)[-1].split(":")[-1]
-            if not tag.replace("-", "").replace("_", "").isalnum():
+            # NCName allows '.', '-', '_' — only refuse genuinely
+            # unsupported predicate/attribute/function syntax
+            if not tag.replace("-", "").replace("_", "").replace(
+                ".", ""
+            ).isalnum():
                 # a predicate / attribute / function step would be
                 # silently reduced to a never-matching literal tag and
                 # the run would exit 0 with EMPTY output — refuse loudly
@@ -253,7 +257,12 @@ def read_input(
     if src_type == "json":
         return read_marc_json(spark, files)
     if src_type == "xml":
-        return read_marcxml(spark, files)
+        # marc_source.xml_strict=true: fail fast on a malformed file
+        # (reference NokogiriReader parity) instead of skip-and-continue
+        strict = str(
+            settings.get("marc_source.xml_strict", "false")
+        ).lower() in ("true", "1", "yes")
+        return read_marcxml(spark, files, strict=strict)
     encoding = str(settings.get("marc_source.encoding", "utf-8"))
     return read_iso2709(spark, files, encoding=encoding)
 

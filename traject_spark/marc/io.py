@@ -392,15 +392,30 @@ def parse_marcxml(text: str) -> list[dict]:
     return out
 
 
-def read_marcxml(spark: SparkSession, paths, id_tag: str = "001") -> DataFrame:
+def read_marcxml(
+    spark: SparkSession,
+    paths,
+    id_tag: str = "001",
+    strict: bool = False,
+    skipped_files: Optional[object] = None,
+) -> DataFrame:
     """MARCXML files -> struct records (marc_reader.rb xml branch :72-74).
 
     Whole-file DOM parse per file, distributed at file granularity like
-    the reference's one-DOM-per-input NokogiriReader. A malformed /
-    truncated / empty file is SKIPPED with an executor-side stderr note
-    instead of failing the task: the other readers degrade per-unit
-    (NDJSON skips bad lines, ISO-2709 recovers per record), and one bad
-    file in a drop directory must not kill a whole-corpus ingest."""
+    the reference's one-DOM-per-input NokogiriReader. By default a
+    malformed / truncated / empty file is SKIPPED: the other readers
+    degrade per-unit (NDJSON skips bad lines, ISO-2709 recovers per
+    record), and one bad file in a drop directory must not kill a
+    whole-corpus ingest. But a silent executor-side print is not a
+    driver-visible signal (the reference NokogiriReader fails FAST on a
+    bad document), so:
+
+    - ``strict=True`` re-raises the parse error and fails the job —
+      reference fail-fast parity.
+    - ``skipped_files`` accepts a Spark ``Accumulator`` (e.g.
+      ``spark.sparkContext.accumulator(0)``); each skipped file adds 1,
+      so after an action the driver can warn or raise on a nonzero
+      count."""
     files = spark.read.option("wholetext", True).text(paths)
 
     def parse(batches: Iterator) -> Iterator:
@@ -415,6 +430,14 @@ def read_marcxml(spark: SparkSession, paths, id_tag: str = "001") -> DataFrame:
                 try:
                     parsed = list(parse_marcxml(text))
                 except _ET.ParseError as e:
+                    if strict:
+                        raise ValueError(
+                            f"read_marcxml: malformed XML input "
+                            f"({e}; {len(text or '')} chars); "
+                            "pass strict=False to skip bad files"
+                        ) from e
+                    if skipped_files is not None:
+                        skipped_files.add(1)
                     print(
                         f"read_marcxml: skipping malformed XML input "
                         f"({e}; {len(text or '')} chars)",
@@ -424,6 +447,10 @@ def read_marcxml(spark: SparkSession, paths, id_tag: str = "001") -> DataFrame:
                 for rec in parsed:
                     ids.append(_id_from(rec, id_tag))
                     recs.append(rec)
-            yield pd.DataFrame({"record_id": ids, "marc": recs})
+            # an all-skipped batch must yield NOTHING: an empty pandas
+            # DataFrame defaults the 'marc' column to float64, which
+            # Arrow cannot cast to the struct schema (task crash)
+            if ids:
+                yield pd.DataFrame({"record_id": ids, "marc": recs})
 
     return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)

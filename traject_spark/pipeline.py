@@ -381,6 +381,12 @@ class Pipeline:
         sequential pass with the reference's step ordering intact."""
         if os.environ.get("TRAJECT_SPARK_PARALLEL_COMPILE", "1") == "0":
             return False
+        # re-entry guard: a macro that compiles a sub-pipeline from
+        # inside a pool thread would re-submit to the same 8-worker pool
+        # and can deadlock once every worker blocks on a nested
+        # f.result() — nested compiles go sequential
+        if threading.current_thread().name.startswith("traject-compile"):
+            return False
         if len(self._steps) < 4 or any(
             s[0] != "to_field" for s in self._steps
         ):

@@ -258,9 +258,14 @@ def split(separator: str) -> Macro:
         ws = r"[ \t\n\x0B\f\r]"
         pat = f"{ws}+"
         lead = f"\\A{ws}+"
+        # pat already ends in '+'; wrapping it in (?:...)+ would nest
+        # quantifiers and backtrack exponentially on long interior
+        # whitespace runs (hangs the task at ~28 chars)
+        trail = f"{ws}+\\Z"
     else:
         pat = _re.escape(separator)
         lead = None
+        trail = f"(?:{pat})+\\Z"
 
     def ruby_split(v: Column) -> Column:
         from traject_spark.expr import let as _let
@@ -268,7 +273,7 @@ def split(separator: str) -> Macro:
         if lead is not None:
             v = F.regexp_replace(v, lead, "")
         return _let(
-            F.regexp_replace(v, f"(?:{pat})+\\Z", ""),
+            F.regexp_replace(v, trail, ""),
             lambda s: F.when(s == "", F.array().cast(_EMPTY)).otherwise(
                 F.split(s, pat)
             ),
