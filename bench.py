@@ -143,6 +143,115 @@ def calibration_single(spark) -> float:
 #: samples (kept alongside the raw medians, never replacing them)
 STALL_PROBE_FACTOR = 1.5
 
+#: the run's WINDOW is degraded when the start calibration exceeds this
+#: multiple of REFERENCE_CALIBRATION even after retries — the r9
+#: official artifact was recorded at cal 1.833 (1.11x) and needed a side
+#: re-record to interpret; 1.15 x 1.65 = ~1.9s is the dividing line
+WINDOW_DEGRADED_FACTOR = 1.15
+
+#: start-calibration retries before stamping the window degraded
+WINDOW_RETRIES = int(os.environ.get("SPARK_GRAFT_WINDOW_RETRIES", "3"))
+
+
+def _stall_flags(cal_start: float, pass_probes: list) -> list:
+    """Per-pass stalled flags from the boundary probes.
+
+    Pass i runs BETWEEN boundary probes i and i+1 (boundary[0] is the
+    start calibration), and a stall can sit at either edge: a window
+    that ends mid-pass leaves a clean END probe over dirty early-pass
+    runs (observed: the worst samples landed in the pass AFTER a 9.9s
+    probe). So the primary rule is two-sided — a pass is stalled when
+    EITHER adjacent probe reads >= STALL_PROBE_FACTOR x the fastest
+    boundary probe. When that excludes too much (heavily stalled
+    window), relax to end-probe only vs the SAME baseline (the fallback
+    must not switch reference minima mid-decision when the start
+    calibration is the only clean probe, ADVICE r8)."""
+    boundary = [cal_start] + list(pass_probes)
+    ref = min(boundary) if boundary else 0.0
+    two_sided = [
+        boundary[i] >= STALL_PROBE_FACTOR * ref
+        or boundary[i + 1] >= STALL_PROBE_FACTOR * ref
+        for i in range(len(pass_probes))
+    ]
+    one_sided = [
+        p >= STALL_PROBE_FACTOR * ref for p in pass_probes
+    ] if pass_probes else []
+    return two_sided if sum(not s for s in two_sided) >= 2 else one_sided
+
+
+def _stall_excluded(run_lists: dict, failed: dict, stalled: list):
+    """(excluded_medians, excluded_counts) per query.
+
+    ALWAYS populated (r8 shipped an empty dict exactly when the signal
+    was needed — VERDICT r8 item 2): with zero stalled passes these
+    EQUAL the raw medians, which is itself the auditable statement "no
+    pass was excluded". A query falls back to its raw median when < 2
+    samples survive exclusion (its excluded count still records how
+    many samples the rule wanted to drop)."""
+    excluded_medians: dict = {}
+    excluded_counts: dict = {}
+    for name, runs in run_lists.items():
+        if name in failed or not runs:
+            continue
+        pairs = list(zip(runs, stalled))  # zip truncates to runs taken
+        kept = [r for r, s in pairs if not s]
+        excluded_counts[name] = len(runs) - len(kept)
+        if len(kept) < 2:
+            kept = runs
+        excluded_medians[name] = round(_median(kept), 3)
+    return excluded_medians, excluded_counts
+
+
+def _window_status(cal_attempts: list) -> str:
+    """'ok' when the LAST start-calibration attempt qualifies the box
+    (<= WINDOW_DEGRADED_FACTOR x reference), else 'degraded' — a
+    degraded artifact's medians must not be compared against the r1
+    locks unnormalized."""
+    if not cal_attempts:
+        return "degraded"
+    return (
+        "ok"
+        if cal_attempts[-1] <= WINDOW_DEGRADED_FACTOR * REFERENCE_CALIBRATION
+        else "degraded"
+    )
+
+
+def _qualify_window(spark) -> tuple:
+    """Measure the start calibration, RETRYING on a slow box.
+
+    The official r9 artifact was recorded on a slow window (cal 1.833
+    vs reference 1.65) and needed a side re-record to interpret; two
+    queries printed medians essentially AT the 2x-of-lock line purely
+    from the window. Gate the run instead: retry the start calibration
+    up to WINDOW_RETRIES times (a stall window on this box passes in
+    seconds–minutes), and if it still exceeds the threshold stamp the
+    artifact window='degraded' so no reader compares it against locks
+    unnormalized. Returns (cal_start, attempts, status)."""
+    attempts = [calibration(spark)]
+    threshold = WINDOW_DEGRADED_FACTOR * REFERENCE_CALIBRATION
+    for i in range(WINDOW_RETRIES):
+        if attempts[-1] <= threshold:
+            break
+        print(
+            f"BENCH window: start calibration {attempts[-1]}s exceeds "
+            f"{threshold:.3f}s ({WINDOW_DEGRADED_FACTOR}x reference "
+            f"{REFERENCE_CALIBRATION}s); retry {i + 1}/{WINDOW_RETRIES} "
+            "in 20s",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        attempts.append(calibration(spark))
+    status = _window_status(attempts)
+    if status == "degraded":
+        print(
+            "BENCH window: DEGRADED — all start-calibration attempts "
+            f"{attempts} exceed {threshold:.3f}s; medians in this "
+            "artifact are not comparable to locks without probe "
+            "normalization",
+            file=sys.stderr,
+        )
+    return attempts[-1], attempts, status
+
 #: fast-box value of the JVM calibration workload (median observed on
 #: this box across r7-r8 clean windows). The artifact's probe-normalized
 #: numbers are query_sec * (REFERENCE_CALIBRATION / observed_cal) — the
@@ -766,12 +875,31 @@ def main() -> None:
     spark.range(100_000).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
         "overwrite"
     ).format("noop").save()  # initialize shuffle machinery off the clock
-    cal_start = calibration(spark)
+    cal_start, cal_attempts, window = _qualify_window(spark)
     py_start = py_probe(spark)
     print(
-        f"BENCH calibration (start): {cal_start}s (py probe {py_start}s)",
+        f"BENCH calibration (start): {cal_start}s (py probe {py_start}s, "
+        f"window {window})",
         file=sys.stderr,
     )
+    # flagship BUILD cost, timed separately (VERDICT r9 item 6): driver-
+    # side expression construction rivals execution (~18k Py4J round
+    # trips) and a build regression — someone un-SQLing a fast path —
+    # would otherwise hide inside the end-to-end wall time until it eats
+    # the B1 gate. Median-of-3 fresh compiles.
+    build_sec = None
+    if "map_full_pipeline" in selected_names:
+        builds = []
+        for _ in range(3):
+            t0 = time.time()
+            _full_pipeline().compile()
+            builds.append(time.time() - t0)
+        build_sec = round(_median(builds), 3)
+        print(
+            f"BENCH map_full_pipeline build: {build_sec}s "
+            f"(runs: {[round(b, 2) for b in builds]})",
+            file=sys.stderr,
+        )
     if any(name == "corpus_curate_e2e" for name, _ in selected):
         # untimed setup for the curation bench: without this the FIRST
         # timed run pays the one-time full-table NDJSON dump and the
@@ -833,51 +961,13 @@ def main() -> None:
         f"BENCH calibration (end): {cal_end}s (py probe {py_end}s)",
         file=sys.stderr,
     )
-    # stall-excluded medians. Pass i runs BETWEEN boundary probes i and
-    # i+1 (boundary[0] is the start calibration), and a stall can sit at
-    # either edge: a window that ends mid-pass leaves a clean END probe
-    # over dirty early-pass runs (observed: the worst samples landed in
-    # the pass AFTER a 9.9s probe). So the primary rule is two-sided —
-    # a pass is stalled when EITHER adjacent probe reads
-    # >= STALL_PROBE_FACTOR x the fastest boundary probe. When that
-    # excludes too much (heavily stalled window), relax to end-probe
-    # only; a query falls back to its raw median when < 2 samples
-    # survive (absent from the excluded dict).
-    boundary = [cal_start] + pass_probes
-    ref = min(boundary) if boundary else 0.0
-    two_sided = [
-        boundary[i] >= STALL_PROBE_FACTOR * ref
-        or boundary[i + 1] >= STALL_PROBE_FACTOR * ref
-        for i in range(len(pass_probes))
-    ]
-    # same baseline for both rules (ADVICE r8): the fallback must not
-    # switch reference minima mid-decision when the start calibration is
-    # the only clean probe
-    one_sided = [
-        p >= STALL_PROBE_FACTOR * ref for p in pass_probes
-    ] if pass_probes else []
-    stalled = (
-        two_sided
-        if sum(not s for s in two_sided) >= 2
-        else one_sided
+    # stall-excluded medians over the per-pass boundary probes — the
+    # decision rule lives in _stall_flags/_stall_excluded (unit-tested)
+    stalled = _stall_flags(cal_start, pass_probes)
+    ref = min([cal_start] + pass_probes) if pass_probes else cal_start
+    excluded_medians, excluded_counts = _stall_excluded(
+        run_lists, failed, stalled
     )
-    # ALWAYS populated (r8 shipped an empty dict exactly when the signal
-    # was needed — VERDICT r8 item 2): with zero stalled passes these
-    # EQUAL the raw medians, which is itself the auditable statement
-    # "no pass was excluded". A query falls back to its raw median when
-    # < 2 samples survive exclusion (its excluded count still records
-    # how many samples the rule wanted to drop).
-    excluded_medians: dict[str, float] = {}
-    excluded_counts: dict[str, int] = {}
-    for name, runs in run_lists.items():
-        if name in failed or not runs:
-            continue
-        pairs = list(zip(runs, stalled))  # zip truncates to runs taken
-        kept = [r for r, s in pairs if not s]
-        excluded_counts[name] = len(runs) - len(kept)
-        if len(kept) < 2:
-            kept = runs
-        excluded_medians[name] = round(_median(kept), 3)
     if any(stalled):
         print(
             f"BENCH stall-excluded medians over passes "
@@ -911,9 +1001,21 @@ def main() -> None:
                 # box-speed reference: a fixed pure-JVM job timed before
                 # the first and after the last query — lets a reader
                 # separate environment drift from code regressions
+                # window self-qualification (VERDICT r9 item 1): 'ok'
+                # means the start calibration (after up to
+                # WINDOW_RETRIES retries) read within
+                # WINDOW_DEGRADED_FACTOR of the reference — medians are
+                # comparable to locks as recorded. 'degraded' means
+                # every attempt was slow: normalize before comparing.
+                "window": window,
+                # flagship driver-side compile cost, median-of-3 — a
+                # build regression is invisible in end-to-end wall time
+                # until it eats the B1 gate
+                "map_full_pipeline_build_sec": build_sec,
                 "calibration": {
                     "workload": CALIBRATION_WORKLOAD,
                     "start_sec": cal_start,
+                    "start_attempts": cal_attempts,
                     "end_sec": cal_end,
                     # one single-run probe after each round-robin pass:
                     # pass_probes[i] stamps the box speed around pass i,

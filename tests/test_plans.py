@@ -122,3 +122,23 @@ def test_pruning_and_pushdown_reach_the_scan(spark):
     rs = plan[plan.find("ReadSchema:"):].splitlines()[0]
     assert "l_quantity" in rs and "l_returnflag" in rs
     assert "l_comment" not in rs and "l_extendedprice" not in rs, rs
+
+
+def test_flagship_compile_build_cost_regression(spark):
+    """Driver-side expression BUILD rivals execution for the flagship
+    (~18k Py4J round trips); a build regression — someone un-SQLing a
+    generated-SQL fast path — is invisible in end-to-end wall time
+    until it eats the B1 gate. Floor recorded r10: ~3.4s median on a
+    qualified window; min-of-3 must stay under ~2x that (the min
+    absorbs this box's documented multi-second host stalls)."""
+    import time
+
+    from __spark_entry__ import flagship_pipeline
+
+    builds = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        fields, _skip = flagship_pipeline().compile()
+        builds.append(time.monotonic() - t0)
+    assert fields
+    assert min(builds) < 8.0, builds
