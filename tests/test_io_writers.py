@@ -246,13 +246,17 @@ class _MockSolr(http.server.BaseHTTPRequestHandler):
     deletes: list = []       # delete payloads ({"delete": ...} bodies)
     paths: list = []         # request paths incl. query strings
     gets: list = []          # GET paths (commit requests)
+    post_times: list = []    # monotonic arrival time per POST (pacing)
     lock = threading.Lock()
 
     def do_POST(self):
+        import time as _t
+
         body = self.rfile.read(int(self.headers["Content-Length"]))
         payload = json.loads(body)
         with _MockSolr.lock:
             _MockSolr.paths.append(self.path)
+            _MockSolr.post_times.append(_t.monotonic())
             if isinstance(payload, dict) and "delete" in payload:
                 _MockSolr.deletes.append(payload)
             else:
@@ -283,6 +287,7 @@ def mock_solr():
     _MockSolr.deletes = []
     _MockSolr.paths = []
     _MockSolr.gets = []
+    _MockSolr.post_times = []
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockSolr)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -761,3 +766,75 @@ def test_debug_lines_no_fields_and_missing_id(spark):
     no_id = spark.createDataFrame([(["x"],)], "title array<string>")
     rows = debug_lines(no_id).collect()
     assert len(rows) == 1 and "title" in rows[0]["value"]
+
+
+def test_solr_writer_rate_cap_paces_batches(spark, mock_solr):
+    """max_docs_per_sec is the 100 TB sink-discipline knob (SURVEY §7
+    M6): a per-partition leaky-bucket pace between POSTs so a
+    1000-executor job cannot hammer one Solr endpoint. 40 docs in one
+    partition at batch_size=10 and 100 docs/sec -> 4 POSTs spaced
+    ~0.1s: the first is immediate, the span first->last is >= 3 x 0.1s
+    minus scheduling slack."""
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(40)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    skipped = solr_json_writer(
+        df, mock_solr, batch_size=10, max_docs_per_sec=100.0
+    )
+    assert skipped == 0
+    assert len(_MockSolr.received) == 40
+    times = sorted(_MockSolr.post_times)
+    assert len(times) == 4
+    # 3 inter-batch gaps of 10/100 = 0.1s each; allow 10% slack for
+    # sleep granularity (sleep never wakes early, so this is safe)
+    assert times[-1] - times[0] >= 0.27, times
+    # and every consecutive gap respects the pace (no burst)
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert min(gaps) >= 0.08, gaps
+
+
+def test_solr_writer_rate_cap_off_no_pacing(spark, mock_solr):
+    """Cap off (default): no sleeps — 4 batches complete in well under
+    the 0.3s the capped twin takes."""
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(40)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    solr_json_writer(df, mock_solr, batch_size=10)
+    times = sorted(_MockSolr.post_times)
+    assert len(times) == 4
+    assert times[-1] - times[0] < 0.25, times
+
+
+def test_file_writers_max_records_per_file(spark, tmp_path):
+    """maxRecordsPerFile splits one task's output at N records — the
+    100 TB file-sink knob (a task writing multi-GB single files chokes
+    downstream readers and object-store multipart limits)."""
+    import os as _os
+
+    from traject_spark.writers import write_csv, write_json
+
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(100)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    write_json(df, str(tmp_path / "j"), max_records_per_file=10)
+    parts = [
+        f for f in _os.listdir(tmp_path / "j") if f.startswith("part-")
+    ]
+    assert len(parts) == 10, parts
+    # unset: one partition -> one file (behavior unchanged)
+    write_json(df, str(tmp_path / "j1"))
+    parts1 = [
+        f for f in _os.listdir(tmp_path / "j1") if f.startswith("part-")
+    ]
+    assert len(parts1) == 1, parts1
+    write_csv(
+        df, str(tmp_path / "c"), ["record_id", "title"],
+        max_records_per_file=25,
+    )
+    partsc = [
+        f for f in _os.listdir(tmp_path / "c") if f.startswith("part-")
+    ]
+    assert len(partsc) == 4, partsc

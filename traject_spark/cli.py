@@ -313,6 +313,20 @@ def _solr_url_and_kwargs(settings: dict) -> tuple:
         if str(raw_skip).strip().lower() in ("", "nil", "none")
         else _int_setting("solr_writer.max_skipped", 0)
     )
+    # per-partition send-rate cap (docs/sec); unset/'' = unthrottled
+    raw_rate = settings.get("solr_writer.max_docs_per_sec", "")
+    if str(raw_rate).strip().lower() in ("", "nil", "none"):
+        max_rate = None
+    else:
+        try:
+            max_rate = float(raw_rate)
+            if max_rate <= 0:
+                raise ValueError
+        except (TypeError, ValueError):
+            raise SystemExit(
+                "solr_writer.max_docs_per_sec must be a positive "
+                f"number, got {raw_rate!r}"
+            )
     return url, dict(
         batch_size=_int_setting("solr_writer.batch_size", 100),
         solr_update_args=upd,
@@ -320,6 +334,7 @@ def _solr_url_and_kwargs(settings: dict) -> tuple:
         max_skipped=max_skipped,
         basic_auth_user=settings.get("solr_writer.basic_auth_user"),
         basic_auth_password=settings.get("solr_writer.basic_auth_password"),
+        max_docs_per_sec=max_rate,
     )
 
 

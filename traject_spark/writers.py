@@ -24,10 +24,29 @@ from pyspark.sql import functions as F
 # file writers
 # ---------------------------------------------------------------------------
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def _file_writer(df: DataFrame, mode: str, max_records_per_file):
+    """df.write with the 100 TB file-sink discipline applied.
+
+    ``maxRecordsPerFile`` splits each task's output at N records: at
+    100 TB a 1000-executor job writing one file per task otherwise
+    emits multi-GB files that downstream readers (and object-store
+    multipart limits) choke on. Per-writer option, not a session conf,
+    so two sinks in one job can differ."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    return w
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
+) -> None:
     """NDJSON, one document per line (lib/traject/json_writer.rb:40-51);
     array-valued fields serialize natively."""
-    df.write.mode(mode).json(path)
+    _file_writer(df, mode, max_records_per_file).json(path)
 
 
 def yaml_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
@@ -94,8 +113,11 @@ def yaml_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
 
 
 def write_yaml(df: DataFrame, path: str, id_col: str = "record_id",
-               mode: str = "overwrite") -> None:
-    yaml_lines(df, id_col).write.mode(mode).text(path)
+               mode: str = "overwrite",
+               max_records_per_file: Optional[int] = None) -> None:
+    _file_writer(yaml_lines(df, id_col), mode, max_records_per_file).text(
+        path
+    )
 
 
 def _flatten_cols(
@@ -119,6 +141,7 @@ def write_delimited(
     internal_delimiter: str = "|",
     edelim: str = " ",
     mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
 ) -> None:
     """Fixed field list; multi-values joined by ``internal_delimiter``;
     delimiters embedded IN values replaced by ``edelim`` before joining,
@@ -148,9 +171,11 @@ def write_delimited(
     # quoting DISABLED (empty quote char): the reference's delimited
     # writer emits plain joins — a value containing a double quote must
     # come out verbatim, not CSV-wrapped with doubled quotes
-    df.select(*cols).write.mode(mode).option("header", True).option(
-        "sep", delimiter
-    ).option("emptyValue", "").option("quote", "").csv(path)
+    _file_writer(df.select(*cols), mode, max_records_per_file).option(
+        "header", True
+    ).option("sep", delimiter).option("emptyValue", "").option(
+        "quote", ""
+    ).csv(path)
 
 
 def write_csv(
@@ -159,10 +184,13 @@ def write_csv(
     fields: Sequence[str],
     internal_delimiter: str = "|",
     mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
 ) -> None:
     """Proper CSV quoting (lib/traject/csv_writer.rb:9-34)."""
     flat = df.select(*_flatten_cols(df, fields, internal_delimiter))
-    flat.write.mode(mode).option("header", True).csv(path)
+    _file_writer(flat, mode, max_records_per_file).option(
+        "header", True
+    ).csv(path)
 
 
 def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
@@ -209,8 +237,11 @@ def debug_lines(df: DataFrame, id_col: str = "record_id") -> DataFrame:
 
 
 def write_debug(df: DataFrame, path: str, id_col: str = "record_id",
-                mode: str = "overwrite") -> None:
-    debug_lines(df, id_col).write.mode(mode).text(path)
+                mode: str = "overwrite",
+                max_records_per_file: Optional[int] = None) -> None:
+    _file_writer(debug_lines(df, id_col), mode, max_records_per_file).text(
+        path
+    )
 
 
 def write_noop(df: DataFrame) -> None:
@@ -377,6 +408,7 @@ def solr_json_writer(
     retry_backoff: float = 0.5,
     solr_update_args: Optional[dict] = None,
     skipped_accumulator=None,
+    max_docs_per_sec: Optional[float] = None,
 ) -> int:
     """POST documents to Solr's /update/json in batches via
     ``foreachPartition`` (the Spark shape of
@@ -393,7 +425,15 @@ def solr_json_writer(
     - skipped docs counted on a Spark accumulator; when the total exceeds
       ``max_skipped`` raise MaxSkippedExceeded (solr_json_writer.rb:236-267;
       max_skipped=None disables);
-    - optional commit request after the job (solr_json_writer.rb:311-341).
+    - optional commit request after the job (solr_json_writer.rb:311-341);
+    - ``max_docs_per_sec``: PER-PARTITION send-rate cap (pacing between
+      POSTs, first batch immediate). The reference feeds Solr from at
+      most a handful of writer threads (solr_json_writer.rb:98-106) —
+      an implicit throttle a 1000-executor job loses: thousands of
+      concurrent POST loops would hammer one Solr endpoint into
+      overload/rejection. Cluster-wide rate ≈ cap x concurrent
+      partitions, so size it as target_total_rate / expected_parallel
+      tasks. None (default) = unthrottled.
 
     Returns the number of skipped (failed) documents. At-least-once on
     task retry — idempotent because Solr add is upsert-by-id.
@@ -448,8 +488,25 @@ def solr_json_writer(
         if auth_header:
             headers["Authorization"] = auth_header
         conn_box: list = [None]
+        # pacing state for the per-partition rate cap: next_allowed[0]
+        # is the earliest monotonic time the NEXT post may start. The
+        # schedule advances by docs_sent / rate per post (leaky bucket,
+        # no burst beyond one batch), measured over docs actually sent —
+        # one-by-one fallback retries pace too, so a rejecting Solr is
+        # never hammered faster than the cap
+        next_allowed: list = [None]
 
         def post(docs: list) -> None:
+            if max_docs_per_sec:
+                now = _time.monotonic()
+                if next_allowed[0] is not None:
+                    wait = next_allowed[0] - now
+                    if wait > 0:
+                        _time.sleep(wait)
+                        now = next_allowed[0]
+                next_allowed[0] = max(now, next_allowed[0] or now) + (
+                    len(docs) / max_docs_per_sec
+                )
             _post_retrying(
                 conn_box, conn_cls, parsed.hostname, parsed.port, timeout,
                 path, headers, ("[" + ",".join(docs) + "]").encode("utf-8"),
