@@ -620,3 +620,60 @@ def test_centroid_guards_symmetric_across_paths(spark):
             assign_cell_expr("embedding", cents)
         with _pytest.raises(ValueError, match=msg):
             assign_cell_expr(F.col("embedding"), cents)
+
+
+def test_topk_recall_math(spark):
+    """topk_recall: per-query |approx ∩ truth|/|truth| averaged; a query
+    the approximate path dropped entirely counts as recall 0."""
+    from traject_spark.corpus import topk_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    # q1: both hit; q2: one of two; q3: dropped entirely
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    row = topk_recall(truth, approx).collect()[0]
+    assert row["n_queries"] == 3
+    assert abs(row["mean_recall"] - (1.0 + 0.5 + 0.0) / 3) < 1e-9
+
+
+def test_ann_recall_locked_values(spark):
+    """EXACT recall@10 of the production ANN shapes vs brute force,
+    locked per-SF (the driver's ann_recall oracle row pins only the
+    SF-independent >= 0.9 boolean — this is where a retune that MOVES
+    recall, even staying above the gate, surfaces and forces a
+    conscious re-lock). Deterministic end to end: hash-filter sample +
+    sorted init + fixed iters (train_centroids), fixed hyperplane
+    seeds, 6dp score rounding, (score desc, neighbor_id) tie-break."""
+    from __spark_entry__ import q_ann_recall
+
+    rows = {
+        r["method"]: r
+        for r in q_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["ivf"]["recall_ge_090"] and rows["lsh"]["recall_ge_090"]
+    assert rows["ivf"]["n_queries"] == 8 and rows["lsh"]["n_queries"] == 8
+    # exact locked values (r10, sf0.001): a hash-grade pin on the
+    # candidate-set quality, not just the gate
+    from pyspark.sql import functions as F
+    from traject_spark.corpus import (
+        brute_force_topk, ivf_topk, lsh_topk, topk_recall, train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = brute_force_topk(corpus, queries, k=10)
+    lsh = topk_recall(
+        truth, lsh_topk(corpus, queries, k=10, dim=64, bits=2, tables=12)
+    ).collect()[0]
+    cents = train_centroids(corpus, n_centroids=16, iters=5)
+    ivf = topk_recall(
+        truth, ivf_topk(corpus, queries, cents, k=10, nprobe=12)
+    ).collect()[0]
+    assert round(ivf["mean_recall"], 4) == 0.9375, ivf
+    assert round(lsh["mean_recall"], 4) == 1.0, lsh

@@ -51,6 +51,7 @@ from traject_spark.corpus.similarity import (
     ivf_topk_from_layout,
     write_ivf_layout,
     lsh_topk,
+    topk_recall,
     train_centroids,
 )
 
@@ -86,5 +87,6 @@ __all__ = [
     "ivf_topk_from_layout",
     "write_ivf_layout",
     "lsh_topk",
+    "topk_recall",
     "train_centroids",
 ]

@@ -1063,3 +1063,40 @@ def lsh_topk(
         ).alias("score"),
     )
     return _rank_topk(scored, k)
+
+
+def topk_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Mean recall@k of an approximate retrieval against an exact one.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames (the
+    shared _rank_topk shape). Per query: |approx ∩ truth| / |truth|;
+    queries the approximate path returned NOTHING for count as recall 0
+    (a left join, not inner — an ANN path that silently drops a query
+    must lower the metric, not vanish from it). Returns ONE row
+    (n_queries, mean_recall) — the recall gate the fixed-seed ANN
+    oracle rows cannot express: a retune (e.g. auto_lsh_bits) that
+    silently tanked recall would still hash-match its own changed
+    candidate set on re-lock, but not this.
+
+    Scale: both sides are top-k outputs (rows = queries x k, never
+    corpus-sized); the join keys on (query_id, neighbor_id) and the
+    aggregate is one narrow pass.
+    """
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    per_q = (
+        t.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("recall")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("recall").alias("mean_recall"),
+    )
