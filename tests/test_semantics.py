@@ -377,3 +377,76 @@ def test_sortable_title_custom_spec_honors_indicators(spark):
     row = p.apply(df).collect()[0]
     assert row["hit"] == ["fateful triangle"]
     assert row["miss"] is None
+
+
+def test_marc_languages_sql_fastpath_parity(spark):
+    """The generated-SQL marc_languages twin (r10: one F.expr instead of
+    ~3k Py4J round trips, plus a direct string probe instead of the
+    array encode/split/slice) must match the generic Column path
+    element-for-element on every edge shape: packed >3-char 041a chunks,
+    880-with-$6 rewrite, 880-without-$6 drop, short 008 byte slice,
+    NULL subfield values, duplicate codes (distinct), map misses."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_languages
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    recs = [
+        ("r1", marc_record(
+            controlfields=[("008", "880520s1990    xx" + " " * 18 + "eng d")],
+            datafields=[("041", "0", " ", [("a", "engfregerm"), ("d", "spa")])],
+        )),
+        ("r2", marc_record(
+            controlfields=[("008", "short")],
+            datafields=[
+                ("880", "0", " ", [("6", "041-01"), ("a", "heb")]),
+                ("880", "0", " ", [("a", "NO-SIX-DROPS")]),
+                ("041", "0", " ", [("d", None), ("a", "ger")]),
+            ],
+        )),
+        ("r3", marc_record(controlfields=[], datafields=[])),
+        ("r4", marc_record(
+            controlfields=[("008", "880520s1990    xx" + " " * 18 + "fre d")],
+            datafields=[("041", "0", " ", [("b", "unused"), ("a", "fre")])],
+        )),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    fast = Pipeline().to_field("language", marc_languages()).apply(df)
+    slow = Pipeline().to_field(
+        "language", marc_languages(_sql_fastpath=False)
+    ).apply(df)
+    fr = {r["record_id"]: r["language"] for r in fast.collect()}
+    sr = {r["record_id"]: r["language"] for r in slow.collect()}
+    assert fr == sr, (fr, sr)
+    assert fr["r1"] == ["English", "French", "German", "Spanish"]
+    assert fr["r2"] == ["Hebrew", "German"]
+    # 008 contributes + 041a duplicate of 008 de-dups
+    assert fr["r4"] == ["French"]
+
+
+def test_translation_map_sql_probe_shape_guards():
+    """sql_probe returns None for every map shape whose semantics the
+    single-string probe cannot carry — those keep the Column path."""
+    from traject_spark.translation_map import TranslationMap
+
+    assert TranslationMap({"k": "V"}).sql_probe("v") is not None
+    # default / nil values / multi-valued / separator collisions
+    assert TranslationMap({"k": "V"}, default="D").sql_probe("v") is None
+    assert TranslationMap({"k": None}).sql_probe("v") is None
+    assert TranslationMap({"k": ["a", "b"]}).sql_probe("v") is None
+    assert TranslationMap({"k": "bad\x1evalue"}).sql_probe("v") is None
+    assert TranslationMap({"k": "back\\slash"}).sql_probe("v") is None
+
+
+def test_translation_map_sql_probe_quoting(spark):
+    """Apostrophes in map values (120 in the languages map: Gwich'in,
+    N'Ko...) must survive the SQL-literal encoding."""
+    from pyspark.sql import functions as F
+    from traject_spark.translation_map import TranslationMap
+
+    tm = TranslationMap({"gwi": "Gwich'in", "x": "it's 'quoted'"})
+    sql = tm.sql_probe("v")
+    df = spark.createDataFrame([(["gwi", "x", "miss"],)], "codes array<string>")
+    out = df.select(
+        F.expr(f"transform(codes, v -> {sql})").alias("hits")
+    ).collect()[0]["hits"]
+    assert out == ["Gwich'in", "it's 'quoted'", None]

@@ -209,17 +209,92 @@ def extract_marc_filing_version(spec: str = "245abdefghknp", include_original: b
 # languages (marc21_semantics.rb:195-223)
 # ---------------------------------------------------------------------------
 
+_LANGUAGES_DEFAULT_SPEC = "008[35-37]:041a:041d"
+
+
+def _languages_sql(marc_sql: str, probe_sql: str) -> str:
+    """Generated-SQL twin of the DEFAULT-spec marc_languages expression
+    tree (the r9 ANN fast-path pattern): the Column builder issues ~3k
+    Py4J round trips per compile (~1.3s measured r10 — rivaling the
+    600k-row execution); this renders the identical tree as ONE string
+    for ``F.expr``. Element-for-element parity with the Column path is
+    pinned by tests/test_semantics.py::test_marc_languages_sql_fastpath
+    — each piece mirrors a named helper:
+
+    - ctrl: 008 byte-slice [35-37] (extractor._byteslice: NULL when the
+      fixed field is shorter than the range start);
+    - match: 041 tag OR an 880 whose first $6 links 041
+      (extractor.collect_matching_lines match_cond, $6 via null-safe
+      ``get``);
+    - per-field: $a then $d values (non-null only), each chunked into
+      3-char codes when longer than 3 (marc21_semantics.rb:203-210);
+    - let-bound ctrl/data combine (expr.let2 aggregate form), distinct,
+      then the single-string map probe (TranslationMap.sql_probe) with
+      misses dropped.
+    """
+    first6 = "get(filter(f.subfields, sf -> sf.code = '6'), 0).value"
+    ctrl = (
+        f"flatten(transform(filter({marc_sql}.controlfields, "
+        "f -> f.tag = '008'), f -> array(CASE WHEN length(f.value) >= 35 "
+        "THEN substring(f.value, 36, 3) END)))"
+    )
+    match = (
+        "(f.tag = '041' OR ((f.tag = '880') AND "
+        f"(substring({first6}, 1, 3) = '041')))"
+    )
+
+    def collect_chunked(code: str) -> str:
+        vals = (
+            "coalesce(transform(filter(f.subfields, "
+            f"sf -> (sf.code = '{code}') AND (sf.value IS NOT NULL)), "
+            "sf -> sf.value), CAST(array() AS array<string>))"
+        )
+        return (
+            f"flatten(transform({vals}, v -> CASE WHEN length(v) = 3 "
+            "THEN array(v) ELSE regexp_extract_all(v, '(.{1,3})', 1) "
+            "END))"
+        )
+
+    data = (
+        f"flatten(transform(filter({marc_sql}.datafields, f -> {match}), "
+        f"f -> concat({collect_chunked('a')}, {collect_chunked('d')})))"
+    )
+    zero = "CAST(array() AS array<int>)"
+    codes = (
+        f"aggregate({zero}, {ctrl}, (acc, x) -> acc, "
+        f"c -> aggregate({zero}, {data}, (acc, x) -> acc, "
+        "d -> coalesce(concat(c, d), c, d, "
+        "CAST(array() AS array<string>))))"
+    )
+    return (
+        f"filter(transform(array_distinct({codes}), "
+        f"v -> {probe_sql}), x -> x IS NOT NULL)"
+    )
+
+
 def marc_languages(
-    spec: str = "008[35-37]:041a:041d",
+    spec: str = _LANGUAGES_DEFAULT_SPEC,
     translation_map: Optional[TranslationMap] = None,
+    _sql_fastpath: bool = True,
 ):
     """Byte-slice + subfield codes; packed >3-char values chunked into
-    3-char codes; de-dup; translate (marc21_semantics.rb:195-223)."""
+    3-char codes; de-dup; translate (marc21_semantics.rb:195-223).
+
+    ``_sql_fastpath=False`` forces the generic Column builder — the
+    parity-test hook; production keeps the default (the generated-SQL
+    path applies only for the default spec + a simple map, and builds
+    in ~1 Py4J round trip instead of ~3k)."""
     parsed = parse_marc_spec(spec)
     if translation_map is None:
         translation_map = TranslationMap("marc_languages")
     elif not isinstance(translation_map, TranslationMap):
         translation_map = TranslationMap(translation_map)
+
+    probe_sql = (
+        translation_map.sql_probe("v")
+        if _sql_fastpath and spec == _LANGUAGES_DEFAULT_SPEC
+        else None
+    )
 
     def data_fn(f: Column, s) -> Column:
         vals = collect_subfields_expr(f, s, None)
@@ -233,6 +308,12 @@ def marc_languages(
         )
 
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None)
+        src_col = getattr(src, "source_col", None) if src else None
+        if probe_sql is not None and src_col and "`" not in src_col:
+            return F.concat(
+                acc, F.expr(_languages_sql(f"`{src_col}`", probe_sql))
+            )
         codes = collect_matching_lines(ctx.marc, parsed, data_fn)
         codes = F.array_distinct(codes)
         return F.concat(acc, translation_map.translate_array_expr(codes))

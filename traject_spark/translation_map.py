@@ -389,6 +389,65 @@ class TranslationMap:
             ),
         )
 
+    def sql_probe(self, value_sql: str) -> Optional[str]:
+        """SQL-string twin of the sharded map probe for SIMPLE maps, or
+        None when the map shape needs the general Column path.
+
+        The Column builder issues ~30 shard ``str_to_map`` calls plus
+        probe/split/slice plumbing — hundreds of Py4J round trips per
+        compile; this renders the identical two-level dispatch as ONE
+        SQL string for ``F.expr`` (the r9 ANN fast-path pattern), which
+        is one round trip regardless of map size. Eligible shape: no
+        default, no nil (suppression) keys, every value a single string
+        (e.g. the 8k-entry marc_languages map), encodable (no C0
+        separator collisions, checked by the same ``_encodable`` rule
+        as the Column path). Single-valued maps probe straight to the
+        STRING — no per-value array encode/split/slice — so the row
+        cost drops too, not just the build cost.
+
+        ``value_sql`` is spliced in twice (shard select + in-shard
+        probe): pass a LEAF expression (a lambda variable), never a
+        computed subtree.
+        """
+        norm = self._as_array_dict()
+        if self._default is not None:
+            return None
+        if any(v is None for v in norm.values()):
+            return None
+        if any(len(v) != 1 for v in norm.values()):
+            return None
+        if not norm or not self._encodable(norm):
+            return None
+
+        from collections import defaultdict
+
+        def q(s: str) -> str:
+            # Spark SQL single-quoted literal: double the quote; refuse
+            # backslashes (the default lexer treats them as escapes)
+            return s.replace("'", "''")
+
+        if any(
+            "\\" in str(k) or "\\" in v[0] for k, v in norm.items()
+        ):
+            return None
+        shards: dict[str, list] = defaultdict(list)
+        for k, v in norm.items():
+            shards[str(k)[:1]].append((str(k), v[0]))
+        outer = []
+        for p, items in sorted(shards.items()):
+            encoded = _SEP_ENTRY.join(
+                f"{k}{_SEP_KV}{val}" for k, val in items
+            )
+            outer.append(
+                f"'{q(p)}', str_to_map('{q(encoded)}', "
+                f"'{_SEP_ENTRY}', '{_SEP_KV}')"
+            )
+        m = "map(" + ", ".join(outer) + ")"
+        return (
+            f"try_element_at(try_element_at({m}, "
+            f"substring({value_sql}, 1, 1)), {value_sql})"
+        )
+
     def lookup_expr(self, value: Column) -> Column:
         """value -> array<string> of translations, NULL => remove value.
 
