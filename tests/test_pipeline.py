@@ -525,3 +525,104 @@ def test_parallel_compile_pool_reentry_goes_sequential(spark):
     # the guard was actually exercised: nested attempts from pool
     # threads reported False (sequential path)
     assert nested_parallel and not any(nested_parallel)
+
+
+def _forty_rule_pipeline():
+    """A reference-scale 40-rule config: the flagship 12 rules (every
+    semantic macro once) plus 28 plain extract_marc fields with varying
+    specs/options — the shape of the reference's real-world ~40-field
+    configs (index_bench/common.rb:12-136 is mostly extract_marc lines
+    with the heavy semantic derivations appearing once each)."""
+    from traject_spark.macros import (
+        extract_all_marc_values, extract_marc, marc_formats,
+        marc_geo_facet, marc_languages, marc_lcc_to_broad_category,
+        marc_lcsh_formatted, marc_publication_date, marc_sortable_author,
+        marc_sortable_title, oclcnum,
+    )
+
+    p = (
+        Pipeline()
+        .to_field("title", extract_marc("245ab", trim_punctuation=True))
+        .to_field("title_sort", marc_sortable_title())
+        .to_field("author", extract_marc("100a:110a:111a"))
+        .to_field("author_sort", marc_sortable_author())
+        .to_field("language", marc_languages())
+        .to_field("oclc", oclcnum())
+        .to_field("lcc_category", marc_lcc_to_broad_category())
+        .to_field("subject", marc_lcsh_formatted())
+        .to_field("geo", marc_geo_facet())
+        .to_field("format", marc_formats())
+        .to_field("pub_date", marc_publication_date())
+        .to_field("all_text", extract_all_marc_values())
+    )
+    extra_specs = [
+        "246ab", "130a", "240a", "250a", "260abc", "264abc", "300a",
+        "490av", "500a", "505a", "520a", "600abcdq", "610ab", "611a",
+        "630a", "650ax", "651a", "655a", "700abcd", "710ab", "711a",
+        "730a", "740a", "830a", "020a", "022a", "035a", "001",
+    ]
+    for i, spec in enumerate(extra_specs):
+        p.to_field(
+            f"f{i}_{spec.replace('[', '_').replace(']', '')}",
+            extract_marc(spec, trim_punctuation=(i % 3 == 0)),
+        )
+    return p
+
+
+def test_parallel_compile_40_rules_identical_trees(spark, monkeypatch):
+    """(a) the speculative parallel compile of a reference-scale 40-rule
+    config produces EXPRESSION-IDENTICAL trees to the sequential path
+    (str(Column) equality up to alpha-renaming: Spark's lambda-variable
+    counter is a global JVM sequence, so the literal x_<n> numbering
+    differs by compile order even between two sequential compiles —
+    canonicalize by order of first appearance before comparing)."""
+    import re
+    import time
+
+    def canon(col) -> str:
+        s = str(col)
+        seen: dict = {}
+        return re.sub(
+            r"\b[a-z]_\d+\b",
+            lambda m: seen.setdefault(m.group(0), f"v{len(seen)}"),
+            s,
+        )
+
+    monkeypatch.setenv("TRAJECT_SPARK_PARALLEL_COMPILE", "0")
+    seq_fields, seq_skip = _forty_rule_pipeline().compile()
+    monkeypatch.setenv("TRAJECT_SPARK_PARALLEL_COMPILE", "1")
+    t0 = time.monotonic()
+    par_fields, par_skip = _forty_rule_pipeline().compile()
+    build = time.monotonic() - t0
+    assert len(par_fields) == len(seq_fields) == 40
+    assert [n for n, _ in par_fields] == [n for n, _ in seq_fields]
+    for (n, se), (_, pe) in zip(seq_fields, par_fields):
+        assert canon(se) == canon(pe), f"tree drift in field {n}"
+    assert seq_skip is None and par_skip is None
+    # bench note: 40-rule parallel build time (r10 floor ~2-4s on a
+    # qualified window; generous bound, min absorbs host stalls)
+    assert build < 60, build
+
+
+def test_parallel_compile_40_rules_clipboard_forces_sequential(spark):
+    """(b) a clipboard-touching rule ANYWHERE in the 40-rule list trips
+    the speculation and the whole pipeline compiles sequentially (the
+    compiled output is order-exact either way — asserted via the
+    clipboard actually carrying the earlier field's value)."""
+    from traject_spark.macros import literal
+
+    def stash(acc, ctx):
+        ctx.clipboard["t"] = acc
+        return acc
+
+    def unstash(acc, ctx):
+        return ctx.clipboard["t"]
+
+    p = _forty_rule_pipeline()
+    p.to_field("stashed", literal("X"), stash)
+    p.to_field("copy", unstash)
+    from tests.fixtures import BOOK
+    from tests.test_pipeline import source_df
+
+    row = p.apply(source_df(spark, ("b", BOOK))).collect()[0]
+    assert row["copy"] == ["X"] and row["stashed"] == ["X"]
