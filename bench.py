@@ -743,14 +743,44 @@ def b_ann_ivf(spark):
     )
 
 
+#: pair-enumeration diagnostic input cap (rows). embed_near_dup_lsh is
+#: the documented DIAGNOSTIC pair enumerator — its output is quadratic
+#: in duplicate-clique size, and at sf10 it alone was 52% of the soak
+#: wall-clock (158-378s) while the PRODUCTION pair-semantics operator
+#: (embed_near_dup_witness, linear output) ran 16-27s. The soak should
+#: measure the production surface: cap the diagnostic's input at
+#: sf1 scale (20k rows) and report the cap loudly (no silent caps).
+EMBED_LSH_DIAG_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_EMBED_LSH_MAX_ROWS", "20000")
+)
+
+
 def b_embed_near_dup_lsh(spark):
-    # bits=None auto-sizes the hash table from the corpus row count
-    # (2000 rows at sf0.1 -> 4 bits, matching the r1-locked settings;
-    # 20k at sf1 -> 8 bits), keeping bucket occupancy — and candidate
-    # pairs per row — constant instead of quadratic as the corpus grows
+    """DIAGNOSTIC pair enumeration (cosine_near_dup mode='lsh') — the
+    headline pair-semantics number is ``embed_near_dup_witness`` (the
+    linear-output production twin); this one exists to time the full
+    enumerate-and-score path users run for small-corpus audits.
+
+    bits=None auto-sizes the hash table from the corpus row count
+    (2000 rows at sf0.1 -> 4 bits, matching the r1-locked settings;
+    20k at sf1 -> 8 bits), keeping bucket occupancy — and candidate
+    pairs per row — constant instead of quadratic as the corpus grows.
+    Above EMBED_LSH_DIAG_MAX_ROWS the input is capped (lowest vec_ids,
+    deterministic) so a soak measures the production operators, not a
+    quadratic diagnostic."""
     from traject_spark.corpus import cosine_near_dup
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    if n > EMBED_LSH_DIAG_MAX_ROWS:
+        print(
+            f"BENCH note: embed_near_dup_lsh input capped to "
+            f"{EMBED_LSH_DIAG_MAX_ROWS} of {n} rows (diagnostic pair "
+            "enumerator; production pair semantics = "
+            "embed_near_dup_witness)",
+            file=sys.stderr,
+        )
+        emb = emb.orderBy("vec_id").limit(EMBED_LSH_DIAG_MAX_ROWS)
     noop(cosine_near_dup(emb, threshold=0.35, mode="lsh", bits=None, tables=4))
 
 

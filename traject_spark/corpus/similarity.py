@@ -850,7 +850,15 @@ def cosine_near_dup(
     subset of the exact result. ``bits=None`` sizes the table from the
     corpus row count (one count() job) via :func:`auto_lsh_bits`, keeping
     bucket occupancy constant as the corpus grows — at a fixed ``bits``
-    the candidate volume is quadratic in n."""
+    the candidate volume is quadratic in n.
+
+    PAIR OUTPUT IS A DIAGNOSTIC: even with healthy buckets, emitted
+    pairs are quadratic in duplicate-CLIQUE size (k copies -> k(k-1)/2
+    rows), so on a large corpus with big cliques this is the slowest
+    operator in the family (sf10 soak: 158-378s vs 16-27s for the
+    witness twin). For production dedup semantics — one row per
+    duplicate document — use :func:`cosine_near_dup_witness` (linear
+    output, same bucketing)."""
     # norms are hoisted to per-ROW columns before the pair join: scoring
     # recomputed both norms per candidate PAIR (the dominant cost of the
     # lsh path — candidate volume x two 64-element reductions), while
