@@ -973,7 +973,11 @@ def q_ann_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.filter(F.col("vec_id") >= 8)
     queries = emb.filter(F.col("vec_id") < 8)
-    truth = brute_force_topk(corpus, queries, k=10)
+    # localCheckpoint: the truth subtree rides in BOTH unionAll branches
+    # and the exact cross-join scoring is the heaviest stage of the row
+    # — materialize its ~queries x k rows once instead of twice (eager,
+    # tiny, auto-cleaned with the context)
+    truth = brute_force_topk(corpus, queries, k=10).localCheckpoint()
 
     def measure(method: str, approx):
         # the hashed columns are SF-independent (the measured value

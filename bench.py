@@ -153,6 +153,14 @@ WINDOW_DEGRADED_FACTOR = 1.15
 WINDOW_RETRIES = int(os.environ.get("SPARK_GRAFT_WINDOW_RETRIES", "3"))
 
 
+def _boundary_ref(cal_start: float, pass_probes: list) -> float:
+    """The run's fastest boundary probe — THE box-speed baseline shared
+    by the stall rule and B1 probe normalization (one definition: a
+    change to the reference rule must not skew one consumer silently)."""
+    boundary = [cal_start] + list(pass_probes)
+    return min(boundary) if boundary else 0.0
+
+
 def _stall_flags(cal_start: float, pass_probes: list) -> list:
     """Per-pass stalled flags from the boundary probes.
 
@@ -167,7 +175,7 @@ def _stall_flags(cal_start: float, pass_probes: list) -> list:
     must not switch reference minima mid-decision when the start
     calibration is the only clean probe, ADVICE r8)."""
     boundary = [cal_start] + list(pass_probes)
-    ref = min(boundary) if boundary else 0.0
+    ref = _boundary_ref(cal_start, pass_probes)
     two_sided = [
         boundary[i] >= STALL_PROBE_FACTOR * ref
         or boundary[i + 1] >= STALL_PROBE_FACTOR * ref
@@ -755,6 +763,33 @@ EMBED_LSH_DIAG_MAX_ROWS = int(
 )
 
 
+_EMBED_LSH_CAPPED: bool | None = None
+
+
+def _embed_lsh_input(spark):
+    """The (possibly capped) embeddings frame for the pair-enumeration
+    diagnostic. The cap decision needs a count() — deterministic per
+    SF_DIR, so it runs ONCE (first call; main() invokes this in untimed
+    setup) instead of adding a full-scan count job and a stderr print
+    inside every timed sample."""
+    global _EMBED_LSH_CAPPED
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if _EMBED_LSH_CAPPED is None:
+        n = emb.count()
+        _EMBED_LSH_CAPPED = n > EMBED_LSH_DIAG_MAX_ROWS
+        if _EMBED_LSH_CAPPED:
+            print(
+                f"BENCH note: embed_near_dup_lsh input capped to "
+                f"{EMBED_LSH_DIAG_MAX_ROWS} of {n} rows (diagnostic pair "
+                "enumerator; production pair semantics = "
+                "embed_near_dup_witness)",
+                file=sys.stderr,
+            )
+    if _EMBED_LSH_CAPPED:
+        return emb.orderBy("vec_id").limit(EMBED_LSH_DIAG_MAX_ROWS)
+    return emb
+
+
 def b_embed_near_dup_lsh(spark):
     """DIAGNOSTIC pair enumeration (cosine_near_dup mode='lsh') — the
     headline pair-semantics number is ``embed_near_dup_witness`` (the
@@ -770,18 +805,12 @@ def b_embed_near_dup_lsh(spark):
     quadratic diagnostic."""
     from traject_spark.corpus import cosine_near_dup
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n = emb.count()
-    if n > EMBED_LSH_DIAG_MAX_ROWS:
-        print(
-            f"BENCH note: embed_near_dup_lsh input capped to "
-            f"{EMBED_LSH_DIAG_MAX_ROWS} of {n} rows (diagnostic pair "
-            "enumerator; production pair semantics = "
-            "embed_near_dup_witness)",
-            file=sys.stderr,
+    noop(
+        cosine_near_dup(
+            _embed_lsh_input(spark),
+            threshold=0.35, mode="lsh", bits=None, tables=4,
         )
-        emb = emb.orderBy("vec_id").limit(EMBED_LSH_DIAG_MAX_ROWS)
-    noop(cosine_near_dup(emb, threshold=0.35, mode="lsh", bits=None, tables=4))
+    )
 
 
 BENCHES = {
@@ -940,6 +969,10 @@ def main() -> None:
             f"BENCH setup docs_ndjson: {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
+    if "embed_near_dup_lsh" in selected_names:
+        # untimed: decide (and announce) the diagnostic's input cap once
+        # — its count() job must not ride inside every timed sample
+        _embed_lsh_input(spark)
     # ROUND-ROBIN passes, not N back-to-back runs per query: this box's
     # stalls come in multi-second windows (host scheduling of the microVM)
     # — five consecutive runs of one query can ALL land inside one bad
@@ -992,9 +1025,10 @@ def main() -> None:
         file=sys.stderr,
     )
     # stall-excluded medians over the per-pass boundary probes — the
-    # decision rule lives in _stall_flags/_stall_excluded (unit-tested)
+    # decision rule lives in _stall_flags/_stall_excluded (unit-tested);
+    # B1 normalization shares the same baseline via _boundary_ref
     stalled = _stall_flags(cal_start, pass_probes)
-    ref = min([cal_start] + pass_probes) if pass_probes else cal_start
+    ref = _boundary_ref(cal_start, pass_probes)
     excluded_medians, excluded_counts = _stall_excluded(
         run_lists, failed, stalled
     )

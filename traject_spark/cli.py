@@ -40,6 +40,7 @@ BOOL_SETTINGS = {
     "streaming",
     "solr_writer.commit_on_close",
     "marcout.allow_oversized",
+    "marc_source.xml_strict",
 }
 
 WRITER_SHORTCUTS = {
@@ -258,11 +259,12 @@ def read_input(
         return read_marc_json(spark, files)
     if src_type == "xml":
         # marc_source.xml_strict=true: fail fast on a malformed file
-        # (reference NokogiriReader parity) instead of skip-and-continue
-        strict = str(
-            settings.get("marc_source.xml_strict", "false")
-        ).lower() in ("true", "1", "yes")
-        return read_marcxml(spark, files, strict=strict)
+        # (reference NokogiriReader parity) instead of skip-and-continue;
+        # coerced by BOOL_SETTINGS like every other boolean setting
+        return read_marcxml(
+            spark, files,
+            strict=bool(settings.get("marc_source.xml_strict", False)),
+        )
     encoding = str(settings.get("marc_source.encoding", "utf-8"))
     return read_iso2709(spark, files, encoding=encoding)
 
@@ -318,14 +320,19 @@ def _solr_url_and_kwargs(settings: dict) -> tuple:
     if str(raw_rate).strip().lower() in ("", "nil", "none"):
         max_rate = None
     else:
+        import math
+
         try:
             max_rate = float(raw_rate)
-            if max_rate <= 0:
+            # isfinite rejects nan/inf: nan passes a '<= 0' check and
+            # then poisons the pacing schedule (wait comparisons with
+            # NaN are all False), silently disabling the throttle
+            if not math.isfinite(max_rate) or max_rate <= 0:
                 raise ValueError
         except (TypeError, ValueError):
             raise SystemExit(
                 "solr_writer.max_docs_per_sec must be a positive "
-                f"number, got {raw_rate!r}"
+                f"finite number, got {raw_rate!r}"
             )
     return url, dict(
         batch_size=_int_setting("solr_writer.batch_size", 100),

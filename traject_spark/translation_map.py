@@ -57,6 +57,21 @@ _SEP_KV = "\x1c"
 _SEP_VAL = "\x1f"
 
 
+def _shard_items(present: Mapping) -> list:
+    """THE two-level-dispatch sharding rule: group entries by the key's
+    first character, shards in sorted order, keys stringified. One
+    definition shared by the Column-path ``_hit_expr`` and the SQL-path
+    ``sql_probe`` — the two are asserted to build the identical dispatch
+    structure, so a future change (e.g. 2-char prefixes for huge maps)
+    must not drift them apart. Returns [(prefix, [(key, value), ...])]."""
+    from collections import defaultdict
+
+    shards: dict[str, list] = defaultdict(list)
+    for k, v in present.items():
+        shards[str(k)[:1]].append((str(k), v))
+    return sorted(shards.items())
+
+
 def _props_unescape(s: str) -> str:
     """java.util.Properties escape handling: \\t \\n \\r \\f, \\uXXXX,
     and \\<any> -> <any> (which also covers \\\\, \\=, \\:, '\\ ')."""
@@ -355,14 +370,8 @@ class TranslationMap:
         # single map literal (evaluable inside HOF lambdas, unlike a
         # Python UDF); a lookup costs one substring + ~30 outer probes on
         # 1-char keys + a ~30x smaller in-shard scan.
-        from collections import defaultdict
-
-        shards: dict[str, list] = defaultdict(list)
-        for k, v in present.items():
-            shards[str(k)[:1]].append((str(k), v))
-
         outer_entries: list[Column] = []
-        for p, items in sorted(shards.items()):
+        for p, items in _shard_items(present):
             # every value list is encoded with a leading sentinel element
             # (SEP_VAL.join([''] + v)), so after split the decoded list
             # is values[2:]: [] encodes as '' -> split [''] -> [], and
@@ -419,8 +428,6 @@ class TranslationMap:
         if not norm or not self._encodable(norm):
             return None
 
-        from collections import defaultdict
-
         def q(s: str) -> str:
             # Spark SQL single-quoted literal: double the quote; refuse
             # backslashes (the default lexer treats them as escapes)
@@ -430,13 +437,13 @@ class TranslationMap:
             "\\" in str(k) or "\\" in v[0] for k, v in norm.items()
         ):
             return None
-        shards: dict[str, list] = defaultdict(list)
-        for k, v in norm.items():
-            shards[str(k)[:1]].append((str(k), v[0]))
         outer = []
-        for p, items in sorted(shards.items()):
+        # SAME sharding rule as the Column-path _hit_expr (_shard_items,
+        # one definition): only the value encoding differs — single
+        # string here, sentinel-prefixed array there
+        for p, items in _shard_items(norm):
             encoded = _SEP_ENTRY.join(
-                f"{k}{_SEP_KV}{val}" for k, val in items
+                f"{k}{_SEP_KV}{v[0]}" for k, v in items
             )
             outer.append(
                 f"'{q(p)}', str_to_map('{q(encoded)}', "

@@ -438,6 +438,17 @@ def solr_json_writer(
     Returns the number of skipped (failed) documents. At-least-once on
     task retry — idempotent because Solr add is upsert-by-id.
     """
+    if max_docs_per_sec is not None:
+        import math
+
+        # NaN would pass a '<= 0' check and then poison the pacing
+        # schedule (every wait comparison False) — a silently-disabled
+        # throttle on the job that asked for one
+        if not math.isfinite(max_docs_per_sec) or max_docs_per_sec <= 0:
+            raise ValueError(
+                "max_docs_per_sec must be a positive finite number, "
+                f"got {max_docs_per_sec!r}"
+            )
     spark = df.sparkSession
     # callers invoking this writer repeatedly (the streaming sink, once
     # per micro-batch) pass a reusable accumulator: PySpark's
