@@ -555,3 +555,40 @@ def test_cli_marcxml_strict_fails_fast(spark, tmp_path):
     rows = read_marcxml(spark, str(bad), skipped_files=acc).collect()
     assert rows == []
     assert acc.value == 1
+
+
+def test_cli_max_records_per_file_setting(spark, tmp_path):
+    """-s output_file.max_records_per_file=N bounds records per output
+    file on the CLI's file writers (the 100 TB sink-discipline knob)."""
+    from tests.fixtures import ALT_SCRIPT, BOOK, THE_TITLE
+    from traject_spark.marc.serialize import to_marc_in_json
+
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+    src = tmp_path / "recs.ndjson"
+    src.write_text(
+        "\n".join(to_marc_in_json(r) for r in (BOOK, THE_TITLE, ALT_SCRIPT))
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    rc = run_cli(
+        spark,
+        ["-c", str(conf), "-o", out, "-w", "json", "-r", "NDJReader",
+         "-s", "output_file.max_records_per_file=1", str(src)],
+    )
+    assert rc == 0
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    total = 0
+    for f in parts:
+        with open(os.path.join(out, f)) as fh:
+            n = sum(1 for ln in fh if ln.strip())
+        assert n <= 1, (f, n)
+        total += n
+    assert total >= 2 and len(parts) >= 2
+    # bad value refused loudly
+    with pytest.raises(SystemExit, match="max_records_per_file"):
+        run_cli(
+            spark,
+            ["-c", str(conf), "-o", str(tmp_path / "o2"), "-w", "json",
+             "-s", "output_file.max_records_per_file=zero", MC],
+        )

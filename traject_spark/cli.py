@@ -439,6 +439,21 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
         )
     kind = WRITER_SHORTCUTS.get(short, "json")
     out = settings.get("output_file")
+    # 100 TB file-sink discipline knob (see docs/settings.md): bounds
+    # records per output file on every file writer
+    raw_mrpf = settings.get("output_file.max_records_per_file", "")
+    if str(raw_mrpf).strip().lower() in ("", "nil", "none"):
+        mrpf = None
+    else:
+        try:
+            mrpf = int(raw_mrpf)
+            if mrpf <= 0:
+                raise ValueError
+        except (TypeError, ValueError):
+            raise SystemExit(
+                "output_file.max_records_per_file must be a positive "
+                f"integer, got {raw_mrpf!r}"
+            )
     if kind == "solr":
         url, kwargs = _solr_url_and_kwargs(settings)
         kwargs.setdefault("id_col", id_col)
@@ -471,6 +486,7 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
             internal_delimiter=str(
                 settings.get("delimited_writer.internal_delimiter", "|")
             ),
+            max_records_per_file=mrpf,
         )
     elif kind == "delimited":
         W.write_delimited(
@@ -479,13 +495,14 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
             internal_delimiter=str(
                 settings.get("delimited_writer.internal_delimiter", "|")
             ),
+            max_records_per_file=mrpf,
         )
     elif kind == "debug":
-        W.write_debug(df, out, id_col)
+        W.write_debug(df, out, id_col, max_records_per_file=mrpf)
     elif kind == "yaml":
-        W.write_yaml(df, out, id_col)
+        W.write_yaml(df, out, id_col, max_records_per_file=mrpf)
     else:
-        W.write_json(df, out)
+        W.write_json(df, out, max_records_per_file=mrpf)
     return True
 
 
