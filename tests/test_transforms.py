@@ -753,3 +753,46 @@ def test_split_awk_mode_no_catastrophic_backtracking(spark):
     t0 = time.monotonic()
     assert p.apply(df).collect()[0]["v"] == ["a", "b"]
     assert time.monotonic() - t0 < 30
+
+
+def test_sql_probe_matches_lookup_semantics_random_maps(spark):
+    """Property-style parity: for random simple maps, the generated-SQL
+    probe (TranslationMap.sql_probe) must return exactly dict-hit/
+    NULL-miss for random probe values — the contract the marc_languages
+    fast path stands on. Probes include every key, near-miss mutations,
+    the empty string, and NULL. Hypothesis drives map SHAPES; Spark
+    evaluation is batched one DataFrame per example to keep it fast."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from traject_spark.translation_map import TranslationMap
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 '\"(),.-_|:;!?«é漢"
+    )
+
+    def rand_str(lo=0, hi=12):
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(lo, hi))
+        )
+
+    for trial in range(12):
+        n = rng.randint(1, 40)
+        m = {rand_str(1, 8): rand_str(0, 16) for _ in range(n)}
+        tm = TranslationMap(dict(m))
+        sql = tm.sql_probe("v")
+        assert sql is not None, m
+        norm = {str(k): str(v) for k, v in m.items()}
+        probes = list(norm) + [k + "X" for k in list(norm)[:5]] + [
+            rand_str(0, 10) for _ in range(8)
+        ] + ["", None]
+        df = spark.createDataFrame(
+            [(p,) for p in probes], "v string"
+        ).select(
+            "v", F.expr(sql).alias("hit")
+        )
+        for row in df.collect():
+            want = norm.get(row["v"]) if row["v"] is not None else None
+            assert row["hit"] == want, (trial, row["v"], row["hit"], want)
