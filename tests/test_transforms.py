@@ -796,3 +796,73 @@ def test_sql_probe_matches_lookup_semantics_random_maps(spark):
         for row in df.collect():
             want = norm.get(row["v"]) if row["v"] is not None else None
             assert row["hit"] == want, (trial, row["v"], row["hit"], want)
+
+
+def test_ruby_translation_maps_reference_fixtures():
+    """.rb translation maps load through the safe literal-subset
+    evaluator (NO eval), against the reference's own fixtures
+    (translation_map.rb:124-149 evals; files in the wild are literal
+    hashes + trivial assignments): hash literal, %w arrays, index
+    assignment, __default__ literal and passthrough, .rb-beats-.yaml
+    precedence, and a loud error on real code."""
+    import pytest as _pytest
+
+    from traject_spark.translation_map import RubyMapError, TranslationMap
+
+    lp = ["/root/reference/test/translation_maps"]
+    m = TranslationMap("ruby_map", load_path=lp)
+    assert m.as_dict() == {
+        "key1": "value1",
+        "array_key": ["one", "two", "three"],
+        "key_to_be_overridden": "value_from_ruby",
+        "also": "this",
+    }
+    assert TranslationMap("default_literal", load_path=lp).lookup(
+        "nope"
+    ) == "DEFAULT LITERAL"
+    assert TranslationMap("default_passthrough", load_path=lp).lookup(
+        "zzz"
+    ) == "zzz"
+    # .rb wins over .yaml for the same name (reference loader order)
+    assert TranslationMap("both_map", load_path=lp).as_dict() == {
+        "ruby": "ruby"
+    }
+    # a real-world 317-entry literal map
+    big = TranslationMap(
+        "ht/country_map",
+        load_path=["/root/reference/index_bench/translation_maps"],
+    )
+    assert big.lookup("xr") == "Czech Republic"
+    assert len(big.as_dict()) == 317
+    # genuinely-code maps are refused with a pointer, not mis-parsed
+    with _pytest.raises(RubyMapError):
+        TranslationMap("bad_ruby", load_path=lp)
+
+
+def test_ruby_map_parser_subset_edges():
+    """Parser edges: symbols as keys/values, ruby-1.9 key: syntax,
+    numbers, nil suppression entries, comments, interpolation refusal,
+    non-hash final expression refusal."""
+    import pytest as _pytest
+
+    from traject_spark.translation_map import RubyMapError, _parse_ruby_map
+
+    d = _parse_ruby_map(
+        """
+        # comment
+        base = { :sym_key => "v1", str: "v2", "n" => 3,
+                 "supp" => nil, "f" => false }
+        base["added"] = %w[a b]
+        base  # final expression
+        """
+    )
+    assert d == {
+        "sym_key": "v1", "str": "v2", "n": 3,
+        "supp": None, "f": False, "added": ["a", "b"],
+    }
+    with _pytest.raises(RubyMapError, match="interpolation"):
+        _parse_ruby_map('{ "k" => "#{code}" }')
+    with _pytest.raises(RubyMapError, match="Hash"):
+        _parse_ruby_map('"just a string"')
+    with _pytest.raises(RubyMapError):
+        _parse_ruby_map('{ "k" => Foo.new }')

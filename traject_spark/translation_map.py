@@ -145,6 +145,211 @@ def _parse_properties(text: str) -> dict:
     return out
 
 
+class RubyMapError(ValueError):
+    """A .rb translation map uses Ruby beyond the supported literal
+    subset (or is invalid). Convert the map to YAML/properties, or
+    compute the dict in Python and pass it to TranslationMap directly."""
+
+
+def _parse_ruby_map(text: str) -> dict:
+    """Safe (NO eval) evaluator for the Ruby subset real traject
+    translation-map ``.rb`` files use (translation_map.rb:124-149 evals
+    the file and takes the final expression; the files in the wild are
+    literal hashes plus trivial assignments — e.g. the reference's
+    index_bench country_map.rb is one big hash literal, and its test
+    maps are ``h = {...}; h["k"] = "v"; h``).
+
+    Supported: string literals (single/double quoted, standard escapes,
+    NO interpolation), symbols (``:name`` -> "name"), integers/floats,
+    true/false/nil, ``%w{...}``/``%w[...]``/``%w(...)`` word arrays,
+    array literals, hash literals (``=>`` and ``key:`` forms), variable
+    assignment, ``var["key"] = value`` index assignment, ``#`` comments,
+    and a final expression that must evaluate to a hash. Anything else
+    raises :class:`RubyMapError` naming the offending token — a map
+    that genuinely computes its entries needs YAML conversion or a
+    Python dict."""
+    # ---- tokenize -------------------------------------------------------
+    toks: list = []  # (kind, value)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            buf = []
+            while i < n and text[i] != quote:
+                ch = text[i]
+                if ch == "\\" and i + 1 < n:
+                    nxt = text[i + 1]
+                    if quote == '"':
+                        esc = {"n": "\n", "t": "\t", "r": "\r",
+                               "s": " ", "0": "\0", "a": "\a",
+                               "b": "\b", "e": "\x1b", "f": "\f",
+                               "v": "\v"}
+                        buf.append(esc.get(nxt, nxt))
+                    else:
+                        # single-quoted: only \' and \\ are escapes
+                        buf.append(nxt if nxt in "'\\" else ch + nxt)
+                    i += 2
+                    continue
+                if quote == '"' and ch == "#" and text[i : i + 2] == "#{":
+                    raise RubyMapError(
+                        "string interpolation (#{...}) is not supported "
+                        "in .rb translation maps"
+                    )
+                buf.append(ch)
+                i += 1
+            if i >= n:
+                raise RubyMapError("unterminated string literal")
+            i += 1  # closing quote
+            toks.append(("str", "".join(buf)))
+            continue
+        if text[i : i + 2] == "%w":
+            open_ch = text[i + 2 : i + 3]
+            close_ch = {"{": "}", "[": "]", "(": ")"}.get(open_ch)
+            if not close_ch:
+                raise RubyMapError(f"unsupported %w delimiter {open_ch!r}")
+            j = text.find(close_ch, i + 3)
+            if j < 0:
+                raise RubyMapError("unterminated %w array")
+            toks.append(("arr", text[i + 3 : j].split()))
+            i = j + 1
+            continue
+        if text[i : i + 2] == "=>":
+            toks.append(("op", "=>"))
+            i += 2
+            continue
+        if c in "{}[],=:":
+            # ':' is either a symbol start or the hash key-colon; decide
+            # at parse time — emit symbol token when followed by a name
+            if c == ":" and i + 1 < n and (
+                text[i + 1].isalpha() or text[i + 1] == "_"
+            ):
+                j = i + 1
+                while j < n and (text[j].isalnum() or text[j] == "_"):
+                    j += 1
+                toks.append(("sym", text[i + 1 : j]))
+                i = j
+                continue
+            toks.append(("op", c))
+            i += 1
+            continue
+        if c.isdigit() or (
+            c == "-" and i + 1 < n and text[i + 1].isdigit()
+        ):
+            j = i + 1
+            while j < n and (text[j].isdigit() or text[j] in "._"):
+                j += 1
+            raw = text[i:j].replace("_", "")
+            toks.append(("num", float(raw) if "." in raw else int(raw)))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            word = text[i:j]
+            if word in ("true", "false", "nil"):
+                toks.append(
+                    ("lit", {"true": True, "false": False, "nil": None}[word])
+                )
+            else:
+                toks.append(("name", word))
+            i = j
+            continue
+        raise RubyMapError(
+            f"unsupported Ruby syntax at offset {i}: {text[i:i+20]!r}"
+        )
+
+    # ---- parse / evaluate ----------------------------------------------
+    pos = [0]
+
+    def peek(k=0):
+        p = pos[0] + k
+        return toks[p] if p < len(toks) else ("eof", None)
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    env: dict = {}
+
+    def parse_expr():
+        kind, val = take()
+        if kind in ("str", "num", "lit", "arr"):
+            return val
+        if kind == "sym":
+            return val  # symbol -> its name string
+        if kind == "op" and val == "[":
+            out = []
+            while not (peek() == ("op", "]")):
+                out.append(parse_expr())
+                if peek() == ("op", ","):
+                    take()
+            take()
+            return out
+        if kind == "op" and val == "{":
+            h: dict = {}
+            while not (peek() == ("op", "}")):
+                # key: expr, then '=>' value, or NAME/str ':' value
+                if peek(1) == ("op", ":") and peek()[0] in ("name", "str"):
+                    k = take()[1]
+                    take()  # ':'
+                else:
+                    k = parse_expr()
+                    if take() != ("op", "=>"):
+                        raise RubyMapError(
+                            "expected => or : after hash key "
+                            f"{k!r}"
+                        )
+                h[k] = parse_expr()
+                if peek() == ("op", ","):
+                    take()
+            take()
+            return h
+        if kind == "name":
+            if val not in env:
+                raise RubyMapError(f"undefined variable {val!r}")
+            return env[val]
+        raise RubyMapError(f"unsupported expression token {val!r}")
+
+    last = None
+    while peek()[0] != "eof":
+        if peek()[0] == "name" and peek(1) == ("op", "="):
+            name = take()[1]
+            take()
+            env[name] = parse_expr()
+            last = env[name]
+        elif peek()[0] == "name" and peek(1) == ("op", "["):
+            name = take()[1]
+            take()  # '['
+            key = parse_expr()
+            if take() != ("op", "]") or take() != ("op", "="):
+                raise RubyMapError("expected var[key] = value")
+            if name not in env or not isinstance(env[name], dict):
+                raise RubyMapError(
+                    f"index assignment into undefined/non-hash {name!r}"
+                )
+            env[name][key] = parse_expr()
+            last = env[name]
+        else:
+            last = parse_expr()
+    if not isinstance(last, dict):
+        raise RubyMapError(
+            "a .rb translation map's final expression must be a Hash, "
+            f"got {type(last).__name__}"
+        )
+    return last
+
+
 def _load_yaml(path: str) -> dict:
     try:
         import yaml  # type: ignore
@@ -200,6 +405,10 @@ class TranslationMap:
     def _merge(self, other: dict) -> None:
         self._map.update(other)
 
+    #: per-base extension probe order — .rb FIRST like the reference's
+    #: loader (translation_map.rb:124-149 checks rb, yaml, properties)
+    _EXTS = ("", ".rb", ".yaml", ".yml", ".properties")
+
     @staticmethod
     def _load_file(cand: str) -> Optional[dict]:
         if not os.path.exists(cand):
@@ -207,6 +416,11 @@ class TranslationMap:
         if cand.endswith(".properties"):
             with open(cand, "r", encoding="utf-8") as fh:
                 return _parse_properties(fh.read())
+        if cand.endswith(".rb"):
+            # reference parity via the SAFE literal-subset evaluator (the
+            # reference evals the file; see _parse_ruby_map for limits)
+            with open(cand, "r", encoding="utf-8") as fh:
+                return _parse_ruby_map(fh.read())
         return _load_yaml(cand)
 
     @staticmethod
@@ -218,7 +432,7 @@ class TranslationMap:
         if os.path.isabs(name) or os.path.exists(name):
             candidates.append(name)
         for base in load_path:
-            for ext in ("", ".yaml", ".yml", ".properties"):
+            for ext in TranslationMap._EXTS:
                 candidates.append(os.path.join(base, name + ext))
         for cand in candidates:
             loaded = TranslationMap._load_file(cand)
@@ -232,7 +446,7 @@ class TranslationMap:
         except ImportError:
             pass
         here = os.path.join(os.path.dirname(__file__), "translation_maps")
-        for ext in ("", ".yaml", ".yml", ".properties"):
+        for ext in TranslationMap._EXTS:
             loaded = TranslationMap._load_file(os.path.join(here, name + ext))
             if loaded is not None:
                 return loaded
