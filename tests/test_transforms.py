@@ -866,3 +866,38 @@ def test_ruby_map_parser_subset_edges():
         _parse_ruby_map('"just a string"')
     with _pytest.raises(RubyMapError):
         _parse_ruby_map('{ "k" => Foo.new }')
+
+
+def test_ruby_map_parser_escapes_and_fallback(tmp_path):
+    """r10 review fixes: unicode/hex/octal escapes decode (not mangle),
+    %w honors backslash escapes, #$/#@ interpolation refused, malformed
+    numbers raise RubyMapError (not bare ValueError), trailing .freeze
+    accepted, and an unparseable .rb falls back to the converted .yaml
+    next to it on the load path (the documented remedy)."""
+    import pytest as _pytest
+
+    from traject_spark.translation_map import (
+        RubyMapError, TranslationMap, _parse_ruby_map,
+    )
+
+    d = _parse_ruby_map(
+        '{ "u" => "caf\\u00e9", "ub" => "\\u{1F600}", "x" => "\\x41BC",'
+        ' "o" => "\\101", "w" => %w{a\\ b c\\} d} }.freeze'
+    )
+    assert d["u"] == "café" and d["ub"] == "\U0001F600"
+    assert d["x"] == "ABC" and d["o"] == "A"
+    assert d["w"] == ["a b", "c}", "d"]
+    assert _parse_ruby_map('{ "n" => 5.freeze }') == {"n": 5}
+    for bad in ('{ "k" => "a#$g" }', '{ "k" => "a#@v" }',
+                '{ "k" => 1.2.3 }', '{ "k" => "\\u00g9" }'):
+        with _pytest.raises(RubyMapError):
+            _parse_ruby_map(bad)
+    # bad .rb + converted .yaml side by side: yaml loads
+    (tmp_path / "m.rb").write_text("MatchMap.new\n")
+    (tmp_path / "m.yaml").write_text("k: V\n")
+    assert TranslationMap("m", load_path=[str(tmp_path)]).lookup("k") == "V"
+    # bad .rb alone: the RubyMapError surfaces (with the path), not a
+    # bare FileNotFoundError
+    (tmp_path / "only.rb").write_text("MatchMap.new\n")
+    with _pytest.raises(RubyMapError, match="only.rb"):
+        TranslationMap("only", load_path=[str(tmp_path)])

@@ -151,6 +151,14 @@ class RubyMapError(ValueError):
     compute the dict in Python and pass it to TranslationMap directly."""
 
 
+#: double-quoted-string single-letter escapes (Ruby semantics); module
+#: constant, not a per-escape dict literal in the scanning loop
+_RB_ESC = {
+    "n": "\n", "t": "\t", "r": "\r", "s": " ", "0": "\0",
+    "a": "\a", "b": "\b", "e": "\x1b", "f": "\f", "v": "\v",
+}
+
+
 def _parse_ruby_map(text: str) -> dict:
     """Safe (NO eval) evaluator for the Ruby subset real traject
     translation-map ``.rb`` files use (translation_map.rb:124-149 evals
@@ -189,20 +197,46 @@ def _parse_ruby_map(text: str) -> dict:
                 if ch == "\\" and i + 1 < n:
                     nxt = text[i + 1]
                     if quote == '"':
-                        esc = {"n": "\n", "t": "\t", "r": "\r",
-                               "s": " ", "0": "\0", "a": "\a",
-                               "b": "\b", "e": "\x1b", "f": "\f",
-                               "v": "\v"}
-                        buf.append(esc.get(nxt, nxt))
+                        # Ruby escape semantics — decode or REFUSE, never
+                        # silently keep the letter and drop the backslash
+                        if nxt == "u":
+                            m = re.match(
+                                r"\\u(?:([0-9a-fA-F]{4})|\{([0-9a-fA-F]{1,6})\})",
+                                text[i:],
+                            )
+                            if not m:
+                                raise RubyMapError(
+                                    f"malformed \\u escape at offset {i}"
+                                )
+                            buf.append(chr(int(m.group(1) or m.group(2), 16)))
+                            i += m.end()
+                            continue
+                        if nxt == "x":
+                            m = re.match(r"\\x([0-9a-fA-F]{1,2})", text[i:])
+                            if not m:
+                                raise RubyMapError(
+                                    f"malformed \\x escape at offset {i}"
+                                )
+                            buf.append(chr(int(m.group(1), 16)))
+                            i += m.end()
+                            continue
+                        if nxt in "1234567":
+                            m = re.match(r"\\([0-7]{1,3})", text[i:])
+                            buf.append(chr(int(m.group(1), 8)))
+                            i += m.end()
+                            continue
+                        buf.append(_RB_ESC.get(nxt, nxt))
                     else:
                         # single-quoted: only \' and \\ are escapes
                         buf.append(nxt if nxt in "'\\" else ch + nxt)
                     i += 2
                     continue
-                if quote == '"' and ch == "#" and text[i : i + 2] == "#{":
+                if quote == '"' and ch == "#" and text[i + 1 : i + 2] in (
+                    "{", "$", "@"
+                ):
                     raise RubyMapError(
-                        "string interpolation (#{...}) is not supported "
-                        "in .rb translation maps"
+                        "string interpolation (#{...} / #$... / #@...) is "
+                        "not supported in .rb translation maps"
                     )
                 buf.append(ch)
                 i += 1
@@ -216,10 +250,31 @@ def _parse_ruby_map(text: str) -> dict:
             close_ch = {"{": "}", "[": "]", "(": ")"}.get(open_ch)
             if not close_ch:
                 raise RubyMapError(f"unsupported %w delimiter {open_ch!r}")
-            j = text.find(close_ch, i + 3)
-            if j < 0:
+            # scan honoring backslash escapes: '\ ' is a literal space
+            # inside a word, '\}' a literal delimiter — a naive find+
+            # split would mis-split words and terminate the array early
+            j = i + 3
+            words: list = []
+            word: list = []
+            while j < n and text[j] != close_ch:
+                ch = text[j]
+                if ch == "\\" and j + 1 < n:
+                    word.append(text[j + 1])
+                    j += 2
+                    continue
+                if ch in " \t\r\n":
+                    if word:
+                        words.append("".join(word))
+                        word = []
+                    j += 1
+                    continue
+                word.append(ch)
+                j += 1
+            if j >= n:
                 raise RubyMapError("unterminated %w array")
-            toks.append(("arr", text[i + 3 : j].split()))
+            if word:
+                words.append("".join(word))
+            toks.append(("arr", words))
             i = j + 1
             continue
         if text[i : i + 2] == "=>":
@@ -247,9 +302,24 @@ def _parse_ruby_map(text: str) -> dict:
             j = i + 1
             while j < n and (text[j].isdigit() or text[j] in "._"):
                 j += 1
+            # '.freeze' after an integer: the dot belongs to the method
+            # call, not the number
+            if text[j - 1] == "." and text[j : j + 6] == "freeze":
+                j -= 1
             raw = text[i:j].replace("_", "")
-            toks.append(("num", float(raw) if "." in raw else int(raw)))
+            try:
+                num = float(raw) if "." in raw else int(raw)
+            except ValueError:
+                raise RubyMapError(
+                    f"malformed numeric literal {raw!r} at offset {i}"
+                ) from None
+            toks.append(("num", num))
             i = j
+            continue
+        if text[i : i + 7] == ".freeze":
+            # trailing .freeze on a literal is a common idiom in real
+            # map files; freezing is a no-op here — accept and ignore
+            i += 7
             continue
         if c.isalpha() or c == "_":
             j = i
@@ -434,10 +504,22 @@ class TranslationMap:
         for base in load_path:
             for ext in TranslationMap._EXTS:
                 candidates.append(os.path.join(base, name + ext))
+        rb_err: Optional[RubyMapError] = None
         for cand in candidates:
-            loaded = TranslationMap._load_file(cand)
+            try:
+                loaded = TranslationMap._load_file(cand)
+            except RubyMapError as e:
+                # an unparseable .rb must not abort the search: the
+                # DOCUMENTED remedy is converting the map to YAML, which
+                # sits at the next extension on the same load path —
+                # fall through to it, re-raising only when nothing loads
+                if rb_err is None:
+                    rb_err = RubyMapError(f"{cand}: {e}")
+                continue
             if loaded is not None:
                 return loaded
+        if rb_err is not None:
+            raise rb_err
         try:
             from traject_spark.translation_maps.builtin import BUILTIN_MAPS
 
