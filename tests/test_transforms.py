@@ -901,3 +901,52 @@ def test_ruby_map_parser_escapes_and_fallback(tmp_path):
     (tmp_path / "only.rb").write_text("MatchMap.new\n")
     with _pytest.raises(RubyMapError, match="only.rb"):
         TranslationMap("only", load_path=[str(tmp_path)])
+
+
+def test_string_fast_shape_parity(spark):
+    """translate_array_expr's string fast shape (r10: direct per-value
+    probe, no array encode/split/slice, no flatten) must match the
+    generic array path on every semantic branch: hit, miss, suppression
+    (nil value), default, passthrough, NULL element, empty-string value,
+    numeric keys, and a map too multi-valued for the shape (fallback)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.translation_map import PASSTHROUGH, TranslationMap
+
+    cases = [
+        TranslationMap({"a": "A", "supp": None, "e": "", 1990: "Y"}),
+        TranslationMap({"a": "A", "supp": None}, default="DEF"),
+        TranslationMap({"a": "A"}, default=PASSTHROUGH),
+        TranslationMap({"a": "A", "m": ["x", "y"]}),  # multi -> generic
+        TranslationMap({}),
+        TranslationMap({"a": "A"}, default=["D1"]),
+        # >64 nil keys exercises the nil_map branch
+        TranslationMap(
+            {**{f"n{i}": None for i in range(70)}, "a": "A"}
+        ),
+    ]
+    probes = [["a", "supp", "e", "1990", "zzz", None, ""], [], None]
+    df = spark.createDataFrame(
+        [(p,) for p in probes], "vals array<string>"
+    )
+    for i, tm in enumerate(cases):
+        shape = tm._string_shape()
+        if i == 3:
+            assert shape is None  # multi-valued map keeps the array path
+        generic = F.flatten(
+            F.filter(
+                F.transform(
+                    F.col("vals"), lambda v: tm.lookup_expr(v)
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        got = df.select(
+            tm.translate_array_expr(F.col("vals")).alias("fast"),
+            generic.alias("generic"),
+        ).collect()
+        for row in got:
+            assert row["fast"] == row["generic"], (i, row)
+        # and the python-side translate_list agrees on the non-null row
+        py = tm.translate_list(probes[0])
+        assert got[0]["fast"] == py, (i, got[0]["fast"], py)

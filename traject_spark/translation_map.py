@@ -72,6 +72,17 @@ def _shard_items(present: Mapping) -> list:
     return sorted(shards.items())
 
 
+def _string_shards(present: Mapping) -> list:
+    """[(prefix, encoded)] for a SINGLE-STRING-valued map: each shard is
+    one ``key<KV>value`` entry string joined by <ENTRY>, ready for
+    ``str_to_map``. One definition shared by the Column-path string fast
+    shape and the SQL-path ``sql_probe`` (which additionally quotes)."""
+    return [
+        (p, _SEP_ENTRY.join(f"{k}{_SEP_KV}{v}" for k, v in items))
+        for p, items in _shard_items(present)
+    ]
+
+
 def _props_unescape(s: str) -> str:
     """java.util.Properties escape handling: \\t \\n \\r \\f, \\uXXXX,
     and \\<any> -> <any> (which also covers \\\\, \\=, \\:, '\\ ')."""
@@ -694,6 +705,106 @@ class TranslationMap:
             ),
         )
 
+    def _string_shape(self) -> Optional[dict]:
+        """Prepared lookup data when this map qualifies for the
+        STRING-VALUED fast shape, else None.
+
+        Qualifying shape: every non-suppression value is exactly one
+        string, and the default (when set) is a single string or
+        passthrough. Then a lookup result is a string (hit / default /
+        passed-through input) or NULL (miss / suppression / nil input),
+        and ``translate_array_expr`` can skip the per-value array
+        encode/split/slice AND the outer flatten — measured ~2x per-row
+        on the languages-map shape (the win the marc_languages SQL path
+        demonstrated; this brings it to every simple map on the Column
+        path). Large maps additionally need the C0-encodable check."""
+        norm = self._as_array_dict()
+        # shape check BEFORE building present: an empty-list value
+        # ("map to nothing", distinct from nil suppression) both
+        # disqualifies the shape and would crash v[0]
+        if any(len(v) != 1 for v in norm.values() if v is not None):
+            return None
+        present = {k: v[0] for k, v in norm.items() if v is not None}
+        d = self._default
+        if d is not None and d != PASSTHROUGH:
+            if isinstance(d, list):
+                if len(d) != 1:
+                    return None
+                d = str(d[0])
+            else:
+                d = str(d)
+        if len(self._map) > LITERAL_MAP_MAX and not self._encodable(norm):
+            return None
+        return {
+            "present": present,
+            "nil_keys": [k for k, v in norm.items() if v is None],
+            "default": d,  # None | PASSTHROUGH | single string
+        }
+
+    def _string_lookup_expr(self, value: Column, shape: dict) -> Column:
+        """String-valued twin of ``lookup_expr`` for qualifying maps:
+        hit/default/passthrough as a STRING, miss/suppression/nil input
+        as NULL — semantics pinned against the generic path by
+        tests/test_transforms.py::test_string_fast_shape_parity."""
+        present, nil_keys, d = (
+            shape["present"], shape["nil_keys"], shape["default"]
+        )
+        default_str = (
+            F.lit(d) if d is not None and d != PASSTHROUGH else None
+        )
+        null_str = F.lit(None).cast("string")
+
+        def hit_of(v: Column) -> Optional[Column]:
+            if not present:
+                return None
+            if len(self._map) <= LITERAL_MAP_MAX:
+                entries: list[Column] = []
+                for k, val in present.items():
+                    entries.append(F.lit(str(k)))
+                    entries.append(F.lit(val))
+                return F.try_element_at(F.create_map(*entries), v)
+            outer_entries: list[Column] = []
+            for p, encoded in _string_shards(present):
+                outer_entries.append(F.lit(p))
+                outer_entries.append(
+                    F.str_to_map(
+                        F.lit(encoded), F.lit(_SEP_ENTRY), F.lit(_SEP_KV)
+                    )
+                )
+            return F.try_element_at(
+                F.try_element_at(
+                    F.create_map(*outer_entries), F.substring(v, 1, 1)
+                ),
+                v,
+            )
+
+        def body(v: Column) -> Column:
+            fallback = (
+                v if d == PASSTHROUGH
+                else (default_str if default_str is not None else null_str)
+            )
+            hit = hit_of(v)
+            result = F.coalesce(hit, fallback) if hit is not None else fallback
+            if nil_keys:
+                if len(nil_keys) > 64 and not any(
+                    "\x1e" in k or "\x1f" in k for k in nil_keys
+                ):
+                    nil_map = F.str_to_map(
+                        F.lit("\x1e".join(nil_keys)),
+                        F.lit("\x1e"),
+                        F.lit("\x1f"),
+                    )
+                    is_nil = F.map_contains_key(nil_map, v)
+                else:
+                    is_nil = v.isin(nil_keys)
+                result = F.when(is_nil, null_str).otherwise(result)
+            return F.when(
+                v.isNull(),
+                default_str if default_str is not None else null_str,
+            ).otherwise(result)
+
+        return let(value, body)
+
     def sql_probe(self, value_sql: str) -> Optional[str]:
         """SQL-string twin of the sharded map probe for SIMPLE maps, or
         None when the map shape needs the general Column path.
@@ -734,13 +845,11 @@ class TranslationMap:
         ):
             return None
         outer = []
-        # SAME sharding rule as the Column-path _hit_expr (_shard_items,
-        # one definition): only the value encoding differs — single
-        # string here, sentinel-prefixed array there
-        for p, items in _shard_items(norm):
-            encoded = _SEP_ENTRY.join(
-                f"{k}{_SEP_KV}{v[0]}" for k, v in items
-            )
+        # SAME shard+encode as the Column-path string fast shape
+        # (_string_shards, one definition); this path only adds quoting
+        for p, encoded in _string_shards(
+            {k: v[0] for k, v in norm.items()}
+        ):
             outer.append(
                 f"'{q(p)}', str_to_map('{q(encoded)}', "
                 f"'{_SEP_ENTRY}', '{_SEP_KV}')"
@@ -825,7 +934,17 @@ class TranslationMap:
         Pure Column expression at any map size (see ``_map_expr``); the
         pandas-UDF strategy is only used when map data collides with the
         large-map encoding separators (never true of the builtin maps).
+        Single-string-valued maps take the string fast shape — direct
+        probe per value, no array encode/split/slice, no flatten.
         """
+        shape = self._string_shape()
+        if shape is not None:
+            return F.filter(
+                F.transform(
+                    acc, lambda v: self._string_lookup_expr(v, shape)
+                ),
+                lambda x: x.isNotNull(),
+            )
         if len(self._map) <= LITERAL_MAP_MAX or self._encodable(
             self._as_array_dict()
         ):
