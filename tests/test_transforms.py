@@ -924,6 +924,10 @@ def test_string_fast_shape_parity(spark):
         TranslationMap(
             {**{f"n{i}": None for i in range(70)}, "a": "A"}
         ),
+        # a LIST default whose element EQUALS the passthrough sentinel
+        # is a LITERAL default (== PASSTHROUGH is False for a list) —
+        # the fast shape must not collapse it into passthrough
+        TranslationMap({"a": "A"}, default=[PASSTHROUGH]),
     ]
     probes = [["a", "supp", "e", "1990", "zzz", None, ""], [], None]
     df = spark.createDataFrame(
@@ -933,6 +937,11 @@ def test_string_fast_shape_parity(spark):
         shape = tm._string_shape()
         if i == 3:
             assert shape is None  # multi-valued map keeps the array path
+        else:
+            # non-vacuous: these cases MUST take the fast shape, or the
+            # comparison below is generic-vs-generic and the fast path
+            # could be dead/broken unnoticed
+            assert shape is not None, i
         generic = F.flatten(
             F.filter(
                 F.transform(
@@ -950,3 +959,20 @@ def test_string_fast_shape_parity(spark):
         # and the python-side translate_list agrees on the non-null row
         py = tm.translate_list(probes[0])
         assert got[0]["fast"] == py, (i, got[0]["fast"], py)
+
+
+def test_ruby_map_octal_and_control_escapes():
+    """Octal escapes decode with the leading-zero forms included
+    (\\012 is \\n, \\0 is NUL — not NUL followed by stranded digits);
+    control/meta escapes (\\cX, \\M-X) refuse instead of mangling."""
+    import pytest as _pytest
+
+    from traject_spark.translation_map import RubyMapError, _parse_ruby_map
+
+    assert _parse_ruby_map(r'{ "k" => "\012" }') == {"k": "\n"}
+    assert _parse_ruby_map(r'{ "k" => "\0" }') == {"k": "\0"}
+    assert _parse_ruby_map(r'{ "k" => "\101" }') == {"k": "A"}
+    for bad in (r'{ "k" => "\cA" }', r'{ "k" => "\C-a" }',
+                r'{ "k" => "\M-x" }'):
+        with _pytest.raises(RubyMapError):
+            _parse_ruby_map(bad)

@@ -72,6 +72,25 @@ def _shard_items(present: Mapping) -> list:
     return sorted(shards.items())
 
 
+def _nil_cond(v: Column, nil_keys: list) -> Column:
+    """THE suppression-key membership test, shared by the generic
+    ``lookup_expr`` body and the string fast shape (one definition so
+    the threshold / separator guard cannot drift between twins).
+
+    Suppression-heavy maps (thousands of nil-valued entries): an In()
+    with one literal child per key reintroduces the plan blowup the
+    str_to_map encoding exists to avoid — one string literal +
+    map_contains_key is a constant-size plan node."""
+    if len(nil_keys) > 64 and not any(
+        "\x1e" in k or "\x1f" in k for k in nil_keys
+    ):
+        nil_map = F.str_to_map(
+            F.lit("\x1e".join(nil_keys)), F.lit("\x1e"), F.lit("\x1f")
+        )
+        return F.map_contains_key(nil_map, v)
+    return v.isin(nil_keys)
+
+
 def _string_shards(present: Mapping) -> list:
     """[(prefix, encoded)] for a SINGLE-STRING-valued map: each shard is
     one ``key<KV>value`` entry string joined by <ENTRY>, ready for
@@ -165,7 +184,7 @@ class RubyMapError(ValueError):
 #: double-quoted-string single-letter escapes (Ruby semantics); module
 #: constant, not a per-escape dict literal in the scanning loop
 _RB_ESC = {
-    "n": "\n", "t": "\t", "r": "\r", "s": " ", "0": "\0",
+    "n": "\n", "t": "\t", "r": "\r", "s": " ",
     "a": "\a", "b": "\b", "e": "\x1b", "f": "\f", "v": "\v",
 }
 
@@ -231,11 +250,21 @@ def _parse_ruby_map(text: str) -> dict:
                             buf.append(chr(int(m.group(1), 16)))
                             i += m.end()
                             continue
-                        if nxt in "1234567":
+                        if nxt in "01234567":
+                            # octal: \0 alone is NUL, \012 is \n — '0'
+                            # must take this branch, not _RB_ESC's "\0"
+                            # entry (which would strand trailing digits)
                             m = re.match(r"\\([0-7]{1,3})", text[i:])
                             buf.append(chr(int(m.group(1), 8)))
                             i += m.end()
                             continue
+                        if nxt in "cCM":
+                            # \cX / \C-X / \M-X control-meta escapes:
+                            # refuse rather than silently keep 'cX'
+                            raise RubyMapError(
+                                f"unsupported control/meta escape "
+                                f"\\{nxt} at offset {i}"
+                            )
                         buf.append(_RB_ESC.get(nxt, nxt))
                     else:
                         # single-quoted: only \' and \\ are escapes
@@ -717,7 +746,16 @@ class TranslationMap:
         encode/split/slice AND the outer flatten — measured ~2x per-row
         on the languages-map shape (the win the marc_languages SQL path
         demonstrated; this brings it to every simple map on the Column
-        path). Large maps additionally need the C0-encodable check."""
+        path). Large maps additionally need the C0-encodable check.
+        Computed once per instance (the normalize+encodable scans over
+        an 8k-entry map are not free per field compile)."""
+        cached = self.__dict__.get("_string_shape_cache", _UNSET)
+        if cached is not _UNSET:
+            return cached
+        self.__dict__["_string_shape_cache"] = shape = self._string_shape_uncached()
+        return shape
+
+    def _string_shape_uncached(self) -> Optional[dict]:
         norm = self._as_array_dict()
         # shape check BEFORE building present: an empty-list value
         # ("map to nothing", distinct from nil suppression) both
@@ -726,7 +764,12 @@ class TranslationMap:
             return None
         present = {k: v[0] for k, v in norm.items() if v is not None}
         d = self._default
-        if d is not None and d != PASSTHROUGH:
+        # passthrough is ONLY the bare string sentinel — a LIST default
+        # ["__passthrough__"] is a literal default in the generic path
+        # (its == PASSTHROUGH compare is False for a list) and must stay
+        # one here
+        passthrough = d == PASSTHROUGH
+        if d is not None and not passthrough:
             if isinstance(d, list):
                 if len(d) != 1:
                     return None
@@ -738,20 +781,25 @@ class TranslationMap:
         return {
             "present": present,
             "nil_keys": [k for k, v in norm.items() if v is None],
-            "default": d,  # None | PASSTHROUGH | single string
+            "default": None if passthrough else d,  # None | single string
+            "passthrough": passthrough,
         }
 
     def _string_lookup_expr(self, value: Column, shape: dict) -> Column:
         """String-valued twin of ``lookup_expr`` for qualifying maps:
         hit/default/passthrough as a STRING, miss/suppression/nil input
         as NULL — semantics pinned against the generic path by
-        tests/test_transforms.py::test_string_fast_shape_parity."""
+        tests/test_transforms.py::test_string_fast_shape_parity.
+
+        ``value`` must be a LEAF expression (the transform lambda
+        variable at the one call site): the body references it several
+        times, which is free for a leaf but would duplicate a computed
+        subtree."""
         present, nil_keys, d = (
             shape["present"], shape["nil_keys"], shape["default"]
         )
-        default_str = (
-            F.lit(d) if d is not None and d != PASSTHROUGH else None
-        )
+        passthrough = shape["passthrough"]
+        default_str = F.lit(d) if d is not None else None
         null_str = F.lit(None).cast("string")
 
         def hit_of(v: Column) -> Optional[Column]:
@@ -778,32 +826,24 @@ class TranslationMap:
                 v,
             )
 
-        def body(v: Column) -> Column:
-            fallback = (
-                v if d == PASSTHROUGH
-                else (default_str if default_str is not None else null_str)
-            )
-            hit = hit_of(v)
-            result = F.coalesce(hit, fallback) if hit is not None else fallback
-            if nil_keys:
-                if len(nil_keys) > 64 and not any(
-                    "\x1e" in k or "\x1f" in k for k in nil_keys
-                ):
-                    nil_map = F.str_to_map(
-                        F.lit("\x1e".join(nil_keys)),
-                        F.lit("\x1e"),
-                        F.lit("\x1f"),
-                    )
-                    is_nil = F.map_contains_key(nil_map, v)
-                else:
-                    is_nil = v.isin(nil_keys)
-                result = F.when(is_nil, null_str).otherwise(result)
-            return F.when(
-                v.isNull(),
-                default_str if default_str is not None else null_str,
+        v = value
+        fallback = (
+            v if passthrough
+            else (default_str if default_str is not None else null_str)
+        )
+        hit = hit_of(v)
+        result = F.coalesce(hit, fallback) if hit is not None else fallback
+        if nil_keys:
+            result = F.when(
+                _nil_cond(v, nil_keys), null_str
             ).otherwise(result)
-
-        return let(value, body)
+        # no let(): v is a leaf by contract, so the multiple references
+        # above are free — an aggregate-let here would be pure per-row
+        # overhead in exactly the path built to shave per-row plumbing
+        return F.when(
+            v.isNull(),
+            default_str if default_str is not None else null_str,
+        ).otherwise(result)
 
     def sql_probe(self, value_sql: str) -> Optional[str]:
         """SQL-string twin of the sharded map probe for SIMPLE maps, or
@@ -898,23 +938,9 @@ class TranslationMap:
                 F.coalesce(hit, fallback) if hit is not None else fallback
             )
             if nil_keys:
-                if len(nil_keys) > 64 and not any(
-                    "\x1e" in k or "\x1f" in k for k in nil_keys
-                ):
-                    # suppression-heavy maps (thousands of nil-valued
-                    # entries): an In() with one literal child per key
-                    # reintroduces the plan blowup the str_to_map
-                    # encoding exists to avoid — one string literal +
-                    # map_contains_key is a constant-size plan node
-                    nil_map = F.str_to_map(
-                        F.lit("\x1e".join(nil_keys)),
-                        F.lit("\x1e"),
-                        F.lit("\x1f"),
-                    )
-                    is_nil = F.map_contains_key(nil_map, v)
-                else:
-                    is_nil = v.isin(nil_keys)
-                result = F.when(is_nil, null_array).otherwise(result)
+                result = F.when(
+                    _nil_cond(v, nil_keys), null_array
+                ).otherwise(result)
             # nil input: default applies (reference miss path); under
             # passthrough the nil itself passes through -> NULL (removal)
             return F.when(
