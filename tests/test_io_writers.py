@@ -838,3 +838,17 @@ def test_file_writers_max_records_per_file(spark, tmp_path):
         f for f in _os.listdir(tmp_path / "c") if f.startswith("part-")
     ]
     assert len(partsc) == 4, partsc
+
+
+def test_file_writer_rejects_nonpositive_max_records(spark, tmp_path):
+    """ADVICE r10: max_records_per_file <= 0 must raise for direct API
+    callers, not silently produce an uncapped writer (the CLI already
+    validated; the library path must match)."""
+    import pytest as _pytest
+
+    from traject_spark.writers import write_json
+
+    df = spark.range(3).selectExpr("cast(id as string) as id")
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="max_records_per_file"):
+            write_json(df, str(tmp_path / "out"), max_records_per_file=bad)

@@ -450,3 +450,16 @@ def test_translation_map_sql_probe_quoting(spark):
         F.expr(f"transform(codes, v -> {sql})").alias("hits")
     ).collect()[0]["hits"]
     assert out == ["Gwich'in", "it's 'quoted'", None]
+
+
+def test_ident_safe_gates_sql_fastpath():
+    """ADVICE r10: the languages SQL fast path must engage only for
+    plain identifiers — a dotted name resolves a nested field via
+    F.col() but a top-level column via backtick-quoted SQL, so the two
+    paths would read DIFFERENT columns."""
+    from traject_spark.macros.semantics import _ident_safe
+
+    assert _ident_safe("marc")
+    assert _ident_safe("_src_2")
+    for bad in ("a.b", "a`b", "a b", "a-b", "", "1col", "a\nb", "a;b"):
+        assert not _ident_safe(bad), bad

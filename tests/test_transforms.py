@@ -976,3 +976,39 @@ def test_ruby_map_octal_and_control_escapes():
                 r'{ "k" => "\M-x" }'):
         with _pytest.raises(RubyMapError):
             _parse_ruby_map(bad)
+
+
+def test_ruby_map_hash_shorthand_without_whitespace():
+    """'{k:v}' lexes as name+symbol; the parser must honor Ruby's
+    key-colon shorthand (key :k, value = variable v) — defined variables
+    resolve, undefined ones refuse with a message that names the
+    shorthand, not a misleading 'undefined variable k' (ADVICE r10)."""
+    import pytest as _pytest
+
+    from traject_spark.translation_map import RubyMapError, _parse_ruby_map
+
+    # defined variable as the shorthand value resolves like Ruby would
+    assert _parse_ruby_map('v = "val"\n{k:v}') == {"k": "val"}
+    # undefined: the message points at the missing whitespace / value
+    with _pytest.raises(RubyMapError, match="shorthand.*whitespace"):
+        _parse_ruby_map("{k:v}")
+    # quoted-string key with no space behaves the same
+    with _pytest.raises(RubyMapError, match="shorthand"):
+        _parse_ruby_map('{"k":v}')
+    # literal values after the colon were already fine — still are
+    assert _parse_ruby_map('{k:"x"}') == {"k": "x"}
+
+
+def test_rb_parse_failure_fallthrough_warns(tmp_path, capsys):
+    """A broken .rb that shadows a loadable sibling .yaml falls through
+    (documented remedy: convert to YAML) but must WARN on stderr naming
+    both files, so a stale conversion can't silently serve old data
+    (ADVICE r10)."""
+    from traject_spark.translation_map import TranslationMap
+
+    (tmp_path / "shadow.rb").write_text('{ "k" => lambda { 1 } }')
+    (tmp_path / "shadow.yaml").write_text("k: stale\n")
+    tm = TranslationMap("shadow", load_path=[str(tmp_path)])
+    assert tm.lookup("k") == "stale"
+    err = capsys.readouterr().err
+    assert "shadow.rb" in err and "shadow.yaml" in err and "WARNING" in err

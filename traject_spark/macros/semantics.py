@@ -10,6 +10,7 @@ un-anchored period stripping) — those are part of the contract.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import Column
@@ -212,6 +213,15 @@ def extract_marc_filing_version(spec: str = "245abdefghknp", include_original: b
 _LANGUAGES_DEFAULT_SPEC = "008[35-37]:041a:041d"
 
 
+def _ident_safe(name: str) -> bool:
+    """Gate for the generated-SQL fast paths: only plain identifiers.
+    The generic path's ``F.col('a.b')`` resolves a NESTED field while
+    the backtick-quoted SQL text would read one dotted top-level column
+    — the two paths must never read different columns, so anything
+    beyond ``[A-Za-z_][A-Za-z0-9_]*`` takes the generic path."""
+    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+
+
 def _languages_sql(marc_sql: str, probe_sql: str) -> str:
     """Generated-SQL twin of the DEFAULT-spec marc_languages expression
     tree (the r9 ANN fast-path pattern): the Column builder issues ~3k
@@ -310,7 +320,7 @@ def marc_languages(
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        if probe_sql is not None and src_col and "`" not in src_col:
+        if probe_sql is not None and src_col and _ident_safe(src_col):
             return F.concat(
                 acc, F.expr(_languages_sql(f"`{src_col}`", probe_sql))
             )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from typing import Iterable, Mapping, Optional, Union
 
 import pandas as pd
@@ -413,6 +414,27 @@ def _parse_ruby_map(text: str) -> dict:
                 if peek(1) == ("op", ":") and peek()[0] in ("name", "str"):
                     k = take()[1]
                     take()  # ':'
+                elif peek()[0] in ("name", "str") and peek(1)[0] == "sym":
+                    # '{k:v}' with no whitespace: the lexer reads ':v' as
+                    # a symbol, but Ruby parses this as key-colon
+                    # shorthand (key :k, value = variable v). Honor the
+                    # shorthand; the value is a bare identifier, so it
+                    # resolves like any name — with a message that names
+                    # the real problem instead of 'undefined variable k'
+                    k = take()[1]
+                    vname = take()[1]
+                    if vname not in env:
+                        raise RubyMapError(
+                            f"hash shorthand {{{k}:{vname}}} without "
+                            f"whitespace: key {k!r} parsed, but value "
+                            f"{vname!r} is not a defined variable — "
+                            f"write '{k}: :{vname}' for a symbol value "
+                            "or add whitespace after ':'"
+                        )
+                    h[k] = env[vname]
+                    if peek() == ("op", ","):
+                        take()
+                    continue
                 else:
                     k = parse_expr()
                     if take() != ("op", "=>"):
@@ -557,6 +579,18 @@ class TranslationMap:
                     rb_err = RubyMapError(f"{cand}: {e}")
                 continue
             if loaded is not None:
+                if rb_err is not None:
+                    # the reference fails fast on an rb eval error; here
+                    # the documented remedy (a converted sibling) loads
+                    # instead — make the substitution VISIBLE so a broken
+                    # .rb shadowing a stale conversion can't silently
+                    # serve old data
+                    print(
+                        f"traject_spark: WARNING: .rb map failed to "
+                        f"parse ({rb_err}); loaded {cand} instead — "
+                        "verify it is not a stale conversion",
+                        file=sys.stderr,
+                    )
                 return loaded
         if rb_err is not None:
             raise rb_err

@@ -33,7 +33,14 @@ def _file_writer(df: DataFrame, mode: str, max_records_per_file):
     multipart limits) choke on. Per-writer option, not a session conf,
     so two sinks in one job can differ."""
     w = df.write.mode(mode)
-    if max_records_per_file:
+    if max_records_per_file is not None:
+        # validate here, not only in the CLI: an API caller passing 0
+        # must get an error, not a silently uncapped writer
+        if int(max_records_per_file) <= 0:
+            raise ValueError(
+                "max_records_per_file must be a positive integer, got "
+                f"{max_records_per_file!r}"
+            )
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     return w
 
