@@ -880,6 +880,108 @@ def _b1_block(run_lists, failed, observed_cal):
     }
 
 
+LOCKS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "LOCKS.json"
+)
+
+
+def _load_locks(path: str = "") -> dict:
+    """Load LOCKS.json (qualified-window per-query minimums, recorded
+    once by tools/record_locks.py under the window-qualification gate —
+    policy in docs/extending.md). Returns {} when absent/unreadable so
+    a bench run never fails on lock bookkeeping."""
+    try:
+        with open(path or LOCKS_PATH, "r", encoding="utf-8") as fh:
+            data = json.load(fh)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _vs_lock(min_queries: dict, locks: dict) -> dict:
+    """Per-query drift ratio: this run's min over the LOCKS.json min.
+    Only queries present in both, with positive locks, are ratioed —
+    a rotated-in query simply has no ratio until locks re-record."""
+    lock_mins = locks.get("min_queries") or {}
+    out = {}
+    for name, cur in (min_queries or {}).items():
+        lock = lock_mins.get(name)
+        if isinstance(lock, (int, float)) and lock > 0 and cur is not None:
+            out[name] = round(cur / lock, 2)
+    return out
+
+
+#: budget for the compact final stdout line: the driver records only the
+#: LAST 2000 chars of stdout — anything longer truncates mid-JSON and the
+#: artifact of record loses its own qualification stamp (VERDICT r10 #1)
+COMPACT_BUDGET = 1900
+
+
+def _compact_summary(payload: dict) -> str:
+    """The FINAL stdout line: a self-contained <=1900-char JSON summary
+    that survives the driver's 2000-char tail. Carries the driver
+    contract keys (metric/value/unit/queries/sf) plus the window stamp,
+    calibrations, B1 raw+normalized, the flagship build cost, and
+    per-query [min, vs_lock] under 'minlock'. Precision and then the
+    minlock dict degrade if an unusually wide query set would overflow
+    the budget (the full-precision artifact is the preceding verbose
+    line + BENCH_full_last.json)."""
+    b1 = payload.get("b1") or {}
+    vs_lock = payload.get("vs_lock") or {}
+    mins = payload.get("min_queries") or {}
+    ratios = sorted(vs_lock.values())
+
+    def build(ndigits: int, with_minlock: bool) -> dict:
+        out = {
+            "metric": payload.get("metric", "total_bench_sec"),
+            "value": payload.get("value"),
+            "unit": "sec",
+            "sf": payload.get("sf"),
+            "window": payload.get("window"),
+            "cal": [
+                (payload.get("calibration") or {}).get("start_sec"),
+                (payload.get("calibration") or {}).get("end_sec"),
+            ],
+            "build_sec": payload.get("map_full_pipeline_build_sec"),
+            "b1_rps_raw": b1.get("records_per_sec_raw"),
+            "b1_rps_norm": b1.get("records_per_sec_probe_normalized"),
+            "vsl_med": (
+                round(_median(ratios), 2) if ratios else None
+            ),
+            "queries": {
+                n: round(v, ndigits)
+                for n, v in (payload.get("queries") or {}).items()
+            },
+        }
+        if with_minlock:
+            out["minlock"] = {
+                n: [round(v, ndigits), vs_lock.get(n)]
+                for n, v in mins.items()
+            }
+        return out
+
+    for ndigits, with_minlock in ((2, True), (1, True), (2, False)):
+        line = json.dumps(build(ndigits, with_minlock))
+        if len(line) <= COMPACT_BUDGET:
+            return line
+    # last resort: shed query ENTRIES (never slice the JSON text — a
+    # truncated line is exactly the unparseable artifact this exists to
+    # prevent); 'queries_dropped' makes the shedding visible
+    minimal = build(1, False)
+    names = sorted(minimal["queries"])
+    while names:
+        names = names[: max(0, len(names) - 5)]
+        shed = dict(minimal)
+        shed["queries"] = {n: minimal["queries"][n] for n in names}
+        shed["queries_dropped"] = len(minimal["queries"]) - len(names)
+        line = json.dumps(shed)
+        if len(line) <= COMPACT_BUDGET:
+            return line
+    minimal["queries"] = {}
+    minimal["queries_dropped"] = -1
+    return json.dumps(minimal)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = session()
@@ -1040,11 +1142,12 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # the per-run lists ride INSIDE the one-line JSON artifact: the driver
-    # keeps only a truncated stderr tail, and a single recorded median is
-    # not auditable against environment stalls without its samples
-    print(
-        json.dumps(
+    # the per-run lists ride INSIDE the verbose JSON artifact: a single
+    # recorded median is not auditable against environment stalls
+    # without its samples. The verbose line prints FIRST; the compact
+    # self-contained summary prints LAST (the driver keeps only the
+    # final 2000 chars of stdout — VERDICT r10 #1)
+    payload = (
             {
                 "metric": "total_bench_sec",
                 "value": total,
@@ -1127,8 +1230,28 @@ def main() -> None:
                 # ('.','').isdigit() is True but float() would crash here)
                 "sf": _parse_sf(sf),
             }
-        )
     )
+    # per-query drift vs the qualified-window locks (LOCKS.json; policy
+    # in docs/extending.md) — rides in BOTH the verbose line and the
+    # compact summary so the official artifact carries the ratios
+    payload["vs_lock"] = _vs_lock(payload["min_queries"], _load_locks())
+    print(json.dumps(payload))
+    # full-fidelity copy on disk: the driver's artifact keeps only a
+    # 2000-char stdout tail, so the run lists/probes must live somewhere
+    # a later A/B can read them even for driver-initiated runs
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_full_last.json",
+            ),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(payload, fh)
+    except OSError as e:
+        print(f"BENCH full-payload dump failed: {e}", file=sys.stderr)
+    print(_compact_summary(payload))
     spark.stop()
 
 

@@ -82,3 +82,82 @@ def test_window_status_thresholds():
     # only the LAST attempt decides (earlier slow attempts were retried)
     assert bench._window_status([5.0, limit - 0.1]) == "ok"
     assert bench._window_status([]) == "degraded"
+
+
+def _fake_payload(n_extra=0):
+    """A payload shaped like bench.main()'s, over the real query set
+    (plus n_extra synthetic long names to stress the budget)."""
+    names = list(bench.BENCHES) + [
+        f"synthetic_extra_query_with_long_name_{i:02d}" for i in range(n_extra)
+    ]
+    queries = {n: 3.141 + i * 0.173 for i, n in enumerate(names)}
+    mins = {n: v * 0.9 for n, v in queries.items()}
+    return {
+        "metric": "total_bench_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "window": "ok",
+        "queries": {n: round(v, 3) for n, v in queries.items()},
+        "min_queries": {n: round(v, 3) for n, v in mins.items()},
+        "map_full_pipeline_build_sec": 1.93,
+        "calibration": {"start_sec": 1.71, "end_sec": 1.69},
+        "b1": {
+            "records_per_sec_raw": 70432.1,
+            "records_per_sec_probe_normalized": 68011.9,
+        },
+        "vs_lock": {n: round(1.0 + (i % 7) * 0.05, 2)
+                    for i, n in enumerate(names)},
+    }
+
+
+def test_compact_summary_fits_driver_tail_and_parses():
+    import json
+
+    line = bench._compact_summary(_fake_payload())
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    # driver contract keys survive
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, key
+    # qualification + evidence keys the r10 artifact lost to truncation
+    assert parsed["window"] == "ok"
+    assert parsed["cal"] == [1.71, 1.69]
+    assert parsed["build_sec"] == 1.93
+    assert parsed["b1_rps_raw"] == 70432.1
+    # per-query [min, vs_lock] pairs ride in 'minlock'
+    ml = parsed["minlock"]
+    assert set(ml) == set(bench.BENCHES)
+    got_min, got_ratio = ml["map_full_pipeline"]
+    assert abs(got_min - 3.141 * 0.9) < 0.01
+    assert got_ratio == 1.0
+    assert parsed["vsl_med"] is not None
+
+
+def test_compact_summary_degrades_before_overflowing():
+    import json
+
+    # 60 extra long-named queries would blow the budget at full detail:
+    # the ladder must still emit a parseable line under budget
+    line = bench._compact_summary(_fake_payload(n_extra=60))
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    assert "queries" in parsed and parsed["window"] == "ok"
+
+
+def test_vs_lock_ratios_only_for_locked_queries():
+    locks = {"min_queries": {"a": 2.0, "b": 0.0, "c": 4.0}}
+    out = bench._vs_lock({"a": 3.0, "c": 2.0, "rotated_in": 1.0}, locks)
+    # 'b' has a degenerate lock, 'rotated_in' has none: no ratio
+    assert out == {"a": 1.5, "c": 0.5}
+    assert bench._vs_lock({"a": 1.0}, {}) == {}
+
+
+def test_load_locks_absent_is_empty(tmp_path):
+    assert bench._load_locks(str(tmp_path / "nope.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench._load_locks(str(bad)) == {}
+    good = tmp_path / "good.json"
+    good.write_text('{"min_queries": {"q": 1.5}}')
+    assert bench._load_locks(str(good)) == {"min_queries": {"q": 1.5}}

@@ -1,0 +1,100 @@
+"""Record LOCKS.json: the qualified-window per-query performance locks.
+
+The locks are the baseline `bench.py`'s `vs_lock` ratios compare
+against. Policy (docs/extending.md "Performance-lock policy"): locks
+re-record ONLY by an explicit decision via this tool — never silently —
+and only from a run whose window self-qualified `ok`, because a lock
+caught on an unqualified fast window permanently poisons the drift
+ratio of innocent queries (VERDICT r10 "What's wrong" #3: embed_topk
+read 1.33-1.8x of its r1 lock for three rounds while A/B runs
+repeatedly exonerated the code).
+
+Usage:
+    python tools/record_locks.py            # run bench, record if ok
+    python tools/record_locks.py --from-payload BENCH_full_last.json
+                                            # adopt an existing run
+
+Refuses to write when the source run's window is not "ok".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOCKS_PATH = os.path.join(REPO, "LOCKS.json")
+FULL_PAYLOAD = os.path.join(REPO, "BENCH_full_last.json")
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def record(payload: dict) -> None:
+    window = payload.get("window")
+    if window != "ok":
+        raise SystemExit(
+            f"refusing to record locks from a window={window!r} run: "
+            "locks must come from a qualified window (policy in "
+            "docs/extending.md)"
+        )
+    mins = payload.get("min_queries") or {}
+    if not mins:
+        raise SystemExit("payload has no min_queries — nothing to lock")
+    locks = {
+        "policy": (
+            "qualified-window (window=ok) min-of-N per query; re-record "
+            "ONLY via tools/record_locks.py by explicit decision — see "
+            "docs/extending.md 'Performance-lock policy'"
+        ),
+        "recorded_at_commit": _git_head(),
+        "window": window,
+        "start_cal_sec": (payload.get("calibration") or {}).get("start_sec"),
+        "sf": payload.get("sf"),
+        "n_runs_hint": max(
+            (len(v) for v in (payload.get("runs") or {}).values()),
+            default=None,
+        ),
+        "min_queries": {n: round(v, 3) for n, v in sorted(mins.items())},
+    }
+    with open(LOCKS_PATH, "w", encoding="utf-8") as fh:
+        json.dump(locks, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    print(
+        f"recorded {len(mins)} locks at {locks['recorded_at_commit']} "
+        f"(cal {locks['start_cal_sec']}s) -> {LOCKS_PATH}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--from-payload",
+        help="adopt an existing full bench payload instead of running "
+        "bench.py (e.g. BENCH_full_last.json)",
+    )
+    args = ap.parse_args()
+    if args.from_payload:
+        with open(args.from_payload, "r", encoding="utf-8") as fh:
+            record(json.load(fh))
+        return
+    rc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                        cwd=REPO).returncode
+    if rc != 0:
+        raise SystemExit(f"bench.py exited {rc}; locks not recorded")
+    with open(FULL_PAYLOAD, "r", encoding="utf-8") as fh:
+        record(json.load(fh))
+
+
+if __name__ == "__main__":
+    main()
