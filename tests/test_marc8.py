@@ -1,0 +1,230 @@
+"""MARC-8 converter tests (VERDICT r10 missing item #1).
+
+Reference behavior: marc_reader.rb:27-35,79 — `marc_source.encoding =
+'MARC-8'` converts to UTF-8 with :invalid => :replace. The golden test
+synthesizes a MARC-8 fixture by ENCODING a UTF-8 record and asserts the
+binary reader round-trips it to the same struct as its UTF-8 twin.
+"""
+
+import unicodedata
+
+import pytest
+
+from traject_spark.marc.marc8 import (
+    Marc8DecodeError,
+    marc8_to_unicode,
+    unicode_to_marc8,
+)
+from traject_spark.marc.serialize import from_iso2709, to_iso2709
+
+
+# ---------------------------------------------------------------------------
+# decoder units
+# ---------------------------------------------------------------------------
+
+def test_ascii_passthrough():
+    assert marc8_to_unicode(b"Hello, MARC-8 world! 123") == (
+        "Hello, MARC-8 world! 123"
+    )
+
+
+def test_ansel_spacing_characters():
+    # G1 bytes need no escape: 0xA5 AE, 0xB2 o-slash, 0xC3 copyright
+    assert marc8_to_unicode(b"\xa5neid") == "Æneid"
+    assert marc8_to_unicode(b"K\xb2benhavn") == "København"
+    assert marc8_to_unicode(b"\xc3 2020") == "© 2020"
+
+
+def test_combining_marks_reorder_and_compose():
+    # MARC-8: acute (0xE2) PRECEDES the base 'e'; Unicode composes to é
+    assert marc8_to_unicode(b"caf\xe2e") == "café"
+    # double diacritic: cedilla + acute on 'e' keeps mark order
+    got = marc8_to_unicode(b"\xf0\xe2e", normalize="")
+    assert got == "ȩ́"
+    # NFC default composes base+first mark where a composition exists
+    assert marc8_to_unicode(b"\xf0\xe2e") == unicodedata.normalize(
+        "NFC", "ȩ́"
+    )
+
+
+def test_stranded_combining_mark_survives():
+    # a trailing mark with no following base char is kept, not dropped
+    assert marc8_to_unicode(b"x\xe2", normalize="") == "x́"
+
+
+def test_technique1_escapes_greek_sub_super():
+    # ESC g alpha, ESC s back; ESC b subscript 2; ESC p superscript 2
+    assert marc8_to_unicode(b"\x1bga\x1bs rays") == "α rays"
+    assert marc8_to_unicode(b"H\x1bb2\x1bsO") == "H₂O"
+    assert marc8_to_unicode(b"E=mc\x1bp2\x1bs") == "E=mc²"
+
+
+def test_technique2_hebrew_designation():
+    # ESC ( 2 designates Basic Hebrew into G0: 0x60 is alef
+    raw = b"\x1b(2\x60\x61\x62\x1b(B abc"
+    assert marc8_to_unicode(raw) == "אבג abc"
+
+
+def test_g1_designation_keeps_ascii_g0():
+    # ESC ) 2 designates Hebrew into G1: high-bit bytes map, low stay ASCII
+    raw = b"\x1b)2ab\xe0\xfa"
+    assert marc8_to_unicode(raw) == "abאת"
+
+
+def test_unmapped_set_replaces_or_raises():
+    # Basic Cyrillic ('N') is escape-recognized but has no bundled table
+    raw = b"\x1b(Nabc\x1b(B ok"
+    assert marc8_to_unicode(raw) == "��� ok"
+    with pytest.raises(Marc8DecodeError, match="Cyrillic"):
+        marc8_to_unicode(raw, replace=False)
+
+
+def test_eacc_multibyte_consumes_triples():
+    # EACC (ESC $ 1): 3 bytes -> ONE replacement char, stream stays sync
+    raw = b"\x1b$1abcdef\x1b(Bxy"
+    assert marc8_to_unicode(raw) == "��xy"
+
+
+def test_truncated_escape_is_replaced_not_crash():
+    assert marc8_to_unicode(b"ab\x1b") == "ab�"
+    with pytest.raises(Marc8DecodeError, match="truncated"):
+        marc8_to_unicode(b"ab\x1b", replace=False)
+
+
+def test_unmappable_byte_replace_parity():
+    # 0xBB has no ANSEL assignment: :invalid => :replace parity
+    assert marc8_to_unicode(b"a\xbbz") == "a�z"
+    with pytest.raises(Marc8DecodeError):
+        marc8_to_unicode(b"a\xbbz", replace=False)
+
+
+# ---------------------------------------------------------------------------
+# encoder + round-trip
+# ---------------------------------------------------------------------------
+
+ROUND_TRIP_SAMPLES = [
+    "plain ascii only",
+    "café crème — wait, no em dash",  # composed latin
+    "Œuvres complètes de Kierkegård",
+    "señor año niño",
+    "Dvořák, Antonín",
+    "H₂O and E=mc²",
+    "α-particles and β-decay",
+    "אבג hebrew letters",
+    "Æneid øre © ± ·",
+    "Ngô Đình Diệm",  # Vietnamese horn vowels + diacritics
+]
+
+
+@pytest.mark.parametrize("text", [t for t in ROUND_TRIP_SAMPLES if "—" not in t])
+def test_text_round_trips_through_marc8(text):
+    assert marc8_to_unicode(unicode_to_marc8(text)) == unicodedata.normalize(
+        "NFC", text
+    )
+
+
+def test_em_dash_refuses_to_encode():
+    with pytest.raises(ValueError, match="U\\+2014"):
+        unicode_to_marc8("wait — no")
+
+
+def test_cyrillic_refuses_to_encode():
+    with pytest.raises(ValueError, match="outside the bundled"):
+        unicode_to_marc8("Москва")
+
+
+# ---------------------------------------------------------------------------
+# golden: MARC-8 fixture round-trips to the UTF-8 twin's struct
+# ---------------------------------------------------------------------------
+
+def _twin_records():
+    """One record, two encodings: UTF-8 bytes and MARC-8 bytes of the
+    same logical content (the MARC-8 fixture is synthesized by encoding
+    the UTF-8 twin's strings, per VERDICT r10 next-round #2)."""
+    title = "Dvořák in København : šest écrits"
+    author = "Dvořák, Antonín, 1841-1904"
+    note = "H₂O α-test א"
+    rec = {
+        "leader": "00000cam a2200000 a 4500",
+        "controlfields": [{"tag": "001", "value": "m8-001"}],
+        "datafields": [
+            {"tag": "100", "ind1": "1", "ind2": " ",
+             "subfields": [{"code": "a", "value": author}]},
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": title}]},
+            {"tag": "500", "ind1": " ", "ind2": " ",
+             "subfields": [{"code": "a", "value": note}]},
+        ],
+    }
+    utf8_bytes = to_iso2709(rec)
+
+    # build the MARC-8 twin by re-encoding every string slot
+    def m8(s):
+        return unicode_to_marc8(s)
+
+    body_fields = []
+    for cf in rec["controlfields"]:
+        body_fields.append((cf["tag"], m8(cf["value"]) + b"\x1e"))
+    for df in rec["datafields"]:
+        body = df["ind1"].encode() + df["ind2"].encode()
+        for sf in df["subfields"]:
+            body += b"\x1f" + sf["code"].encode() + m8(sf["value"])
+        body_fields.append((df["tag"], body + b"\x1e"))
+    directory = b""
+    data = b""
+    for tag, body in body_fields:
+        directory += (
+            tag.encode() + f"{len(body):04d}".encode()
+            + f"{len(data):05d}".encode()
+        )
+        data += body
+    directory += b"\x1e"
+    base = 24 + len(directory)
+    total = base + len(data) + 1
+    leader = f"{total:05d}" + rec["leader"][5:12] + f"{base:05d}" + rec[
+        "leader"
+    ][17:24]
+    marc8_bytes = leader.encode() + directory + data + b"\x1d"
+    return rec, utf8_bytes, marc8_bytes
+
+
+def test_golden_marc8_struct_matches_utf8_twin():
+    rec, utf8_bytes, marc8_bytes = _twin_records()
+    got_utf8 = from_iso2709(utf8_bytes, encoding="utf-8")
+    got_m8 = from_iso2709(marc8_bytes, encoding="MARC-8")
+    # leader length/base slots legitimately differ (MARC-8 and UTF-8
+    # byte counts differ); every non-positional slot and all fields match
+    assert got_m8["leader"][5:12] == got_utf8["leader"][5:12]
+    assert got_m8["leader"][17:] == got_utf8["leader"][17:]
+    assert got_m8["controlfields"] == got_utf8["controlfields"]
+    assert got_m8["datafields"] == got_utf8["datafields"]
+    # and both match the source struct (values NFC-composed already)
+    assert got_m8["datafields"] == rec["datafields"]
+    assert got_m8["controlfields"] == rec["controlfields"]
+
+
+def test_marc8_encoding_name_variants():
+    _, _, marc8_bytes = _twin_records()
+    for name in ("MARC-8", "marc-8", "marc8", "MARC_8"):
+        rec = from_iso2709(marc8_bytes, encoding=name)
+        assert rec["controlfields"][0]["value"] == "m8-001"
+
+
+def test_marc8_read_iso2709_through_spark(spark, tmp_path):
+    """The reader plumbing: read_iso2709(..., encoding='MARC-8') decodes
+    on executors inside the Arrow batch parse (marc_reader.rb:78-80)."""
+    _, _, marc8_bytes = _twin_records()
+    p = tmp_path / "m8.mrc"
+    p.write_bytes(marc8_bytes * 3)
+
+    from traject_spark.marc.io import read_iso2709
+
+    df = read_iso2709(spark, str(p), encoding="MARC-8")
+    rows = df.collect()
+    assert len(rows) == 3
+    title_field = [
+        f for f in rows[0]["marc"]["datafields"] if f["tag"] == "245"
+    ][0]
+    assert title_field["subfields"][0]["value"] == (
+        "Dvořák in København : šest écrits"
+    )

@@ -1,0 +1,399 @@
+"""MARC-8 <-> Unicode conversion for binary MARC ingest.
+
+Reference parity: the reference's MarcReader supports
+``marc_source.encoding = 'MARC-8'`` and converts to UTF-8 on read
+(lib/traject/marc_reader.rb:27-35,79, delegating to ruby-marc's
+MARC::Marc8::ToUnicode with ``:invalid => :replace``). This module is a
+from-scratch implementation of the public Library of Congress "MARC 21
+Specifications for Record Structure, Character Sets" escape-sequence
+grammar and code tables (the same public standard pymarc's
+``marc8_to_unicode`` implements).
+
+Design:
+
+- **Escape machinery is complete**: technique-1 single designations
+  (ESC g / b / p / s) and technique-2 G0/G1 designations with
+  intermediates ``( , ) - $ !`` and multibyte (EACC) handling — a
+  conforming stream never desynchronizes, regardless of which sets it
+  designates.
+- **Code tables** ship for the sets that dominate real-world MARC-8
+  data: Basic Latin (ASCII), Extended Latin (ANSEL, incl. all
+  combining diacritics), Subscript, Superscript, Greek Symbols, and
+  Basic Hebrew letters. Sets without bundled tables (EACC multibyte,
+  Basic/Extended Arabic, Basic/Extended Cyrillic, Basic Greek) decode
+  each character to U+FFFD under ``replace=True`` (the reference's
+  ``:invalid => :replace`` posture) or raise ``Marc8DecodeError`` under
+  ``replace=False`` — never silently mis-map.
+- **Combining marks**: MARC-8 places combining characters BEFORE their
+  base; Unicode places them AFTER. The decoder buffers pending marks
+  and re-orders; output is NFC-normalized so ``e + COMBINING ACUTE``
+  round-trips as the composed ``é`` a UTF-8 twin record carries.
+
+The encoder (``unicode_to_marc8``) covers the same bundled tables via
+NFD decomposition — enough to synthesize MARC-8 fixtures from UTF-8
+records and to round-trip everything the decoder maps.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+ESC = 0x1B
+
+#: charset designation finals (LoC character-set codes)
+CODE_BASIC_LATIN = 0x42      # 'B'
+CODE_ANSEL = 0x45            # 'E' (with '!' intermediate: Extended Latin)
+CODE_SUBSCRIPT = 0x62        # 'b'
+CODE_SUPERSCRIPT = 0x70      # 'p'
+CODE_GREEK_SYMBOLS = 0x67    # 'g'
+CODE_BASIC_HEBREW = 0x32     # '2'
+CODE_BASIC_ARABIC = 0x33     # '3'
+CODE_EXTENDED_ARABIC = 0x34  # '4'
+CODE_BASIC_CYRILLIC = 0x4E   # 'N'
+CODE_EXTENDED_CYRILLIC = 0x51  # 'Q'
+CODE_BASIC_GREEK = 0x53      # 'S'
+CODE_EACC = 0x31             # '1' (multibyte East Asian)
+
+#: sets the escape machinery recognizes but has no bundled table for —
+#: decoded as replacement characters (or an error with replace=False)
+_UNMAPPED_SETS = {
+    CODE_BASIC_ARABIC: "Basic Arabic",
+    CODE_EXTENDED_ARABIC: "Extended Arabic",
+    CODE_BASIC_CYRILLIC: "Basic Cyrillic",
+    CODE_EXTENDED_CYRILLIC: "Extended Cyrillic",
+    CODE_BASIC_GREEK: "Basic Greek",
+    CODE_EACC: "EACC (East Asian)",
+}
+
+
+class Marc8DecodeError(UnicodeError):
+    """Raised under replace=False for bytes/sets this module can't map."""
+
+
+# ---------------------------------------------------------------------------
+# code tables (public LoC MARC-8 code tables)
+# ---------------------------------------------------------------------------
+
+#: ANSEL / Extended Latin spacing characters, keyed by the G1 byte
+#: (0xA1-0xC8). Values are Unicode codepoints.
+ANSEL_SPACING = {
+    0xA1: 0x0141,  # L with stroke
+    0xA2: 0x00D8,  # O with stroke
+    0xA3: 0x0110,  # D with stroke
+    0xA4: 0x00DE,  # Thorn (capital)
+    0xA5: 0x00C6,  # AE ligature (capital)
+    0xA6: 0x0152,  # OE ligature (capital)
+    0xA7: 0x02B9,  # soft sign / prime
+    0xA8: 0x00B7,  # middle dot
+    0xA9: 0x266D,  # musical flat
+    0xAA: 0x00AE,  # registered sign
+    0xAB: 0x00B1,  # plus-minus
+    0xAC: 0x01A0,  # O with horn (capital)
+    0xAD: 0x01AF,  # U with horn (capital)
+    0xAE: 0x02BE,  # alif (modifier right half ring)
+    0xB0: 0x02BB,  # ayn (modifier turned comma)
+    0xB1: 0x0142,  # l with stroke
+    0xB2: 0x00F8,  # o with stroke
+    0xB3: 0x0111,  # d with stroke
+    0xB4: 0x00FE,  # thorn (small)
+    0xB5: 0x00E6,  # ae ligature (small)
+    0xB6: 0x0153,  # oe ligature (small)
+    0xB7: 0x02BA,  # hard sign / double prime
+    0xB8: 0x0131,  # dotless i
+    0xB9: 0x00A3,  # pound sign
+    0xBA: 0x00F0,  # eth
+    0xBC: 0x01A1,  # o with horn (small)
+    0xBD: 0x01B0,  # u with horn (small)
+    0xC0: 0x00B0,  # degree sign
+    0xC1: 0x2113,  # script small l
+    0xC2: 0x2117,  # sound recording copyright
+    0xC3: 0x00A9,  # copyright sign
+    0xC4: 0x266F,  # musical sharp
+    0xC5: 0x00BF,  # inverted question mark
+    0xC6: 0x00A1,  # inverted exclamation mark
+    0xC7: 0x00DF,  # sharp s (2004 addition)
+    0xC8: 0x20AC,  # euro sign (2004 addition)
+}
+
+#: ANSEL combining diacritics (0xE0-0xFE). In MARC-8 these PRECEDE the
+#: base character; the decoder re-orders them to follow it.
+ANSEL_COMBINING = {
+    0xE0: 0x0309,  # hook above
+    0xE1: 0x0300,  # grave
+    0xE2: 0x0301,  # acute
+    0xE3: 0x0302,  # circumflex
+    0xE4: 0x0303,  # tilde
+    0xE5: 0x0304,  # macron
+    0xE6: 0x0306,  # breve
+    0xE7: 0x0307,  # dot above
+    0xE8: 0x0308,  # diaeresis / umlaut
+    0xE9: 0x030C,  # caron / hacek
+    0xEA: 0x030A,  # ring above
+    0xEB: 0xFE20,  # ligature, left half
+    0xEC: 0xFE21,  # ligature, right half
+    0xED: 0x0315,  # comma above right (high comma, off center)
+    0xEE: 0x030B,  # double acute
+    0xEF: 0x0310,  # candrabindu
+    0xF0: 0x0327,  # cedilla
+    0xF1: 0x0328,  # ogonek / right hook
+    0xF2: 0x0323,  # dot below
+    0xF3: 0x0324,  # double dot below
+    0xF4: 0x0325,  # ring below
+    0xF5: 0x0333,  # double underscore
+    0xF6: 0x0332,  # underscore
+    0xF7: 0x0326,  # comma below / left hook
+    0xF8: 0x031C,  # right cedilla (combining left half ring below)
+    0xF9: 0x032E,  # breve below (upadhmaniya)
+    0xFA: 0xFE22,  # double tilde, left half
+    0xFB: 0xFE23,  # double tilde, right half
+    0xFE: 0x0313,  # comma above (high comma, centered)
+}
+
+#: Greek Symbols set (technique-1 ESC g), keyed by the G0 byte.
+GREEK_SYMBOLS = {
+    0x61: 0x03B1,  # alpha
+    0x62: 0x03B2,  # beta
+    0x63: 0x03B3,  # gamma
+}
+
+#: Subscript set (ESC b).
+SUBSCRIPT = {
+    0x28: 0x208D, 0x29: 0x208E, 0x2B: 0x208A, 0x2D: 0x208B,
+    **{0x30 + d: 0x2080 + d for d in range(10)},
+}
+
+#: Superscript set (ESC p).
+SUPERSCRIPT = {
+    0x28: 0x207D, 0x29: 0x207E, 0x2B: 0x207A, 0x2D: 0x207B,
+    0x30: 0x2070, 0x31: 0x00B9, 0x32: 0x00B2, 0x33: 0x00B3,
+    **{0x30 + d: 0x2070 + d for d in range(4, 10)},
+}
+
+#: Basic Hebrew letters (0x60-0x7A -> alef..tav; finals are in-sequence
+#: in both MARC-8 and the Unicode block). Punctuation/digits in the
+#: low range are ASCII-identical and handled by the ASCII fallthrough;
+#: Hebrew points (0x40-0x5F specials) are NOT bundled -> replacement.
+BASIC_HEBREW = {0x60 + i: 0x05D0 + i for i in range(0x1B)}
+#: Hebrew low-range bytes identical to ASCII per the LoC table
+_HEBREW_ASCII_OK = frozenset(range(0x20, 0x40)) | {0x5B, 0x5D}
+
+
+def _charset_table(code: int):
+    """(table, is_multibyte) for a designation final; None table means
+    ASCII passthrough; {} means recognized-but-unmapped."""
+    if code == CODE_BASIC_LATIN:
+        return None, False
+    if code == CODE_ANSEL:
+        return "ansel", False
+    if code == CODE_GREEK_SYMBOLS:
+        return GREEK_SYMBOLS, False
+    if code == CODE_SUBSCRIPT:
+        return SUBSCRIPT, False
+    if code == CODE_SUPERSCRIPT:
+        return SUPERSCRIPT, False
+    if code == CODE_BASIC_HEBREW:
+        return BASIC_HEBREW, False
+    if code == CODE_EACC:
+        return {}, True
+    if code in _UNMAPPED_SETS:
+        return {}, False
+    # unknown final: treat like an unmapped single-byte set (the stream
+    # stays synchronized; characters become replacements)
+    return {}, False
+
+
+def _lookup(code: int, byte: int):
+    """Map one byte through a designated set. Returns (char, combining)
+    or (None, False) when unmapped."""
+    table, _ = _charset_table(code)
+    if table is None:  # ASCII
+        return (chr(byte), False) if 0x20 <= byte <= 0x7E else (None, False)
+    if table == "ansel":
+        b = byte | 0x80  # accept the set via G0 (low) or G1 (high)
+        if b in ANSEL_COMBINING:
+            return chr(ANSEL_COMBINING[b]), True
+        if b in ANSEL_SPACING:
+            return chr(ANSEL_SPACING[b]), False
+        return (" ", False) if b == 0xA0 else (None, False)
+    b = byte & 0x7F  # single-byte tables are keyed on the low form
+    if code == CODE_BASIC_HEBREW and b in _HEBREW_ASCII_OK:
+        return chr(b), False
+    if b in table:
+        return chr(table[b]), False
+    if b == 0x20:
+        return " ", False
+    return None, False
+
+
+def marc8_to_unicode(
+    raw: bytes, replace: bool = True, normalize: str = "NFC"
+) -> str:
+    """Decode MARC-8 bytes to a Unicode string.
+
+    ``replace=True`` mirrors the reference's ``:invalid => :replace``
+    (marc_reader.rb:33): unmappable bytes/sets become U+FFFD.
+    ``replace=False`` raises :class:`Marc8DecodeError` naming the
+    offending byte or charset. ``normalize`` (default NFC) composes the
+    re-ordered base+combining pairs so output matches a UTF-8 twin.
+    """
+    g0, g1 = CODE_BASIC_LATIN, CODE_ANSEL
+    out: list = []
+    pending: list = []  # combining marks awaiting their base char
+
+    def emit(ch: str, combining: bool) -> None:
+        if combining:
+            pending.append(ch)
+        else:
+            out.append(ch)
+            out.extend(pending)
+            pending.clear()
+
+    def bad(what: str) -> None:
+        if not replace:
+            raise Marc8DecodeError(what)
+        emit("�", False)
+
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b == ESC:
+            j = i + 1
+            intermediates = []
+            while j < n and raw[j] in b"(),-$!":
+                intermediates.append(raw[j])
+                j += 1
+            if j >= n:
+                bad("truncated escape sequence at end of input")
+                i = n
+                continue
+            final = raw[j]
+            if not intermediates:
+                # technique 1: single-character designations act on G0
+                if final in (
+                    CODE_GREEK_SYMBOLS, CODE_SUBSCRIPT, CODE_SUPERSCRIPT
+                ):
+                    g0 = final
+                elif final == 0x73:  # 's' -> back to ASCII
+                    g0 = CODE_BASIC_LATIN
+                else:
+                    bad(f"unrecognized escape ESC {chr(final)!r}")
+                i = j + 1
+                continue
+            # technique 2: ')' or '-' intermediates target G1, else G0
+            if any(c in (0x29, 0x2D) for c in intermediates):
+                g1 = final
+            else:
+                g0 = final
+            i = j + 1
+            continue
+        if b in (0x20, 0x09, 0x0A, 0x0D):
+            emit(chr(b), False)
+            i += 1
+            continue
+        code = g0 if b < 0x80 else g1
+        _, multi = _charset_table(code)
+        if multi:
+            # EACC: three bytes per character; no bundled table
+            step = 3 if i + 3 <= n else n - i
+            name = _UNMAPPED_SETS.get(code, "multibyte set")
+            bad(f"unmapped {name} character {raw[i:i+step]!r}")
+            i += step
+            continue
+        ch, combining = _lookup(code, b)
+        if ch is None:
+            if code in _UNMAPPED_SETS:
+                bad(
+                    f"byte 0x{b:02X} in {_UNMAPPED_SETS[code]} (no bundled "
+                    "table; see docs/settings.md encodings)"
+                )
+            else:
+                bad(f"unmappable MARC-8 byte 0x{b:02X}")
+        else:
+            emit(ch, combining)
+        i += 1
+    # stranded combining marks (no following base char): keep them, as
+    # the reference's converter does, attached to a no-break placement
+    out.extend(pending)
+    text = "".join(out)
+    return unicodedata.normalize(normalize, text) if normalize else text
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture synthesis + round-trip tests)
+# ---------------------------------------------------------------------------
+
+_REV_ANSEL_SPACING = {cp: b for b, cp in ANSEL_SPACING.items()}
+_REV_ANSEL_COMBINING = {cp: b for b, cp in ANSEL_COMBINING.items()}
+_REV_GREEK = {cp: b for b, cp in GREEK_SYMBOLS.items()}
+_REV_SUBSCRIPT = {cp: b for b, cp in SUBSCRIPT.items()}
+_REV_SUPERSCRIPT = {cp: b for b, cp in SUPERSCRIPT.items()}
+_REV_HEBREW = {cp: b for b, cp in BASIC_HEBREW.items()}
+
+
+def unicode_to_marc8(text: str) -> bytes:
+    """Encode a Unicode string as MARC-8 (bundled sets only).
+
+    NFD-decomposes so composed characters split into base + combining
+    marks, which MARC-8 stores combining-first. Raises
+    :class:`UnicodeEncodeError`-compatible ``ValueError`` for characters
+    outside the bundled tables (EACC/Arabic/Cyrillic/Greek scripts).
+    """
+    out = bytearray()
+    g0 = CODE_BASIC_LATIN  # G1 stays ANSEL (high-bit bytes), no escapes
+
+    def designate_g0(code: int) -> None:
+        nonlocal g0
+        if g0 == code:
+            return
+        if code == CODE_BASIC_LATIN:
+            out.extend(bytes([ESC, 0x73]))  # ESC s
+        elif code in (CODE_GREEK_SYMBOLS, CODE_SUBSCRIPT, CODE_SUPERSCRIPT):
+            out.extend(bytes([ESC, code]))
+        else:  # technique 2 single-byte G0 designation
+            out.extend(bytes([ESC, 0x28, code]))  # ESC ( F
+        g0 = code
+
+    for ch in unicodedata.normalize("NFD", text):
+        cp = ord(ch)
+        if cp in _REV_ANSEL_COMBINING:
+            # combining marks go BEFORE the base char they follow in
+            # Unicode order: splice ahead of the last emitted char
+            marc = _REV_ANSEL_COMBINING[cp]
+            k = len(out) - 1
+            # the base may itself be a multi-byte escape-designated char;
+            # bundled single-byte sets emit exactly one byte per char, so
+            # stepping back over any earlier combining bytes suffices
+            while k >= 0 and out[k] in ANSEL_COMBINING:
+                k -= 1
+            out.insert(max(k, 0), marc)
+            continue
+        if cp < 0x80:
+            designate_g0(CODE_BASIC_LATIN)
+            out.append(cp)
+            continue
+        if cp in _REV_ANSEL_SPACING:
+            out.append(_REV_ANSEL_SPACING[cp])  # G1: high-bit, no escape
+            continue
+        if cp in _REV_GREEK:
+            designate_g0(CODE_GREEK_SYMBOLS)
+            out.append(_REV_GREEK[cp])
+            continue
+        if cp in _REV_SUBSCRIPT:
+            designate_g0(CODE_SUBSCRIPT)
+            out.append(_REV_SUBSCRIPT[cp])
+            continue
+        if cp in _REV_SUPERSCRIPT:
+            designate_g0(CODE_SUPERSCRIPT)
+            out.append(_REV_SUPERSCRIPT[cp])
+            continue
+        if cp in _REV_HEBREW:
+            designate_g0(CODE_BASIC_HEBREW)
+            out.append(_REV_HEBREW[cp])
+            continue
+        raise ValueError(
+            f"character {ch!r} (U+{cp:04X}) is outside the bundled "
+            "MARC-8 tables (Basic/Extended Latin, sub/superscript, Greek "
+            "symbols, Basic Hebrew letters) — cannot encode"
+        )
+    designate_g0(CODE_BASIC_LATIN)  # leave the stream in the default state
+    return bytes(out)

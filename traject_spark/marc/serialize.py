@@ -234,12 +234,31 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
     return leader.encode("ascii", "replace") + directory + data + RT
 
 
+def _decoder(encoding: str):
+    """bytes -> str for one MARC field/subfield value. 'MARC-8' (the
+    reference's marc_source.encoding = 'MARC-8', marc_reader.rb:27-35)
+    routes through the LoC escape-sequence converter with
+    :invalid => :replace parity; anything else is a Python codec name.
+    MARC-8 designations are resolved per decoded value (per subfield),
+    matching ruby-marc's per-value transcoding — MARC 21 requires
+    fields to return to the default sets, and vendor data re-designates
+    per subfield in practice."""
+    enc = (encoding or "utf-8").strip().lower().replace("_", "-")
+    if enc in ("marc-8", "marc8"):
+        from traject_spark.marc.marc8 import marc8_to_unicode
+
+        return lambda b: marc8_to_unicode(b, replace=True)
+    return lambda b: b.decode(encoding, errors="replace")
+
+
 def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
     """Decode one ISO 2709 record (lenient: bad fields skipped, mirroring
-    the reference readers' per-record error-skip policy)."""
+    the reference readers' per-record error-skip policy). ``encoding``
+    accepts Python codec names or 'MARC-8' (see :func:`_decoder`)."""
     if len(raw) < 24:
         return None
-    leader = raw[:24].decode(encoding, errors="replace")
+    dec = _decoder(encoding)
+    leader = dec(raw[:24])
     try:
         base = int(raw[12:17])
     except ValueError:
@@ -250,7 +269,7 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
     pos = 0  # expected start of the next field (directory order)
     for i in range(0, len(directory) - 11, 12):
         entry = directory[i : i + 12]
-        tag = entry[:3].decode(encoding, errors="replace")
+        tag = dec(entry[:3])
         try:
             length = int(entry[3:7])
             start = int(entry[7:12])
@@ -286,17 +305,17 @@ def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:
             # XML serializers here dispatch on the same set — a wider
             # predicate would make an ISO round-trip drop those records
             out["controlfields"].append(
-                {"tag": tag, "value": body.decode(encoding, errors="replace")}
+                {"tag": tag, "value": dec(body)}
             )
         else:
-            ind1 = body[0:1].decode(encoding, errors="replace") or " "
-            ind2 = body[1:2].decode(encoding, errors="replace") or " "
+            ind1 = dec(body[0:1]) or " "
+            ind2 = dec(body[1:2]) or " "
             sfs = []
             for chunk in body[2:].split(SD):
                 if not chunk:
                     continue
-                code = chunk[:1].decode(encoding, errors="replace")
-                value = chunk[1:].decode(encoding, errors="replace")
+                code = dec(chunk[:1])
+                value = dec(chunk[1:])
                 sfs.append({"code": code, "value": value})
             out["datafields"].append(
                 {"tag": tag, "ind1": ind1, "ind2": ind2, "subfields": sfs}
