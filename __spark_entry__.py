@@ -661,6 +661,114 @@ def q_stream_events_hourly(spark, sf_dir):
     )
 
 
+#: per-sf cache of the simulated out-of-order arrival directory
+_LATE_DIRS: dict = {}
+
+
+def _late_arrival_dir(sf_dir: str) -> str:
+    """Simulate out-of-order ARRIVAL over the events table: five files
+    whose modification times order the file-stream micro-batches
+    (FileStreamSource processes oldest-modTime first):
+
+    1. ``a`` — on-time 70% (event_id % 10 < 7), original event times
+    2. ``spacer`` — on-time 10% (event_id % 10 == 7): one batch between
+       the on-time bulk and the late arrivals, because Spark >= 3.4
+       filters late events against the PREVIOUS batch's eviction
+       watermark (SPARK-40925 two-watermark design, verified
+       empirically on this runtime via numRowsDroppedByWatermark) —
+       late rows landing in the batch right after the data that
+       advanced the watermark are NOT yet dropped
+    3. ``b`` — the late-arriving 20% (event_id % 10 >= 8): same
+       original event times, but arriving two batches after ``a``
+       advanced the watermark to max(ts(a)) - 1h, so rows whose
+       hour-window END <= that watermark are dropped
+    4./5. sentinel flush files (+3h/+6h past the real max) that advance
+       the watermark past every real window so append mode finalizes
+       and emits them all
+
+    Driver-side pandas setup (bounded: one pass over one sf-scale
+    events file), mirroring the planted-data construction the dedup
+    oracles use — the streaming query itself stays fully distributed.
+    """
+    if sf_dir in _LATE_DIRS:
+        return _LATE_DIRS[sf_dir]
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    df = tbl.to_pandas()
+    out_dir = tempfile.mkdtemp(prefix="late_arrival_")
+    on_time = df[df["event_id"] % 10 < 7]
+    spacer = df[df["event_id"] % 10 == 7]
+    late = df[df["event_id"] % 10 >= 8]
+    max_real = df["ts"].max()
+    sentinel_cols = {c: [None] for c in df.columns}
+    paths = []
+    for i, (name, part) in enumerate(
+        [("a", on_time), ("a_spacer", spacer), ("b", late)]
+        + [
+            (
+                f"s{k}",
+                pd.DataFrame(
+                    {
+                        **sentinel_cols,
+                        "event_id": [10_000_000 + k],
+                        "ts": [max_real + pd.Timedelta(hours=3 * k)],
+                        "event_type": ["sentinel"],
+                        "value": [0.0],
+                    }
+                )[list(df.columns)],
+            )
+            for k in (1, 2)
+        ]
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=tbl.schema, preserve_index=False),
+            p,
+        )
+        # modification time IS the arrival order for the file source
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        paths.append(p)
+    _LATE_DIRS[sf_dir] = out_dir
+    return out_dir
+
+
+def q_stream_late_data(spark, sf_dir):
+    """Watermark late-data CORRECTNESS row (VERDICT r10 next-round #5):
+    unlike the batch-replay stream rows, this one actually exercises the
+    watermark — one micro-batch per arrival file (maxFilesPerTrigger=1)
+    so batch 1 advances the watermark to max(on-time ts) - 1h and batch
+    2's late rows in already-finalizable windows are DROPPED. The
+    DuckDB oracle encodes the drop rule (hour-window end must exceed
+    the watermark), so dropping too much, too little, or double-counting
+    flips this row red. Its result necessarily differs from the
+    no-watermark twin (rotated-out stream_events_hourly)."""
+    from traject_spark.streaming.ops import (
+        _with_event_time,
+        events_schema,
+        hourly_rollup,
+        run_stream_to_table,
+    )
+
+    d = _late_arrival_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(events_schema())
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+    roll = hourly_rollup(_with_event_time(raw), late="1 hour")
+    tbl = run_stream_to_table(
+        roll, _memtable(sf_dir, "t_late"), output_mode="append"
+    )
+    return tbl.filter(F.col("event_type") != "sentinel")
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Native session_window sessionization over a stream; keyed session
     state merged by the streaming state store."""
@@ -1163,7 +1271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_hourly": q_rel_events_hourly,
         "rel_top_orders": q_rel_top_orders,
         "rel_sessionize": q_rel_sessionize,
-        "stream_events_hourly": q_stream_events_hourly,
+        # r11: stream_events_hourly rotated out (same hourly_rollup
+        # expression path, no watermark exercise) for the late-data row
+        # that actually drops planted late arrivals
+        "stream_late_data": q_stream_late_data,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_fingerprint": q_stream_dedup_fingerprint,
         "dedup_minhash_exact_pairs": q_dedup_minhash_exact_pairs,
@@ -1725,12 +1836,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_totalprice, rn
             FROM r WHERE rn <= 2""",
         "rel_sessionize": _SQL_SESSIONIZE,
-        "stream_events_hourly": """
+        # the expected DROP set: a late row survives iff its hour
+        # window's END is still above the late-event watermark its
+        # batch runs with — max(on-time-bulk ts) - 1h, because Spark
+        # filters late events per window-end against the PREVIOUS
+        # batch's eviction watermark (SPARK-40925; see
+        # _late_arrival_dir). On-time rows (batches 1-2) pre-date any
+        # advanced watermark and are all kept.
+        "stream_late_data": """
+            WITH a AS (SELECT * FROM events WHERE event_id % 10 < 7),
+                 ok AS (SELECT * FROM events WHERE event_id % 10 < 8),
+                 b AS (SELECT * FROM events WHERE event_id % 10 >= 8),
+                 wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a),
+                 kept AS (
+                   SELECT ts, event_type, value FROM ok
+                   UNION ALL
+                   SELECT b.ts, b.event_type, b.value FROM b, wm
+                   WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w
+                 )
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
               event_type,
               count(*) AS n_events,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-            FROM events GROUP BY 1, 2""",
+            FROM kept GROUP BY 1, 2""",
         "stream_sessionize": _SQL_SESSIONIZE,
         "stream_dedup_fingerprint": r"""
             SELECT DISTINCT
@@ -1779,6 +1907,19 @@ def rotated_out() -> dict:
     rid = "CAST(doc_id AS VARCHAR) AS record_id"
     title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
     return {
+        # r11: slot handed to stream_late_data, which exercises the SAME
+        # hourly_rollup expression path (tumbling window + count/sum)
+        # plus the watermark drop semantics this batch-replay row never
+        # reached — the no-watermark full compare stays here
+        "stream_events_hourly": (
+            q_stream_events_hourly,
+            """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2""",
+        ),
         # r8: slot handed to corpus_decontaminate; 245ab extract+join
         # subsumed in-window by marc_title_first_trim/pipeline_two_rules
         "marc_title_join": (
