@@ -200,7 +200,8 @@ def _parse_ruby_map(text: str) -> dict:
 
     Supported: string literals (single/double quoted, standard escapes,
     NO interpolation), symbols (``:name`` -> "name"), integers/floats,
-    true/false/nil, ``%w{...}``/``%w[...]``/``%w(...)`` word arrays,
+    true/false/nil, ``%w{...}``/``%w[...]``/``%w(...)`` word arrays and
+    their ``%i`` symbol-array twins (symbols project to their names),
     array literals, hash literals (``=>`` and ``key:`` forms), variable
     assignment, ``var["key"] = value`` index assignment, ``#`` comments,
     and a final expression that must evaluate to a hash. Anything else
@@ -286,11 +287,16 @@ def _parse_ruby_map(text: str) -> dict:
             i += 1  # closing quote
             toks.append(("str", "".join(buf)))
             continue
-        if text[i : i + 2] == "%w":
+        if text[i : i + 2] in ("%w", "%i"):
+            # %i symbol arrays share %w's scan: a symbol evaluates to its
+            # name string here, so [:a, :b] and %w[a b] coincide
+            kind2 = text[i : i + 2]
             open_ch = text[i + 2 : i + 3]
             close_ch = {"{": "}", "[": "]", "(": ")"}.get(open_ch)
             if not close_ch:
-                raise RubyMapError(f"unsupported %w delimiter {open_ch!r}")
+                raise RubyMapError(
+                    f"unsupported {kind2} delimiter {open_ch!r}"
+                )
             # scan honoring backslash escapes: '\ ' is a literal space
             # inside a word, '\}' a literal delimiter — a naive find+
             # split would mis-split words and terminate the array early
@@ -312,7 +318,7 @@ def _parse_ruby_map(text: str) -> dict:
                 word.append(ch)
                 j += 1
             if j >= n:
-                raise RubyMapError("unterminated %w array")
+                raise RubyMapError(f"unterminated {kind2} array")
             if word:
                 words.append("".join(word))
             toks.append(("arr", words))
@@ -371,10 +377,26 @@ def _parse_ruby_map(text: str) -> dict:
                 toks.append(
                     ("lit", {"true": True, "false": False, "nil": None}[word])
                 )
+            elif word in ("lambda", "proc", "Proc"):
+                # name the FEATURE at lex time (the body's |args| would
+                # otherwise produce a generic syntax error first):
+                # __default__ lambdas are the reference's computed-default
+                # idiom and the most common reason a real .rb lands here
+                raise RubyMapError(
+                    "lambda/proc values are not supported — the safe "
+                    "literal subset cannot execute Ruby code; use a "
+                    "literal '__default__' value or convert the map "
+                    "(docs/extending.md)"
+                )
             else:
                 toks.append(("name", word))
             i = j
             continue
+        if text[i : i + 2] == "->":
+            raise RubyMapError(
+                "stabby lambda (->) values are not supported — the safe "
+                "literal subset cannot execute Ruby code"
+            )
         raise RubyMapError(
             f"unsupported Ruby syntax at offset {i}: {text[i:i+20]!r}"
         )
