@@ -463,3 +463,129 @@ def test_ident_safe_gates_sql_fastpath():
     assert _ident_safe("_src_2")
     for bad in ("a.b", "a`b", "a b", "a-b", "", "1col", "a\nb", "a;b"):
         assert not _ident_safe(bad), bad
+
+
+def test_marc_formats_sql_fastpath_parity(spark):
+    """The generated-SQL marc_formats twin (r11: one F.expr instead of
+    ~1450 Py4J round trips) must match the Column builder value-for-value
+    over every classifier branch: genre two-byte pair vs one byte vs 007
+    fallback with NULL misses kept, manuscript, microform, online (007
+    'cr' and GMD-with-no-007c), RDA-338 print, GMD-suppressed print,
+    thesis Book replacement, Conference append, recording-suppresses-
+    Print, and the empty->default stage."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_formats
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    recs = [
+        ("book_print", marc_record(leader="01234cam a2200301 a 4500")),
+        ("journal", marc_record(leader="01234cas a2200301 a 4500")),
+        ("thesis", marc_record(
+            leader="01234cam a2200301 a 4500",
+            datafields=[("502", " ", " ", [("a", "Thesis")])],
+        )),
+        ("conf_online", marc_record(
+            leader="01234cam a2200301 a 4500",
+            controlfields=[("007", "cr an 008mamaa")],
+            datafields=[("650", " ", "0",
+                         [("a", "Physics"), ("v", "Congresses.")])],
+        )),
+        ("recording", marc_record(leader="01234cjm a2200301 a 4500")),
+        ("video_gmd", marc_record(
+            leader="01234cgm a2200301 a 4500",
+            datafields=[("245", "0", "0",
+                         [("a", "T"), ("h", "[electronic resource]")])],
+        )),
+        ("microform_007", marc_record(
+            leader="01234czz a2200301 a 4500",
+            controlfields=[("007", "h d")],
+        )),
+        ("manuscript", marc_record(leader="01234ctm a2200301 a 4500")),
+        ("rda_338_volume", marc_record(
+            leader="01234czz a2200301 a 4500",
+            datafields=[("338", " ", " ",
+                         [("a", "volume"), ("2", "rdacarrier")])],
+        )),
+        ("rda_338_online", marc_record(
+            leader="01234czz a2200301 a 4500",
+            datafields=[("338", " ", " ",
+                         [("a", "online resource"), ("2", "rdacarrier")])],
+        )),
+        ("unknown_007_nil", marc_record(
+            leader="01234czz a2200301 a 4500",
+            controlfields=[("007", "z unmapped")],
+        )),
+        ("default_empty", marc_record(
+            leader="01234czz a2200301 a 4500",
+            datafields=[("245", "0", "0",
+                         [("a", "T"), ("h", "[microform]")])],
+        )),
+        ("null_leader", marc_record(leader=None)),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    fast = Pipeline().to_field("format", marc_formats()).apply(df)
+    slow = Pipeline().to_field(
+        "format", marc_formats(_sql_fastpath=False)
+    ).apply(df)
+    fr = {r["record_id"]: r["format"] for r in fast.collect()}
+    sr = {r["record_id"]: r["format"] for r in slow.collect()}
+    assert fr == sr, {k: (fr[k], sr[k]) for k in fr if fr[k] != sr[k]}
+    # spot-pin a few absolute values so BOTH paths can't drift together
+    assert fr["book_print"] == ["Book", "Print"]
+    assert fr["thesis"] == ["Print", "Dissertation/Thesis"]
+    assert fr["recording"] == ["Musical Recording"]
+    assert fr["conf_online"] == ["Book", "Online", "Print", "Conference"]
+
+
+def test_marc_geo_sql_fastpath_parity(spark):
+    """The generated-SQL marc_geo_facet twin (r11: one F.expr instead of
+    ~1000 Py4J round trips) must match the Column path element-for-
+    element: 043a trailing-hyphen strip + map probe with misses dropped,
+    880-linked 043, 651a/691a FIRST-'. '-occurrence removal, one/two/
+    three $z shapes (two -> 'z2 (z1)' + posted z1), and whole-accumulator
+    distinct."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_geo_facet
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    recs = [
+        ("hyphens", marc_record(datafields=[
+            ("043", " ", " ", [("a", "n-us---"), ("a", "zz-miss")]),
+        ])),
+        ("linked_880", marc_record(datafields=[
+            ("880", " ", " ", [("6", "043-01"), ("a", "e-fr---")]),
+        ])),
+        ("a_sub_first", marc_record(datafields=[
+            ("651", " ", "0", [("a", "Boston (Mass.). Maps. More")]),
+            ("691", " ", "0", [("a", "NoDotSpace")]),
+        ])),
+        ("z_shapes", marc_record(datafields=[
+            ("650", " ", "0", [("a", "Art"), ("z", "France"),
+                               ("z", "Paris.")]),
+            ("610", " ", "0", [("a", "X"), ("z", "OnlyOne.")]),
+            ("630", " ", "0", [("a", "Y"), ("z", "A"), ("z", "B"),
+                               ("z", "C")]),
+        ])),
+        ("dedup", marc_record(datafields=[
+            ("043", " ", " ", [("a", "n-us---")]),
+            ("651", " ", "0", [("a", "United States")]),
+        ])),
+        ("empty", marc_record()),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    fast = Pipeline().to_field("geo", marc_geo_facet()).apply(df)
+    slow = Pipeline().to_field(
+        "geo", marc_geo_facet(_sql_fastpath=False)
+    ).apply(df)
+    fr = {r["record_id"]: r["geo"] for r in fast.collect()}
+    sr = {r["record_id"]: r["geo"] for r in slow.collect()}
+    assert fr == sr, {k: (fr[k], sr[k]) for k in fr if fr[k] != sr[k]}
+    # absolute pins so both paths can't drift together
+    assert fr["hyphens"] == ["United States"]
+    assert fr["linked_880"] == ["France"]
+    # the FIRST '\. *' occurrence is the dot inside '(Mass.)' (zero
+    # trailing spaces qualify), matching the reference's un-anchored sub
+    assert fr["a_sub_first"] == ["Boston (Mass). Maps. More", "NoDotSpace"]
+    assert fr["z_shapes"] == ["Paris (France)", "France", "OnlyOne",
+                              "A", "B", "C"]
+    assert fr["dedup"] == ["United States"]

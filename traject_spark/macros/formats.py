@@ -234,10 +234,157 @@ def formats_expr(marc: Column, default: str = "Other") -> Column:
     return let2(_normalized_gmd(marc), _f007_values(marc), build)
 
 
-def marc_formats(default: str = "Other"):
-    """Macro form (marc_format_classifier.rb:17-22)."""
+# ---------------------------------------------------------------------------
+# generated-SQL fast path (VERDICT r10 next-round #8)
+#
+# The Column builder above costs ~1450 Py4J round trips (~0.5s of the
+# flagship's driver-side build); the SQL text below is the SAME
+# expression tree rendered as one F.expr call. let() has a direct SQL
+# form (the aggregate trick with NAMED lambda variables, so nesting is
+# unambiguous), and the genre maps are embedded from the same
+# TranslationMap load the Column path uses — a user map shadowing the
+# builtin flows into the SQL too. Value parity is pinned by
+# tests/test_formats.py::test_formats_sql_fastpath_parity and the
+# marc_formats oracle row.
+# ---------------------------------------------------------------------------
+
+def _sq(s: str) -> str:
+    """Escape a Python string as a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_let(value: str, var: str, body: str) -> str:
+    """SQL form of expr.let: bind ``value`` once as ``var`` in ``body``."""
+    return (
+        f"aggregate(cast(array() as array<int>), {value}, "
+        f"(acc_{var}, x_{var}) -> acc_{var}, {var} -> {body})"
+    )
+
+
+def _sql_map_of_arrays(mapping: dict) -> str:
+    """map(k, array(v...), ...) literal matching _as_array_dict shapes."""
+    parts = []
+    for k, v in mapping.items():
+        vals = v if isinstance(v, list) else [v]
+        arr = "array(" + ", ".join(_sq(str(x)) for x in vals) + ")"
+        parts.append(f"{_sq(str(k))}, {arr}")
+    return "map(" + ", ".join(parts) + ")"
+
+
+def formats_sql(marc: str, default: str = "Other") -> str:
+    """SQL text of ``formats_expr`` over source column ``marc``
+    (pre-quoted identifier). Each fragment cites the Column twin it
+    mirrors; keep the two in lockstep (the parity test diffs them
+    value-by-value over the synth corpus and edge shapes)."""
+    lmap = _sql_map_of_arrays(TranslationMap("marc_genre_leader").as_dict())
+    cmap = _sql_map_of_arrays(TranslationMap("marc_genre_007").as_dict())
+    leader = f"coalesce({marc}.leader, '')"
+    empty = "cast(array() as array<string>)"
+    # _normalized_gmd
+    gmd_v = (
+        f"coalesce(lower(get(filter(get(filter({marc}.datafields, "
+        f"f -> f.tag = '245'), 0).subfields, sf -> sf.code = 'h'), "
+        f"0).value), '')"
+    )
+    # _f007_values
+    f007_v = (
+        f"coalesce(transform(filter({marc}.controlfields, "
+        f"f -> f.tag = '007'), f -> f.value), {empty})"
+    )
+    # genre_expr: two-byte pair, else one byte, else 007 byte-0 lookups
+    # with misses kept as NULL elements
+    genre = (
+        f"case when try_element_at({lmap}, substring({leader}, 7, 2)) "
+        f"is not null then try_element_at({lmap}, substring({leader}, 7, 2)) "
+        f"when try_element_at({lmap}, substring({leader}, 7, 1)) "
+        f"is not null then try_element_at({lmap}, substring({leader}, 7, 1)) "
+        f"else flatten(transform(fv, v -> coalesce("
+        f"try_element_at({cmap}, substring(v, 1, 1)), "
+        f"array(cast(null as string))))) end"
+    )
+    manuscript = (
+        f"(substring({leader}, 7, 1) in ('t', 'd', 'f', 'b') "
+        f"or substring({leader}, 9, 1) = 'a')"
+    )
+    microform = (
+        f"(startswith(g, '[microform]') or substring({leader}, 7, 1) = 'h' "
+        f"or exists(fv, v -> substring(v, 1, 1) = 'h'))"
+    )
+    online = (
+        f"(exists(fv, v -> substring(v, 1, 2) = 'cr') or "
+        f"(startswith(g, '[electronic resource]') "
+        f"and not exists(fv, v -> substring(v, 1, 1) = 'c')))"
+    )
+    # print_expr: rda338 let-bound (referenced by the size guard and hit)
+    rda338 = (
+        f"filter({marc}.datafields, f -> f.tag = '338' and "
+        f"coalesce(get(filter(f.subfields, sf -> sf.code = '2'), 0).value, "
+        f"'') = 'rdacarrier')"
+    )
+    rda_hit = (
+        "exists(r338, f -> exists(f.subfields, sf -> "
+        "(sf.code = 'a' and sf.value in ('volume', 'card', 'sheet')) or "
+        "(sf.code = 'b' and sf.value in ('nc', 'no', 'nb'))))"
+    )
+    print_p = _sql_let(
+        rda338, "r338",
+        f"case when size(r338) > 0 then {rda_hit} else length(g) = 0 end",
+    )
+    thesis = f"exists({marc}.datafields, f -> f.tag = '502')"
+    proceeding = (
+        f"exists({marc}.datafields, f -> substring(f.tag, 1, 1) = '6' and "
+        f"exists(f.subfields, sf -> sf.code = 'v' and "
+        f"sf.value rlike '(?m)^\\\\s*(C|c)ongresses\\\\.?\\\\s*$'))"
+    )
+
+    def flag(cond: str, label: str) -> str:
+        return f"case when {cond} then array({_sq(label)}) else {empty} end"
+
+    base0 = (
+        f"concat({genre}, {flag(manuscript, 'Manuscript/Archive')}, "
+        f"{flag(microform, 'Microform')}, {flag(online, 'Online')})"
+    )
+    is_recording = (
+        "arrays_overlap(filter(b0, x -> x is not null), "
+        "array('Non-musical Recording', 'Musical Recording'))"
+    )
+    stage1 = _sql_let(
+        base0, "b0",
+        f"concat(b0, {flag(f'{print_p} and not {is_recording}', 'Print')})",
+    )
+    stage2 = _sql_let(
+        stage1, "b1",
+        f"case when {thesis} then concat("
+        f"filter(b1, x -> x is null or x != 'Book'), "
+        f"array('Dissertation/Thesis')) else b1 end",
+    )
+    stage3 = _sql_let(
+        f"concat(b2, {flag(proceeding, 'Conference')})", "b3",
+        f"case when size(b3) = 0 then array({_sq(default)}) else b3 end",
+    )
+    assembled = _sql_let(stage2, "b2", stage3)
+    return _sql_let(gmd_v, "g", _sql_let(f007_v, "fv", assembled))
+
+
+def marc_formats(default: str = "Other", _sql_fastpath: bool = True):
+    """Macro form (marc_format_classifier.rb:17-22). On an
+    identifier-safe source column the expression is built as generated
+    SQL (one Py4J call instead of ~1450 — see formats_sql);
+    ``_sql_fastpath=False`` forces the Column builder, which the parity
+    test uses as the semantics reference."""
+    import re as _re
 
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None)
+        src_col = getattr(src, "source_col", None) if src else None
+        if (
+            _sql_fastpath
+            and src_col
+            and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", src_col)
+        ):
+            return F.concat(
+                acc, F.expr(formats_sql(f"`{src_col}`", default=default))
+            )
         return F.concat(acc, formats_expr(ctx.marc, default=default))
 
     return macro

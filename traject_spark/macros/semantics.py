@@ -603,10 +603,101 @@ def marc_lcc_to_broad_category(
 # geographic facet (marc21_semantics.rb:444-491)
 # ---------------------------------------------------------------------------
 
+_GEO_A_DEFAULT = "651a:691a"
+_GEO_Z_DEFAULT = "600:610:611:630:648:650:654:655:656:690:651:691"
+
+
+def _sql_let_s(value: str, var: str, body: str) -> str:
+    """SQL form of expr.let (the aggregate trick with a NAMED lambda
+    variable so nesting stays unambiguous in text form)."""
+    return (
+        f"aggregate(CAST(array() AS array<int>), {value}, "
+        f"(a_{var}, x_{var}) -> a_{var}, {var} -> {body})"
+    )
+
+
+def _geo_sql(marc_sql: str, probe_sql: str) -> str:
+    """Generated-SQL twin of the DEFAULT-spec marc_geo_facet parts
+    (part1+part2+part3 concatenated; the caller wraps acc + distinct).
+    One F.expr instead of ~1000 Py4J round trips; value parity with the
+    Column path is pinned by
+    tests/test_semantics.py::test_marc_geo_sql_fastpath_parity. Each
+    fragment mirrors a named Column helper:
+
+    - 043a codes via the merged tag match incl. the 880 $6 rewrite
+      (extractor.match_cond), non-null $a values only
+      (collect_subfields_expr);
+    - part1: trailing hyphens stripped, single-string map probe
+      (TranslationMap.sql_probe — gate requires eligibility), misses
+      dropped;
+    - part2: 651a/691a with the FIRST '. ' occurrence removed
+      (_ruby_sub_first form);
+    - part3: $z subdivisions per z-field; exactly two z's become
+      'z2 (z1)' + posted-up z1 (z_per_field).
+    """
+    first6 = "get(filter(f.subfields, sf -> sf.code = '6'), 0).value"
+
+    def tag_match(tags: list) -> str:
+        tl = ", ".join(f"'{t}'" for t in tags)
+        return (
+            f"(f.tag IN ({tl}) OR ((f.tag = '880') AND "
+            f"(substring({first6}, 1, 3) IN ({tl}))))"
+        )
+
+    def a_values(code: str) -> str:
+        return (
+            "coalesce(transform(filter(f.subfields, "
+            f"sf -> (sf.code = '{code}') AND (sf.value IS NOT NULL)), "
+            "sf -> sf.value), CAST(array() AS array<string>))"
+        )
+
+    codes = (
+        f"flatten(transform(filter({marc_sql}.datafields, "
+        f"f -> {tag_match(['043'])}), f -> {a_values('a')}))"
+    )
+    # lookup_expr let-binds its (computed) input; the probe references
+    # its value twice, so bind the stripped code the same way
+    part1 = (
+        f"filter(transform({codes}, c -> "
+        + _sql_let_s(
+            "regexp_replace(c, '\\\\-+\\\\Z', '')", "v", probe_sql
+        )
+        + "), x -> x IS NOT NULL)"
+    )
+    a_vals = (
+        f"flatten(transform(filter({marc_sql}.datafields, "
+        f"f -> {tag_match(['651', '691'])}), f -> {a_values('a')}))"
+    )
+    part2 = (
+        f"transform({a_vals}, s -> regexp_replace(s, "
+        "'(?s)\\\\A(.*?)(?:\\\\. *)(.*)\\\\Z', '$1$2'))"
+    )
+    z_tags = _GEO_Z_DEFAULT.split(":")
+    zs = (
+        "transform(filter(f.subfields, sf -> sf.code = 'z'), "
+        "sf -> regexp_replace(sf.value, '\\\\. *\\\\Z', ''))"
+    )
+    z_body = (
+        "CASE WHEN size(zs) = 2 THEN array(concat(zs[1], ' (', zs[0], "
+        "')'), zs[0]) ELSE zs END"
+    )
+    # coalesce per field: collect_matching_lines wraps each data_fn
+    # contribution so a subfields=NULL field (schema-legal in user
+    # parquet) contributes nothing instead of nulling the whole record
+    part3 = (
+        f"flatten(transform(filter({marc_sql}.datafields, "
+        f"f -> {tag_match(z_tags)}), f -> coalesce("
+        + _sql_let_s(zs, "zs", z_body)
+        + ", CAST(array() AS array<string>))))"
+    )
+    return f"concat({part1}, {part2}, {part3})"
+
+
 def marc_geo_facet(
-    geo_a_fields: str = "651a:691a",
-    geo_z_fields: str = "600:610:611:630:648:650:654:655:656:690:651:691",
+    geo_a_fields: str = _GEO_A_DEFAULT,
+    geo_z_fields: str = _GEO_Z_DEFAULT,
     translation_map=None,
+    _sql_fastpath: bool = True,
 ):
     """043a codes (trailing hyphens stripped) through the geographic map;
     651a/691a with FIRST '. ' occurrence removed (reference uses
@@ -635,7 +726,24 @@ def marc_geo_facet(
             ).otherwise(zs),
         )
 
+    # generated-SQL twin (VERDICT r10 #8): default specs + a
+    # probe-eligible map only; the probe embeds whatever map the SAME
+    # TranslationMap load produced, so user shadowing flows through
+    probe_sql = (
+        tmap.sql_probe("v")
+        if _sql_fastpath
+        and geo_a_fields == _GEO_A_DEFAULT
+        and geo_z_fields == _GEO_Z_DEFAULT
+        else None
+    )
+
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None)
+        src_col = getattr(src, "source_col", None) if src else None
+        if probe_sql is not None and src_col and _ident_safe(src_col):
+            return F.array_distinct(
+                F.concat(acc, F.expr(_geo_sql(f"`{src_col}`", probe_sql)))
+            )
         codes = marc_extract(ctx.marc, "043a", separator=None)
         part1 = F.flatten(
             F.filter(
