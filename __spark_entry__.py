@@ -692,7 +692,9 @@ def _late_arrival_dir(sf_dir: str) -> str:
     """
     if sf_dir in _LATE_DIRS:
         return _LATE_DIRS[sf_dir]
+    import atexit
     import os
+    import shutil
     import tempfile
 
     import pandas as pd
@@ -702,6 +704,9 @@ def _late_arrival_dir(sf_dir: str) -> str:
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     df = tbl.to_pandas()
     out_dir = tempfile.mkdtemp(prefix="late_arrival_")
+    # the dir holds a full copy of the events table: without cleanup a
+    # soak box accumulates one table-sized /tmp dir per process run
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     on_time = df[df["event_id"] % 10 < 7]
     spacer = df[df["event_id"] % 10 == 7]
     late = df[df["event_id"] % 10 >= 8]

@@ -228,3 +228,13 @@ def test_marc8_read_iso2709_through_spark(spark, tmp_path):
     assert title_field["subfields"][0]["value"] == (
         "Dvořák in København : šest écrits"
     )
+
+
+def test_decoder_none_and_empty_encoding_default_utf8():
+    """encoding=None/'' normalize to utf-8 for the MARC-8 check AND the
+    codec fallback — b.decode(None) would TypeError on the first record
+    (review r11)."""
+    _rec, utf8_bytes, _m8 = _twin_records()
+    for enc in (None, ""):
+        rec = from_iso2709(utf8_bytes, encoding=enc)
+        assert rec["controlfields"][0]["value"] == "m8-001"

@@ -407,3 +407,31 @@ def test_extract_features_auto_mixes_real_png_and_degraded(spark):
         }
     if not HAVE_PIL:
         assert rows == {0: True, 1: False}
+
+
+def test_png_lane_pixel_budget_refuses_large_images():
+    """The stdlib lane's Average/Paeth loops are per-pixel Python: a
+    multi-megapixel image must refuse per-payload (auto degrades the
+    row) instead of stalling an executor task for minutes."""
+    import struct
+    import zlib
+
+    from traject_spark.corpus.multimodal import (
+        PNG_MAX_PIXELS, _png_gray_pixels,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3000, 2000, 8, 0, 0, 0, 0)  # 6 MP
+    big = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\0"))
+        + chunk(b"IEND", b"")
+    )
+    assert 3000 * 2000 > PNG_MAX_PIXELS
+    with pytest.raises(ValueError, match="pixel budget"):
+        _png_gray_pixels(big)

@@ -203,3 +203,14 @@ def test_builtin_maps_rb_parity():
         d = dict(mapping)
         src = _render_map(d, rnd)
         assert _parse_ruby_map(src) == d, name
+
+
+def test_proc_and_lambda_as_hash_keys_stay_legal():
+    """'proc:'/'lambda:' are literal hash KEYS (key-colon shorthand),
+    not callables — the lex-time refusal must fire only in value
+    position (review r11)."""
+    assert _parse_ruby_map('{ proc: "Proceedings", lambda: "L" }') == {
+        "proc": "Proceedings", "lambda": "L"
+    }
+    with pytest.raises(RubyMapError, match="lambda/proc"):
+        _parse_ruby_map('{ "k" => proc }')

@@ -589,3 +589,25 @@ def test_marc_geo_sql_fastpath_parity(spark):
     assert fr["z_shapes"] == ["Paris (France)", "France", "OnlyOne",
                               "A", "B", "C"]
     assert fr["dedup"] == ["United States"]
+
+
+def test_formats_sql_map_eligibility_guards():
+    """The formats SQL fast path renders genre maps as plain literals,
+    which cannot carry __default__ (applied on every miss by the Column
+    path) or nil suppression entries (would render the string 'None') —
+    _sql_map_of_arrays refuses both, and the macro gate checks
+    eligibility before engaging (review r11)."""
+    import pytest as _pytest
+
+    from traject_spark.macros.formats import (
+        _genre_maps_sql_eligible, _sql_map_of_arrays,
+    )
+
+    assert _genre_maps_sql_eligible()  # builtins are the simple shape
+    with _pytest.raises(ValueError, match="not SQL-probe eligible"):
+        _sql_map_of_arrays({"aa": "Book", "xx": None})
+    with _pytest.raises(ValueError, match="not SQL-probe eligible"):
+        _sql_map_of_arrays({"aa": "Book", "__default__": "Other"})
+    # the happy shape renders arrays incl. multi-valued entries
+    sql = _sql_map_of_arrays({"aa": ["Book", "Text"], "c": "Score"})
+    assert sql == "map('aa', array('Book', 'Text'), 'c', array('Score'))"

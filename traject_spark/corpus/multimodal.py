@@ -106,6 +106,12 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return lcg_unit_floats(seed, dim)
 
 
+#: stdlib PNG lane size budget: Average/Paeth unfiltering is pure
+#: Python (sequential left-neighbor dependence), ~1us/pixel — 4 MP
+#: bounds a worst-case payload to a few seconds per task
+PNG_MAX_PIXELS = 4_000_000
+
+
 def _png_gray_pixels(payload: bytes):
     """Stdlib PNG decode -> (width, height, float grayscale pixels
     0..255, row-major). A genuine decoder, not a stub: parses chunks,
@@ -154,6 +160,16 @@ def _png_gray_pixels(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if width * height > PNG_MAX_PIXELS:
+        # the Average/Paeth unfilter loops are pure Python (left-neighbor
+        # dependence defeats vectorization): a multi-megapixel photo
+        # would stall an executor task for minutes. Per-payload refusal
+        # — auto mode degrades the row, real mode surfaces it.
+        raise ValueError(
+            f"PNG {width}x{height} exceeds the stdlib lane's "
+            f"{PNG_MAX_PIXELS}-pixel budget — install Pillow for large "
+            "images"
+        )
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) < height * (stride + 1):
@@ -170,9 +186,10 @@ def _png_gray_pixels(payload: bytes):
         ).copy()
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 1:  # Sub — per-lane cumulative sum (mod 256 is
+            # free: uint8 addition wraps), vectorized over the row
+            lanes = line[: stride - (stride % bpp)].reshape(-1, bpp)
+            np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
         elif ftype == 2:  # Up
             line = (line.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average

@@ -262,13 +262,39 @@ def _sql_let(value: str, var: str, body: str) -> str:
 
 
 def _sql_map_of_arrays(mapping: dict) -> str:
-    """map(k, array(v...), ...) literal matching _as_array_dict shapes."""
+    """map(k, array(v...), ...) literal matching _as_array_dict shapes.
+    Refuses shapes the plain try_element_at probe can't carry — callers
+    gate on _genre_maps_sql_eligible first, this raise is the backstop."""
     parts = []
     for k, v in mapping.items():
         vals = v if isinstance(v, list) else [v]
+        if any(x is None for x in vals) or k == "__default__":
+            raise ValueError(
+                f"map entry {k!r} -> {v!r} is not SQL-probe eligible"
+            )
         arr = "array(" + ", ".join(_sq(str(x)) for x in vals) + ")"
         parts.append(f"{_sq(str(k))}, {arr}")
     return "map(" + ", ".join(parts) + ")"
+
+
+def _genre_maps_sql_eligible() -> bool:
+    """The formats SQL fast path renders the genre maps as plain
+    try_element_at literals, which carry ONLY the simple shape: no
+    ``__default__`` (lookup_expr applies it on every miss; a literal
+    key never would) and no nil suppression entries (lookup_expr maps
+    them to NULL-means-remove; a literal would render the string
+    'None'). A user map shadowing a builtin with either feature must
+    take the Column path — same rule TranslationMap.sql_probe enforces
+    for the languages/geo paths."""
+    for name in ("marc_genre_leader", "marc_genre_007"):
+        d = TranslationMap(name).as_dict()
+        if "__default__" in d:
+            return False
+        for v in d.values():
+            vals = v if isinstance(v, list) else [v]
+            if any(x is None for x in vals):
+                return False
+    return True
 
 
 def formats_sql(marc: str, default: str = "Other") -> str:
@@ -368,20 +394,21 @@ def formats_sql(marc: str, default: str = "Other") -> str:
 
 def marc_formats(default: str = "Other", _sql_fastpath: bool = True):
     """Macro form (marc_format_classifier.rb:17-22). On an
-    identifier-safe source column the expression is built as generated
-    SQL (one Py4J call instead of ~1450 — see formats_sql);
-    ``_sql_fastpath=False`` forces the Column builder, which the parity
-    test uses as the semantics reference."""
-    import re as _re
+    identifier-safe source column with SQL-eligible genre maps the
+    expression is built as generated SQL (one Py4J call instead of
+    ~1450 — see formats_sql); ``_sql_fastpath=False`` forces the Column
+    builder, which the parity test uses as the semantics reference."""
+    # one shared identifier gate (semantics._ident_safe carries the
+    # load-bearing rationale); map eligibility checked once at macro
+    # construction, not per compile
+    from traject_spark.macros.semantics import _ident_safe
+
+    sql_ok = _sql_fastpath and _genre_maps_sql_eligible()
 
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        if (
-            _sql_fastpath
-            and src_col
-            and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", src_col)
-        ):
+        if sql_ok and src_col and _ident_safe(src_col):
             return F.concat(
                 acc, F.expr(formats_sql(f"`{src_col}`", default=default))
             )

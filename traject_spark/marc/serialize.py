@@ -248,7 +248,9 @@ def _decoder(encoding: str):
         from traject_spark.marc.marc8 import marc8_to_unicode
 
         return lambda b: marc8_to_unicode(b, replace=True)
-    return lambda b: b.decode(encoding, errors="replace")
+    # the normalized-empty check above implies None/'' mean utf-8 —
+    # decode with the same normalization, not the raw argument
+    return lambda b: b.decode(encoding or "utf-8", errors="replace")
 
 
 def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:

@@ -377,11 +377,13 @@ def _parse_ruby_map(text: str) -> dict:
                 toks.append(
                     ("lit", {"true": True, "false": False, "nil": None}[word])
                 )
-            elif word in ("lambda", "proc", "Proc"):
+            elif word in ("lambda", "proc", "Proc") and text[j : j + 1] != ":":
                 # name the FEATURE at lex time (the body's |args| would
                 # otherwise produce a generic syntax error first):
                 # __default__ lambdas are the reference's computed-default
-                # idiom and the most common reason a real .rb lands here
+                # idiom and the most common reason a real .rb lands here.
+                # A trailing ':' is the hash key-colon shorthand — 'proc:'
+                # is a perfectly literal KEY named "proc", not a proc
                 raise RubyMapError(
                     "lambda/proc values are not supported — the safe "
                     "literal subset cannot execute Ruby code; use a "
