@@ -898,10 +898,20 @@ def _load_locks(path: str = "") -> dict:
         return {}
 
 
-def _vs_lock(min_queries: dict, locks: dict) -> dict:
+def _vs_lock(min_queries: dict, locks: dict, target_records=None) -> dict:
     """Per-query drift ratio: this run's min over the LOCKS.json min.
     Only queries present in both, with positive locks, are ratioed —
-    a rotated-in query simply has no ratio until locks re-record."""
+    a rotated-in query simply has no ratio until locks re-record.
+    A soak run at a different record count (SPARK_GRAFT_TARGET_RECORDS)
+    gets NO ratios: 10x the data legitimately reads ~6-10x the lock and
+    a meaningless 'drift' in the artifact is worse than none."""
+    lock_records = locks.get("target_records")
+    if (
+        lock_records is not None
+        and target_records is not None
+        and lock_records != target_records
+    ):
+        return {}
     lock_mins = locks.get("min_queries") or {}
     out = {}
     for name, cur in (min_queries or {}).items():
@@ -1234,7 +1244,9 @@ def main() -> None:
     # per-query drift vs the qualified-window locks (LOCKS.json; policy
     # in docs/extending.md) — rides in BOTH the verbose line and the
     # compact summary so the official artifact carries the ratios
-    payload["vs_lock"] = _vs_lock(payload["min_queries"], _load_locks())
+    payload["vs_lock"] = _vs_lock(
+        payload["min_queries"], _load_locks(), TARGET_RECORDS
+    )
     print(json.dumps(payload))
     # full-fidelity copy on disk: the driver's artifact keeps only a
     # 2000-char stdout tail, so the run lists/probes must live somewhere

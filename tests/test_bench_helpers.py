@@ -161,3 +161,15 @@ def test_load_locks_absent_is_empty(tmp_path):
     good = tmp_path / "good.json"
     good.write_text('{"min_queries": {"q": 1.5}}')
     assert bench._load_locks(str(good)) == {"min_queries": {"q": 1.5}}
+
+
+def test_vs_lock_skips_mismatched_record_counts():
+    """A soak at 10x the records must get NO drift ratios — 10x data
+    legitimately reads ~6-10x the lock, and a meaningless 'drift' in a
+    committed artifact is worse than none."""
+    locks = {"min_queries": {"a": 2.0}, "target_records": 600_000}
+    assert bench._vs_lock({"a": 12.0}, locks, 6_000_000) == {}
+    assert bench._vs_lock({"a": 3.0}, locks, 600_000) == {"a": 1.5}
+    # legacy locks without the field keep ratioing (backwards compat)
+    assert bench._vs_lock({"a": 3.0}, {"min_queries": {"a": 2.0}},
+                          600_000) == {"a": 1.5}

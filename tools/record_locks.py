@@ -61,6 +61,9 @@ def record(payload: dict) -> None:
         "window": window,
         "start_cal_sec": (payload.get("calibration") or {}).get("start_sec"),
         "sf": payload.get("sf"),
+        # ratio scope: a soak at a different record count gets no
+        # vs_lock ratios (bench._vs_lock checks this)
+        "target_records": (payload.get("b1") or {}).get("records"),
         "n_runs_hint": max(
             (len(v) for v in (payload.get("runs") or {}).values()),
             default=None,
