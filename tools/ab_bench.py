@@ -83,15 +83,24 @@ def main() -> None:
             )
             art = run_side(sides[label], args.queries, args.runs, args.sf_dir)
             cal = art.get("calibration", {})
+            # r11+ bench prints a compact summary LAST: mins live in
+            # 'minlock' ([min, vs_lock] pairs) and calibrations in
+            # 'cal'; older sides keep the verbose-line fields
+            mins_art = art.get("min_queries") or {
+                n: mv[0] for n, mv in art.get("minlock", {}).items()
+            }
+            cal_pair = art.get("cal") or [
+                cal.get("start_sec"), cal.get("end_sec")
+            ]
             inv = {
                 "round": rnd,
                 "side": label,
                 "wall_sec": art["_wall_sec"],
-                "cal_start": cal.get("start_sec"),
-                "cal_end": cal.get("end_sec"),
+                "cal_start": cal_pair[0],
+                "cal_end": cal_pair[1],
                 "pass_probes": cal.get("pass_probes"),
                 "runs": {n: art.get("runs", {}).get(n) for n in names},
-                "min": {n: art.get("min_queries", {}).get(n) for n in names},
+                "min": {n: mins_art.get(n) for n in names},
             }
             invocations.append(inv)
             print(
