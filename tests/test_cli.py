@@ -592,3 +592,49 @@ def test_cli_max_records_per_file_setting(spark, tmp_path):
             ["-c", str(conf), "-o", str(tmp_path / "o2"), "-w", "json",
              "-s", "output_file.max_records_per_file=zero", MC],
         )
+
+
+def test_cli_binary_marc8_encoding_setting(spark, tmp_path):
+    """`-s marc_source.encoding=MARC-8` decodes a MARC-8 binary file to
+    the same output the UTF-8 twin produces — the CLI end of
+    marc_reader.rb:27-35 (r11)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_marc8 import _twin_records
+
+    _rec, utf8_bytes, marc8_bytes = _twin_records()
+    f_utf8 = tmp_path / "r.utf8.mrc"
+    f_m8 = tmp_path / "r.marc8.mrc"
+    f_utf8.write_bytes(utf8_bytes * 2)
+    f_m8.write_bytes(marc8_bytes * 2)
+    conf = tmp_path / "config.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+
+    def collect(out_dir):
+        rows = []
+        for f in sorted(os.listdir(out_dir)):
+            if f.startswith("part-"):
+                with open(os.path.join(out_dir, f)) as fh:
+                    rows += [json.loads(ln) for ln in fh if ln.strip()]
+        return sorted(rows, key=lambda r: json.dumps(r, sort_keys=True))
+
+    out_u = str(tmp_path / "out_utf8")
+    rc = run_cli(spark, ["-c", str(conf), "-t", "binary", "-w", "json",
+                         "-o", out_u, str(f_utf8)])
+    assert rc == 0
+    out_m = str(tmp_path / "out_marc8")
+    rc = run_cli(spark, ["-c", str(conf), "-t", "binary",
+                         "-s", "marc_source.encoding=MARC-8",
+                         "-w", "json", "-o", out_m, str(f_m8)])
+    assert rc == 0
+    got_u, got_m = collect(out_u), collect(out_m)
+    assert got_m == got_u and got_m
+    assert got_m[0]["title"] == ["Dvořák in København : šest écrits"]
+    # WITHOUT the setting, the MARC-8 bytes mis-decode (latin-1-ish
+    # replacement soup) — proving the setting is load-bearing
+    out_bad = str(tmp_path / "out_bad")
+    rc = run_cli(spark, ["-c", str(conf), "-t", "binary", "-w", "json",
+                         "-o", out_bad, str(f_m8)])
+    assert rc == 0
+    assert collect(out_bad) != got_u
