@@ -238,3 +238,19 @@ def test_decoder_none_and_empty_encoding_default_utf8():
     for enc in (None, ""):
         rec = from_iso2709(utf8_bytes, encoding=enc)
         assert rec["controlfields"][0]["value"] == "m8-001"
+
+
+def test_ascii_fast_path_parity_with_state_machine():
+    """The pure-ASCII fast path must agree with the state machine on
+    every boundary: printable ASCII takes it, while ESC, G1 bytes, C0
+    controls, and DEL all route to the slow path (replace parity)."""
+    assert marc8_to_unicode(b"plain field value 123") == (
+        "plain field value 123"
+    )
+    # C0 control inside otherwise-ASCII bytes must REPLACE, not pass
+    assert marc8_to_unicode(b"a\x01b") == "a�b"
+    assert marc8_to_unicode(b"a\x7fb") == "a�b"
+    # tab/newline/CR pass through on both paths
+    assert marc8_to_unicode(b"a\tb\nc\rd") == "a\tb\nc\rd"
+    with pytest.raises(Marc8DecodeError):
+        marc8_to_unicode(b"a\x01b", replace=False)
