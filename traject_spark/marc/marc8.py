@@ -42,6 +42,7 @@ the Arrow-batched binary parse, never the hot mapping path.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
 ESC = 0x1B
@@ -76,11 +77,9 @@ class Marc8DecodeError(UnicodeError):
     """Raised under replace=False for bytes/sets this module can't map."""
 
 
-import re as _re
-
 #: C0 controls (minus the tab/LF/CR the decoder passes through) + DEL —
 #: any hit routes to the full state machine for replace/raise parity
-_NON_PRINTABLE = _re.compile(rb"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_NON_PRINTABLE = re.compile(rb"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
 
 # ---------------------------------------------------------------------------
