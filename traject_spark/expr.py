@@ -54,3 +54,15 @@ def let3(
     body: Callable[[Column, Column, Column], Column],
 ) -> Column:
     return let(v1, lambda a: let2(v2, v3, lambda b, c: body(a, b, c)))
+
+
+def sql_let(value: str, var: str, body: str) -> str:
+    """SQL-text form of :func:`let` for the generated-SQL fast paths:
+    bind ``value`` once as the NAMED lambda variable ``var`` in
+    ``body``. Named variables keep nesting unambiguous in text form —
+    Catalyst's ``.sql()`` output is not re-parseable for lambdas, so
+    fast-path SQL is authored, never derived."""
+    return (
+        f"aggregate(CAST(array() AS array<int>), {value}, "
+        f"(a_{var}, x_{var}) -> a_{var}, {var} -> {body})"
+    )

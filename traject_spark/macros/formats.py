@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from traject_spark.expr import let, let2
+from traject_spark.expr import let, let2, sql_let
 from traject_spark.translation_map import TranslationMap
 
 # one shared empty-array helper — drifting copies otherwise
@@ -253,14 +253,6 @@ def _sq(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _sql_let(value: str, var: str, body: str) -> str:
-    """SQL form of expr.let: bind ``value`` once as ``var`` in ``body``."""
-    return (
-        f"aggregate(cast(array() as array<int>), {value}, "
-        f"(acc_{var}, x_{var}) -> acc_{var}, {var} -> {body})"
-    )
-
-
 def _sql_map_of_arrays(mapping: dict) -> str:
     """map(k, array(v...), ...) literal matching _as_array_dict shapes.
     Refuses shapes the plain try_element_at probe can't carry — callers
@@ -352,7 +344,7 @@ def formats_sql(marc: str, default: str = "Other") -> str:
         "(sf.code = 'a' and sf.value in ('volume', 'card', 'sheet')) or "
         "(sf.code = 'b' and sf.value in ('nc', 'no', 'nb'))))"
     )
-    print_p = _sql_let(
+    print_p = sql_let(
         rda338, "r338",
         f"case when size(r338) > 0 then {rda_hit} else length(g) = 0 end",
     )
@@ -374,22 +366,22 @@ def formats_sql(marc: str, default: str = "Other") -> str:
         "arrays_overlap(filter(b0, x -> x is not null), "
         "array('Non-musical Recording', 'Musical Recording'))"
     )
-    stage1 = _sql_let(
+    stage1 = sql_let(
         base0, "b0",
         f"concat(b0, {flag(f'{print_p} and not {is_recording}', 'Print')})",
     )
-    stage2 = _sql_let(
+    stage2 = sql_let(
         stage1, "b1",
         f"case when {thesis} then concat("
         f"filter(b1, x -> x is null or x != 'Book'), "
         f"array('Dissertation/Thesis')) else b1 end",
     )
-    stage3 = _sql_let(
+    stage3 = sql_let(
         f"concat(b2, {flag(proceeding, 'Conference')})", "b3",
         f"case when size(b3) = 0 then array({_sq(default)}) else b3 end",
     )
-    assembled = _sql_let(stage2, "b2", stage3)
-    return _sql_let(gmd_v, "g", _sql_let(f007_v, "fv", assembled))
+    assembled = sql_let(stage2, "b2", stage3)
+    return sql_let(gmd_v, "g", sql_let(f007_v, "fv", assembled))
 
 
 def marc_formats(default: str = "Other", _sql_fastpath: bool = True):

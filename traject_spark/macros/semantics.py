@@ -16,7 +16,7 @@ from typing import Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from traject_spark.expr import let, let2, let3
+from traject_spark.expr import let, let2, let3, sql_let
 from traject_spark.marc.extractor import (
     collect_matching_lines,
     collect_subfields_expr,
@@ -607,15 +607,6 @@ _GEO_A_DEFAULT = "651a:691a"
 _GEO_Z_DEFAULT = "600:610:611:630:648:650:654:655:656:690:651:691"
 
 
-def _sql_let_s(value: str, var: str, body: str) -> str:
-    """SQL form of expr.let (the aggregate trick with a NAMED lambda
-    variable so nesting stays unambiguous in text form)."""
-    return (
-        f"aggregate(CAST(array() AS array<int>), {value}, "
-        f"(a_{var}, x_{var}) -> a_{var}, {var} -> {body})"
-    )
-
-
 def _geo_sql(marc_sql: str, probe_sql: str) -> str:
     """Generated-SQL twin of the DEFAULT-spec marc_geo_facet parts
     (part1+part2+part3 concatenated; the caller wraps acc + distinct).
@@ -659,7 +650,7 @@ def _geo_sql(marc_sql: str, probe_sql: str) -> str:
     # its value twice, so bind the stripped code the same way
     part1 = (
         f"filter(transform({codes}, c -> "
-        + _sql_let_s(
+        + sql_let(
             "regexp_replace(c, '\\\\-+\\\\Z', '')", "v", probe_sql
         )
         + "), x -> x IS NOT NULL)"
@@ -687,7 +678,7 @@ def _geo_sql(marc_sql: str, probe_sql: str) -> str:
     part3 = (
         f"flatten(transform(filter({marc_sql}.datafields, "
         f"f -> {tag_match(z_tags)}), f -> coalesce("
-        + _sql_let_s(zs, "zs", z_body)
+        + sql_let(zs, "zs", z_body)
         + ", CAST(array() AS array<string>))))"
     )
     return f"concat({part1}, {part2}, {part3})"
