@@ -254,3 +254,65 @@ def test_ascii_fast_path_parity_with_state_machine():
     assert marc8_to_unicode(b"a\tb\nc\rd") == "a\tb\nc\rd"
     with pytest.raises(Marc8DecodeError):
         marc8_to_unicode(b"a\x01b", replace=False)
+
+
+# ---------------------------------------------------------------------------
+# goldens against the reference's OWN MARC-8 fixtures
+# ---------------------------------------------------------------------------
+
+REF_SUPPORT = "/root/reference/test/test_support"
+
+
+def _ref_record(name):
+    import os
+
+    path = os.path.join(REF_SUPPORT, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference fixture {name} not present")
+    from traject_spark.marc.serialize import split_iso2709_stream
+
+    raw = open(path, "rb").read()
+    recs = [
+        from_iso2709(r, encoding="MARC-8")
+        for r in split_iso2709_stream(raw)
+    ]
+    assert len(recs) == 1
+    return recs[0]
+
+
+def _sub(rec, tag, code):
+    for df in rec["datafields"]:
+        if df["tag"] == tag:
+            for sf in df["subfields"]:
+                if sf["code"] == code:
+                    return sf["value"]
+    return None
+
+
+def test_reference_marc8_fixture_transcodes():
+    """The reference's own MARC-8 fixture decodes to the exact value its
+    test asserts (marc_reader_test.rb:39-54: 245$a of one-marc8.mrc)."""
+    rec = _ref_record("one-marc8.mrc")
+    assert _sub(rec, "245", "a") == "Por uma outra globalização :"
+    assert _sub(rec, "100", "a") == "Santos, Mílton"
+    assert _sub(rec, "245", "b") == (
+        "do pensamemto único à consciência universal /"
+    )
+
+
+def test_reference_marc8_ncr_expansion():
+    """Numeric character references (&#xHHHH;) expand during transcode
+    (marc_reader_test.rb:56-64: escaped_character_reference.marc8.marc
+    must yield a literal U+FFFD)."""
+    rec = _ref_record("escaped_character_reference.marc8.marc")
+    assert _sub(rec, "260", "a") == (
+        "Rio de Janeiro escaped replacement char: � ."
+    )
+
+
+def test_ncr_expansion_units():
+    assert marc8_to_unicode(b"x &#x00E9; y") == "x é y"
+    # out-of-range / malformed NCRs stay literal
+    assert marc8_to_unicode(b"&#x110000; &#xZZ; &#x;") == (
+        "&#x110000; &#xZZ; &#x;"
+    )

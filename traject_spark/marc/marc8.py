@@ -81,6 +81,22 @@ class Marc8DecodeError(UnicodeError):
 #: any hit routes to the full state machine for replace/raise parity
 _NON_PRINTABLE = re.compile(rb"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
+#: MARC-8 lossless-Unicode numeric character references (&#xHHHH;) —
+#: the standard's escape for characters outside the MARC-8 repertoire.
+#: ruby-marc expands them during transcode (the reference's
+#: escaped_character_reference.marc8.marc test pins this), so both
+#: paths (fast ASCII and state machine) expand after decoding.
+_NCR = re.compile(r"&#x([0-9A-Fa-f]{1,6});")
+
+
+def _expand_ncr(text: str) -> str:
+    return _NCR.sub(
+        lambda m: chr(int(m.group(1), 16))
+        if int(m.group(1), 16) <= 0x10FFFF
+        else m.group(0),
+        text,
+    )
+
 
 # ---------------------------------------------------------------------------
 # code tables (public LoC MARC-8 code tables)
@@ -255,7 +271,7 @@ def marc8_to_unicode(
     # slow path, which replaces C0 bytes (ESC is C0 too, so one probe
     # covers both reasons to take the slow path).
     if raw.isascii() and not _NON_PRINTABLE.search(raw):
-        return raw.decode("ascii")
+        return _expand_ncr(raw.decode("ascii"))
     g0, g1 = CODE_BASIC_LATIN, CODE_ANSEL
     out: list = []
     pending: list = []  # combining marks awaiting their base char
@@ -334,7 +350,7 @@ def marc8_to_unicode(
     # stranded combining marks (no following base char): keep them, as
     # the reference's converter does, attached to a no-break placement
     out.extend(pending)
-    text = "".join(out)
+    text = _expand_ncr("".join(out))
     return unicodedata.normalize(normalize, text) if normalize else text
 
 
