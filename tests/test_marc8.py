@@ -316,3 +316,11 @@ def test_ncr_expansion_units():
     assert marc8_to_unicode(b"&#x110000; &#xZZ; &#x;") == (
         "&#x110000; &#xZZ; &#x;"
     )
+
+
+def test_unrecognized_encoding_raises():
+    """Unknown codec names raise, matching the reference's ArgumentError
+    for marc_source.encoding = 'ADFADFADF' (marc_reader_test.rb:66-72)."""
+    _rec, utf8_bytes, _m8 = _twin_records()
+    with pytest.raises(LookupError):
+        from_iso2709(utf8_bytes, encoding="ADFADFADF")
