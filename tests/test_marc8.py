@@ -324,3 +324,40 @@ def test_unrecognized_encoding_raises():
     _rec, utf8_bytes, _m8 = _twin_records()
     with pytest.raises(LookupError):
         from_iso2709(utf8_bytes, encoding="ADFADFADF")
+
+
+def test_round_trip_property_over_supported_alphabet():
+    """Hypothesis: any string of supported units (ASCII printable, ANSEL
+    spacing chars, base+combining stacks, Greek symbols, sub/superscript,
+    Hebrew letters) survives encode->decode to its NFC form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traject_spark.marc.marc8 import (
+        ANSEL_COMBINING, ANSEL_SPACING, BASIC_HEBREW, GREEK_SYMBOLS,
+        SUBSCRIPT, SUPERSCRIPT,
+    )
+
+    ascii_ch = st.characters(min_codepoint=0x20, max_codepoint=0x7E)
+    spacing = st.sampled_from([chr(c) for c in ANSEL_SPACING.values()])
+    combining = st.sampled_from([chr(c) for c in ANSEL_COMBINING.values()])
+    specials = st.sampled_from(
+        [chr(c) for t in (GREEK_SYMBOLS, SUBSCRIPT, SUPERSCRIPT,
+                          BASIC_HEBREW) for c in t.values()]
+    )
+    # a unit = a base char optionally followed by 1-2 combining marks
+    # (stranded leading marks are out of contract)
+    base = st.one_of(ascii_ch, spacing, specials)
+    unit = st.builds(
+        lambda b, marks: b + "".join(marks),
+        base, st.lists(combining, max_size=2),
+    )
+    texts = st.lists(unit, min_size=0, max_size=20).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(s=texts)
+    def prop(s):
+        got = marc8_to_unicode(unicode_to_marc8(s))
+        assert got == unicodedata.normalize("NFC", s), (s, got)
+
+    prop()

@@ -389,8 +389,20 @@ def unicode_to_marc8(text: str) -> bytes:
             out.extend(bytes([ESC, 0x28, code]))  # ESC ( F
         g0 = code
 
+    #: MARC-8 has PRECOMPOSED horn vowels only (no combining horn), but
+    #: NFD splits them to base + U+031B — recombine at the mark
+    _HORN = {0x4F: 0xAC, 0x55: 0xAD, 0x6F: 0xBC, 0x75: 0xBD}  # O U o u
+
     for ch in unicodedata.normalize("NFD", text):
         cp = ord(ch)
+        if cp == 0x031B:  # combining horn
+            if out and out[-1] in _HORN:
+                out[-1] = _HORN[out[-1]]
+                continue
+            raise ValueError(
+                "combining horn (U+031B) is only encodable on O/U/o/u "
+                "(MARC-8 has precomposed horn vowels only)"
+            )
         if cp in _REV_ANSEL_COMBINING:
             # combining marks go BEFORE the base char they follow in
             # Unicode order: splice ahead of the last emitted char
