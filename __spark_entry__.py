@@ -526,10 +526,11 @@ def q_dedup_jaccard_adjacent(spark, sf_dir):
 
 
 def q_embed_norm(spark, sf_dir):
-    """Kept as a library probe; NOT registered in queries() — the driver
-    window holds 50 rows and this L2-norm projection is fully subsumed
-    by the four hash-verified cosine/ANN rows (its slot now carries
-    dedup_witness_clusters)."""
+    """Rotated out pre-registry (its slot carries
+    dedup_witness_clusters); the L2-norm projection is subsumed by the
+    hash-verified cosine/ANN rows. r11: registered in rotated_out() so
+    it keeps the full DuckDB compare the rotation policy requires —
+    it had been a dangling callable with no registered oracle."""
     from traject_spark.corpus.similarity import norm_expr
 
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1924,6 +1925,18 @@ def rotated_out() -> dict:
               count(*) AS n_events,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2""",
+        ),
+        # pre-registry rotation (slot handed to dedup_witness_clusters);
+        # norm_expr subsumed in-window by embed_topk/ann_* whose scoring
+        # runs through the same dot/norm expressions — registered here
+        # r11 so the policy's preserved-full-compare clause holds
+        "embed_norm": (
+            q_embed_norm,
+            """
+            SELECT vec_id,
+              round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+            FROM embeddings""",
         ),
         # r8: slot handed to corpus_decontaminate; 245ab extract+join
         # subsumed in-window by marc_title_first_trim/pipeline_two_rules
