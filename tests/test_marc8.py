@@ -361,3 +361,24 @@ def test_round_trip_property_over_supported_alphabet():
         assert got == unicodedata.normalize("NFC", s), (s, got)
 
     prop()
+
+
+def test_decoder_total_under_replace_fuzz():
+    """Under replace=True the decoder is a TOTAL function: arbitrary
+    byte soup (random escapes, truncated sequences, multibyte spill,
+    stray combining marks) must decode to SOME string, never raise —
+    one malformed field must not kill a 100 TB ingest job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(raw=st.binary(max_size=64))
+    def prop(raw):
+        out = marc8_to_unicode(raw)
+        assert isinstance(out, str)
+        # and the lenient record parser stays total too
+        from traject_spark.marc.serialize import from_iso2709
+
+        from_iso2709(raw.ljust(24, b"0"), encoding="MARC-8")
+
+    prop()
