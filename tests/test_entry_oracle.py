@@ -71,11 +71,23 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert df.schema is not None
+_ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_every_window_query_has_an_oracle():
+    """The strongest registry shape: EVERY queries() entry carries a
+    DuckDB oracle (the driver's weaker rows-only check never applies).
+    If a genuinely non-SQL-expressible op ever registers, the
+    rows-only smoke below starts covering it."""
+    assert _ROWS_ONLY == []
+
+
+if _ROWS_ONLY:  # no perpetual empty-parametrize skip when the set is empty
+    @pytest.mark.parametrize("name", _ROWS_ONLY)
+    def test_rows_only_queries_run(spark, name):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert df.schema is not None
 
 
 def test_entry_runs(spark):
