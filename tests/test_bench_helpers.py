@@ -173,3 +173,29 @@ def test_vs_lock_skips_mismatched_record_counts():
     # legacy locks without the field keep ratioing (backwards compat)
     assert bench._vs_lock({"a": 3.0}, {"min_queries": {"a": 2.0}},
                           600_000) == {"a": 1.5}
+
+
+def test_ab_run_side_prefers_full_artifact(tmp_path):
+    """ADVICE r12: when a side's compact stdout summary sheds minlock
+    under the char budget, run_side must pick up BENCH_full_last.json
+    (written by the same invocation) so the A/B never records min: None
+    silently."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from ab_bench import run_side
+    finally:
+        sys.path.pop(0)
+
+    side = tmp_path / "side"
+    side.mkdir()
+    (side / "bench.py").write_text(
+        "import json\n"
+        "json.dump({'minlock': {'q1': [1.5, 1.0]}, 'cal': [1.0, 1.0]},"
+        " open('BENCH_full_last.json', 'w'))\n"
+        "print(json.dumps({'metric': 'x'}))\n"  # compact line: no mins
+    )
+    art = run_side(str(side), "q1", 1, "/root/testdata/sf0.001")
+    assert art["minlock"] == {"q1": [1.5, 1.0]}

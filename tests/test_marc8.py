@@ -382,3 +382,23 @@ def test_decoder_total_under_replace_fuzz():
         from_iso2709(raw.ljust(24, b"0"), encoding="MARC-8")
 
     prop()
+
+
+def test_encode_leading_combining_mark_raises():
+    """ADVICE r12: a combining mark with no preceding base used to be
+    spliced at offset 0, where the decoder attaches it to the FOLLOWING
+    char — silently moving the diacritic. Unencodable shapes raise."""
+    with pytest.raises(ValueError, match="no preceding base"):
+        unicode_to_marc8("́abc")  # stranded acute
+    # ...but a mark with a base still round-trips
+    assert marc8_to_unicode(unicode_to_marc8("é")) == "é"
+
+
+def test_decoder_strips_padded_codec_names():
+    """ADVICE r12: ' latin-1 ' passes the marc8 check as non-MARC-8 but
+    must decode via the STRIPPED codec name, not raise LookupError per
+    value on executors."""
+    _rec, utf8_bytes, _m8 = _twin_records()
+    latin1 = utf8_bytes.decode("utf-8").encode("latin-1", "replace")
+    rec = from_iso2709(latin1, encoding=" latin-1 ")
+    assert rec["controlfields"][0]["value"] == "m8-001"

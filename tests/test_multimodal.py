@@ -435,3 +435,44 @@ def test_png_lane_pixel_budget_refuses_large_images():
     assert 3000 * 2000 > PNG_MAX_PIXELS
     with pytest.raises(ValueError, match="pixel budget"):
         _png_gray_pixels(big)
+
+
+def test_png_lane_bounded_inflate_refuses_zip_bomb():
+    """ADVICE r12: PNG_MAX_PIXELS bounds the *claimed* dims, but a
+    crafted IDAT can declare tiny dims and still inflate a few KB to
+    GBs — the decompress must be capped at the declared geometry and
+    refuse overflow BEFORE materializing it, not OOM the executor."""
+    import struct
+    import zlib
+
+    from traject_spark.corpus.multimodal import _png_gray_pixels
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    # declares 4x4 gray (expected inflate: 4*(4+1)=20 bytes) but the
+    # IDAT holds 64 MB of zeros compressed to ~64 KB (ratio ~1000:1)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\0" * (64 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 1 << 20  # the payload itself is small
+    with pytest.raises(ValueError, match="inflates beyond"):
+        _png_gray_pixels(bomb)
+
+
+def test_png_lane_exact_inflate_still_decodes():
+    """The bounded-inflate guard must not false-positive on a benign
+    stream whose output is exactly the declared geometry (the trailing
+    adler checksum can sit in unconsumed_tail at max_length)."""
+    from traject_spark.corpus.multimodal import _png_gray_pixels
+
+    px = [[10, 20], [30, 40]]
+    w, h, gray = _png_gray_pixels(_png_bytes(px))
+    assert (w, h) == (2, 2)
+    assert [[int(v) for v in row] for row in gray] == px

@@ -434,7 +434,9 @@ def test_translation_map_sql_probe_shape_guards():
     assert TranslationMap({"k": None}).sql_probe("v") is None
     assert TranslationMap({"k": ["a", "b"]}).sql_probe("v") is None
     assert TranslationMap({"k": "bad\x1evalue"}).sql_probe("v") is None
-    assert TranslationMap({"k": "back\\slash"}).sql_probe("v") is None
+    # backslash maps became eligible in r12: sql_str_lit renders them
+    # mode-stably via chr(92) instead of the probe refusing outright
+    assert TranslationMap({"k": "back\\slash"}).sql_probe("v") is not None
 
 
 def test_translation_map_sql_probe_quoting(spark):
@@ -611,3 +613,74 @@ def test_formats_sql_map_eligibility_guards():
     # the happy shape renders arrays incl. multi-valued entries
     sql = _sql_map_of_arrays({"aa": ["Book", "Text"], "c": "Score"})
     assert sql == "map('aa', array('Book', 'Text'), 'c', array('Score'))"
+
+
+def test_formats_sq_stable_under_both_lexer_modes(spark):
+    """ADVICE r12: literals in the generated-SQL fast paths must parse
+    identically under both string-lexer modes. Empirically (Spark 4.1.2)
+    NEITHER backslash escapes NOR quote doubling survive
+    spark.sql.parser.escapedStringLiterals=true, so _sq delegates to
+    sql_str_lit (quote-char selection / chr() splicing)."""
+    from traject_spark.macros.formats import _sq
+
+    for s in ("it's", 'say "hi"', "a\\b", "mix'ed\"and\\slash", "plain"):
+        lit = _sq(s)
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+            try:
+                got = spark.sql(f"select {lit} as v").collect()[0]["v"]
+            finally:
+                spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+            assert got == s, (s, mode, lit)
+
+
+def test_sql_probe_stable_under_both_lexer_modes(spark):
+    """The shard-probe literals get the same treatment: a map with
+    apostrophes AND backslashes must probe to identical values under
+    both lexer modes (previously quote-doubled: broken under =true)."""
+    from pyspark.sql import functions as F
+    from traject_spark.translation_map import TranslationMap
+
+    tm = TranslationMap({"gwi": "Gwich'in", "bs": "back\\slash", "q": 'd"q'})
+    sql = tm.sql_probe("v")
+    assert sql is not None
+    df = spark.createDataFrame(
+        [(["gwi", "bs", "q", "miss"],)], "codes array<string>"
+    )
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        try:
+            out = df.select(
+                F.expr(f"transform(codes, v -> {sql})").alias("hits")
+            ).collect()[0]["hits"]
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+        assert out == ["Gwich'in", "back\\slash", 'd"q', None], mode
+
+
+def test_generated_sql_paths_fall_back_under_escaped_lexer(spark):
+    """The formats/languages/geo generated-SQL fast paths embed regex
+    literals whose meaning flips under escapedStringLiterals=true; the
+    gates must detect the mode and take the Column path so values stay
+    identical (ADVICE r12)."""
+    from traject_spark.sqlutil import default_lexer_active
+
+    rec = marc_record(
+        controlfields=[("008", " " * 35 + "eng  ")],
+        datafields=[("041", "1", " ", [("a", "engfre")])],
+    )
+    base = run(spark, rec, marc_languages())
+    assert default_lexer_active()
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert not default_lexer_active()
+        assert run(spark, rec, marc_languages()) == base
+        assert run(spark, BOOK, marc_formats()) == run_formats_ref(spark)
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    assert base == ["English", "French"]
+
+
+def run_formats_ref(spark):
+    """BOOK's formats via the forced Column path (mode-independent)."""
+    return run(spark, BOOK, marc_formats(_sql_fastpath=False))

@@ -55,6 +55,16 @@ def run_side(side_dir: str, queries: str, runs: int, sf_dir: str) -> dict:
             f"{proc.stderr[-2000:]}"
         )
     art = json.loads(last[-1])
+    # r11+ sides write the FULL payload to BENCH_full_last.json and may
+    # shed keys (minlock, runs) from the 1900-char stdout summary —
+    # prefer the full artifact when this invocation just wrote it
+    full = os.path.join(side_dir, "BENCH_full_last.json")
+    try:
+        if os.path.getmtime(full) >= t0:
+            with open(full) as fh:
+                art = json.load(fh)
+    except (OSError, ValueError):
+        pass
     art["_wall_sec"] = wall
     return art
 
@@ -89,6 +99,15 @@ def main() -> None:
             mins_art = art.get("min_queries") or {
                 n: mv[0] for n, mv in art.get("minlock", {}).items()
             }
+            if not mins_art:
+                # neither key present (a summary that shed minlock under
+                # its char budget AND no full artifact): recording
+                # min: None for every query would silently void the A/B
+                raise RuntimeError(
+                    f"side {label} ({sides[label]}) artifact has neither "
+                    "min_queries nor minlock — cannot attribute; check "
+                    "BENCH_full_last.json in that checkout"
+                )
             cal_pair = art.get("cal") or [
                 cal.get("start_sec"), cal.get("end_sec")
             ]

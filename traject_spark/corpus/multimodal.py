@@ -170,10 +170,28 @@ def _png_gray_pixels(payload: bytes):
             f"{PNG_MAX_PIXELS}-pixel budget — install Pillow for large "
             "images"
         )
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: PNG_MAX_PIXELS caps the *claimed* dims, but a
+    # crafted IDAT can declare tiny dims and still inflate a few KB to
+    # GBs (deflate ratios exceed 1000:1) — a plain zlib.decompress
+    # would OOM the executor before the length check, violating the
+    # per-payload-failure design. Cap output at the size the declared
+    # geometry implies and refuse anything that wants more.
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
+    # hitting max_length exactly can leave the stream's final checksum
+    # in unconsumed_tail without implying extra pixels — only actual
+    # further OUTPUT (one probe byte) proves the payload lies
+    if dobj.unconsumed_tail and dobj.decompress(
+        dobj.unconsumed_tail, 1
+    ):
+        raise ValueError(
+            f"PNG pixel data inflates beyond the declared "
+            f"{width}x{height}x{channels} geometry ({expected} bytes)"
+        )
     # unfilter scanlines (PNG spec 4.5.4); prev = reconstructed row above
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

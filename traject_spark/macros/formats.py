@@ -249,8 +249,13 @@ def formats_expr(marc: Column, default: str = "Other") -> Column:
 # ---------------------------------------------------------------------------
 
 def _sq(s: str) -> str:
-    """Escape a Python string as a Spark SQL single-quoted literal."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """Render a Python string as a Spark SQL literal expression that is
+    stable under BOTH string-lexer modes — neither backslash escapes nor
+    quote doubling survive spark.sql.parser.escapedStringLiterals=true
+    on Spark 4 (ADVICE r12; probe table in traject_spark/sqlutil.py)."""
+    from traject_spark.sqlutil import sql_str_lit
+
+    return sql_str_lit(s)
 
 
 def _sql_map_of_arrays(mapping: dict) -> str:
@@ -400,7 +405,9 @@ def marc_formats(default: str = "Other", _sql_fastpath: bool = True):
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        if sql_ok and src_col and _ident_safe(src_col):
+        from traject_spark.sqlutil import default_lexer_active
+
+        if sql_ok and src_col and _ident_safe(src_col) and default_lexer_active():
             return F.concat(
                 acc, F.expr(formats_sql(f"`{src_col}`", default=default))
             )

@@ -320,7 +320,14 @@ def marc_languages(
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        if probe_sql is not None and src_col and _ident_safe(src_col):
+        from traject_spark.sqlutil import default_lexer_active
+
+        if (
+            probe_sql is not None
+            and src_col
+            and _ident_safe(src_col)
+            and default_lexer_active()
+        ):
             return F.concat(
                 acc, F.expr(_languages_sql(f"`{src_col}`", probe_sql))
             )
@@ -731,7 +738,14 @@ def marc_geo_facet(
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        if probe_sql is not None and src_col and _ident_safe(src_col):
+        from traject_spark.sqlutil import default_lexer_active
+
+        if (
+            probe_sql is not None
+            and src_col
+            and _ident_safe(src_col)
+            and default_lexer_active()
+        ):
             return F.array_distinct(
                 F.concat(acc, F.expr(_geo_sql(f"`{src_col}`", probe_sql)))
             )

@@ -413,7 +413,17 @@ def unicode_to_marc8(text: str) -> bytes:
             # stepping back over any earlier combining bytes suffices
             while k >= 0 and out[k] in ANSEL_COMBINING:
                 k -= 1
-            out.insert(max(k, 0), marc)
+            if k < 0:
+                # no emitted base to splice before: inserting at 0 would
+                # make the decoder attach the mark to the FOLLOWING char,
+                # silently moving the diacritic — raise like the
+                # combining-horn path does for unencodable shapes
+                raise ValueError(
+                    f"combining mark {ch!r} (U+{cp:04X}) has no "
+                    "preceding base character — MARC-8 combining bytes "
+                    "must precede a base"
+                )
+            out.insert(k, marc)
             continue
         if cp < 0x80:
             designate_g0(CODE_BASIC_LATIN)

@@ -249,8 +249,11 @@ def _decoder(encoding: str):
 
         return lambda b: marc8_to_unicode(b, replace=True)
     # the normalized-empty check above implies None/'' mean utf-8 —
-    # decode with the same normalization, not the raw argument
-    return lambda b: b.decode(encoding or "utf-8", errors="replace")
+    # decode with a whitespace-stripped name so ' latin-1 ' (which the
+    # marc8 check already treats as non-MARC-8) resolves as a codec
+    # instead of raising LookupError per value on executors
+    codec = (encoding or "utf-8").strip() or "utf-8"
+    return lambda b: b.decode(codec, errors="replace")
 
 
 def from_iso2709(raw: bytes, encoding: str = "utf-8") -> Optional[dict]:

@@ -1,0 +1,95 @@
+"""Lexer-mode-robust SQL string literals.
+
+Spark has two string-literal lexer modes and they disagree about every
+escape mechanism (probed on Spark 4.1.2, tests/test_sqlutil.py):
+
+=====================================  ==========  =========
+rendering of ``it's``                  escaped=F   escaped=T
+=====================================  ==========  =========
+``'it\\'s'``  (backslash escape)        ``it's``    ``it\\'s``
+``'it''s'``   (quote doubling)          ``it's``    ``it''s``
+``"it's"``    (double-quoted)           ``it's``    ``it's``
+=====================================  ==========  =========
+
+``spark.sql.parser.escapedStringLiterals=true`` (the Hive-compatible
+mode some deployments set for regex ergonomics) interprets NEITHER
+backslash escapes NOR doubled quotes — the only mode-stable rendering
+is a literal whose quote character does not occur in the string. For
+strings containing both quote kinds (or a backslash, which escaped=F
+would eat), we fall back to a ``concat(...)`` of stable pieces with
+``chr(N)`` for the offenders — still a deterministic foldable
+expression, usable anywhere a literal is (Catalyst constant-folds it).
+
+Every generated-SQL fast path (translation-map probes, the formats/geo
+compilers) renders its embedded literals through :func:`sql_str_lit`
+so a user map with apostrophes — the languages map alone has 120 —
+behaves identically under both lexer modes.
+"""
+
+from __future__ import annotations
+
+__all__ = ["sql_str_lit"]
+
+
+def sql_str_lit(s: str) -> str:
+    """Render ``s`` as a Spark SQL expression that evaluates to exactly
+    ``s`` under BOTH string-lexer modes (escapedStringLiterals on/off).
+
+    Plain strings become a bare literal quoted with a character they
+    don't contain; strings mixing ``'``, ``"`` and/or ``\\`` become
+    ``concat(piece, chr(39), ...)``. The result is always a foldable
+    scalar expression — valid wherever a literal operand is.
+    """
+    if s == "":
+        return "''"
+    if "\\" not in s:
+        if "'" not in s:
+            return "'" + s + "'"
+        if '"' not in s:
+            return '"' + s + '"'
+    # mixed / backslash case: split into maximal runs free of all three
+    # troublemakers, splice the offenders back in via chr()
+    pieces: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if run:  # runs are free of quotes and backslashes by split
+            pieces.append("'" + "".join(run) + "'")
+            run.clear()
+
+    for ch in s:
+        if ch == "\\":
+            flush()
+            pieces.append("chr(92)")
+        elif ch == "'":
+            flush()
+            pieces.append("chr(39)")
+        elif ch == '"':
+            flush()
+            pieces.append("chr(34)")
+        else:
+            run.append(ch)
+    flush()
+    if len(pieces) == 1 and not pieces[0].startswith("chr("):
+        return pieces[0]
+    return "concat(" + ", ".join(pieces) + ")"
+
+
+def default_lexer_active() -> bool:
+    """True when the active session parses string literals with the
+    DEFAULT lexer. The generated-SQL fast paths embed regex literals
+    (``'\\\\-+\\\\Z'`` etc.) whose meaning changes under
+    spark.sql.parser.escapedStringLiterals=true; rather than chr()-
+    encode every regex byte, the fast-path gates call this and fall
+    back to the Column builders (lexer-independent, same semantics —
+    the parity tests pin that) when a deployment flips the mode."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return True
+    try:
+        v = s.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    except Exception:
+        return True
+    return (v or "false").lower() != "true"

@@ -933,15 +933,12 @@ class TranslationMap:
         if not norm or not self._encodable(norm):
             return None
 
-        def q(s: str) -> str:
-            # Spark SQL single-quoted literal: double the quote; refuse
-            # backslashes (the default lexer treats them as escapes)
-            return s.replace("'", "''")
+        # lexer-mode-robust literals (ADVICE r12): quote-doubling only
+        # parses under the default lexer; escapedStringLiterals=true
+        # interprets neither it nor backslash escapes, so render via
+        # sql_str_lit (which also makes backslash-bearing maps eligible)
+        from traject_spark.sqlutil import sql_str_lit as q
 
-        if any(
-            "\\" in str(k) or "\\" in v[0] for k, v in norm.items()
-        ):
-            return None
         outer = []
         # SAME shard+encode as the Column-path string fast shape
         # (_string_shards, one definition); this path only adds quoting
@@ -949,7 +946,7 @@ class TranslationMap:
             {k: v[0] for k, v in norm.items()}
         ):
             outer.append(
-                f"'{q(p)}', str_to_map('{q(encoded)}', "
+                f"{q(p)}, str_to_map({q(encoded)}, "
                 f"'{_SEP_ENTRY}', '{_SEP_KV}')"
             )
         m = "map(" + ", ".join(outer) + ")"
