@@ -72,11 +72,20 @@ def test_g1_designation_keeps_ascii_g0():
 
 
 def test_unmapped_set_replaces_or_raises():
-    # Basic Cyrillic ('N') is escape-recognized but has no bundled table
-    raw = b"\x1b(Nabc\x1b(B ok"
+    # Extended Arabic ('4') is escape-recognized but has no bundled
+    # table (r12 shipped Cyrillic/Greek/Basic Arabic; Extended Arabic
+    # and EACC remain replacement-decoded)
+    raw = b"\x1b(4abc\x1b(B ok"
     assert marc8_to_unicode(raw) == "��� ok"
-    with pytest.raises(Marc8DecodeError, match="Cyrillic"):
+    with pytest.raises(Marc8DecodeError, match="Arabic"):
         marc8_to_unicode(raw, replace=False)
+
+
+def test_cyrillic_set_decodes():
+    # Basic Cyrillic ('N') gained its ISO 5427 table in r12: lowercase
+    # sits at 0x40-0x5F, uppercase at 0x60-0x7E (KOI ordering)
+    raw = b"\x1b(NmOSKWA\x1b(B ok"
+    assert marc8_to_unicode(raw) == "Москва ok"
 
 
 def test_eacc_multibyte_consumes_triples():
@@ -128,34 +137,23 @@ def test_em_dash_refuses_to_encode():
         unicode_to_marc8("wait — no")
 
 
-def test_cyrillic_refuses_to_encode():
+def test_cyrillic_encodes_since_r12():
+    assert marc8_to_unicode(unicode_to_marc8("Москва")) == "Москва"
+
+
+def test_cjk_still_refuses_to_encode():
     with pytest.raises(ValueError, match="outside the bundled"):
-        unicode_to_marc8("Москва")
+        unicode_to_marc8("東京")
 
 
 # ---------------------------------------------------------------------------
 # golden: MARC-8 fixture round-trips to the UTF-8 twin's struct
 # ---------------------------------------------------------------------------
 
-def _twin_records():
-    """One record, two encodings: UTF-8 bytes and MARC-8 bytes of the
-    same logical content (the MARC-8 fixture is synthesized by encoding
-    the UTF-8 twin's strings, per VERDICT r10 next-round #2)."""
-    title = "Dvořák in København : šest écrits"
-    author = "Dvořák, Antonín, 1841-1904"
-    note = "H₂O α-test א"
-    rec = {
-        "leader": "00000cam a2200000 a 4500",
-        "controlfields": [{"tag": "001", "value": "m8-001"}],
-        "datafields": [
-            {"tag": "100", "ind1": "1", "ind2": " ",
-             "subfields": [{"code": "a", "value": author}]},
-            {"tag": "245", "ind1": "1", "ind2": "0",
-             "subfields": [{"code": "a", "value": title}]},
-            {"tag": "500", "ind1": " ", "ind2": " ",
-             "subfields": [{"code": "a", "value": note}]},
-        ],
-    }
+def _twin_bytes(rec):
+    """UTF-8 bytes and MARC-8 bytes of the same logical record (the
+    MARC-8 fixture is synthesized by encoding the UTF-8 twin's strings,
+    per VERDICT r10 next-round #2)."""
     utf8_bytes = to_iso2709(rec)
 
     # build the MARC-8 twin by re-encoding every string slot
@@ -185,6 +183,26 @@ def _twin_records():
         "leader"
     ][17:24]
     marc8_bytes = leader.encode() + directory + data + b"\x1d"
+    return utf8_bytes, marc8_bytes
+
+
+def _twin_records():
+    title = "Dvořák in København : šest écrits"
+    author = "Dvořák, Antonín, 1841-1904"
+    note = "H₂O α-test א"
+    rec = {
+        "leader": "00000cam a2200000 a 4500",
+        "controlfields": [{"tag": "001", "value": "m8-001"}],
+        "datafields": [
+            {"tag": "100", "ind1": "1", "ind2": " ",
+             "subfields": [{"code": "a", "value": author}]},
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": title}]},
+            {"tag": "500", "ind1": " ", "ind2": " ",
+             "subfields": [{"code": "a", "value": note}]},
+        ],
+    }
+    utf8_bytes, marc8_bytes = _twin_bytes(rec)
     return rec, utf8_bytes, marc8_bytes
 
 
@@ -338,16 +356,30 @@ def test_round_trip_property_over_supported_alphabet():
         SUBSCRIPT, SUPERSCRIPT,
     )
 
+    from traject_spark.marc.marc8 import (
+        BASIC_ARABIC, BASIC_CYRILLIC, BASIC_GREEK, EXTENDED_CYRILLIC,
+    )
+
     ascii_ch = st.characters(min_codepoint=0x20, max_codepoint=0x7E)
     spacing = st.sampled_from([chr(c) for c in ANSEL_SPACING.values()])
     combining = st.sampled_from([chr(c) for c in ANSEL_COMBINING.values()])
+    # r12 script sets: spacing chars only as bases (Arabic harakat and
+    # Greek accents are combining in Unicode — leading marks are out of
+    # the encoder's contract)
+    scripts = st.sampled_from(sorted({
+        chr(c)
+        for t in (BASIC_CYRILLIC, EXTENDED_CYRILLIC, BASIC_GREEK,
+                  BASIC_ARABIC)
+        for c in t.values()
+        if c >= 0x80 and not unicodedata.combining(chr(c))
+    }))
     specials = st.sampled_from(
         [chr(c) for t in (GREEK_SYMBOLS, SUBSCRIPT, SUPERSCRIPT,
                           BASIC_HEBREW) for c in t.values()]
     )
     # a unit = a base char optionally followed by 1-2 combining marks
     # (stranded leading marks are out of contract)
-    base = st.one_of(ascii_ch, spacing, specials)
+    base = st.one_of(ascii_ch, spacing, specials, scripts)
     unit = st.builds(
         lambda b, marks: b + "".join(marks),
         base, st.lists(combining, max_size=2),
@@ -402,3 +434,137 @@ def test_decoder_strips_padded_codec_names():
     latin1 = utf8_bytes.decode("utf-8").encode("latin-1", "replace")
     rec = from_iso2709(latin1, encoding=" latin-1 ")
     assert rec["controlfields"][0]["value"] == "m8-001"
+
+
+# ---------------------------------------------------------------------------
+# r12: non-Latin script goldens (VERDICT r11 next-round #1) — vernacular
+# 880-style fields round-trip through read_iso2709(encoding='MARC-8')
+# to the same struct as their UTF-8 twins
+# ---------------------------------------------------------------------------
+
+def _script_record(title, author, note):
+    return {
+        "leader": "00000cam a2200000 a 4500",
+        "controlfields": [{"tag": "001", "value": "twin-001"}],
+        "datafields": [
+            {"tag": "100", "ind1": "1", "ind2": " ",
+             "subfields": [{"code": "a", "value": author}]},
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": title}]},
+            {"tag": "880", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "6", "value": "245-01"},
+                           {"code": "a", "value": note}]},
+        ],
+    }
+
+
+@pytest.mark.parametrize("title,author,note", [
+    # Russian + Ukrainian (Basic + Extended Cyrillic incl. і ї є ё)
+    ("Война и мир", "Толстой, Лев Николаевич",
+     "Київська бібліотека: її історія"),
+    # Arabic incl. hamza/madda forms and harakat
+    ("الكتاب العربي", "نجيب محفوظ", "آداب اللغة العربية"),
+    # polytonic Greek: breathings, perispomeni, iota subscript
+    ("Δοκίμιον ἱστορίας", "Παπαδόπουλος, Γεώργιος",
+     "ὧραι τῆς ἡμέρας· ᾠδή"),
+], ids=["cyrillic", "arabic", "greek"])
+def test_golden_script_twin_structs(title, author, note):
+    rec = _script_record(title, author, note)
+    utf8_bytes, marc8_bytes = _twin_bytes(rec)
+    got_utf8 = from_iso2709(utf8_bytes, encoding="utf-8")
+    got_m8 = from_iso2709(marc8_bytes, encoding="MARC-8")
+    assert got_m8["datafields"] == got_utf8["datafields"]
+    assert got_m8["controlfields"] == got_utf8["controlfields"]
+    assert got_m8["datafields"] == rec["datafields"]
+
+
+def test_script_twins_through_spark_reader(spark, tmp_path):
+    recs = [
+        _script_record("Война и мир", "Толстой", "Київ"),
+        _script_record("الكتاب", "محفوظ", "آداب"),
+        _script_record("ἱστορία", "Παπαδόπουλος", "ᾠδή"),
+    ]
+    p = tmp_path / "scripts.mrc"
+    p.write_bytes(b"".join(_twin_bytes(r)[1] for r in recs))
+
+    from traject_spark.marc.io import read_iso2709
+
+    rows = read_iso2709(spark, str(p), encoding="MARC-8").collect()
+    assert len(rows) == 3
+    titles = sorted(
+        sf["value"]
+        for r in rows for f in r["marc"]["datafields"] if f["tag"] == "245"
+        for sf in f["subfields"]
+    )
+    assert titles == sorted(["Война и мир", "الكتاب", "ἱστορία"])
+
+
+# ---------------------------------------------------------------------------
+# r12: cross-validate every generated table entry against glibc iconv
+# (the tables were transcribed from the ISO registrations glibc ships;
+# this pins the transcription byte-for-byte against an independent
+# decoder at test time)
+# ---------------------------------------------------------------------------
+
+def _iconv_ok():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["iconv", "-f", "ISO_5427", "-t", "UTF-8"], input=b"a",
+            capture_output=True,
+        ).returncode == 0
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(not _iconv_ok(), reason="glibc iconv unavailable")
+@pytest.mark.parametrize("table_name,charset", [
+    ("BASIC_CYRILLIC", "ISO_5427"),
+    ("EXTENDED_CYRILLIC", "ISO_5427-EXT"),
+    ("BASIC_ARABIC", "ASMO_449"),
+    ("BASIC_GREEK", "ISO_5428"),
+])
+def test_tables_match_iconv(table_name, charset):
+    import subprocess
+
+    from traject_spark.marc import marc8_scripts_data as data
+
+    table = getattr(data, table_name)
+    payload = bytes(sorted(table))
+    got = subprocess.run(
+        ["iconv", "-f", charset, "-t", "UTF-8", "-c"], input=payload,
+        capture_output=True,
+    ).stdout.decode()
+    ours = []
+    theirs = list(got)
+    for b in sorted(table):
+        cp = table[b]
+        if table_name == "BASIC_GREEK" and b in data.GREEK_COMBINING_BYTES:
+            # glibc maps ISO 5428's non-spacing accents to private-use
+            # placeholders (charmap format predates combining marks);
+            # -c drops chars it can't map, so skip the comparison and
+            # pin our resolution separately below
+            continue
+        ours.append(chr(cp))
+    comparable = [c for c in theirs if not (0xE000 <= ord(c) <= 0xF8FF)]
+    assert ours == comparable, table_name
+
+
+def test_greek_accent_resolution_composes():
+    """The seven ISO 5428 accents resolve to combining marks that NFC
+    must actually compose with Greek letters (the perispomeni choice:
+    U+0342, not the generic tilde U+0303, which composes with none)."""
+    import unicodedata as ud
+
+    from traject_spark.marc.marc8_scripts_data import (
+        BASIC_GREEK, GREEK_COMBINING_BYTES,
+    )
+
+    accents = {b: BASIC_GREEK[b] for b in GREEK_COMBINING_BYTES}
+    assert accents == {0x21: 0x0300, 0x22: 0x0301, 0x23: 0x0308,
+                       0x24: 0x0342, 0x25: 0x0313, 0x26: 0x0314,
+                       0x27: 0x0345}
+    # omega + perispomeni -> precomposed polytonic omega
+    assert ud.normalize("NFC", "ῶ") == "ῶ"
+    # alpha + psili -> precomposed
+    assert ud.normalize("NFC", "ἀ") == "ἀ"

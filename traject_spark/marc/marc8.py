@@ -16,13 +16,19 @@ Design:
   intermediates ``( , ) - $ !`` and multibyte (EACC) handling — a
   conforming stream never desynchronizes, regardless of which sets it
   designates.
-- **Code tables** ship for the sets that dominate real-world MARC-8
-  data: Basic Latin (ASCII), Extended Latin (ANSEL, incl. all
-  combining diacritics), Subscript, Superscript, Greek Symbols, and
-  Basic Hebrew letters. Sets without bundled tables (EACC multibyte,
-  Basic/Extended Arabic, Basic/Extended Cyrillic, Basic Greek) decode
-  each character to U+FFFD under ``replace=True`` (the reference's
-  ``:invalid => :replace`` posture) or raise ``Marc8DecodeError`` under
+- **Code tables** ship for: Basic Latin (ASCII), Extended Latin
+  (ANSEL, incl. all combining diacritics), Subscript, Superscript,
+  Greek Symbols, Basic Hebrew letters, and (r12) **Basic Cyrillic**
+  (ISO 5427), **Extended Cyrillic** (ISO 5427 ext — Ukrainian,
+  Serbian, Macedonian, pre-reform letters), **Basic Greek** (ISO 5428,
+  incl. its seven non-spacing accents, so polytonic text NFC-composes)
+  and **Basic Arabic** (ASMO 449, incl. harakat and hamza forms); the
+  non-Latin tables are generated from the ISO registrations the LoC
+  spec cites (tools/gen_marc8_script_tables.py) and cross-validated
+  against glibc iconv in tests/test_marc8.py. Sets without bundled
+  tables (EACC multibyte, Extended Arabic) decode each character to
+  U+FFFD under ``replace=True`` (the reference's ``:invalid =>
+  :replace`` posture) or raise ``Marc8DecodeError`` under
   ``replace=False`` — never silently mis-map.
 - **Combining marks**: MARC-8 places combining characters BEFORE their
   base; Unicode places them AFTER. The decoder buffers pending marks
@@ -64,11 +70,7 @@ CODE_EACC = 0x31             # '1' (multibyte East Asian)
 #: sets the escape machinery recognizes but has no bundled table for —
 #: decoded as replacement characters (or an error with replace=False)
 _UNMAPPED_SETS = {
-    CODE_BASIC_ARABIC: "Basic Arabic",
     CODE_EXTENDED_ARABIC: "Extended Arabic",
-    CODE_BASIC_CYRILLIC: "Basic Cyrillic",
-    CODE_EXTENDED_CYRILLIC: "Extended Cyrillic",
-    CODE_BASIC_GREEK: "Basic Greek",
     CODE_EACC: "EACC (East Asian)",
 }
 
@@ -205,6 +207,19 @@ BASIC_HEBREW = {0x60 + i: 0x05D0 + i for i in range(0x1B)}
 #: Hebrew low-range bytes identical to ASCII per the LoC table
 _HEBREW_ASCII_OK = frozenset(range(0x20, 0x40)) | {0x5B, 0x5D}
 
+#: Cyrillic / Greek / Arabic tables (r12): generated from the ISO
+#: registrations the LoC MARC-8 spec cites (ISO 5427 / 5427-ext /
+#: 5428 / ASMO 449) — see tools/gen_marc8_script_tables.py for
+#: provenance. Greek bytes 0x21-0x27 are ISO 5428's NON-SPACING
+#: accents: like ANSEL diacritics they PRECEDE their letter.
+from traject_spark.marc.marc8_scripts_data import (  # noqa: E402
+    BASIC_ARABIC,
+    BASIC_CYRILLIC,
+    BASIC_GREEK,
+    EXTENDED_CYRILLIC,
+    GREEK_COMBINING_BYTES,
+)
+
 
 def _charset_table(code: int):
     """(table, is_multibyte) for a designation final; None table means
@@ -221,6 +236,14 @@ def _charset_table(code: int):
         return SUPERSCRIPT, False
     if code == CODE_BASIC_HEBREW:
         return BASIC_HEBREW, False
+    if code == CODE_BASIC_CYRILLIC:
+        return BASIC_CYRILLIC, False
+    if code == CODE_EXTENDED_CYRILLIC:
+        return EXTENDED_CYRILLIC, False
+    if code == CODE_BASIC_GREEK:
+        return BASIC_GREEK, False
+    if code == CODE_BASIC_ARABIC:
+        return BASIC_ARABIC, False
     if code == CODE_EACC:
         return {}, True
     if code in _UNMAPPED_SETS:
@@ -247,7 +270,10 @@ def _lookup(code: int, byte: int):
     if code == CODE_BASIC_HEBREW and b in _HEBREW_ASCII_OK:
         return chr(b), False
     if b in table:
-        return chr(table[b]), False
+        # ISO 5428's accents (0x21-0x27) are non-spacing: re-order
+        # after the letter like ANSEL combining marks
+        combining = code == CODE_BASIC_GREEK and b in GREEK_COMBINING_BYTES
+        return chr(table[b]), combining
     if b == 0x20:
         return " ", False
     return None, False
@@ -366,16 +392,68 @@ _REV_SUPERSCRIPT = {cp: b for b, cp in SUPERSCRIPT.items()}
 _REV_HEBREW = {cp: b for b, cp in BASIC_HEBREW.items()}
 
 
+def _rev_nonascii(table: dict) -> dict:
+    """Reverse of a script table, non-ASCII targets only — the
+    ASCII-identical punctuation positions encode via Basic Latin."""
+    return {cp: b for b, cp in table.items() if cp >= 0x80}
+
+
+_REV_CYRILLIC = _rev_nonascii(BASIC_CYRILLIC)
+_REV_EXT_CYRILLIC = _rev_nonascii(EXTENDED_CYRILLIC)
+_REV_BASIC_GREEK = {
+    cp: b
+    for b, cp in BASIC_GREEK.items()
+    if cp >= 0x80 and b not in GREEK_COMBINING_BYTES
+}
+_REV_GREEK_COMBINING = {
+    BASIC_GREEK[b]: b for b in GREEK_COMBINING_BYTES
+}
+_REV_ARABIC = _rev_nonascii(BASIC_ARABIC)
+
+#: spacing-encode dispatch in priority order: (reverse table, G0 code,
+#: None G0 = ANSEL via G1 high-bit byte). Latin-adjacent sets first so
+#: shared codepoints (e.g. MIDDLE DOT: ANSEL 0xA8 and Greek 0x3B) keep
+#: their historical encoding; decode is identical either way.
+_ENCODE_SETS = (
+    (_REV_ANSEL_SPACING, None),
+    (_REV_GREEK, CODE_GREEK_SYMBOLS),
+    (_REV_SUBSCRIPT, CODE_SUBSCRIPT),
+    (_REV_SUPERSCRIPT, CODE_SUPERSCRIPT),
+    (_REV_HEBREW, CODE_BASIC_HEBREW),
+    (_REV_CYRILLIC, CODE_BASIC_CYRILLIC),
+    (_REV_EXT_CYRILLIC, CODE_EXTENDED_CYRILLIC),
+    (_REV_BASIC_GREEK, CODE_BASIC_GREEK),
+    (_REV_ARABIC, CODE_BASIC_ARABIC),
+)
+
+#: reverse table by designation code, for the keep-current-set probe
+_REV_FOR_CODE = {
+    code: rev for rev, code in _ENCODE_SETS if code is not None
+}
+
+
+#: MARC-8 has PRECOMPOSED horn vowels only (no combining horn), but
+#: NFD splits them to base + U+031B — recombine at the mark
+_HORN = {0x4F: 0xAC, 0x55: 0xAD, 0x6F: 0xBC, 0x75: 0xBD}  # O U o u
+
+
 def unicode_to_marc8(text: str) -> bytes:
     """Encode a Unicode string as MARC-8 (bundled sets only).
 
-    NFD-decomposes so composed characters split into base + combining
-    marks, which MARC-8 stores combining-first. Raises
-    :class:`UnicodeEncodeError`-compatible ``ValueError`` for characters
-    outside the bundled tables (EACC/Arabic/Cyrillic/Greek scripts).
+    Works in NFC and decomposes per character only when the composed
+    form has no direct table entry — so Arabic hamza forms (whose NFD
+    splits into base + U+0653/0654/0655, marks MARC-8 has no bytes
+    for) encode via their precomposed Basic Arabic positions, while
+    Latin ``é`` / polytonic Greek still split into base + combining
+    marks, which MARC-8 stores combining-first. Raises ``ValueError``
+    for characters outside the bundled tables (EACC, Extended Arabic).
     """
     out = bytearray()
     g0 = CODE_BASIC_LATIN  # G1 stays ANSEL (high-bit bytes), no escapes
+    # index of the current base char's byte in `out`: combining marks
+    # insert at this index (landing BEFORE the base, in mark order)
+    # and bump it — None until the first base is emitted
+    base_at: int | None = None
 
     def designate_g0(code: int) -> None:
         nonlocal g0
@@ -389,69 +467,87 @@ def unicode_to_marc8(text: str) -> bytes:
             out.extend(bytes([ESC, 0x28, code]))  # ESC ( F
         g0 = code
 
-    #: MARC-8 has PRECOMPOSED horn vowels only (no combining horn), but
-    #: NFD splits them to base + U+031B — recombine at the mark
-    _HORN = {0x4F: 0xAC, 0x55: 0xAD, 0x6F: 0xBC, 0x75: 0xBD}  # O U o u
+    def put_base(byte: int, code: int | None) -> None:
+        nonlocal base_at
+        if code is not None:
+            designate_g0(code)
+        base_at = len(out)
+        out.append(byte)
 
-    for ch in unicodedata.normalize("NFD", text):
+    def put_mark(byte: int) -> None:
+        # marks precede their base; successive marks keep their order
+        nonlocal base_at
+        out.insert(base_at, byte)  # type: ignore[arg-type]
+        base_at += 1  # type: ignore[operator]
+
+    def encode_one(ch: str) -> bool:
+        """Emit one spacing or combining char; False when unmapped."""
+        nonlocal base_at
         cp = ord(ch)
-        if cp == 0x031B:  # combining horn
-            if out and out[-1] in _HORN:
-                out[-1] = _HORN[out[-1]]
-                continue
+        if cp == 0x031B:  # combining horn: precomposed vowels only
+            if base_at is not None and out[base_at] in _HORN:
+                out[base_at] = _HORN[out[base_at]]
+                return True
             raise ValueError(
                 "combining horn (U+031B) is only encodable on O/U/o/u "
                 "(MARC-8 has precomposed horn vowels only)"
             )
-        if cp in _REV_ANSEL_COMBINING:
-            # combining marks go BEFORE the base char they follow in
-            # Unicode order: splice ahead of the last emitted char
-            marc = _REV_ANSEL_COMBINING[cp]
-            k = len(out) - 1
-            # the base may itself be a multi-byte escape-designated char;
-            # bundled single-byte sets emit exactly one byte per char, so
-            # stepping back over any earlier combining bytes suffices
-            while k >= 0 and out[k] in ANSEL_COMBINING:
-                k -= 1
-            if k < 0:
-                # no emitted base to splice before: inserting at 0 would
-                # make the decoder attach the mark to the FOLLOWING char,
-                # silently moving the diacritic — raise like the
-                # combining-horn path does for unencodable shapes
+        if cp in _REV_ANSEL_COMBINING or cp in _REV_GREEK_COMBINING:
+            if base_at is None:
+                # no emitted base to splice before: inserting at 0
+                # would make the decoder attach the mark to the
+                # FOLLOWING char, silently moving the diacritic
                 raise ValueError(
                     f"combining mark {ch!r} (U+{cp:04X}) has no "
                     "preceding base character — MARC-8 combining bytes "
                     "must precede a base"
                 )
-            out.insert(k, marc)
-            continue
+            if cp in _REV_ANSEL_COMBINING:
+                put_mark(_REV_ANSEL_COMBINING[cp])  # G1 high-bit byte
+            elif g0 == CODE_BASIC_GREEK:
+                # ISO 5428 accent bytes live in the Greek G0 set: only
+                # valid while the base letter designated it
+                put_mark(_REV_GREEK_COMBINING[cp])
+            else:
+                raise ValueError(
+                    f"Greek accent {ch!r} (U+{cp:04X}) requires a Basic "
+                    "Greek base letter"
+                )
+            return True
         if cp < 0x80:
-            designate_g0(CODE_BASIC_LATIN)
-            out.append(cp)
-            continue
+            put_base(cp, CODE_BASIC_LATIN)
+            return True
         if cp in _REV_ANSEL_SPACING:
+            base_at = len(out)
             out.append(_REV_ANSEL_SPACING[cp])  # G1: high-bit, no escape
+            return True
+        # prefer the currently-designated set when it can carry the
+        # char — keeps a Greek/Cyrillic word in ONE designation run
+        # (otherwise alpha would bounce to the Greek-Symbols set mid-
+        # word, paying an escape per letter)
+        cur = _REV_FOR_CODE.get(g0)
+        if cur is not None and cp in cur:
+            put_base(cur[cp], g0)
+            return True
+        for rev, code in _ENCODE_SETS[1:]:
+            if cp in rev:
+                put_base(rev[cp], code)
+                return True
+        return False
+
+    for ch in unicodedata.normalize("NFC", text):
+        if encode_one(ch):
             continue
-        if cp in _REV_GREEK:
-            designate_g0(CODE_GREEK_SYMBOLS)
-            out.append(_REV_GREEK[cp])
-            continue
-        if cp in _REV_SUBSCRIPT:
-            designate_g0(CODE_SUBSCRIPT)
-            out.append(_REV_SUBSCRIPT[cp])
-            continue
-        if cp in _REV_SUPERSCRIPT:
-            designate_g0(CODE_SUPERSCRIPT)
-            out.append(_REV_SUPERSCRIPT[cp])
-            continue
-        if cp in _REV_HEBREW:
-            designate_g0(CODE_BASIC_HEBREW)
-            out.append(_REV_HEBREW[cp])
+        # no direct entry: split THIS char into base + marks (é, Ѐ,
+        # polytonic Greek, ...) and try again piecewise
+        decomposed = unicodedata.normalize("NFD", ch)
+        if decomposed != ch and all(encode_one(c) for c in decomposed):
             continue
         raise ValueError(
-            f"character {ch!r} (U+{cp:04X}) is outside the bundled "
+            f"character {ch!r} (U+{ord(ch):04X}) is outside the bundled "
             "MARC-8 tables (Basic/Extended Latin, sub/superscript, Greek "
-            "symbols, Basic Hebrew letters) — cannot encode"
+            "symbols/letters, Hebrew, Cyrillic, Basic Arabic) — cannot "
+            "encode"
         )
     designate_g0(CODE_BASIC_LATIN)  # leave the stream in the default state
     return bytes(out)
