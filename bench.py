@@ -210,18 +210,27 @@ def _stall_excluded(run_lists: dict, failed: dict, stalled: list):
     return excluded_medians, excluded_counts
 
 
-def _window_status(cal_attempts: list) -> str:
-    """'ok' when the LAST start-calibration attempt qualifies the box
-    (<= WINDOW_DEGRADED_FACTOR x reference), else 'degraded' — a
-    degraded artifact's medians must not be compared against the r1
-    locks unnormalized."""
+def _window_status(cal_attempts: list, cal_end: float = None) -> str:
+    """Three-state window verdict over BOTH boundary calibrations
+    (VERDICT r11 #4 — r11 stamped 'ok' with end cal 2.036):
+
+    - 'ok':            last start attempt AND end calibration qualify
+    - 'ok-degrading':  start qualified but the box slowed past the
+      threshold by the end — mins are upper bounds vs locks, not
+      clean comparisons
+    - 'degraded':      the start never qualified; medians must not be
+      compared against locks unnormalized
+
+    ``cal_end=None`` (start-of-run call, end not yet measured) grades
+    the start only."""
     if not cal_attempts:
         return "degraded"
-    return (
-        "ok"
-        if cal_attempts[-1] <= WINDOW_DEGRADED_FACTOR * REFERENCE_CALIBRATION
-        else "degraded"
-    )
+    threshold = WINDOW_DEGRADED_FACTOR * REFERENCE_CALIBRATION
+    if cal_attempts[-1] > threshold:
+        return "degraded"
+    if cal_end is not None and cal_end > threshold:
+        return "ok-degrading"
+    return "ok"
 
 
 def _qualify_window(spark) -> tuple:
@@ -447,6 +456,54 @@ def b_ingest_ndjson(spark):
     from traject_spark.marc.io import read_marc_json
 
     noop(read_marc_json(spark, _ndjson_path(spark)))
+
+
+_MARC8_PATH: str | None = None
+
+
+def _marc8_path(spark) -> str:
+    """Materialize the synthetic corpus once as MARC-8 ISO 2709 binary
+    (untimed setup; VERDICT r11 #7): each partition serializes its rows
+    through to_iso2709(encoding='MARC-8') — values through the LoC
+    converter, unencodable chars as lossless &#x...; references — so
+    the timed lane measures the real MARC-8 decode path end to end."""
+    global _MARC8_PATH
+    if _MARC8_PATH is None:
+        out_dir = _tmpdir("bench_m8_")
+
+        def write_part(rows):
+            import os
+
+            from pyspark import TaskContext
+
+            from traject_spark.marc.serialize import (
+                struct_json_to_record, to_iso2709,
+            )
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(out_dir, f"part-{pid:05d}.mrc")
+            with open(path, "wb") as fh:
+                for row in rows:
+                    rec = struct_json_to_record(row["j"])
+                    fh.write(
+                        to_iso2709(
+                            rec, allow_oversized=True, encoding="MARC-8"
+                        )
+                    )
+
+        synth_marc(spark).select(
+            F.to_json("marc").alias("j")
+        ).foreachPartition(write_part)
+        _MARC8_PATH = out_dir
+    return _MARC8_PATH
+
+
+def b_ingest_iso2709_marc8(spark):
+    """600k-record binary MARC parse with MARC-8 decode on executors —
+    the legacy-library first workload (marc_reader.rb:27-35 parity)."""
+    from traject_spark.marc.io import read_iso2709
+
+    noop(read_iso2709(spark, _marc8_path(spark), encoding="MARC-8"))
 
 
 def b_dedup_exact(spark):
@@ -818,6 +875,7 @@ BENCHES = {
     "map_minimum_slice": b_map_minimum,
     "map_translation": b_map_translation,
     "ingest_ndjson": b_ingest_ndjson,
+    "ingest_iso2709_marc8": b_ingest_iso2709_marc8,
     "sink_solr_mock": b_sink_solr,
     "dedup_exact": b_dedup_exact,
     "decontaminate": b_decontaminate,
@@ -898,8 +956,19 @@ def _load_locks(path: str = "") -> dict:
         return {}
 
 
+#: lock-drift noise floor (VERDICT r11 #3): sub-second mins on this box
+#: wander ±13-31% between same-round A/B invocations (AB_FINDINGS_r11 —
+#: rel_pricing_summary read 1.28x of a lock recorded the SAME round),
+#: so a ratio over a sub-second lock measures scheduler noise, not
+#: drift. Queries whose lock is under this floor ratio against the
+#: floor instead: a genuine regression still surfaces once it crosses
+#: ~1.2s, while sub-second jitter stops reading as 1.3x "drift".
+LOCK_NOISE_FLOOR_SEC = 1.0
+
+
 def _vs_lock(min_queries: dict, locks: dict, target_records=None) -> dict:
-    """Per-query drift ratio: this run's min over the LOCKS.json min.
+    """Per-query drift ratio: this run's min over the LOCKS.json min,
+    with sub-floor locks clamped to LOCK_NOISE_FLOOR_SEC (see above).
     Only queries present in both, with positive locks, are ratioed —
     a rotated-in query simply has no ratio until locks re-record.
     A soak run at a different record count (SPARK_GRAFT_TARGET_RECORDS)
@@ -917,7 +986,7 @@ def _vs_lock(min_queries: dict, locks: dict, target_records=None) -> dict:
     for name, cur in (min_queries or {}).items():
         lock = lock_mins.get(name)
         if isinstance(lock, (int, float)) and lock > 0 and cur is not None:
-            out[name] = round(cur / lock, 2)
+            out[name] = round(cur / max(lock, LOCK_NOISE_FLOOR_SEC), 2)
     return out
 
 
@@ -1017,6 +1086,13 @@ def main() -> None:
         "map_full_pipeline", "map_minimum_slice", "map_translation",
         "sink_solr_mock", "ingest_ndjson",
     }
+    if "ingest_iso2709_marc8" in selected_names:
+        t_m8 = time.time()
+        _marc8_path(spark)  # untimed setup: MARC-8 ISO2709 twin
+        print(
+            f"BENCH setup marc8 corpus: {time.time() - t_m8:.1f}s",
+            file=sys.stderr,
+        )
     if selected_names & marc_benches:
         synth_marc(spark)  # untimed setup: materialize the synth corpus
         _ndjson_path(spark)  # untimed setup: NDJSON twin for ingest
@@ -1136,6 +1212,9 @@ def main() -> None:
         f"BENCH calibration (end): {cal_end}s (py probe {py_end}s)",
         file=sys.stderr,
     )
+    # final verdict includes the END calibration: a box that degraded
+    # mid-run stamps 'ok-degrading' (mins are upper bounds vs locks)
+    window = _window_status(cal_attempts, cal_end)
     # stall-excluded medians over the per-pass boundary probes — the
     # decision rule lives in _stall_flags/_stall_excluded (unit-tested);
     # B1 normalization shares the same baseline via _boundary_ref
@@ -1247,6 +1326,7 @@ def main() -> None:
     payload["vs_lock"] = _vs_lock(
         payload["min_queries"], _load_locks(), TARGET_RECORDS
     )
+    payload["lock_noise_floor_sec"] = LOCK_NOISE_FLOOR_SEC
     print(json.dumps(payload))
     # full-fidelity copy on disk: the driver's artifact keeps only a
     # 2000-char stdout tail, so the run lists/probes must live somewhere

@@ -199,3 +199,66 @@ def test_ab_run_side_prefers_full_artifact(tmp_path):
     )
     art = run_side(str(side), "q1", 1, "/root/testdata/sf0.001")
     assert art["minlock"] == {"q1": [1.5, 1.0]}
+
+
+def test_window_status_three_state_with_end_calibration():
+    """VERDICT r11 #4: BENCH_r11 stamped 'ok' with end cal 2.036 — the
+    verdict must grade BOTH boundary calibrations."""
+    limit = bench.WINDOW_DEGRADED_FACTOR * bench.REFERENCE_CALIBRATION
+    assert bench._window_status([limit - 0.01], limit - 0.01) == "ok"
+    assert bench._window_status([limit - 0.01], limit + 0.01) == (
+        "ok-degrading"
+    )
+    # a degraded start stays 'degraded' regardless of the end
+    assert bench._window_status([limit + 0.01], limit - 0.5) == "degraded"
+    # no end measurement yet: start-only grading (the early stamp)
+    assert bench._window_status([limit - 0.01]) == "ok"
+
+
+def test_vs_lock_noise_floor_clamps_subsecond_locks():
+    """VERDICT r11 #3: sub-second locks wander ±13-31% on this box, so
+    drift ratios against them measure noise. Locks under the floor
+    ratio against the floor; locks above it are untouched."""
+    floor = bench.LOCK_NOISE_FLOOR_SEC
+    locks = {"min_queries": {"fast": 0.6, "slow": 3.0}}
+    got = bench._vs_lock({"fast": 0.77, "slow": 4.5}, locks, None)
+    # 0.77/0.6 would read 1.28x; against the floor it reads 0.77x
+    assert got["fast"] == round(0.77 / floor, 2)
+    assert got["slow"] == 1.5
+
+
+def test_record_locks_add_only_merges_without_touching_existing(tmp_path):
+    """VERDICT r11 #7 lock plumbing: --add-only gives a NEW lane its
+    first lock without re-recording (moving) any existing lock."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import record_locks as rl
+    finally:
+        sys.path.pop(0)
+
+    locks_path = tmp_path / "LOCKS.json"
+    locks_path.write_text(json.dumps(
+        {"min_queries": {"old_q": 2.0}, "window": "ok"}
+    ))
+    orig = rl.LOCKS_PATH
+    rl.LOCKS_PATH = str(locks_path)
+    try:
+        rl.add_only({
+            "window": "ok",
+            "min_queries": {"old_q": 9.9, "new_lane": 7.39},
+            "calibration": {"start_sec": 1.8},
+        })
+        got = json.loads(locks_path.read_text())
+        assert got["min_queries"]["old_q"] == 2.0  # untouched
+        assert got["min_queries"]["new_lane"] == 7.39
+        assert "new_lane" in got["added_locks"]
+        # a degraded window refuses, same as a full record
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            rl.add_only({"window": "ok-degrading",
+                         "min_queries": {"x": 1.0}})
+    finally:
+        rl.LOCKS_PATH = orig

@@ -41,3 +41,28 @@ def test_docs_imports_resolve():
                 exec(line, {})
                 seen += 1
     assert seen >= 5, "docs lost their import examples"
+
+
+def test_package_docstring_test_pointers_resolve():
+    """VERDICT r11 #5: every `tests/test_X.py[::name]` reference inside
+    package source must point at a file (and a test function prefix —
+    references wrap mid-name in docstrings) that actually exists, so
+    evidence pointers can't rot silently."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    refs = []
+    for path in glob.glob(
+        os.path.join(root, "traject_spark", "**", "*.py"), recursive=True
+    ):
+        src = open(path, encoding="utf-8").read()
+        for m in re.finditer(r"(tests/test_\w+\.py)(?:::(\w+))?", src):
+            refs.append((os.path.relpath(path, root), m.group(1), m.group(2)))
+    assert refs, "expected at least one evidence pointer in package source"
+    for src_path, test_file, test_name in refs:
+        full = os.path.join(root, test_file)
+        assert os.path.exists(full), f"{src_path} cites missing {test_file}"
+        if test_name:
+            body = open(full, encoding="utf-8").read()
+            # prefix match: docstring line wraps can truncate the name
+            assert re.search(
+                rf"^def {re.escape(test_name)}", body, re.M
+            ), f"{src_path} cites {test_file}::{test_name} (not found)"

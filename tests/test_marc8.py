@@ -568,3 +568,26 @@ def test_greek_accent_resolution_composes():
     assert ud.normalize("NFC", "ῶ") == "ῶ"
     # alpha + psili -> precomposed
     assert ud.normalize("NFC", "ἀ") == "ἀ"
+
+
+def test_ncr_fallback_makes_every_string_writable():
+    """unicode_to_marc8(ncr_fallback=True) emits the standard's
+    lossless &#xHHHH; escape for unmapped chars (CJK, em dash), which
+    the decoder expands back — the write-side of the MARC-8 bench
+    corpus (VERDICT r11 #7) depends on this totality."""
+    for s in ("em — dash", "東京 CJK", "mixed नागरी ok", "plain"):
+        b = unicode_to_marc8(s, ncr_fallback=True)
+        assert marc8_to_unicode(b) == unicodedata.normalize("NFC", s), s
+    # default posture unchanged: raise
+    with pytest.raises(ValueError):
+        unicode_to_marc8("東京")
+
+
+def test_to_iso2709_marc8_encoding_round_trips():
+    """to_iso2709(encoding='MARC-8') writes values through the LoC
+    converter (NCR fallback for the unmappable) so the binary reader's
+    MARC-8 decode path can be exercised on any corpus."""
+    rec = _script_record("Война — мир", "Толстой", "آداب 東京")
+    raw = to_iso2709(rec, encoding="MARC-8")
+    got = from_iso2709(raw, encoding="MARC-8")
+    assert got["datafields"] == rec["datafields"]

@@ -142,4 +142,6 @@ def test_flagship_compile_build_cost_regression(spark):
         fields, _skip = flagship_pipeline().compile()
         builds.append(time.monotonic() - t0)
     assert fields
-    assert min(builds) < 4.0, builds
+    # VERDICT r11 #2: the stamp reads ~1.1s at sf0.1; a bound of 4.0
+    # would let a 3x driver-side regression ship green
+    assert min(builds) < 2.0, builds

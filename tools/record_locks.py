@@ -40,6 +40,42 @@ def _git_head() -> str:
         return "unknown"
 
 
+def add_only(payload: dict) -> None:
+    """Merge ONLY queries absent from LOCKS.json (a rotated-in or new
+    bench lane getting its first lock). Existing locks are untouched —
+    a full re-record stays its own explicit decision — and the addition
+    stamps its own provenance (commit + window cal) per query."""
+    window = payload.get("window")
+    if window != "ok":
+        raise SystemExit(
+            f"refusing to add locks from a window={window!r} run"
+        )
+    mins = payload.get("min_queries") or {}
+    with open(LOCKS_PATH, "r", encoding="utf-8") as fh:
+        locks = json.load(fh)
+    existing = locks.setdefault("min_queries", {})
+    added = {
+        n: round(v, 3) for n, v in mins.items()
+        if n not in existing and v is not None
+    }
+    if not added:
+        raise SystemExit("no new queries to add (all already locked)")
+    existing.update(added)
+    locks["min_queries"] = dict(sorted(existing.items()))
+    prov = locks.setdefault("added_locks", {})
+    for n in added:
+        prov[n] = {
+            "commit": _git_head(),
+            "start_cal_sec": (
+                payload.get("calibration") or {}
+            ).get("start_sec"),
+        }
+    with open(LOCKS_PATH, "w", encoding="utf-8") as fh:
+        json.dump(locks, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    print(f"added locks for {sorted(added)} -> {LOCKS_PATH}")
+
+
 def record(payload: dict) -> None:
     window = payload.get("window")
     if window != "ok":
@@ -86,10 +122,17 @@ def main() -> None:
         help="adopt an existing full bench payload instead of running "
         "bench.py (e.g. BENCH_full_last.json)",
     )
+    ap.add_argument(
+        "--add-only",
+        action="store_true",
+        help="merge only queries not yet in LOCKS.json (first lock for "
+        "a new/rotated-in lane); existing locks untouched",
+    )
     args = ap.parse_args()
     if args.from_payload:
         with open(args.from_payload, "r", encoding="utf-8") as fh:
-            record(json.load(fh))
+            payload = json.load(fh)
+        add_only(payload) if args.add_only else record(payload)
         return
     rc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                         cwd=REPO).returncode

@@ -244,7 +244,7 @@ def formats_expr(marc: Column, default: str = "Other") -> Column:
 # unambiguous), and the genre maps are embedded from the same
 # TranslationMap load the Column path uses — a user map shadowing the
 # builtin flows into the SQL too. Value parity is pinned by
-# tests/test_formats.py::test_formats_sql_fastpath_parity and the
+# tests/test_semantics.py::test_marc_formats_sql_fastpath_parity and the
 # marc_formats oracle row.
 # ---------------------------------------------------------------------------
 

@@ -437,7 +437,7 @@ _REV_FOR_CODE = {
 _HORN = {0x4F: 0xAC, 0x55: 0xAD, 0x6F: 0xBC, 0x75: 0xBD}  # O U o u
 
 
-def unicode_to_marc8(text: str) -> bytes:
+def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
     """Encode a Unicode string as MARC-8 (bundled sets only).
 
     Works in NFC and decomposes per character only when the composed
@@ -445,8 +445,11 @@ def unicode_to_marc8(text: str) -> bytes:
     splits into base + U+0653/0654/0655, marks MARC-8 has no bytes
     for) encode via their precomposed Basic Arabic positions, while
     Latin ``é`` / polytonic Greek still split into base + combining
-    marks, which MARC-8 stores combining-first. Raises ``ValueError``
-    for characters outside the bundled tables (EACC, Extended Arabic).
+    marks, which MARC-8 stores combining-first. Characters outside the
+    bundled tables (EACC, Extended Arabic) raise ``ValueError`` — or,
+    with ``ncr_fallback=True``, emit the standard's lossless numeric
+    character reference (``&#xHHHH;``, which :func:`marc8_to_unicode`
+    expands back), making every Unicode string writable.
     """
     out = bytearray()
     g0 = CODE_BASIC_LATIN  # G1 stays ANSEL (high-bit bytes), no escapes
@@ -536,18 +539,38 @@ def unicode_to_marc8(text: str) -> bytes:
         return False
 
     for ch in unicodedata.normalize("NFC", text):
-        if encode_one(ch):
-            continue
-        # no direct entry: split THIS char into base + marks (é, Ѐ,
-        # polytonic Greek, ...) and try again piecewise
-        decomposed = unicodedata.normalize("NFD", ch)
-        if decomposed != ch and all(encode_one(c) for c in decomposed):
-            continue
-        raise ValueError(
-            f"character {ch!r} (U+{ord(ch):04X}) is outside the bundled "
-            "MARC-8 tables (Basic/Extended Latin, sub/superscript, Greek "
-            "symbols/letters, Hebrew, Cyrillic, Basic Arabic) — cannot "
-            "encode"
-        )
+        # rollback point for ncr_fallback: every mutation a FAILED
+        # attempt can make lands at >= this offset (appends, and mark
+        # inserts at the just-appended base; the mark/horn paths that
+        # touch EARLIER bytes raise before mutating), so truncation +
+        # state restore undoes a partial piecewise emission
+        mark, g0_saved, base_saved = len(out), g0, base_at
+        try:
+            if encode_one(ch):
+                continue
+            # no direct entry: split THIS char into base + marks (é, Ѐ,
+            # polytonic Greek, ...) and try again piecewise
+            decomposed = unicodedata.normalize("NFD", ch)
+            if decomposed != ch and all(encode_one(c) for c in decomposed):
+                continue
+        except ValueError:
+            if not ncr_fallback:
+                raise
+        else:
+            if not ncr_fallback:
+                raise ValueError(
+                    f"character {ch!r} (U+{ord(ch):04X}) is outside the "
+                    "bundled MARC-8 tables (Basic/Extended Latin, sub/"
+                    "superscript, Greek symbols/letters, Hebrew, "
+                    "Cyrillic, Basic Arabic) — cannot encode"
+                )
+        del out[mark:]
+        g0, base_at = g0_saved, base_saved
+        designate_g0(CODE_BASIC_LATIN)
+        out.extend(f"&#x{ord(ch):04X};".encode("ascii"))
+        # an NCR is not a splice-able base: a following combining mark
+        # NCRs too (decoder expands both, mark lands after base — the
+        # correct Unicode order)
+        base_at = None
     designate_g0(CODE_BASIC_LATIN)  # leave the stream in the default state
     return bytes(out)

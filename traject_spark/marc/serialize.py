@@ -169,7 +169,23 @@ def to_marcxml(rec: dict) -> str:
     return "".join(parts)
 
 
-def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
+def _value_encoder(encoding: str):
+    """str -> bytes for one field/subfield value on the WRITE side.
+    'MARC-8' routes through the LoC converter with NCR fallback (the
+    standard\'s lossless &#xHHHH; escape) so any Unicode value is
+    writable; anything else is a Python codec name."""
+    enc = (encoding or "utf-8").strip().lower().replace("_", "-")
+    if enc in ("marc-8", "marc8"):
+        from traject_spark.marc.marc8 import unicode_to_marc8
+
+        return lambda s: unicode_to_marc8(s, ncr_fallback=True)
+    codec = (encoding or "utf-8").strip() or "utf-8"
+    return lambda s: s.encode(codec, errors="replace")
+
+
+def to_iso2709(
+    rec: dict, allow_oversized: bool = False, encoding: str = "utf-8"
+) -> bytes:
     """Encode one record as ISO 2709 binary MARC.
 
     Directory/leader length slots are fixed-width decimal; a record or
@@ -177,11 +193,16 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
     case the overflowing slots are written as zeros (the reference's
     MARC::Writer.encode(record, allow_oversized) behavior — readers that
     scan for field/record terminators can still parse such records).
+    ``encoding`` applies to field/subfield VALUES (tags, indicators and
+    the leader are spec-ASCII): a codec name or 'MARC-8' (values through
+    the LoC converter, unencodable chars as lossless &#xHHHH; numeric
+    character references — see :func:`_value_encoder`).
     """
+    enc = _value_encoder(encoding)
     field_bytes: list[tuple[str, bytes]] = []
     for cf in rec.get("controlfields") or []:
         field_bytes.append(
-            (cf.get("tag") or "", (cf.get("value") or "").encode("utf-8") + FT)
+            (cf.get("tag") or "", enc(cf.get("value") or "") + FT)
         )
     for df in rec.get("datafields") or []:
         body = (df.get("ind1") or " ").encode("utf-8") + (
@@ -191,7 +212,7 @@ def to_iso2709(rec: dict, allow_oversized: bool = False) -> bytes:
             body += (
                 SD
                 + (sf.get("code") or "").encode("utf-8")
-                + (sf.get("value") or "").encode("utf-8")
+                + enc(sf.get("value") or "")
             )
         field_bytes.append((df.get("tag") or "", body + FT))
 

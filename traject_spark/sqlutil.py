@@ -1,7 +1,7 @@
 """Lexer-mode-robust SQL string literals.
 
 Spark has two string-literal lexer modes and they disagree about every
-escape mechanism (probed on Spark 4.1.2, tests/test_sqlutil.py):
+escape mechanism (probed on Spark 4.1.2, tests/test_semantics.py):
 
 =====================================  ==========  =========
 rendering of ``it's``                  escaped=F   escaped=T
