@@ -476,3 +476,44 @@ def test_png_lane_exact_inflate_still_decodes():
     w, h, gray = _png_gray_pixels(_png_bytes(px))
     assert (w, h) == (2, 2)
     assert [[int(v) for v in row] for row in gray] == px
+
+
+def test_png_lane_matches_jvm_imageio(spark):
+    """VERDICT r11 #8 (adapted): Pillow cannot be installed in this
+    container, but the JVM ships a real PNG decoder — javax.imageio.
+    Cross-validate the stdlib lane bit-exactly against ImageIO's RAW
+    raster samples (getRGB applies a gray->sRGB color conversion;
+    Raster.getSample returns the decoded bytes) for every filter type
+    and for RGB, in ordinary CI with no optional Python dependency."""
+    jvm = spark._jvm
+
+    def imageio_gray(png, w, h):
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(png))
+        raster = jvm.javax.imageio.ImageIO.read(stream).getRaster()
+        return [
+            [raster.getSample(x, y, 0) for x in range(w)] for y in range(h)
+        ]
+
+    from traject_spark.corpus.multimodal import _png_gray_pixels
+
+    pixels = [[(x * 37 + y * 91) % 256 for x in range(6)] for y in range(5)]
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        png = _png_bytes(pixels, filters=filters)
+        w, h, gray = _png_gray_pixels(png)
+        ours = [[int(v) for v in row] for row in gray]
+        assert ours == imageio_gray(png, 6, 5) == pixels, filters
+
+    # RGB: ImageIO's raw bands must equal the encoder input, and our
+    # luma must be the ITU-R 601-2 blend of those same bands
+    rgb = [[(10, 200, 30), (200, 10, 90), (5, 5, 250)]]
+    png = _png_bytes(rgb, color_type=2)
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(png))
+    raster = jvm.javax.imageio.ImageIO.read(stream).getRaster()
+    bands = [
+        tuple(raster.getSample(x, 0, b) for b in range(3)) for x in range(3)
+    ]
+    assert bands == rgb[0]
+    _w, _h, gray = _png_gray_pixels(png)
+    for got, (r, g, b) in zip(gray[0], rgb[0]):
+        assert abs(got - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-6
