@@ -684,3 +684,43 @@ def test_generated_sql_paths_fall_back_under_escaped_lexer(spark):
 def run_formats_ref(spark):
     """BOOK's formats via the forced Column path (mode-independent)."""
     return run(spark, BOOK, marc_formats(_sql_fastpath=False))
+
+
+def test_sql_str_lit_property_both_lexer_modes(spark):
+    """Hypothesis over adversarial strings (quotes, backslashes, control
+    chars, unicode): sql_str_lit must evaluate to exactly the input
+    under BOTH lexer modes. Examples are batched into one SELECT per
+    mode so the property costs two Spark jobs, not hundreds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from traject_spark.sqlutil import sql_str_lit
+
+    tricky = st.text(
+        alphabet=st.one_of(
+            st.sampled_from(list("'\"\\`$%{}\n\t ;,-абвαβ日")),
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        ),
+        max_size=12,
+    )
+
+    collected = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(s=tricky)
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    samples = sorted(set(collected) | {"", "'", '"', "\\", "a\\'b\"c"})
+    exprs = ", ".join(
+        f"{sql_str_lit(s)} as c{i}" for i, s in enumerate(samples)
+    )
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        try:
+            row = spark.sql(f"select {exprs}").collect()[0]
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+        for i, s in enumerate(samples):
+            assert row[f"c{i}"] == s, (mode, s)
