@@ -1318,6 +1318,9 @@ def main() -> None:
                 # same lenient parse as _target_records ('0.1.2'.replace
                 # ('.','').isdigit() is True but float() would crash here)
                 "sf": _parse_sf(sf),
+                # scale stamp independent of whether the B1 lane ran:
+                # lock tooling refuses cross-scale adoption on it
+                "target_records": TARGET_RECORDS,
             }
     )
     # per-query drift vs the qualified-window locks (LOCKS.json; policy

@@ -262,3 +262,49 @@ def test_record_locks_add_only_merges_without_touching_existing(tmp_path):
                          "min_queries": {"x": 1.0}})
     finally:
         rl.LOCKS_PATH = orig
+
+
+def test_record_locks_add_only_refuses_cross_scale_payload(tmp_path):
+    """Review r12: a soak-scale (10x-records) qualified payload must
+    not seed a forever-inflated lock for a new lane."""
+    import json
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "tools")
+    try:
+        import record_locks as rl
+    finally:
+        sys.path.pop(0)
+
+    locks_path = tmp_path / "LOCKS.json"
+    locks_path.write_text(json.dumps({
+        "min_queries": {"old_q": 2.0}, "window": "ok",
+        "target_records": 600_000, "sf": 0.1,
+    }))
+    orig = rl.LOCKS_PATH
+    rl.LOCKS_PATH = str(locks_path)
+    try:
+        with _pytest.raises(SystemExit, match="target_records"):
+            rl.add_only({
+                "window": "ok", "sf": 0.1,
+                "target_records": 6_000_000,
+                "min_queries": {"new_lane": 55.0},
+            })
+        with _pytest.raises(SystemExit, match="sf"):
+            rl.add_only({
+                "window": "ok", "sf": 1.0,
+                "min_queries": {"new_lane": 55.0},
+            })
+        # matching scale still adds
+        rl.add_only({
+            "window": "ok", "sf": 0.1, "target_records": 600_000,
+            "min_queries": {"new_lane": 5.5},
+            "calibration": {"start_sec": 1.8},
+        })
+        assert json.loads(locks_path.read_text())["min_queries"][
+            "new_lane"
+        ] == 5.5
+    finally:
+        rl.LOCKS_PATH = orig

@@ -591,3 +591,44 @@ def test_to_iso2709_marc8_encoding_round_trips():
     raw = to_iso2709(rec, encoding="MARC-8")
     got = from_iso2709(raw, encoding="MARC-8")
     assert got["datafields"] == rec["datafields"]
+
+
+def test_polytonic_word_initial_breathings_encode():
+    """Review r12: word-initial alpha routed to the Greek-Symbols set,
+    stranding Greek-only accents (dasia/perispomeni/iota subscript).
+    The decomposed path now designates Basic Greek for such bases."""
+    for s in ("ἁμαρτία", "ἅγιος", "ᾆσμα", "ᾶ", "τῶν ἁγίων", "ἡ ὥρα"):
+        got = marc8_to_unicode(unicode_to_marc8(s))
+        assert got == unicodedata.normalize("NFC", s), s
+
+
+def test_script_text_keeps_ascii_punctuation_in_set():
+    """Review r12: spaces/ASCII-identical punctuation between non-Latin
+    words must not pay two escapes each — the set's own transparent
+    bytes carry them, and the decode is identical."""
+    b = unicode_to_marc8("Война и мир, том 1")
+    assert b.count(b"\x1b") <= 3, b  # one designation in, one out (+slack)
+    assert marc8_to_unicode(b) == "Война и мир, том 1"
+    # '[' is NOT transparent in Basic Cyrillic (0x5B is sha there)
+    b2 = unicode_to_marc8("мир [sic]")
+    assert marc8_to_unicode(b2) == "мир [sic]"
+
+
+def test_strict_codec_write_raises_on_unencodable():
+    """Review r12: to_iso2709 with a non-MARC-8 codec must raise on a
+    value the codec cannot carry, not silently write '?'."""
+    rec = {
+        "leader": "00000cam a2200000 a 4500",
+        "controlfields": [{"tag": "001", "value": "x"}],
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "Москва"}]},
+        ],
+    }
+    with pytest.raises(UnicodeEncodeError):
+        to_iso2709(rec, encoding="latin-1")
+    # utf-8 and MARC-8 both carry it
+    assert from_iso2709(to_iso2709(rec))["datafields"] == rec["datafields"]
+    assert from_iso2709(
+        to_iso2709(rec, encoding="MARC-8"), encoding="MARC-8"
+    )["datafields"] == rec["datafields"]

@@ -517,3 +517,28 @@ def test_png_lane_matches_jvm_imageio(spark):
     _w, _h, gray = _png_gray_pixels(png)
     for got, (r, g, b) in zip(gray[0], rgb[0]):
         assert abs(got - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-6
+
+
+def test_png_lane_zero_height_bomb_refused():
+    """Review r12: height=0 made expected=0, and zlib treats
+    max_length=0 as UNLIMITED — the bomb inflated fully before any
+    check. Zero/negative geometry must refuse up front."""
+    import struct
+    import zlib
+
+    from traject_spark.corpus.multimodal import _png_gray_pixels
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 0, 8, 0, 0, 0, 0)  # height 0
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\0" * (8 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="invalid PNG geometry"):
+        _png_gray_pixels(bomb)

@@ -53,6 +53,29 @@ def add_only(payload: dict) -> None:
     mins = payload.get("min_queries") or {}
     with open(LOCKS_PATH, "r", encoding="utf-8") as fh:
         locks = json.load(fh)
+    # scale guard (review r12): a soak-scale payload (10x records)
+    # passed here would seed a forever-inflated lock that masks real
+    # regressions — refuse when the payload's scale disagrees with the
+    # file's. b1.records is authoritative when both sides carry it;
+    # BENCH_ONLY payloads have no b1, so fall back to the sf stamp.
+    pay_records = payload.get("target_records") or (
+        payload.get("b1") or {}
+    ).get("records")
+    lock_records = locks.get("target_records")
+    if (
+        pay_records is not None
+        and lock_records is not None
+        and pay_records != lock_records
+    ):
+        raise SystemExit(
+            f"refusing: payload records {pay_records} != locks "
+            f"target_records {lock_records} (soak-scale lock)"
+        )
+    if payload.get("sf") != locks.get("sf"):
+        raise SystemExit(
+            f"refusing: payload sf {payload.get('sf')!r} != locks sf "
+            f"{locks.get('sf')!r}"
+        )
     existing = locks.setdefault("min_queries", {})
     added = {
         n: round(v, 3) for n, v in mins.items()

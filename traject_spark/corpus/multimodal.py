@@ -170,6 +170,11 @@ def _png_gray_pixels(payload: bytes):
             f"{PNG_MAX_PIXELS}-pixel budget — install Pillow for large "
             "images"
         )
+    if width <= 0 or height <= 0:
+        # spec-invalid geometry; also load-bearing for the bounded
+        # inflate below — expected=0 would make max_length=0, which
+        # zlib treats as UNLIMITED, reopening the zip-bomb hole
+        raise ValueError(f"invalid PNG geometry {width}x{height}")
     stride = width * channels
     expected = height * (stride + 1)
     # bounded inflate: PNG_MAX_PIXELS caps the *claimed* dims, but a

@@ -432,6 +432,26 @@ _REV_FOR_CODE = {
 }
 
 
+def _ascii_identical(table: dict) -> frozenset:
+    """G0 bytes a script set maps to THEMSELVES (its ASCII-identical
+    punctuation range) plus space — emitting these without leaving the
+    set avoids an ESC-s/ESC-(-F round trip per word boundary in
+    Cyrillic/Greek/Arabic text (review r12)."""
+    return frozenset(
+        b for b, cp in table.items() if cp == b
+    ) | {0x20}
+
+
+#: per-designation ASCII bytes that need no re-designation to emit
+_ASCII_TRANSPARENT = {
+    CODE_BASIC_CYRILLIC: _ascii_identical(BASIC_CYRILLIC),
+    CODE_EXTENDED_CYRILLIC: _ascii_identical(EXTENDED_CYRILLIC),
+    CODE_BASIC_GREEK: _ascii_identical(BASIC_GREEK),
+    CODE_BASIC_ARABIC: _ascii_identical(BASIC_ARABIC),
+    CODE_BASIC_HEBREW: frozenset(_HEBREW_ASCII_OK) | {0x20},
+}
+
+
 #: MARC-8 has PRECOMPOSED horn vowels only (no combining horn), but
 #: NFD splits them to base + U+031B — recombine at the mark
 _HORN = {0x4F: 0xAC, 0x55: 0xAD, 0x6F: 0xBC, 0x75: 0xBD}  # O U o u
@@ -518,6 +538,13 @@ def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
                 )
             return True
         if cp < 0x80:
+            # stay in the current script set for the ASCII bytes it
+            # maps identically (space/punctuation between words) —
+            # 'Война и мир' otherwise pays two escapes per space
+            if cp in _ASCII_TRANSPARENT.get(g0, ()):
+                base_at = len(out)
+                out.append(cp)
+                return True
             put_base(cp, CODE_BASIC_LATIN)
             return True
         if cp in _REV_ANSEL_SPACING:
@@ -551,8 +578,24 @@ def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
             # no direct entry: split THIS char into base + marks (é, Ѐ,
             # polytonic Greek, ...) and try again piecewise
             decomposed = unicodedata.normalize("NFD", ch)
-            if decomposed != ch and all(encode_one(c) for c in decomposed):
-                continue
+            if decomposed != ch:
+                # a mark only the Greek set carries (dasia, perispomeni,
+                # iota subscript) needs its base designated BASIC GREEK
+                # — the priority scan would route word-initial alpha/
+                # beta/gamma to the Greek-Symbols set, stranding the
+                # accent (review r12)
+                greek_only = any(
+                    ord(c) in _REV_GREEK_COMBINING
+                    and ord(c) not in _REV_ANSEL_COMBINING
+                    for c in decomposed[1:]
+                )
+                base_cp = ord(decomposed[0])
+                if greek_only and base_cp in _REV_BASIC_GREEK:
+                    put_base(_REV_BASIC_GREEK[base_cp], CODE_BASIC_GREEK)
+                    if all(encode_one(c) for c in decomposed[1:]):
+                        continue
+                elif all(encode_one(c) for c in decomposed):
+                    continue
         except ValueError:
             if not ncr_fallback:
                 raise

@@ -173,14 +173,16 @@ def _value_encoder(encoding: str):
     """str -> bytes for one field/subfield value on the WRITE side.
     'MARC-8' routes through the LoC converter with NCR fallback (the
     standard\'s lossless &#xHHHH; escape) so any Unicode value is
-    writable; anything else is a Python codec name."""
+    writable; anything else is a Python codec name, STRICT: a value the
+    codec cannot carry raises instead of silently writing '?' — replace
+    is the documented posture for the READ side only (review r12)."""
     enc = (encoding or "utf-8").strip().lower().replace("_", "-")
     if enc in ("marc-8", "marc8"):
         from traject_spark.marc.marc8 import unicode_to_marc8
 
         return lambda s: unicode_to_marc8(s, ncr_fallback=True)
     codec = (encoding or "utf-8").strip() or "utf-8"
-    return lambda s: s.encode(codec, errors="replace")
+    return lambda s: s.encode(codec)
 
 
 def to_iso2709(

@@ -13,12 +13,15 @@ rendering of ``it's``                  escaped=F   escaped=T
 
 ``spark.sql.parser.escapedStringLiterals=true`` (the Hive-compatible
 mode some deployments set for regex ergonomics) interprets NEITHER
-backslash escapes NOR doubled quotes — the only mode-stable rendering
-is a literal whose quote character does not occur in the string. For
-strings containing both quote kinds (or a backslash, which escaped=F
-would eat), we fall back to a ``concat(...)`` of stable pieces with
-``chr(N)`` for the offenders — still a deterministic foldable
-expression, usable anywhere a literal is (Catalyst constant-folds it).
+backslash escapes NOR doubled quotes — and the double-quoted rendering
+above is itself unsafe because a THIRD knob,
+``spark.sql.ansi.doubleQuotedIdentifiers=true``, turns ``"it's"`` into
+a quoted IDENTIFIER (review r12). So the only rendering stable under
+all three knobs is a single-quoted literal containing neither ``'``
+nor ``\\``; strings carrying either become a ``concat(...)`` of such
+pieces with ``chr(N)`` for the offenders — still a deterministic
+foldable expression, usable anywhere a literal is (Catalyst
+constant-folds it).
 
 Every generated-SQL fast path (translation-map probes, the formats/geo
 compilers) renders its embedded literals through :func:`sql_str_lit`
@@ -33,22 +36,21 @@ __all__ = ["sql_str_lit"]
 
 def sql_str_lit(s: str) -> str:
     """Render ``s`` as a Spark SQL expression that evaluates to exactly
-    ``s`` under BOTH string-lexer modes (escapedStringLiterals on/off).
+    ``s`` under both string-lexer modes (escapedStringLiterals on/off)
+    AND under ansi.doubleQuotedIdentifiers (so never double-quoted).
 
-    Plain strings become a bare literal quoted with a character they
-    don't contain; strings mixing ``'``, ``"`` and/or ``\\`` become
-    ``concat(piece, chr(39), ...)``. The result is always a foldable
-    scalar expression — valid wherever a literal operand is.
+    Plain strings become a bare single-quoted literal; strings
+    containing ``'`` or ``\\`` become ``concat(piece, chr(39), ...)``.
+    The result is always a foldable scalar expression — valid wherever
+    a literal operand is.
     """
     if s == "":
         return "''"
-    if "\\" not in s:
-        if "'" not in s:
-            return "'" + s + "'"
-        if '"' not in s:
-            return '"' + s + '"'
-    # mixed / backslash case: split into maximal runs free of all three
-    # troublemakers, splice the offenders back in via chr()
+    if "\\" not in s and "'" not in s:
+        return "'" + s + "'"
+    # split into maximal runs free of both troublemakers, splice the
+    # offenders back in via chr() (a double quote is literal inside a
+    # single-quoted literal under every knob — no special case)
     pieces: list[str] = []
     run: list[str] = []
 
@@ -64,9 +66,6 @@ def sql_str_lit(s: str) -> str:
         elif ch == "'":
             flush()
             pieces.append("chr(39)")
-        elif ch == '"':
-            flush()
-            pieces.append("chr(34)")
         else:
             run.append(ch)
     flush()
