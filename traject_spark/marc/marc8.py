@@ -43,7 +43,9 @@ Throughput: pure-printable-ASCII values (the overwhelming share of
 real MARC-8 fields) take a one-probe fast path; the state machine
 measures ~21k rec/s single-threaded on a worst-case all-diacritic
 record (~660k rec/s across 32 executor threads) — decode runs inside
-the Arrow-batched binary parse, never the hot mapping path.
+the Arrow-batched binary parse, never the hot mapping path. Measured
+end-to-end by the ``ingest_iso2709_marc8`` bench lane: ~110k rec/s on
+the 600k-record synthetic corpus at local[32] (LOCKS.json).
 """
 
 from __future__ import annotations
