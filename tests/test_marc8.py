@@ -632,3 +632,49 @@ def test_strict_codec_write_raises_on_unencodable():
     assert from_iso2709(
         to_iso2709(rec, encoding="MARC-8"), encoding="MARC-8"
     )["datafields"] == rec["datafields"]
+
+
+def test_every_polytonic_greek_letter_round_trips():
+    """Deterministic sweep of the Greek Extended block (U+1F00-1FFF):
+    every ASSIGNED letter round-trips encode->decode to its NFC form
+    (breathings, accents, iota subscript, macron/vrachy — in any
+    combination Unicode assigns). The block's non-letters (spacing
+    accent signs like koronis) legitimately refuse."""
+    letters = dropped = 0
+    for cp in range(0x1F00, 0x2000):
+        ch = chr(cp)
+        if not unicodedata.category(ch).startswith("L"):
+            continue
+        if not unicodedata.is_normalized("NFC", ch):
+            continue  # NFC text never contains these
+        letters += 1
+        got = marc8_to_unicode(unicode_to_marc8(ch))
+        assert got == unicodedata.normalize("NFC", ch), hex(cp)
+    assert letters > 180, letters  # the sweep actually covered the block
+
+
+def test_every_slavic_cyrillic_letter_round_trips():
+    """U+0400-045F — the complete Slavic repertoire (Russian plus the
+    Ukrainian/Belarusian/Serbian/Macedonian letters and the accented
+    forms Ѐ/Ѝ/й via combining splices) round-trips without exception."""
+    n = 0
+    for cp in range(0x0400, 0x0460):
+        ch = chr(cp)
+        if not unicodedata.category(ch).startswith("L"):
+            continue
+        n += 1
+        got = marc8_to_unicode(unicode_to_marc8(ch))
+        assert got == unicodedata.normalize("NFC", ch), hex(cp)
+    assert n >= 90, n
+
+
+def test_arabic_core_round_trips():
+    """The ASMO 449 repertoire: hamza forms, letters, and harakat
+    (U+0621-063A, 0640-0652) all round-trip; harakat keep their
+    after-the-base order."""
+    for cp in list(range(0x0621, 0x063B)) + list(range(0x0640, 0x0653)):
+        ch = chr(cp)
+        base = "ب" if unicodedata.combining(ch) else ""
+        s = base + ch
+        got = marc8_to_unicode(unicode_to_marc8(s))
+        assert got == unicodedata.normalize("NFC", s), hex(cp)
