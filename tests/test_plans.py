@@ -145,3 +145,27 @@ def test_flagship_compile_build_cost_regression(spark):
     # VERDICT r11 #2: the stamp reads ~1.1s at sf0.1; a bound of 4.0
     # would let a 3x driver-side regression ship green
     assert min(builds) < 2.0, builds
+
+
+def test_marc8_ingest_plan_is_narrow(spark, tmp_path):
+    """The MARC-8 binary ingest (bench lane ingest_iso2709_marc8) must
+    stay one narrow stage: binaryFile scan -> Arrow-batched parse, zero
+    Exchange — on a cluster the decode parallelism is exactly the file
+    split parallelism, nothing to shuffle."""
+    from traject_spark.marc.io import read_iso2709
+    from traject_spark.marc.serialize import to_iso2709
+
+    rec = {
+        "leader": "00000cam a2200000 a 4500",
+        "controlfields": [{"tag": "001", "value": "p1"}],
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "Мир"}]},
+        ],
+    }
+    p = tmp_path / "r.mrc"
+    p.write_bytes(to_iso2709(rec, encoding="MARC-8") * 4)
+    df = read_iso2709(spark, str(p), encoding="MARC-8")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert df.count() == 4

@@ -323,17 +323,32 @@ def read_iso2709(
     (marc_reader.rb binary branch :78-80)."""
     files = spark.read.format("binaryFile").load(paths).select("content")
 
+    # bounded output batches (r12): one yield per FILE made the Arrow
+    # conversion superlinear — a 110 MB file is ~190k nested record
+    # dicts materialized as one giant pandas batch before serialization
+    # (the sf1 soak read 17x time for 10x data). Flushing every CHUNK
+    # records keeps per-task memory flat no matter how large the input
+    # files are — the property that matters at 100 TB, where file sizes
+    # are not under our control.
+    CHUNK = 10_000
+
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        ids, recs = [], []
         for pdf in batches:
-            ids, recs = [], []
             for content in pdf["content"]:
                 for raw in split_iso2709_stream(bytes(content)):
                     rec = from_iso2709(raw, encoding)
                     if rec is not None:
                         ids.append(_id_from(rec, id_tag))
                         recs.append(rec)
+                        if len(ids) >= CHUNK:
+                            yield pd.DataFrame(
+                                {"record_id": ids, "marc": recs}
+                            )
+                            ids, recs = [], []
+        if ids:
             yield pd.DataFrame({"record_id": ids, "marc": recs})
 
     return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
@@ -424,8 +439,12 @@ def read_marcxml(
 
         import pandas as pd
 
+        # bounded output batches (r12, same fix as read_iso2709): one
+        # yield per input batch of whole files makes Arrow conversion
+        # memory proportional to FILE size; flush every CHUNK records
+        CHUNK = 10_000
+        ids, recs = [], []
         for pdf in batches:
-            ids, recs = [], []
             for text in pdf["value"]:
                 try:
                     parsed = list(parse_marcxml(text))
@@ -447,10 +466,13 @@ def read_marcxml(
                 for rec in parsed:
                     ids.append(_id_from(rec, id_tag))
                     recs.append(rec)
-            # an all-skipped batch must yield NOTHING: an empty pandas
-            # DataFrame defaults the 'marc' column to float64, which
-            # Arrow cannot cast to the struct schema (task crash)
-            if ids:
-                yield pd.DataFrame({"record_id": ids, "marc": recs})
+                    if len(ids) >= CHUNK:
+                        yield pd.DataFrame({"record_id": ids, "marc": recs})
+                        ids, recs = [], []
+        # an all-skipped tail must yield NOTHING: an empty pandas
+        # DataFrame defaults the 'marc' column to float64, which
+        # Arrow cannot cast to the struct schema (task crash)
+        if ids:
+            yield pd.DataFrame({"record_id": ids, "marc": recs})
 
     return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
