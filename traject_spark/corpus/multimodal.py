@@ -555,13 +555,25 @@ def sample_frames(
         return fake_frames(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded output batches (r12): the frame fan-out multiplies an
+        # Arrow-bounded INPUT batch by frames-per-payload, so one batch
+        # of long videos could materialize unbounded frame bytes before
+        # conversion — flush every CHUNK frames
+        CHUNK = 10_000
+        ids, idxs, frames = [], [], []
         for pdf in batches:
-            ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 for i, fr in one_frames(payload):
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(fr)
+                    if len(ids) >= CHUNK:
+                        yield pd.DataFrame(
+                            {"media_id": ids, "frame_index": idxs,
+                             "frame": frames}
+                        )
+                        ids, idxs, frames = [], [], []
+        if ids:
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame": frames}
             )

@@ -134,8 +134,16 @@ def read_xml_records(
     def gen(batches):
         import pandas as pd
 
+        # bounded output batches (r12, same fix as read_iso2709): the
+        # splitter used to yield one batch per input batch of WHOLE
+        # FILES, so a single million-record XML file materialized every
+        # split string in one pandas batch before Arrow conversion
+        CHUNK = 10_000
+        cols = ["xml", "input_name", "position_in_input"]
+        if hooks:
+            cols.append("clipboard")
+        rows = []
         for pdf in batches:
-            rows = []
             for text, name in zip(pdf["value"], pdf["input_name"]):
                 clip = None
                 if hooks:
@@ -171,9 +179,10 @@ def read_xml_records(
                 for i, xml in enumerate(splits):
                     row = (xml, name, i + 1)
                     rows.append(row + (clip,) if hooks else row)
-            cols = ["xml", "input_name", "position_in_input"]
-            if hooks:
-                cols.append("clipboard")
+                    if len(rows) >= CHUNK:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        if rows:
             yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(gen, schema)
