@@ -506,6 +506,56 @@ def b_ingest_iso2709_marc8(spark):
     noop(read_iso2709(spark, _marc8_path(spark), encoding="MARC-8"))
 
 
+_MARCXML_PATH: str | None = None
+
+
+def _marcxml_path(spark) -> str:
+    """Materialize the synthetic corpus once as MARCXML collection files
+    (untimed setup): one <collection> per partition, the shape the
+    reference's NokogiriReader ingests. Times the DOM parse + record
+    split path (bounded batches, r12)."""
+    global _MARCXML_PATH
+    if _MARCXML_PATH is None:
+        out_dir = _tmpdir("bench_mxml_")
+
+        def write_part(rows):
+            import os
+
+            from pyspark import TaskContext
+
+            from traject_spark.marc.serialize import (
+                struct_json_to_record, to_marcxml,
+            )
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(out_dir, f"part-{pid:05d}.xml")
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write('<collection xmlns="http://www.loc.gov/MARC21/slim">')
+                for row in rows:
+                    rec = struct_json_to_record(row["j"])
+                    # strip the per-record ns decl: the collection carries it
+                    fh.write(
+                        to_marcxml(rec).replace(
+                            ' xmlns="http://www.loc.gov/MARC21/slim"', "", 1
+                        )
+                    )
+                fh.write("</collection>")
+
+        synth_marc(spark).select(
+            F.to_json("marc").alias("j")
+        ).foreachPartition(write_part)
+        _MARCXML_PATH = out_dir
+    return _MARCXML_PATH
+
+
+def b_ingest_marcxml(spark):
+    """600k-record MARCXML parse: whole-file DOM + record split through
+    the Arrow-batched reader (marc_reader.rb xml branch :72-74)."""
+    from traject_spark.marc.io import read_marcxml
+
+    noop(read_marcxml(spark, _marcxml_path(spark)))
+
+
 def b_dedup_exact(spark):
     from traject_spark.corpus import exact_dedup
 
@@ -876,6 +926,7 @@ BENCHES = {
     "map_translation": b_map_translation,
     "ingest_ndjson": b_ingest_ndjson,
     "ingest_iso2709_marc8": b_ingest_iso2709_marc8,
+    "ingest_marcxml": b_ingest_marcxml,
     "sink_solr_mock": b_sink_solr,
     "dedup_exact": b_dedup_exact,
     "decontaminate": b_decontaminate,
@@ -1086,6 +1137,13 @@ def main() -> None:
         "map_full_pipeline", "map_minimum_slice", "map_translation",
         "sink_solr_mock", "ingest_ndjson",
     }
+    if "ingest_marcxml" in selected_names:
+        t_mx = time.time()
+        _marcxml_path(spark)  # untimed setup: MARCXML twin
+        print(
+            f"BENCH setup marcxml corpus: {time.time() - t_mx:.1f}s",
+            file=sys.stderr,
+        )
     if "ingest_iso2709_marc8" in selected_names:
         t_m8 = time.time()
         _marc8_path(spark)  # untimed setup: MARC-8 ISO2709 twin
