@@ -308,3 +308,41 @@ def test_record_locks_add_only_refuses_cross_scale_payload(tmp_path):
         ] == 5.5
     finally:
         rl.LOCKS_PATH = orig
+
+
+def test_batched_rows_bounds_by_count_and_bytes():
+    """The shared flush policy behind all four mapInPandas fan-outs
+    (review r12): bounded by rows, by bytes when rows carry payloads,
+    and yields nothing for empty input."""
+    from traject_spark.arrowutil import batched_rows
+
+    batches = list(batched_rows(iter(range(25_000)), list, chunk_rows=10_000))
+    assert [len(b) for b in batches] == [10_000, 10_000, 5_000]
+    assert batches[0][0] == 0 and batches[2][-1] == 24_999  # order kept
+
+    # byte-aware: 2 MB payloads flush at the byte bound, not 10k rows
+    rows = [b"x" * (2 << 20)] * 100
+    sized = list(batched_rows(
+        iter(rows), list, row_bytes=len, chunk_bytes=64 << 20
+    ))
+    assert all(len(b) <= 32 for b in sized)
+    assert sum(len(b) for b in sized) == 100
+
+    assert list(batched_rows(iter([]), list)) == []
+
+
+def test_record_locks_full_record_refuses_scaleless_payload(tmp_path):
+    """Review r12: record() must not write target_records: null (which
+    would disarm add_only's cross-scale guard forever after)."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "tools")
+    try:
+        import record_locks as rl
+    finally:
+        sys.path.pop(0)
+
+    with _pytest.raises(SystemExit, match="record-count scale"):
+        rl.record({"window": "ok", "min_queries": {"q": 1.0}})

@@ -699,10 +699,11 @@ def test_extract_xpath_attribute_wildcard(spark):
 
 
 def test_split_batches_are_bounded(spark, tmp_path):
-    """Review r12 follow-up: a single input file with many records must
-    reach Arrow as MULTIPLE bounded batches, not one file-sized batch.
-    Observable via mapInPandas over the split output: no batch larger
-    than the 10k flush size."""
+    """End-to-end twin of the bounded-batch property: a single 25k-
+    record file splits correctly through the chunked path. The batch-
+    size bound itself is pinned by the shared helper's unit test
+    (test_bench_helpers.py::test_batched_rows_bounds_by_count_and_bytes
+    — all four mapInPandas fan-outs route through batched_rows)."""
     recs = "".join(
         f"<rec><id>{i}</id></rec>" for i in range(25_000)
     )

@@ -56,11 +56,12 @@ def add_only(payload: dict) -> None:
     # scale guard (review r12): a soak-scale payload (10x records)
     # passed here would seed a forever-inflated lock that masks real
     # regressions — refuse when the payload's scale disagrees with the
-    # file's. b1.records is authoritative when both sides carry it;
-    # BENCH_ONLY payloads have no b1, so fall back to the sf stamp.
-    pay_records = payload.get("target_records") or (
-        payload.get("b1") or {}
-    ).get("records")
+    # file's. The MEASURED b1.records is authoritative when present
+    # (a stale/hand-edited nominal stamp must not override it);
+    # BENCH_ONLY payloads have no b1, so fall back to the stamp.
+    pay_records = (payload.get("b1") or {}).get(
+        "records"
+    ) or payload.get("target_records")
     lock_records = locks.get("target_records")
     if (
         pay_records is not None
@@ -110,6 +111,16 @@ def record(payload: dict) -> None:
     mins = payload.get("min_queries") or {}
     if not mins:
         raise SystemExit("payload has no min_queries — nothing to lock")
+    if not (
+        (payload.get("b1") or {}).get("records")
+        or payload.get("target_records")
+    ):
+        raise SystemExit(
+            "payload carries no record-count scale (neither b1.records "
+            "nor target_records) — a full re-record from it would write "
+            "target_records: null and disarm the cross-scale guard; "
+            "record from a full bench payload"
+        )
     locks = {
         "policy": (
             "qualified-window (window=ok) min-of-N per query; re-record "
@@ -121,8 +132,13 @@ def record(payload: dict) -> None:
         "start_cal_sec": (payload.get("calibration") or {}).get("start_sec"),
         "sf": payload.get("sf"),
         # ratio scope: a soak at a different record count gets no
-        # vs_lock ratios (bench._vs_lock checks this)
-        "target_records": (payload.get("b1") or {}).get("records"),
+        # vs_lock ratios (bench._vs_lock checks this). Measured
+        # b1.records first, payload stamp as fallback — and a full
+        # re-record REFUSES a payload with neither: writing null here
+        # would disarm add_only's cross-scale guard forever after
+        # (review r12).
+        "target_records": (payload.get("b1") or {}).get("records")
+        or payload.get("target_records"),
         "n_runs_hint": max(
             (len(v) for v in (payload.get("runs") or {}).values()),
             default=None,

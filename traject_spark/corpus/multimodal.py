@@ -556,26 +556,23 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # bounded output batches (r12): the frame fan-out multiplies an
-        # Arrow-bounded INPUT batch by frames-per-payload, so one batch
-        # of long videos could materialize unbounded frame bytes before
-        # conversion — flush every CHUNK frames
-        CHUNK = 10_000
-        ids, idxs, frames = [], [], []
-        for pdf in batches:
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                for i, fr in one_frames(payload):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(fr)
-                    if len(ids) >= CHUNK:
-                        yield pd.DataFrame(
-                            {"media_id": ids, "frame_index": idxs,
-                             "frame": frames}
-                        )
-                        ids, idxs, frames = [], [], []
-        if ids:
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_index": idxs, "frame": frames}
-            )
+        # Arrow-bounded INPUT batch by frames-per-payload, and frames
+        # can be multi-MB payloads — so flush on BYTES as well as rows
+        # (10k 2 MB frames on a row-count bound alone is still ~20 GB)
+        from traject_spark.arrowutil import batched_rows
+
+        def rows():
+            for pdf in batches:
+                for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                    for i, fr in one_frames(payload):
+                        yield (mid, i, fr)
+
+        yield from batched_rows(
+            rows(),
+            lambda buf: pd.DataFrame(
+                buf, columns=["media_id", "frame_index", "frame"]
+            ),
+            row_bytes=lambda r: len(r[2]) if r[2] else 0,
+        )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -326,30 +326,27 @@ def read_iso2709(
     # bounded output batches (r12): one yield per FILE made the Arrow
     # conversion superlinear — a 110 MB file is ~190k nested record
     # dicts materialized as one giant pandas batch before serialization
-    # (the sf1 soak read 17x time for 10x data). Flushing every CHUNK
-    # records keeps per-task memory flat no matter how large the input
-    # files are — the property that matters at 100 TB, where file sizes
-    # are not under our control.
-    CHUNK = 10_000
-
+    # (the sf1 soak read 17x time for 10x data). batched_rows keeps
+    # per-task memory flat no matter how large the input files are —
+    # the property that matters at 100 TB, where file sizes are not
+    # under our control.
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        ids, recs = [], []
-        for pdf in batches:
-            for content in pdf["content"]:
-                for raw in split_iso2709_stream(bytes(content)):
-                    rec = from_iso2709(raw, encoding)
-                    if rec is not None:
-                        ids.append(_id_from(rec, id_tag))
-                        recs.append(rec)
-                        if len(ids) >= CHUNK:
-                            yield pd.DataFrame(
-                                {"record_id": ids, "marc": recs}
-                            )
-                            ids, recs = [], []
-        if ids:
-            yield pd.DataFrame({"record_id": ids, "marc": recs})
+        from traject_spark.arrowutil import batched_rows
+
+        def rows():
+            for pdf in batches:
+                for content in pdf["content"]:
+                    for raw in split_iso2709_stream(bytes(content)):
+                        rec = from_iso2709(raw, encoding)
+                        if rec is not None:
+                            yield (_id_from(rec, id_tag), rec)
+
+        yield from batched_rows(
+            rows(),
+            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
+        )
 
     return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
 
@@ -439,40 +436,39 @@ def read_marcxml(
 
         import pandas as pd
 
+        from traject_spark.arrowutil import batched_rows
+
         # bounded output batches (r12, same fix as read_iso2709): one
         # yield per input batch of whole files makes Arrow conversion
-        # memory proportional to FILE size; flush every CHUNK records
-        CHUNK = 10_000
-        ids, recs = [], []
-        for pdf in batches:
-            for text in pdf["value"]:
-                try:
-                    parsed = list(parse_marcxml(text))
-                except _ET.ParseError as e:
-                    if strict:
-                        raise ValueError(
-                            f"read_marcxml: malformed XML input "
-                            f"({e}; {len(text or '')} chars); "
-                            "pass strict=False to skip bad files"
-                        ) from e
-                    if skipped_files is not None:
-                        skipped_files.add(1)
-                    print(
-                        f"read_marcxml: skipping malformed XML input "
-                        f"({e}; {len(text or '')} chars)",
-                        file=_sys.stderr,
-                    )
-                    continue
-                for rec in parsed:
-                    ids.append(_id_from(rec, id_tag))
-                    recs.append(rec)
-                    if len(ids) >= CHUNK:
-                        yield pd.DataFrame({"record_id": ids, "marc": recs})
-                        ids, recs = [], []
-        # an all-skipped tail must yield NOTHING: an empty pandas
-        # DataFrame defaults the 'marc' column to float64, which
-        # Arrow cannot cast to the struct schema (task crash)
-        if ids:
-            yield pd.DataFrame({"record_id": ids, "marc": recs})
+        # memory proportional to FILE size. batched_rows also yields
+        # NOTHING for an all-skipped input (an empty pandas DataFrame
+        # defaults 'marc' to float64 — Arrow cast crash).
+        def rows():
+            for pdf in batches:
+                for text in pdf["value"]:
+                    try:
+                        parsed = list(parse_marcxml(text))
+                    except _ET.ParseError as e:
+                        if strict:
+                            raise ValueError(
+                                f"read_marcxml: malformed XML input "
+                                f"({e}; {len(text or '')} chars); "
+                                "pass strict=False to skip bad files"
+                            ) from e
+                        if skipped_files is not None:
+                            skipped_files.add(1)
+                        print(
+                            f"read_marcxml: skipping malformed XML input "
+                            f"({e}; {len(text or '')} chars)",
+                            file=_sys.stderr,
+                        )
+                        continue
+                    for rec in parsed:
+                        yield (_id_from(rec, id_tag), rec)
+
+        yield from batched_rows(
+            rows(),
+            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
+        )
 
     return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)

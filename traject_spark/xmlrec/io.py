@@ -134,16 +134,18 @@ def read_xml_records(
     def gen(batches):
         import pandas as pd
 
+        from traject_spark.arrowutil import batched_rows
+
         # bounded output batches (r12, same fix as read_iso2709): the
         # splitter used to yield one batch per input batch of WHOLE
         # FILES, so a single million-record XML file materialized every
         # split string in one pandas batch before Arrow conversion
-        CHUNK = 10_000
         cols = ["xml", "input_name", "position_in_input"]
         if hooks:
             cols.append("clipboard")
-        rows = []
-        for pdf in batches:
+
+        def rows():
+          for pdf in batches:
             for text, name in zip(pdf["value"], pdf["input_name"]):
                 clip = None
                 if hooks:
@@ -173,17 +175,16 @@ def read_xml_records(
                         # zero record matches (final OAI page carrying
                         # only a token): a clipboard-only row keeps the
                         # scrape observable via first()
-                        rows.append((None, name, 0, clip))
+                        yield (None, name, 0, clip)
                 else:
                     splits = _split_doc(text, each_record_tag)
                 for i, xml in enumerate(splits):
                     row = (xml, name, i + 1)
-                    rows.append(row + (clip,) if hooks else row)
-                    if len(rows) >= CHUNK:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
+                    yield row + (clip,) if hooks else row
+
+        yield from batched_rows(
+            rows(), lambda buf: pd.DataFrame(buf, columns=cols)
+        )
 
     return raw.mapInPandas(gen, schema)
 
