@@ -493,9 +493,20 @@ def _marc8_path(spark) -> str:
 
         synth_marc(spark).select(
             F.to_json("marc").alias("j")
-        ).foreachPartition(write_part)
+        ).repartition(_ingest_fixture_files()).foreachPartition(write_part)
         _MARC8_PATH = out_dir
     return _MARC8_PATH
+
+
+def _ingest_fixture_files() -> int:
+    """File count for the serialized ingest fixtures: ~50k records per
+    file. Both whole-file readers hold one file's content per task
+    (binary as byte[], XML as a JVM string at 2 bytes/char), so at soak
+    scale a files-per-core split makes each file ~370 MB and 32
+    concurrent XML tasks OOM the shared 24g local-mode heap — the sf1
+    soak caught exactly that. Many smaller files is also the realistic
+    corpus shape; readers parallelize at file granularity either way."""
+    return max(CPUS, TARGET_RECORDS // 50_000)
 
 
 def b_ingest_iso2709_marc8(spark):
@@ -543,7 +554,7 @@ def _marcxml_path(spark) -> str:
 
         synth_marc(spark).select(
             F.to_json("marc").alias("j")
-        ).foreachPartition(write_part)
+        ).repartition(_ingest_fixture_files()).foreachPartition(write_part)
         _MARCXML_PATH = out_dir
     return _MARCXML_PATH
 
@@ -1152,6 +1163,7 @@ def main() -> None:
             file=sys.stderr,
         )
     if selected_names & marc_benches:
+        t0 = time.time()  # the marcxml/marc8 gates may have consumed it
         synth_marc(spark)  # untimed setup: materialize the synth corpus
         _ndjson_path(spark)  # untimed setup: NDJSON twin for ingest
         print(

@@ -414,7 +414,11 @@ def read_marcxml(
     """MARCXML files -> struct records (marc_reader.rb xml branch :72-74).
 
     Whole-file DOM parse per file, distributed at file granularity like
-    the reference's one-DOM-per-input NokogiriReader. By default a
+    the reference's one-DOM-per-input NokogiriReader. Scale note: each
+    task holds one file's text as a JVM string (2 bytes/char) plus its
+    DOM — size input files so (concurrent tasks x file size) fits
+    executor memory; many smaller collection files parallelize better
+    anyway (output batches are bounded regardless, via batched_rows). By default a
     malformed / truncated / empty file is SKIPPED: the other readers
     degrade per-unit (NDJSON skips bad lines, ISO-2709 recovers per
     record), and one bad file in a drop directory must not kill a
