@@ -678,3 +678,190 @@ def test_arabic_core_round_trips():
         s = base + ch
         got = marc8_to_unicode(unicode_to_marc8(s))
         assert got == unicodedata.normalize("NFC", s), hex(cp)
+
+
+# ---------------------------------------------------------------------------
+# lossless postures (round 13): literal NCRs + unmapped-set preservation
+# ---------------------------------------------------------------------------
+
+def test_literal_ncr_text_round_trips_losslessly():
+    """ADVICE r12 (medium): a value CONTAINING literal NCR-shaped text
+    (raw HTML, pre-escaped data) must survive encode->decode verbatim —
+    the opening '&' is itself NCR-escaped per the LoC lossless
+    technique, so the decoder's unconditional expansion restores the
+    literal instead of corrupting '&#x41;' to 'A'."""
+    cases = [
+        "&#x41;",                      # the advice's verbatim repro
+        "a &#x0026; b",                # literal NCR of '&' itself
+        "&#x41;&#x42;",                # adjacent
+        "&&#x41;",                     # preceded by a bare ampersand
+        "note: &#xFeDc; mixed case",
+        "Война &#x2014; мир",          # inside script text
+    ]
+    for s in cases:
+        for fallback in (False, True):
+            b = unicode_to_marc8(s, ncr_fallback=fallback)
+            assert marc8_to_unicode(b) == unicodedata.normalize("NFC", s), (
+                s, fallback)
+    # bare ampersands and non-NCR-shaped '&#' text stay untouched bytes
+    assert unicode_to_marc8("a & b &#zz;") == b"a & b &#zz;"
+
+
+def test_literal_ncr_property_every_encodable_string_round_trips():
+    """decode(encode(x)) == NFC(x) for arbitrary ASCII-with-ampersands
+    soup — the class the literal-NCR fix targets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(s=st.text(alphabet="&#x;0123456789abcdefABCDEF Az", max_size=30))
+    def prop(s):
+        b = unicode_to_marc8(s, ncr_fallback=True)
+        assert marc8_to_unicode(b) == unicodedata.normalize("NFC", s)
+
+    prop()
+
+
+def _eacc_bytes(n=4):
+    """A synthetic EACC span: ESC $ 1 designates the multibyte set to
+    G0, then n three-byte groups from the EACC range, then ESC ( B back
+    to Basic Latin (public MARC-8 technique-2 escapes)."""
+    groups = b"".join(
+        bytes([0x21 + i, 0x30 + i, 0x4A + i]) for i in range(n)
+    )
+    return b"\x1b$1" + groups + b"\x1b(B"
+
+
+def test_unmapped_preserve_round_trips_eacc_byte_identically():
+    """VERDICT r12 #1: under unmapped='preserve' an EACC span —
+    designation escapes included — is parked on plane-15 PUA codepoints
+    and re-encoded verbatim: MARC-8 -> str -> MARC-8 is byte-identical
+    even though the module has no EACC tables (ruby-marc maps EACC via
+    its bundled tables, marc_reader.rb:27-35,79; we at least never
+    destroy it)."""
+    raw = b"Title " + _eacc_bytes() + b" tail"
+    s = marc8_to_unicode(raw, unmapped="preserve")
+    assert "Title " in s and " tail" in s and "�" not in s
+    assert unicode_to_marc8(s) == raw
+    # default posture unchanged: replacement chars, bytes destroyed
+    assert "�" in marc8_to_unicode(raw)
+
+
+def test_unmapped_preserve_extended_arabic_and_g1():
+    """Single-byte unmapped sets (Extended Arabic, ASMO 449 ext) and a
+    G1 designation (high-bit bytes) both preserve byte-identically,
+    including interleaved ASCII inside the span."""
+    # G0 Extended Arabic with ASCII spaces inside the span
+    raw = b"x \x1b(4\x41\x42 \x43\x1b(B y"
+    s = marc8_to_unicode(raw, unmapped="preserve")
+    assert unicode_to_marc8(s) == raw
+    # G1 EACC: hi bytes route through G1; low bytes stay Basic Latin
+    raw_g1 = b"lo \x1b)1\xA1\xB2\xC3lo\xA4\xB5\xC6\x1b)!E rest"
+    s2 = marc8_to_unicode(raw_g1, unmapped="preserve")
+    assert unicode_to_marc8(s2) == raw_g1
+    # span running to end-of-input (no switch-back escape)
+    raw_tail = b"t \x1b$1\x21\x30\x4A"
+    s3 = marc8_to_unicode(raw_tail, unmapped="preserve")
+    assert unicode_to_marc8(s3) == raw_tail
+
+
+def test_unmapped_preserve_decoder_stays_total():
+    """preserve mode keeps the decoder total over byte soup and never
+    emits U+FFFD for unmapped-SET bytes (invalid bytes in MAPPED sets
+    still follow replace)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(raw=st.binary(max_size=64))
+    def prop(raw):
+        out = marc8_to_unicode(raw, unmapped="preserve")
+        assert isinstance(out, str)
+
+    prop()
+
+
+def test_unmapped_preserve_well_formed_spans_round_trip_fuzz():
+    """Property: ASCII text with well-formed unmapped-set spans spliced
+    in round-trips byte-identically under preserve."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    span = st.one_of(
+        st.integers(1, 5).map(_eacc_bytes),
+        st.binary(min_size=1, max_size=8).map(
+            lambda b: b"\x1b(4"
+            + bytes(0x21 + (x % 0x5E) for x in b)
+            + b"\x1b(B"
+        ),
+    )
+    ascii_bit = st.text(
+        alphabet="abcDEF 123.,", max_size=10).map(lambda t: t.encode())
+
+    @settings(max_examples=200, deadline=None)
+    @given(parts=st.lists(st.one_of(span, ascii_bit), max_size=6))
+    def prop(parts):
+        raw = b"".join(parts)
+        s = marc8_to_unicode(raw, unmapped="preserve")
+        assert unicode_to_marc8(s) == raw
+
+    prop()
+
+
+def test_preserve_range_ncr_stays_literal():
+    """An NCR naming a preserve-range PUA codepoint must NOT expand —
+    expansion would make a later re-encode emit a raw byte where the
+    stream carried literal text."""
+    raw = b"a &#xF0041; b"
+    s = marc8_to_unicode(raw)
+    assert s == "a &#xF0041; b"
+    # re-encode escapes the ambiguous literal '&' (the original bytes
+    # carried unescaped NCR text), but the STRING round trip is exact
+    assert marc8_to_unicode(unicode_to_marc8(s)) == s
+
+
+def test_from_iso2709_marc8_preserve_round_trips_record():
+    """encoding='MARC-8-preserve' on the record level: a record whose
+    values carry EACC spans reads to a struct and writes back with the
+    exact same field bytes."""
+    title_m8 = b"Tokyo " + _eacc_bytes(2)
+    rec_raw = {
+        "leader": "00000cam a22000002 4500",
+        "controlfields": [{"tag": "001", "value": "r1"}],
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [{"code": "a", "value": "PLACEHOLDER"}]},
+        ],
+    }
+    # build the binary with the MARC-8 value spliced in via a utf-8
+    # write of a latin1-decoded carrier (bytes pass through verbatim)
+    carrier = dict(rec_raw)
+    carrier["datafields"] = [
+        {"tag": "245", "ind1": "1", "ind2": "0",
+         "subfields": [{"code": "a", "value": title_m8.decode("latin-1")}]},
+    ]
+    raw = to_iso2709(carrier, encoding="latin-1")
+    back = from_iso2709(raw, encoding="MARC-8-preserve")
+    rewritten = to_iso2709(back, encoding="MARC-8")
+    reread = from_iso2709(rewritten, encoding="MARC-8-preserve")
+    assert reread["datafields"] == back["datafields"]
+    # the value's MARC-8 bytes are preserved exactly
+    assert unicode_to_marc8(back["datafields"][0]["subfields"][0]["value"]) \
+        == title_m8
+
+
+def test_leader09_reflects_write_encoding():
+    """ADVICE r12: leader/09 (character coding scheme) is set by
+    to_iso2709 to match the bytes written — ' ' for MARC-8, 'a' for
+    UTF-8 — so external readers keying on it (pymarc to_unicode) decode
+    correctly; other codecs pass the caller's byte through."""
+    rec = {
+        "leader": "00000cam a22000002 4500",
+        "controlfields": [{"tag": "001", "value": "x"}],
+        "datafields": [],
+    }
+    assert to_iso2709(rec, encoding="MARC-8")[9:10] == b" "
+    assert to_iso2709(rec)[9:10] == b"a"
+    assert to_iso2709(rec, encoding="utf-8")[9:10] == b"a"
+    rec_l = dict(rec, leader="00000cam z22000002 4500")
+    assert to_iso2709(rec_l, encoding="latin-1")[9:10] == b"z"

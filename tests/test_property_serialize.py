@@ -62,9 +62,12 @@ def test_iso2709_roundtrip(rec):
     back = from_iso2709(to_iso2709(rec))
     assert back is not None
     assert _fields_equal(rec, back)
-    # leader: positions 5-11 and 17-23 pass through; 0-4/12-16 are the
-    # recomputed length/base digits
-    assert back["leader"][5:12] == rec["leader"][5:12]
+    # leader: positions 5-8/10-11 and 17-23 pass through; 0-4/12-16 are
+    # the recomputed length/base digits; 9 is the coding scheme, forced
+    # to 'a' by the default utf-8 write path (advice r12)
+    assert back["leader"][5:9] == rec["leader"][5:9]
+    assert back["leader"][9] == "a"
+    assert back["leader"][10:12] == rec["leader"][10:12]
     assert back["leader"][17:24] == rec["leader"][17:24].ljust(7)[:7]
     assert back["leader"][:5].isdigit() and back["leader"][12:17].isdigit()
 

@@ -94,12 +94,49 @@ _NCR = re.compile(r"&#x([0-9A-Fa-f]{1,6});")
 
 
 def _expand_ncr(text: str) -> str:
-    return _NCR.sub(
-        lambda m: chr(int(m.group(1), 16))
-        if int(m.group(1), 16) <= 0x10FFFF
-        else m.group(0),
-        text,
-    )
+    # the preserve range (see _PRESERVE_BASE) is excluded: an NCR
+    # naming one of those PUA codepoints must stay literal, or a
+    # preserve-mode re-encode would emit it as a raw byte instead of
+    # the NCR text the stream actually carried
+    def _one(m):
+        cp = int(m.group(1), 16)
+        if cp > 0x10FFFF or _PRESERVE_BASE <= cp <= _PRESERVE_BASE + 0xFF:
+            return m.group(0)
+        return chr(cp)
+
+    return _NCR.sub(_one, text)
+
+
+def _escape_literal_ncrs(text: str) -> str:
+    """Make literal NCR-shaped text survive the decoder's expansion.
+
+    The decoder expands ``&#xHHHH;`` unconditionally (ruby-marc parity),
+    so a value that legitimately CONTAINS such text (e.g. raw HTML in a
+    note field) would be corrupted by encode->decode: ``"&#x41;"`` would
+    come back as ``"A"``. Per the LoC lossless-conversion technique, the
+    ampersand that opens an NCR-shaped run is itself emitted as an NCR
+    (``&#x0026;``), which the decoder expands back to ``&`` exactly once
+    — the rest of the literal stays verbatim, so the round trip is
+    byte-lossless (advice r12).
+    """
+    return _NCR.sub(lambda m: "&#x0026;" + m.group(0)[1:], text)
+
+
+#: Plane-15 private-use codepoints carrying one raw MARC-8 byte each
+#: (U+F0000 + byte) — the ``unmapped='preserve'`` decode posture parks
+#: bytes from sets with no bundled table (EACC, Extended Arabic) here
+#: instead of destroying them as U+FFFD, and the encoder emits them back
+#: verbatim, so MARC-8 -> str -> MARC-8 round-trips byte-identically
+#: even through scripts this module cannot map (verdict r12 #1).
+_PRESERVE_BASE = 0xF0000
+
+
+def _is_tableless(code: int) -> bool:
+    """True for designation codes with no bundled decode table (EACC,
+    Extended Arabic, unknown finals) — the sets ``unmapped='preserve'``
+    carries through as raw bytes."""
+    table, _ = _charset_table(code)
+    return isinstance(table, dict) and not table
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +319,10 @@ def _lookup(code: int, byte: int):
 
 
 def marc8_to_unicode(
-    raw: bytes, replace: bool = True, normalize: str = "NFC"
+    raw: bytes,
+    replace: bool = True,
+    normalize: str = "NFC",
+    unmapped: str | None = None,
 ) -> str:
     """Decode MARC-8 bytes to a Unicode string.
 
@@ -291,7 +331,21 @@ def marc8_to_unicode(
     ``replace=False`` raises :class:`Marc8DecodeError` naming the
     offending byte or charset. ``normalize`` (default NFC) composes the
     re-ordered base+combining pairs so output matches a UTF-8 twin.
+
+    ``unmapped='preserve'`` changes the posture for SETS with no bundled
+    table (EACC CJK, Extended Arabic, unknown finals): instead of
+    destroying their bytes as U+FFFD, every raw byte of the span —
+    including the designation escapes into and out of the set — is
+    parked on a plane-15 private-use codepoint (U+F0000 + byte), which
+    :func:`unicode_to_marc8` emits back verbatim, so the full record
+    round-trips byte-identically even through scripts this module
+    cannot map. Invalid bytes in MAPPED sets still follow ``replace``.
     """
+    if unmapped not in (None, "replace", "preserve"):
+        raise ValueError(
+            f"unmapped must be None, 'replace' or 'preserve', got {unmapped!r}"
+        )
+    preserve = unmapped == "preserve"
     # fast path: a value with no escapes, no G1 bytes, and no C0/DEL
     # controls is plain ASCII under the default sets — the overwhelming
     # share of real MARC-8 fields (English records), decoded without
@@ -317,6 +371,11 @@ def marc8_to_unicode(
             raise Marc8DecodeError(what)
         emit("�", False)
 
+    def park(span: bytes) -> None:
+        # preserve posture: raw bytes -> plane-15 PUA, non-combining
+        for pb in span:
+            emit(chr(_PRESERVE_BASE + pb), False)
+
     i, n = 0, len(raw)
     while i < n:
         b = raw[i]
@@ -331,6 +390,7 @@ def marc8_to_unicode(
                 i = n
                 continue
             final = raw[j]
+            g0_was, g1_was = g0, g1
             if not intermediates:
                 # technique 1: single-character designations act on G0
                 if final in (
@@ -341,13 +401,21 @@ def marc8_to_unicode(
                     g0 = CODE_BASIC_LATIN
                 else:
                     bad(f"unrecognized escape ESC {chr(final)!r}")
-                i = j + 1
-                continue
+                    i = j + 1
+                    continue
             # technique 2: ')' or '-' intermediates target G1, else G0
-            if any(c in (0x29, 0x2D) for c in intermediates):
+            elif any(c in (0x29, 0x2D) for c in intermediates):
                 g1 = final
             else:
                 g0 = final
+            # preserve: a designation into OR out of a table-less set is
+            # part of the span — park its raw bytes so the re-encoded
+            # stream restores the same register state at the same point
+            if preserve and (
+                (_is_tableless(g0) or _is_tableless(g1))
+                or (_is_tableless(g0_was) or _is_tableless(g1_was))
+            ):
+                park(raw[i : j + 1])
             i = j + 1
             continue
         if b in (0x20, 0x09, 0x0A, 0x0D):
@@ -359,13 +427,18 @@ def marc8_to_unicode(
         if multi:
             # EACC: three bytes per character; no bundled table
             step = 3 if i + 3 <= n else n - i
-            name = _UNMAPPED_SETS.get(code, "multibyte set")
-            bad(f"unmapped {name} character {raw[i:i+step]!r}")
+            if preserve:
+                park(raw[i : i + step])
+            else:
+                name = _UNMAPPED_SETS.get(code, "multibyte set")
+                bad(f"unmapped {name} character {raw[i:i+step]!r}")
             i += step
             continue
         ch, combining = _lookup(code, b)
         if ch is None:
-            if code in _UNMAPPED_SETS:
+            if preserve and _is_tableless(code):
+                park(raw[i : i + 1])
+            elif code in _UNMAPPED_SETS:
                 bad(
                     f"byte 0x{b:02X} in {_UNMAPPED_SETS[code]} (no bundled "
                     "table; see docs/settings.md encodings)"
@@ -472,6 +545,13 @@ def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
     with ``ncr_fallback=True``, emit the standard's lossless numeric
     character reference (``&#xHHHH;``, which :func:`marc8_to_unicode`
     expands back), making every Unicode string writable.
+
+    Two lossless passthroughs apply in BOTH modes: literal NCR-shaped
+    text in the input has its opening ``&`` NCR-escaped (see
+    :func:`_escape_literal_ncrs`) so decode restores it verbatim, and
+    plane-15 preserve codepoints (U+F0000 + byte, produced by
+    ``marc8_to_unicode(unmapped='preserve')``) emit their raw byte
+    back, round-tripping unmapped-set spans byte-identically.
     """
     out = bytearray()
     g0 = CODE_BASIC_LATIN  # G1 stays ANSEL (high-bit bytes), no escapes
@@ -509,6 +589,16 @@ def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
         """Emit one spacing or combining char; False when unmapped."""
         nonlocal base_at
         cp = ord(ch)
+        if _PRESERVE_BASE <= cp <= _PRESERVE_BASE + 0xFF:
+            # a byte parked by marc8_to_unicode(unmapped='preserve'):
+            # emit it verbatim. The parked span carries its own
+            # designation escapes, so the tracked g0 is deliberately NOT
+            # touched — the span restores the register state itself.
+            # Not a splice-able base: a following combining mark must
+            # not insert into preserved bytes.
+            out.append(cp - _PRESERVE_BASE)
+            base_at = None
+            return True
         if cp == 0x031B:  # combining horn: precomposed vowels only
             if base_at is not None and out[base_at] in _HORN:
                 out[base_at] = _HORN[out[base_at]]
@@ -567,7 +657,7 @@ def unicode_to_marc8(text: str, ncr_fallback: bool = False) -> bytes:
                 return True
         return False
 
-    for ch in unicodedata.normalize("NFC", text):
+    for ch in _escape_literal_ncrs(unicodedata.normalize("NFC", text)):
         # rollback point for ncr_fallback: every mutation a FAILED
         # attempt can make lands at >= this offset (appends, and mark
         # inserts at the just-appended base; the mark/horn paths that

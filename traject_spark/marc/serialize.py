@@ -177,7 +177,9 @@ def _value_encoder(encoding: str):
     codec cannot carry raises instead of silently writing '?' — replace
     is the documented posture for the READ side only (review r12)."""
     enc = (encoding or "utf-8").strip().lower().replace("_", "-")
-    if enc in ("marc-8", "marc8"):
+    if enc in ("marc-8", "marc8", "marc-8-preserve", "marc8-preserve"):
+        # the -preserve alias is accepted for read/write symmetry: the
+        # encoder already emits preserve-parked bytes verbatim
         from traject_spark.marc.marc8 import unicode_to_marc8
 
         return lambda s: unicode_to_marc8(s, ncr_fallback=True)
@@ -248,8 +250,21 @@ def to_iso2709(
     # passes leaders through verbatim) would otherwise desynchronize the
     # written bytes from the length/base slots and corrupt the record
     leader = ((rec.get("leader") or "")[:24]).ljust(24)
+    # leader/09 (character coding scheme) must describe the bytes this
+    # call actually wrote: ' ' = MARC-8, 'a' = UCS/Unicode (advice r12
+    # — a UTF-8-sourced record written as MARC-8 would otherwise
+    # self-describe as Unicode and external readers keying on leader/09,
+    # e.g. pymarc to_unicode, would misdecode it). Other codecs have no
+    # defined leader/09 value and pass the caller's byte through.
+    enc_name = (encoding or "utf-8").strip().lower().replace("_", "-")
+    if enc_name in ("marc-8", "marc8", "marc-8-preserve", "marc8-preserve"):
+        coding = " "
+    elif enc_name in ("", "utf-8", "utf8"):
+        coding = "a"
+    else:
+        coding = leader[9]
     leader = (
-        slot(total, 5, "record") + leader[5:12]
+        slot(total, 5, "record") + leader[5:9] + coding + leader[10:12]
         + slot(base, 5, "record base") + leader[17:24]
     )
     # the leader must be exactly 24 BYTES (offsets count from it): any
@@ -271,6 +286,15 @@ def _decoder(encoding: str):
         from traject_spark.marc.marc8 import marc8_to_unicode
 
         return lambda b: marc8_to_unicode(b, replace=True)
+    if enc in ("marc-8-preserve", "marc8-preserve"):
+        # byte-preserving posture for sets with no bundled table (EACC
+        # CJK, Extended Arabic): unmapped spans land on plane-15 PUA
+        # codepoints instead of U+FFFD, and to_iso2709(encoding='MARC-8')
+        # emits them back verbatim — read->write round-trips
+        # byte-identically even through scripts the converter can't map
+        from traject_spark.marc.marc8 import marc8_to_unicode
+
+        return lambda b: marc8_to_unicode(b, replace=True, unmapped="preserve")
     # the normalized-empty check above implies None/'' mean utf-8 —
     # decode with a whitespace-stripped name so ' latin-1 ' (which the
     # marc8 check already treats as non-MARC-8) resolves as a codec
