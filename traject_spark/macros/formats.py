@@ -87,6 +87,11 @@ def genre_expr(
     )
 
 
+#: shared by the Column path and the SQL compiler (via _sq, so the
+#: compiled text is lexer-independent — advice r12)
+_CONGRESS_RE = r"(?m)^\s*(C|c)ongresses\.?\s*$"
+
+
 def thesis_expr(marc: Column) -> Column:
     """Has a 502 (marc_format_classifier.rb:98-102)."""
     return F.exists(marc["datafields"], lambda f: f["tag"] == "502")
@@ -104,7 +109,7 @@ def proceeding_expr(marc: Column) -> Column:
             # interior line in the reference, so Java's string-anchor
             # default would silently diverge
             lambda sf: (sf["code"] == "v")
-            & sf["value"].rlike(r"(?m)^\s*(C|c)ongresses\.?\s*$"),
+            & sf["value"].rlike(_CONGRESS_RE),
         ),
     )
 
@@ -357,7 +362,7 @@ def formats_sql(marc: str, default: str = "Other") -> str:
     proceeding = (
         f"exists({marc}.datafields, f -> substring(f.tag, 1, 1) = '6' and "
         f"exists(f.subfields, sf -> sf.code = 'v' and "
-        f"sf.value rlike '(?m)^\\\\s*(C|c)ongresses\\\\.?\\\\s*$'))"
+        f"sf.value rlike {_sq(_CONGRESS_RE)}))"
     )
 
     def flag(cond: str, label: str) -> str:
@@ -405,9 +410,9 @@ def marc_formats(default: str = "Other", _sql_fastpath: bool = True):
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        from traject_spark.sqlutil import default_lexer_active
-
-        if sql_ok and src_col and _ident_safe(src_col) and default_lexer_active():
+        # no lexer gate: formats_sql is lexer-independent (all literals
+        # via _sq; test_compiled_sql_texts_are_lexer_independent)
+        if sql_ok and src_col and _ident_safe(src_col):
             return F.concat(
                 acc, F.expr(formats_sql(f"`{src_col}`", default=default))
             )

@@ -29,10 +29,22 @@ from traject_spark.transforms import (
     ruby_to_i_expr,
     trim_punctuation_expr,
 )
+from traject_spark.sqlutil import sql_str_lit as _rx_lit
+
 from traject_spark.translation_map import TranslationMap
 
 # one shared empty-array helper — drifting copies otherwise
 from traject_spark.marc.extractor import _empty
+
+#: geo-facet regexes, shared between the Column path and the SQL
+#: compiler — rendered through sql_str_lit so the compiled text is
+#: lexer-independent (advice r12)
+_GEO_HYPHEN_RX = r"\-+\Z"
+_GEO_DOT_SPLIT_RX = r"(?s)\A(.*?)(?:\. *)(.*)\Z"
+_GEO_TRAIL_DOT_RX = r"\. *\Z"
+_GEO_HYPHEN_LIT = _rx_lit(_GEO_HYPHEN_RX)
+_GEO_DOT_SPLIT_LIT = _rx_lit(_GEO_DOT_SPLIT_RX)
+_GEO_TRAIL_DOT_LIT = _rx_lit(_GEO_TRAIL_DOT_RX)
 
 
 def _ruby_sub_first(v: Column, pattern_no_groups: str, replacement: str = "") -> Column:
@@ -320,14 +332,11 @@ def marc_languages(
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        from traject_spark.sqlutil import default_lexer_active
-
-        if (
-            probe_sql is not None
-            and src_col
-            and _ident_safe(src_col)
-            and default_lexer_active()
-        ):
+        # no lexer gate: the compiled SQL renders every regex/text
+        # literal via sql_str_lit, so it parses identically under both
+        # string-lexer modes (pinned by
+        # test_compiled_sql_texts_are_lexer_independent)
+        if probe_sql is not None and src_col and _ident_safe(src_col):
             return F.concat(
                 acc, F.expr(_languages_sql(f"`{src_col}`", probe_sql))
             )
@@ -658,7 +667,7 @@ def _geo_sql(marc_sql: str, probe_sql: str) -> str:
     part1 = (
         f"filter(transform({codes}, c -> "
         + sql_let(
-            "regexp_replace(c, '\\\\-+\\\\Z', '')", "v", probe_sql
+            f"regexp_replace(c, {_GEO_HYPHEN_LIT}, '')", "v", probe_sql
         )
         + "), x -> x IS NOT NULL)"
     )
@@ -668,12 +677,12 @@ def _geo_sql(marc_sql: str, probe_sql: str) -> str:
     )
     part2 = (
         f"transform({a_vals}, s -> regexp_replace(s, "
-        "'(?s)\\\\A(.*?)(?:\\\\. *)(.*)\\\\Z', '$1$2'))"
+        f"{_GEO_DOT_SPLIT_LIT}, '$1$2'))"
     )
     z_tags = _GEO_Z_DEFAULT.split(":")
     zs = (
         "transform(filter(f.subfields, sf -> sf.code = 'z'), "
-        "sf -> regexp_replace(sf.value, '\\\\. *\\\\Z', ''))"
+        f"sf -> regexp_replace(sf.value, {_GEO_TRAIL_DOT_LIT}, ''))"
     )
     z_body = (
         "CASE WHEN size(zs) = 2 THEN array(concat(zs[1], ' (', zs[0], "
@@ -714,7 +723,7 @@ def marc_geo_facet(
         return let(
             F.transform(
                 F.filter(f["subfields"], lambda sf: sf["code"] == "z"),
-                lambda sf: F.regexp_replace(sf["value"], r"\. *\Z", ""),
+                lambda sf: F.regexp_replace(sf["value"], _GEO_TRAIL_DOT_RX, ""),
             ),
             lambda zs: F.when(
                 F.size(zs) == 2,
@@ -738,14 +747,11 @@ def marc_geo_facet(
     def macro(acc: Column, ctx=None) -> Column:
         src = getattr(ctx, "_pipeline", None)
         src_col = getattr(src, "source_col", None) if src else None
-        from traject_spark.sqlutil import default_lexer_active
-
-        if (
-            probe_sql is not None
-            and src_col
-            and _ident_safe(src_col)
-            and default_lexer_active()
-        ):
+        # no lexer gate: the compiled SQL renders every regex/text
+        # literal via sql_str_lit, so it parses identically under both
+        # string-lexer modes (pinned by
+        # test_compiled_sql_texts_are_lexer_independent)
+        if probe_sql is not None and src_col and _ident_safe(src_col):
             return F.array_distinct(
                 F.concat(acc, F.expr(_geo_sql(f"`{src_col}`", probe_sql)))
             )
@@ -755,7 +761,7 @@ def marc_geo_facet(
                 F.transform(
                     codes,
                     lambda c: tmap.lookup_expr(
-                        F.regexp_replace(c, r"\-+\Z", "")
+                        F.regexp_replace(c, _GEO_HYPHEN_RX, "")
                     ),
                 ),
                 lambda x: x.isNotNull(),

@@ -76,12 +76,13 @@ def sql_str_lit(s: str) -> str:
 
 def default_lexer_active() -> bool:
     """True when the active session parses string literals with the
-    DEFAULT lexer. The generated-SQL fast paths embed regex literals
-    (``'\\\\-+\\\\Z'`` etc.) whose meaning changes under
-    spark.sql.parser.escapedStringLiterals=true; rather than chr()-
-    encode every regex byte, the fast-path gates call this and fall
-    back to the Column builders (lexer-independent, same semantics —
-    the parity tests pin that) when a deployment flips the mode."""
+    DEFAULT lexer (spark.sql.parser.escapedStringLiterals unset/false).
+
+    Since round 13 the generated-SQL fast paths render EVERY embedded
+    literal — regexes included — through :func:`sql_str_lit`, so their
+    compiled text is lexer-independent and no longer gates on this.
+    Kept as a public probe for user code that embeds its own literals
+    (e.g. custom translation-map SQL)."""
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
