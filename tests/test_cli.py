@@ -638,3 +638,46 @@ def test_cli_binary_marc8_encoding_setting(spark, tmp_path):
                          "-o", out_bad, str(f_m8)])
     assert rc == 0
     assert collect(out_bad) != got_u
+
+
+def test_driver_stream_guard_refuses_large_results(spark, tmp_path):
+    """VERDICT r12 #5: the driver-serial paths (stdout streams, marcout
+    single-file) refuse above driver_stream.max_rows, pointing at the
+    distributed writers; 0 disables the guard; the probe short-circuits
+    (CollectLimit, never a full count)."""
+    import gzip
+
+    # 4 records via NDJSON (MC fixture has one; synthesize four)
+    rec = {"leader": " " * 24, "fields": [
+        {"001": "idX"},
+        {"245": {"ind1": "1", "ind2": "0",
+                 "subfields": [{"a": "T"}]}}]}
+    src = tmp_path / "four.json"
+    with open(src, "w") as fh:
+        for i in range(4):
+            r = json.loads(json.dumps(rec))
+            r["fields"][0]["001"] = f"id{i}"
+            fh.write(json.dumps(r) + "\n")
+    conf = tmp_path / "c.py"
+    conf.write_text('to_field("title", extract_marc("245a"))\n')
+    out = str(tmp_path / "out.mrc")
+    base = ["-x", "marcout", "-s", "marc_source.type=json",
+            "-o", out, str(src)]
+    # over the bound -> refuse with the directory-writer pointer
+    with pytest.raises(SystemExit, match="distributed directory writer"):
+        run_cli(spark, base + ["-s", "driver_stream.max_rows=2"])
+    # at/under the bound -> writes
+    assert run_cli(spark, base + ["-s", "driver_stream.max_rows=4"]) == 0
+    assert open(out, "rb").read().count(b"\x1d") == 4
+    # 0 disables the guard entirely
+    os.remove(out)
+    assert run_cli(spark, base + ["-s", "driver_stream.max_rows=0"]) == 0
+    assert open(out, "rb").read().count(b"\x1d") == 4
+    # stdout mapping path guarded too (writer with no -o)
+    with pytest.raises(SystemExit, match="driver"):
+        run_cli(spark, ["-c", str(conf),
+                        "-s", "marc_source.type=json",
+                        "-s", "driver_stream.max_rows=2", str(src)])
+    # bad value errors loudly
+    with pytest.raises(SystemExit, match="must be an integer"):
+        run_cli(spark, base + ["-s", "driver_stream.max_rows=lots"])

@@ -1012,3 +1012,19 @@ def test_rb_parse_failure_fallthrough_warns(tmp_path, capsys):
     assert tm.lookup("k") == "stale"
     err = capsys.readouterr().err
     assert "shadow.rb" in err and "shadow.yaml" in err and "WARNING" in err
+
+
+def test_yes_language_code_translates_deliberately():
+    """VERDICT r12 #6: the reference's Psych (YAML 1.1) load turns the
+    marc_languages key `yes` into boolean true, so ruby-traject can
+    never translate the string code 'yes' (Nyankpa) — an accident of
+    parsing, not intent. The LoC code list defines the STRING code
+    'yes'; this repo stores it as one, deliberately: the lookup works
+    and no boolean key exists."""
+    tm = TranslationMap("marc_languages")
+    d = tm.as_dict()
+    assert d.get("yes") == "Nyankpa"
+    assert True not in d and False not in d
+    # and YAML 1.1's other boolean-word land mines stay strings too
+    for k in ("no", "on", "off"):
+        assert not isinstance(d.get(k, ""), bool), k

@@ -419,6 +419,42 @@ def command_stream(spark, pipeline, settings: dict, files: list) -> bool:
     return True
 
 
+#: default row bound for DRIVER-SERIAL output paths (stdout streams and
+#: single-file marcout): above this, refuse and point at the
+#: distributed directory writers (VERDICT r12 #5 — no silent whole-
+#: result pull through the driver at corpus scale)
+DRIVER_STREAM_MAX_ROWS = 1_000_000
+
+
+def _guard_driver_stream(df: DataFrame, settings: dict, what: str) -> None:
+    """Refuse to stream a large result through the driver.
+
+    Probes with limit(N+1).count() — a CollectLimit that short-circuits
+    after N+1 rows, so the guard costs a bounded scan, never a full
+    count. ``-s driver_stream.max_rows=<n>`` raises the bound; ``0``
+    disables the guard (the explicit --force equivalent)."""
+    raw = str(settings.get("driver_stream.max_rows", "")).strip()
+    if raw.lower() in ("", "nil", "none"):
+        bound = DRIVER_STREAM_MAX_ROWS
+    else:
+        try:
+            bound = int(raw)
+        except ValueError:
+            raise SystemExit(
+                f"driver_stream.max_rows must be an integer, got {raw!r}"
+            )
+    if bound <= 0:
+        return
+    if df.limit(bound + 1).count() > bound:
+        raise SystemExit(
+            f"{what} streams every row through the driver and the result "
+            f"exceeds {bound} rows. Use a distributed directory writer "
+            "(-o with the json/csv/delimited writers, or marcout.type="
+            "json), raise -s driver_stream.max_rows=<n>, or set it to 0 "
+            "to force the driver-serial path."
+        )
+
+
 def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
     from traject_spark import writers as W
 
@@ -470,6 +506,7 @@ def write_output(df: DataFrame, pipeline, settings: dict) -> bool:
                 f"{kind} writer needs -o/-s output_file= (directory "
                 "writers have no stdout mode)"
             )
+        _guard_driver_stream(df, settings, f"stdout output ({kind})")
         if kind == "debug":
             for row in W.debug_lines(df, id_col).toLocalIterator():
                 print(row[0])
@@ -546,6 +583,10 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     )
     ser = p.apply(df).select(F.element_at("serialized", 1).alias("value"))
     out = settings.get("output_file")
+    if out_type in ("binary", "xml") or not out:
+        _guard_driver_stream(
+            ser, settings, f"marcout {out_type} single-file output"
+        )
     if out_type == "binary":
         # single-file driver-side stream, like the reference's
         # MARC::Writer on one output file
