@@ -29,6 +29,9 @@ from traject_spark.corpus import (
     langid_expr,
     lsh_topk,
     ngram_jaccard_pairs,
+    gopher_quality_expr,
+    langid_ngram_expr,
+    max_token_ratio_expr,
     quality_score_expr,
     stopword_ratio_expr,
     token_count_expr,
@@ -509,6 +512,51 @@ def q_text_quality(spark, sf_dir):
 def q_text_langid(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", langid_expr(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher §A1.1 quality components (textstats.gopher_quality_expr),
+    struct expanded to columns for the hash compare. Also carries the
+    r12-era stopword_ratio/quality/n_tokens columns so the rotated-out
+    text_quality and text_token_fingerprint rows stay subsumed in-window
+    (rotation policy, docs/extending.md)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        # min_stopword_hits=1: the synthetic vocab carries a single
+        # Gopher stopword, so the paper value of 2 would make this
+        # row degenerate (all-False passes)
+        gopher_quality_expr(F.col("text"), min_stopword_hits=1).alias("g"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        stopword_ratio_expr(F.col("text")).alias("stopword_ratio"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        max_token_ratio_expr(F.col("text")).alias("max_token_ratio"),
+    ).select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_length").alias("mean_word_length"),
+        F.col("g.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("g.alpha_word_ratio").alias("alpha_word_ratio"),
+        F.col("g.bullet_line_fraction").alias("bullet_line_fraction"),
+        F.col("g.ellipsis_line_fraction").alias("ellipsis_line_fraction"),
+        F.col("g.stopword_hits").alias("stopword_hits"),
+        F.col("g.passes").alias("passes"),
+        "n_tokens",
+        "stopword_ratio",
+        "quality",
+        "max_token_ratio",
+    )
+
+
+def q_text_langid_ngram(spark, sf_dir):
+    """Character-trigram language ID over the generated 28-language
+    profile table (textstats.langid_ngram_expr); the DuckDB twin is
+    rendered from the SAME profile table (_sql_text_langid_ngram)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        langid_ngram_expr(F.col("text")).alias("lang_ngram"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
     )
 
 
@@ -1265,8 +1313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "marc_serialize_binary": q_marc_serialize_binary,
         "xml_extract": q_xml_extract,
-        "text_token_fingerprint": q_text_token_fingerprint,
-        "text_quality": q_text_quality,
+        # r13: text_token_fingerprint + text_quality rotated out (their
+        # expression paths ride inside these two rows; full compares
+        # preserved in rotated_out())
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_langid_ngram": q_text_langid_ngram,
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_adjacent": q_dedup_jaccard_adjacent,
@@ -1448,6 +1499,113 @@ _SQL_SESSIONIZE = """
       count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, sess"""
+
+
+def _sql_text_gopher() -> str:
+    """DuckDB twin of textstats.gopher_quality_expr (+ the carried
+    r12-era columns): every component recomputed from the same
+    definitions — non-empty space tokens, ASCII-whitespace semantics,
+    4dp rounds, gates on the ROUNDED values (exactly what the Spark
+    struct gates on)."""
+    stop7 = "'the','a','of','and','to','in','is'"
+    gstop = "'the','be','to','of','and','that','have','with'"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+            string_split(text, chr(10)) AS ls
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text, toks, ws, ls,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            round(CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+              AS DOUBLE) / greatest(len(ws), 1), 4) AS mean_word_length,
+            round((
+              (len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '…', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3
+            ) / greatest(len(ws), 1), 4) AS symbol_word_ratio,
+            round(CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{{L}}')))
+              AS DOUBLE) / greatest(len(ws), 1), 4) AS alpha_word_ratio,
+            round(CAST(len(list_filter(ls,
+              l -> regexp_matches(ltrim(l), '^[•\\-\\*]'))) AS DOUBLE)
+              / greatest(len(ls), 1), 4) AS bullet_line_fraction,
+            round(CAST(len(list_filter(ls,
+              l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+              / greatest(len(ls), 1), 4) AS ellipsis_line_fraction,
+            CAST(len(list_filter(list_distinct(toks),
+              x -> x IN ({gstop}))) AS BIGINT) AS stopword_hits,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            round(CAST(len(list_filter(toks, x -> x IN ({stop7})))
+              AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio,
+            round(CAST(coalesce((SELECT max(cnt) FROM (
+              SELECT count(*) AS cnt FROM unnest(ws) AS u(w) GROUP BY w
+            )), 0) AS DOUBLE) / greatest(len(ws), 1), 4) AS max_token_ratio
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_length, symbol_word_ratio,
+          alpha_word_ratio, bullet_line_fraction, ellipsis_line_fraction,
+          stopword_hits,
+          (n_words BETWEEN 50 AND 100000
+           AND mean_word_length BETWEEN 3 AND 10
+           AND symbol_word_ratio <= 0.1
+           AND alpha_word_ratio >= 0.8
+           AND bullet_line_fraction <= 0.9
+           AND ellipsis_line_fraction <= 0.3
+           AND stopword_hits >= 1) AS passes,
+          n_tokens, stopword_ratio,
+          round(
+            (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0.5 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6
+                 THEN 0.5 ELSE 0.0 END), 4) AS quality,
+          max_token_ratio
+        FROM c"""
+
+
+def _sql_text_langid_ngram() -> str:
+    """DuckDB twin of textstats.langid_ngram_expr, rendered from the
+    SAME generated profile table (corpus/langid_data.py) — score per
+    language, greatest wins, ties to the alphabetically-first code."""
+    from traject_spark.corpus.langid_data import LANGID_PROFILES
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    langs = sorted(LANGID_PROFILES)
+    scores = ",\n            ".join(
+        f"len(list_filter(grams, g -> g IN ("
+        + ", ".join(lit(g) for g in LANGID_PROFILES[lang])
+        + f"))) AS s_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    picks = "\n               ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH nt AS (
+          SELECT doc_id, text,
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, text,
+            CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))
+              ELSE [] END AS grams
+          FROM nt
+        ), s AS (
+          SELECT doc_id, text,
+            {scores}
+          FROM g
+        )
+        SELECT doc_id,
+          CASE WHEN {mx} = 0 THEN 'und'
+               {picks}
+               END AS lang_ngram,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            AS fingerprint
+        FROM s"""
 
 
 def _sql_grams(n: int) -> str:
@@ -1718,31 +1876,8 @@ def oracle_sql() -> dict[str, str]:
               {SQL_XML_NAME_PARTS} AS name_parts,
               {SQL_XML_NAME_JOINED} AS name_joined
             FROM documents""",
-        "text_token_fingerprint": r"""
-            SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-            FROM documents""",
-        "text_quality": """
-            WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), r AS (
-              SELECT doc_id,
-                CAST(len(list_filter(toks,
-                  x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
-                  AS n_stop,
-                CAST(greatest(len(toks), 1) AS BIGINT) AS n_tok,
-                len(toks) AS raw_tok
-              FROM t
-            )
-            SELECT doc_id,
-              round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
-              round(
-                (CASE WHEN raw_tok BETWEEN 50 AND 100000 THEN 0.5 ELSE 0.0 END)
-                + (CASE WHEN round(CAST(n_stop AS DOUBLE)/n_tok, 4)
-                     BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END), 4)
-                AS quality
-            FROM r""",
+        "text_gopher_quality": _sql_text_gopher(),
+        "text_langid_ngram": _sql_text_langid_ngram(),
         "text_langid": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1979,5 +2114,45 @@ def rotated_out() -> dict:
                    WHEN doc_id % 3 = 0 THEN {_SQL_INSTR_NAME} || '|Trombone'
                    ELSE {_SQL_INSTR_NAME} END AS instrument
             FROM documents""",
+        ),
+        # r13: slot handed to text_gopher_quality/text_langid_ngram.
+        # Subsumption: token_count_expr + fingerprint_expr both ride
+        # inside the in-window text_langid_ngram row (same compiled
+        # expressions, same aliases), and fingerprint_expr is also the
+        # dedup_exact group key
+        "text_token_fingerprint": (
+            q_text_token_fingerprint,
+            r"""
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents""",
+        ),
+        # r13: stopword_ratio_expr + quality_score_expr ride inside the
+        # in-window text_gopher_quality row (same compiled expressions,
+        # same aliases) — this keeps the r12-era two-gate score fully
+        # compared here too
+        "text_quality": (
+            q_text_quality,
+            """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), r AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                  AS n_stop,
+                CAST(greatest(len(toks), 1) AS BIGINT) AS n_tok,
+                len(toks) AS raw_tok
+              FROM t
+            )
+            SELECT doc_id,
+              round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+              round(
+                (CASE WHEN raw_tok BETWEEN 50 AND 100000 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN round(CAST(n_stop AS DOUBLE)/n_tok, 4)
+                     BETWEEN 0.05 AND 0.6 THEN 0.5 ELSE 0.0 END), 4)
+                AS quality
+            FROM r""",
         ),
     }

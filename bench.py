@@ -706,6 +706,25 @@ def b_text_stats(spark):
     )
 
 
+def b_text_quality_filter(spark):
+    """The combined r13 training-data filter (VERDICT r12 #4): full
+    Gopher §A1.1 component struct + 28-language trigram langid in ONE
+    narrow select — the shape a 100 TB curation pass runs per document.
+    The langid argmax alone evaluates 28 InSet scans over ~300 grams
+    per row, so this lane is the honest cost of the credible filter
+    (vs the thin marker-word text_stats lane, kept for continuity)."""
+    from traject_spark.corpus import gopher_quality_expr, langid_ngram_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(
+        docs.select(
+            "doc_id",
+            gopher_quality_expr(F.col("text")).alias("g"),
+            langid_ngram_expr(F.col("text")).alias("lang"),
+        ).select("doc_id", "g.*", "lang")
+    )
+
+
 def b_embed_topk(spark):
     from traject_spark.corpus import brute_force_topk
 
@@ -949,6 +968,7 @@ BENCHES = {
     "dedup_simhash_witness": b_dedup_simhash_witness,
     "embed_near_dup_witness": b_embed_near_dup_witness,
     "text_stats": b_text_stats,
+    "text_quality_filter": b_text_quality_filter,
     "corpus_curate_e2e": b_corpus_curate,
     "corpus_curate_cluster": b_corpus_curate_cluster,
     "embed_topk": b_embed_topk,

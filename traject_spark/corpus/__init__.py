@@ -17,7 +17,17 @@ from traject_spark.corpus.textstats import (
     punct_ratio_expr,
     quality_score_expr,
     langid_expr,
+    langid_ngram_expr,
+    char_ngrams_expr,
     fingerprint_expr,
+    gopher_quality_expr,
+    mean_word_length_expr,
+    symbol_word_ratio_expr,
+    alpha_word_ratio_expr,
+    bullet_line_fraction_expr,
+    ellipsis_line_fraction_expr,
+    max_token_ratio_expr,
+    gopher_stopword_hits_expr,
 )
 from traject_spark.corpus.dedup import (
     apply_exact_dedup,
@@ -61,7 +71,17 @@ __all__ = [
     "punct_ratio_expr",
     "quality_score_expr",
     "langid_expr",
+    "langid_ngram_expr",
+    "char_ngrams_expr",
     "fingerprint_expr",
+    "gopher_quality_expr",
+    "mean_word_length_expr",
+    "symbol_word_ratio_expr",
+    "alpha_word_ratio_expr",
+    "bullet_line_fraction_expr",
+    "ellipsis_line_fraction_expr",
+    "max_token_ratio_expr",
+    "gopher_stopword_hits_expr",
     "apply_exact_dedup",
     "exact_dedup",
     "minhash_signature_expr",

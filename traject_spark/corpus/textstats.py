@@ -153,3 +153,289 @@ def fingerprint_expr(text: Column, normalize: bool = True) -> Column:
     if normalize:
         t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     return F.md5(t)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality components (round 13, VERDICT r12 #4)
+#
+# The component definitions follow Rae et al. 2021 (Gopher), §A1.1
+# "quality filtering" — the same gates DataTrove/Dolma ship. All pure
+# Column expressions with exact DuckDB twins; the combined struct is
+# oracle row `text_gopher_quality`.
+# ---------------------------------------------------------------------------
+
+#: Gopher's required-stopword list ("must contain ≥2 of"): the, be/to
+#: variants, of, and, that, have, with
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _nonempty_tokens(toks: Column) -> Column:
+    # split(' ') yields '' for runs of spaces; word stats exclude them
+    return F.filter(toks, lambda t: t != "")
+
+
+def mean_word_length_expr(text: Column) -> Column:
+    """Mean length of non-empty space tokens, 4dp (Gopher gate: 3..10)."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            _nonempty_tokens(tokens_expr(text)),
+            lambda ws: F.round(
+                F.aggregate(
+                    ws, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w),
+                )
+                / F.greatest(F.size(ws), F.lit(1)),
+                4,
+            ),
+        ),
+    )
+
+
+def symbol_word_ratio_expr(text: Column) -> Column:
+    """(# of '#' chars + # of '...' / '…' ellipses) per non-empty word,
+    4dp (Gopher gate: ≤ 0.1)."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            text,
+            lambda t: F.round(
+                (
+                    (F.length(t) - F.length(F.replace(t, F.lit("#"))))
+                    + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
+                    + (F.length(t) - F.length(F.replace(t, F.lit("..."))))
+                    / 3
+                )
+                / F.greatest(
+                    F.size(_nonempty_tokens(tokens_expr(t))), F.lit(1)
+                ),
+                4,
+            ),
+        ),
+    )
+
+
+def alpha_word_ratio_expr(text: Column) -> Column:
+    """Fraction of non-empty words containing at least one letter
+    (any script: \\p{L}), 4dp (Gopher gate: ≥ 0.8)."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            _nonempty_tokens(tokens_expr(text)),
+            lambda ws: F.round(
+                F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}")))
+                / F.greatest(F.size(ws), F.lit(1)),
+                4,
+            ),
+        ),
+    )
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def bullet_line_fraction_expr(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (•, -, *) after
+    left-trim, 4dp (Gopher gate: ≤ 0.9)."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            _lines(text),
+            lambda ls: F.round(
+                F.size(
+                    F.filter(
+                        ls,
+                        lambda l: F.ltrim(l).rlike(r"^[•\-\*]"),
+                    )
+                )
+                / F.greatest(F.size(ls), F.lit(1)),
+                4,
+            ),
+        ),
+    )
+
+
+def ellipsis_line_fraction_expr(text: Column) -> Column:
+    """Fraction of lines ending with an ellipsis ('...' or '…') after
+    right-trim, 4dp (Gopher gate: ≤ 0.3)."""
+    return F.when(
+        text.isNotNull(),
+        let(
+            _lines(text),
+            lambda ls: F.round(
+                F.size(
+                    F.filter(
+                        ls,
+                        lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+                    )
+                )
+                / F.greatest(F.size(ls), F.lit(1)),
+                4,
+            ),
+        ),
+    )
+
+
+def max_token_ratio_expr(text: Column) -> Column:
+    """Occurrences of the single most frequent non-empty token divided
+    by the token count, 4dp — the SQL-expressible analog of Gopher's
+    top-n-gram repetition fraction. Computed as the longest equal-run
+    over the SORTED token array (one O(n log n) sort + one linear
+    aggregate per row; never the quadratic distinct×count form, which
+    would be O(n²) on 100k-token documents)."""
+    run_state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return let(
+            run,
+            lambda r: F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(acc["best"], r).alias("best"),
+            ),
+        )
+
+    return F.when(
+        text.isNotNull(),
+        let(
+            F.array_sort(_nonempty_tokens(tokens_expr(text))),
+            lambda ws: F.round(
+                F.aggregate(ws, run_state, step, lambda acc: acc["best"])
+                / F.greatest(F.size(ws), F.lit(1)),
+                4,
+            ),
+        ),
+    )
+
+
+def gopher_stopword_hits_expr(text: Column) -> Column:
+    """How many DISTINCT Gopher stopwords appear (gate: ≥ 2)."""
+    return F.when(
+        text.isNotNull(),
+        F.size(
+            F.filter(
+                F.array_distinct(tokens_expr(text)),
+                lambda t: t.isin(GOPHER_STOPWORDS),
+            )
+        ).cast("long"),
+    )
+
+
+def gopher_quality_expr(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """All Gopher §A1.1 components as one struct plus the combined
+    ``passes`` verdict: token count in [min_tokens, max_tokens], mean
+    word length in [3, 10], symbol-word ratio ≤ 0.1, alpha-word ratio
+    ≥ 0.8, bullet-line fraction ≤ 0.9, ellipsis-line fraction ≤ 0.3,
+    ≥ ``min_stopword_hits`` distinct required stopwords (Gopher's
+    paper value is 2; DataTrove/Dolma expose it as a knob, kept here
+    for corpora whose register is stopword-poor). Each component is
+    independently usable; this struct is the oracle-pinned
+    composition."""
+    n = F.size(_nonempty_tokens(tokens_expr(text))).cast("long")
+    mwl = mean_word_length_expr(text)
+    swr = symbol_word_ratio_expr(text)
+    awr = alpha_word_ratio_expr(text)
+    blf = bullet_line_fraction_expr(text)
+    elf = ellipsis_line_fraction_expr(text)
+    sth = gopher_stopword_hits_expr(text)
+    passes = (
+        (n >= min_tokens) & (n <= max_tokens)
+        & (mwl >= 3) & (mwl <= 10)
+        & (swr <= 0.1)
+        & (awr >= 0.8)
+        & (blf <= 0.9)
+        & (elf <= 0.3)
+        & (sth >= min_stopword_hits)
+    )
+    return F.when(
+        text.isNotNull(),
+        F.struct(
+            n.alias("n_words"),
+            mwl.alias("mean_word_length"),
+            swr.alias("symbol_word_ratio"),
+            awr.alias("alpha_word_ratio"),
+            blf.alias("bullet_line_fraction"),
+            elf.alias("ellipsis_line_fraction"),
+            sth.alias("stopword_hits"),
+            passes.alias("passes"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# character-trigram language ID (round 13, VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+def _norm_for_grams(text: Column) -> Column:
+    # EXACTLY tools/gen_langid_profiles.py normalize(): lower + collapse
+    # ASCII whitespace + trim (Java \s is ASCII-only, matching the
+    # generator's explicit class)
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def char_ngrams_expr(text: Column, n: int = 3) -> Column:
+    """All overlapping character n-grams of the normalized text (lower,
+    whitespace-collapsed). One linear pass; empty array below n chars
+    (NEVER sequence(1, len-n+1) unguarded — Spark generates a DESCENDING
+    sequence when stop < start, yielding phantom grams)."""
+    return let(
+        _norm_for_grams(text),
+        lambda t: F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def langid_ngram_expr(text: Column, profiles: dict | None = None) -> Column:
+    """Character-trigram language guess over the generated profiles
+    (28 languages; ``traject_spark/corpus/langid_data.py``).
+
+    score(lang) = # of the document's trigrams that belong to the
+    language's profile (a set-membership InSet per gram — O(1) each,
+    one pass over the gram array per language, all JVM-side). The
+    argmax is one array_max over (score, -index, code) structs — ties
+    break toward the alphabetically-first code, 'und' when nothing
+    scores, NULL for NULL text. The marker-word ``langid_expr`` stays
+    as the 4-language fast heuristic; this is the credible path."""
+    if profiles is None:
+        from traject_spark.corpus.langid_data import LANGID_PROFILES
+
+        profiles = LANGID_PROFILES
+    langs = sorted(profiles)
+
+    def scored(grams: Column) -> Column:
+        entries = [
+            F.struct(
+                F.size(
+                    F.filter(grams, lambda g: g.isin(list(profiles[lang])))
+                ).cast("long").alias("score"),
+                F.lit(-i).alias("negrank"),
+                F.lit(lang).alias("code"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+        return let(
+            F.array_max(F.array(*entries)),
+            lambda best: F.when(best["score"] == 0, F.lit("und")).otherwise(
+                best["code"]
+            ),
+        )
+
+    return F.when(
+        text.isNotNull(), let(char_ngrams_expr(text), scored)
+    )
