@@ -1083,10 +1083,13 @@ def _compact_summary(payload: dict) -> str:
     that survives the driver's 2000-char tail. Carries the driver
     contract keys (metric/value/unit/queries/sf) plus the window stamp,
     calibrations, B1 raw+normalized, the flagship build cost, and
-    per-query [min, vs_lock] under 'minlock'. Precision and then the
-    minlock dict degrade if an unusually wide query set would overflow
-    the budget (the full-precision artifact is the preceding verbose
-    line + BENCH_full_last.json)."""
+    per-query [min, vs_lock] pairs under 'minlock' as a LIST aligned
+    with the 'queries' key order (r13: the dict form repeated every
+    query name and overflowed the budget at 30 lanes; consumers zip
+    with queries.keys() — tools/ab_bench.py handles both shapes).
+    Precision and then minlock degrade if an unusually wide query set
+    would overflow the budget (the full-precision artifact is the
+    preceding verbose line + BENCH_full_last.json)."""
     b1 = payload.get("b1") or {}
     vs_lock = payload.get("vs_lock") or {}
     mins = payload.get("min_queries") or {}
@@ -1115,10 +1118,13 @@ def _compact_summary(payload: dict) -> str:
             },
         }
         if with_minlock:
-            out["minlock"] = {
-                n: [round(v, ndigits), vs_lock.get(n)]
-                for n, v in mins.items()
-            }
+            out["minlock"] = [
+                [
+                    round(mins[n], ndigits) if n in mins else None,
+                    vs_lock.get(n),
+                ]
+                for n in out["queries"]
+            ]
         return out
 
     for ndigits, with_minlock in ((2, True), (1, True), (2, False)):

@@ -125,9 +125,11 @@ def test_compact_summary_fits_driver_tail_and_parses():
     assert parsed["cal"] == [1.71, 1.69]
     assert parsed["build_sec"] == 1.93
     assert parsed["b1_rps_raw"] == 70432.1
-    # per-query [min, vs_lock] pairs ride in 'minlock'
-    ml = parsed["minlock"]
-    assert set(ml) == set(bench.BENCHES)
+    # per-query [min, vs_lock] pairs ride in 'minlock' — r13: a list
+    # aligned with the queries key order (the dict form repeated every
+    # name and overflowed the 1900-char budget at 30 lanes)
+    ml = dict(zip(parsed["queries"], parsed["minlock"]))
+    assert set(bench.BENCHES) <= set(ml)
     got_min, got_ratio = ml["map_full_pipeline"]
     assert abs(got_min - 3.141 * 0.9) < 0.01
     assert got_ratio == 1.0

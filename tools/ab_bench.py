@@ -96,8 +96,12 @@ def main() -> None:
             # r11+ bench prints a compact summary LAST: mins live in
             # 'minlock' ([min, vs_lock] pairs) and calibrations in
             # 'cal'; older sides keep the verbose-line fields
+            ml = art.get("minlock")
+            if isinstance(ml, list):
+                # r13 compact shape: list aligned with queries key order
+                ml = dict(zip(art.get("queries", {}), ml))
             mins_art = art.get("min_queries") or {
-                n: mv[0] for n, mv in art.get("minlock", {}).items()
+                n: mv[0] for n, mv in (ml or {}).items()
             }
             if not mins_art:
                 # neither key present (a summary that shed minlock under
