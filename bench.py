@@ -1102,6 +1102,7 @@ def _compact_summary(payload: dict) -> str:
             "unit": "sec",
             "sf": payload.get("sf"),
             "window": payload.get("window"),
+            "w_margin": payload.get("window_margin"),
             "cal": [
                 (payload.get("calibration") or {}).get("start_sec"),
                 (payload.get("calibration") or {}).get("end_sec"),
@@ -1311,6 +1312,17 @@ def main() -> None:
     # final verdict includes the END calibration: a box that degraded
     # mid-run stamps 'ok-degrading' (mins are upper bounds vs locks)
     window = _window_status(cal_attempts, cal_end)
+    # measured distance to the qualification threshold (VERDICT r12
+    # what's-wrong #2): a 0.0005s miss reads the same as a genuinely
+    # slow box without it. Negative = the deciding calibration missed
+    # the threshold by that much; positive = cleared with that margin.
+    _threshold = WINDOW_DEGRADED_FACTOR * REFERENCE_CALIBRATION
+    _boundaries = ([cal_attempts[-1]] if cal_attempts else []) + (
+        [cal_end] if cal_end is not None else []
+    )
+    window_margin = (
+        round(_threshold - max(_boundaries), 4) if _boundaries else None
+    )
     # stall-excluded medians over the per-pass boundary probes — the
     # decision rule lives in _stall_flags/_stall_excluded (unit-tested);
     # B1 normalization shares the same baseline via _boundary_ref
@@ -1360,6 +1372,11 @@ def main() -> None:
                 # comparable to locks as recorded. 'degraded' means
                 # every attempt was slow: normalize before comparing.
                 "window": window,
+                # distance of the worst deciding boundary calibration to
+                # the threshold: negative = missed by this much (a
+                # -0.0005 marginal window is readable as such; r12's
+                # verdict could not distinguish it from a 3s stall)
+                "window_margin": window_margin,
                 # flagship driver-side compile cost, median-of-3 — a
                 # build regression is invisible in end-to-end wall time
                 # until it eats the B1 gate

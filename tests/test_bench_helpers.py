@@ -5,6 +5,10 @@ the stall math corrupts the judged artifact silently, so the pure parts
 are pinned here (importing bench creates two empty tmpdirs, cleaned at
 interpreter exit; it does NOT start Spark)."""
 
+import os
+
+import pytest
+
 import bench
 
 
@@ -348,3 +352,32 @@ def test_record_locks_full_record_refuses_scaleless_payload(tmp_path):
 
     with _pytest.raises(SystemExit, match="record-count scale"):
         rl.record({"window": "ok", "min_queries": {"q": 1.0}})
+
+
+def test_committed_official_artifact_window_ok():
+    """VERDICT r12 #2: the COMMITTED official bench artifact must have
+    qualified — commit 034bb79 shipped a window='degraded' artifact
+    under an 'ok-degrading' commit message, and stamps-vs-narrative
+    drift is exactly what the evidence chain exists to prevent. Reads
+    the HEAD version (not the working tree, which any local bench run
+    overwrites); refresh via tools/refresh_bench_artifact.py, which
+    refuses to install a non-ok run."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        ["git", "show", "HEAD:BENCH_full_last.json"],
+        cwd=repo, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip("no committed BENCH_full_last.json at HEAD")
+    payload = json.loads(proc.stdout)
+    assert payload.get("window") == "ok", (
+        payload.get("window"), payload.get("window_margin"),
+        "refresh with tools/refresh_bench_artifact.py on a quiet box",
+    )
+    # the OFFICIAL artifact is the sf0.1 run (BASELINE.md scale) — a
+    # dev-scale run committed by a broad `git add` must not squat the
+    # official slot (that is how r13 nearly re-created the r12 drift)
+    assert payload.get("sf") == 0.1, payload.get("sf")

@@ -1,0 +1,93 @@
+"""Refresh the OFFICIAL committed bench artifact (BENCH_full_last.json).
+
+VERDICT r12 "what's wrong" #1: the r12 committed artifact stamped
+``window: "degraded"`` while its commit message said "ok-degrading" —
+the evidence chain must not let narrative drift from the stamp. This
+tool is the one sanctioned way to refresh the artifact:
+
+- runs bench.py (or adopts --from-payload),
+- REFUSES to leave a non-"ok" artifact as the official one (the
+  degraded run stays on disk as BENCH_full_last.degraded.json for
+  forensics, and the previous official artifact is restored),
+- on success prints the exact stamp line to paste into the commit
+  message, so message text is derived from the stamp, never typed.
+
+tests/test_bench_helpers.py::test_committed_official_artifact_window_ok
+asserts the COMMITTED artifact qualifies, so a hand-committed degraded
+artifact fails the suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OFFICIAL = os.path.join(REPO, "BENCH_full_last.json")
+
+
+def stamp_line(payload: dict) -> str:
+    cal = payload.get("calibration") or {}
+    return (
+        f"bench artifact: window={payload.get('window')} "
+        f"margin={payload.get('window_margin')} "
+        f"cal=[{cal.get('start_sec')}, {cal.get('end_sec')}] "
+        f"total={payload.get('value')}s sf={payload.get('sf')}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--from-payload",
+        help="adopt an existing full payload instead of running bench.py",
+    )
+    args = ap.parse_args()
+    if args.from_payload:
+        with open(args.from_payload, "r", encoding="utf-8") as fh:
+            payload = json.load(fh)
+        if payload.get("window") != "ok":
+            raise SystemExit(
+                f"refusing: payload window={payload.get('window')!r} "
+                f"(margin {payload.get('window_margin')}) — the official "
+                "artifact must qualify; re-run on a quieter box"
+            )
+        if os.path.abspath(args.from_payload) != OFFICIAL:
+            shutil.copyfile(args.from_payload, OFFICIAL)
+        print(stamp_line(payload))
+        print(f"official artifact refreshed -> {OFFICIAL}")
+        return
+    backup = None
+    if os.path.exists(OFFICIAL):
+        backup = OFFICIAL + ".prev"
+        shutil.copyfile(OFFICIAL, backup)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO
+    ).returncode
+    if rc != 0:
+        raise SystemExit(f"bench.py exited {rc}; artifact not refreshed")
+    with open(OFFICIAL, "r", encoding="utf-8") as fh:
+        payload = json.load(fh)
+    if payload.get("window") != "ok":
+        # keep the failed run for forensics, restore the official slot
+        shutil.copyfile(OFFICIAL, OFFICIAL.replace(".json", ".degraded.json"))
+        if backup:
+            shutil.copyfile(backup, OFFICIAL)
+        raise SystemExit(
+            f"window={payload.get('window')!r} "
+            f"(margin {payload.get('window_margin')}): degraded run kept "
+            "as BENCH_full_last.degraded.json, previous official artifact "
+            "restored — re-run on a quieter box"
+        )
+    if backup:
+        os.remove(backup)
+    print(stamp_line(payload))
+    print(f"official artifact refreshed -> {OFFICIAL}")
+
+
+if __name__ == "__main__":
+    main()

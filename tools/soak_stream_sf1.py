@@ -1,20 +1,20 @@
 #!/usr/bin/env python
-"""sf1 soak of the watermark late-drop lane (VERDICT r11 next-round #6).
+"""sf1 soak of ALL THREE streaming lanes (VERDICT r12 next-round #7).
 
-``stream_late_data`` is oracle-green at sf0.1, but its spacer-batch
-construction (``__spark_entry__._late_arrival_dir``) leans on file
-mtimes and ``maxFilesPerTrigger=1`` — mechanics that could be
-sf-brittle. This soak replays the SAME query at 10x the events
-(1M rows) and asserts:
+r12 soaked `stream_late_data` at 10x; `stream_sessionize` and
+`stream_dedup_fingerprint` had only sf0.1 oracle coverage. This replays
+all three at sf1 (1M events, 50k docs) and asserts each against its
+OWN DuckDB twin (the same SQL the driver's correctness gate runs),
+with expected counts derived from the oracle — never hardcoded:
 
-A. the streamed result matches the DuckDB oracle twin row-for-row
-   (same drop rule: hour-window end must exceed the eviction watermark
-   advanced by the on-time bulk), i.e. the construction is not
-   sf-dependent;
-B. the drop is real and scales: kept-late row count < total late rows,
-   with the expected counts derived from the oracle, not hardcoded.
+A. stream_late_data: rows match the drop-rule twin; the drop is real
+   (0 < kept < total late rows).
+B. stream_sessionize: rows match the gaps-and-islands twin; session
+   merging is real (n_sessions < n_events).
+C. stream_dedup_fingerprint: rows match the DISTINCT-fingerprint twin;
+   the 10x replication guarantees duplicates, so kept < input rows.
 
-Writes BENCH_sf1_stream_r12.json, one JSON line, driver-artifact style.
+Writes BENCH_sf1_stream_r13.json, one JSON line, driver-artifact style.
 
 Usage:  python tools/soak_stream_sf1.py [--src /root/testdata/sf0.1]
 """
@@ -32,43 +32,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_sf1_events(spark, src: str, dst_dir: str) -> str:
-    """10x the events table with event_id shifted per replica (the same
-    key-shift scheme tools/scale_testdata.py uses); ts kept, so the
-    watermark landscape is the sf0.1 one at 10x density."""
+def build_sf1_table(spark, src: str, dst_dir: str, table: str,
+                    key: str) -> None:
+    """10x a table with its integer key shifted per replica (the same
+    key-shift scheme tools/scale_testdata.py uses); all other columns
+    kept, so the watermark/session/dup landscape is the sf0.1 one at
+    10x density."""
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{src}/events.parquet")
-    shift = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    out = os.path.join(dst_dir, "events.parquet")
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    shift = df.agg(F.max(key)).collect()[0][0] + 1
+    others = [c for c in df.columns if c != key]
     (
-        ev.select(
-            "*",
-            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_rep"),
+        df.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_rep")
         )
         .select(
-            (F.col("event_id") + F.col("_rep") * shift).alias("event_id"),
-            "ts", "user_id", "event_type", "value", "props",
+            (F.col(key) + F.col("_rep") * shift).alias(key), *others
         )
         .coalesce(8)
         .write.mode("overwrite")
-        .parquet(out)
+        .parquet(os.path.join(dst_dir, f"{table}.parquet"))
     )
-    return out
 
 
-def duck_rows(sf_dir: str, sql: str):
+def duck_con(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
-        if os.path.isdir(f"{sf_dir}/events.parquet")
-        else f"CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet')"
-    )
-    return con.execute(sql).fetchall()
+    for table in ("events", "documents"):
+        path = f"{sf_dir}/{table}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{src}')"
+        )
+    return con
 
 
 def canon(rows):
@@ -102,63 +100,80 @@ def main() -> None:
     )
     sf1_dir = tempfile.mkdtemp(prefix="sf1_stream_")
     t0 = time.time()
-    build_sf1_events(spark, args.src, sf1_dir)
+    build_sf1_table(spark, args.src, sf1_dir, "events", "event_id")
+    build_sf1_table(spark, args.src, sf1_dir, "documents", "doc_id")
     setup_sec = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    got = entry.queries()["stream_late_data"](spark, sf1_dir).collect()
-    stream_sec = round(time.time() - t0, 1)
+    con = duck_con(sf1_dir)
+    queries = entry.queries()
+    oracle = entry.oracle_sql()
+    payload = {
+        "metric": "sf1_stream_soak",
+        "sf": 1.0,
+        "setup_sec": setup_sec,
+        "events_rows": con.execute("SELECT count(*) FROM events").fetchone()[0],
+        "documents_rows": con.execute(
+            "SELECT count(*) FROM documents"
+        ).fetchone()[0],
+        "lanes": {},
+    }
+    failures = []
+    for lane in (
+        "stream_late_data", "stream_sessionize", "stream_dedup_fingerprint"
+    ):
+        t0 = time.time()
+        got = queries[lane](spark, sf1_dir).collect()
+        lane_sec = round(time.time() - t0, 1)
+        cols = got[0].__fields__ if got else []
+        spark_rows = canon([tuple(r[c] for c in cols) for r in got])
+        duck = canon(con.execute(oracle[lane]).fetchall())
+        ok = spark_rows == duck
+        payload["lanes"][lane] = {
+            "stream_sec": lane_sec,
+            "result_rows": len(spark_rows),
+            "oracle_rows": len(duck),
+            "rows_match_oracle": ok,
+        }
+        if not ok:
+            failures.append(lane)
 
-    oracle_sql = entry.oracle_sql()["stream_late_data"]
-    want = duck_rows(sf1_dir, oracle_sql)
-
-    spark_rows = canon(
-        [(r["hour_epoch"], r["event_type"], r["n_events"], r["total_value"])
-         for r in got]
-    )
-    duck = canon(want)
-    rows_match = spark_rows == duck
-
-    # the drop, derived from the oracle's own building blocks: total
-    # late rows vs late rows the drop rule keeps
-    [(late_total,)] = duck_rows(
-        sf1_dir, "SELECT count(*) FROM events WHERE event_id % 10 >= 8"
-    )
-    [(late_kept,)] = duck_rows(
-        sf1_dir,
+    # lane-specific reality checks, expected counts from the oracle
+    [(late_total,)] = con.execute(
+        "SELECT count(*) FROM events WHERE event_id % 10 >= 8"
+    ).fetchall()
+    [(late_kept,)] = con.execute(
         """WITH a AS (SELECT * FROM events WHERE event_id % 10 < 7),
             wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a)
            SELECT count(*) FROM events b, wm
            WHERE b.event_id % 10 >= 8
-             AND date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w""",
-    )
-    dropped = late_total - late_kept
+             AND date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w"""
+    ).fetchall()
+    payload["late_rows_total"] = late_total
+    payload["late_rows_kept"] = late_kept
+    payload["late_rows_dropped"] = late_total - late_kept
+    n_sessions = payload["lanes"]["stream_sessionize"]["result_rows"]
+    n_dedup = payload["lanes"]["stream_dedup_fingerprint"]["result_rows"]
 
-    payload = {
-        "metric": "sf1_stream_late_data",
-        "sf": 1.0,
-        "events_rows": 1_000_000,
-        "setup_sec": setup_sec,
-        "stream_sec": stream_sec,
-        "result_rows": len(spark_rows),
-        "oracle_rows": len(duck),
-        "rows_match_oracle": rows_match,
-        "late_rows_total": late_total,
-        "late_rows_kept": late_kept,
-        "late_rows_dropped": dropped,
-    }
     print(json.dumps(payload))
-    with open(os.path.join(REPO, "BENCH_sf1_stream_r12.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH_sf1_stream_r13.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
-    assert rows_match, "sf1 streamed result diverges from the DuckDB twin"
-    assert dropped > 0, "watermark dropped nothing at sf1 — lane is vacuous"
-    assert late_kept > 0, (
-        "watermark dropped ALL late rows at sf1 — drop rule off by an hour?"
+    assert not failures, f"sf1 lanes diverge from DuckDB twins: {failures}"
+    assert 0 < late_kept < late_total, (
+        "watermark drop vacuous or total at sf1", late_kept, late_total
+    )
+    assert 0 < n_sessions < payload["events_rows"], (
+        "sessionize produced no merging at sf1", n_sessions
+    )
+    assert 0 < n_dedup < payload["documents_rows"], (
+        "streaming dedup dropped nothing at sf1 (10x replication must "
+        "produce duplicates)", n_dedup
     )
     print(
-        f"SOAK OK: sf1 stream_late_data matches oracle "
-        f"({len(duck)} rows), dropped {dropped}/{late_total} late rows",
+        f"SOAK OK: 3/3 sf1 streaming lanes match their DuckDB twins "
+        f"(dropped {late_total - late_kept}/{late_total} late rows, "
+        f"{n_sessions} sessions, {n_dedup} distinct fingerprints of "
+        f"{payload['documents_rows']} docs)",
         file=sys.stderr,
     )
     spark.stop()
