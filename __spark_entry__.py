@@ -1477,19 +1477,30 @@ _SQL_NEAR_DUP = f"""
 # session_window oracle: classic gaps-and-islands over exact microsecond
 # timestamps (epoch_ns//1000 yields the same raw micros the engine reads;
 # a >= 30-min gap opens a new session, session end = last event + gap)
+# ORDER BY (us, event_id), not us alone: with duplicate (user_id, ts)
+# rows (the sf1 soak's 10x replication) a bare ORDER BY us leaves tie
+# order unspecified, and the lag window and the running SUM window each
+# pick their OWN tie permutation — the is_new=1 row can land mid-tie-
+# group in the sum's frame, splitting one session into two overlapping
+# ones (caught by tools/soak_stream_sf1.py r13: 352 vs 350 sessions).
+# The engine's session_window has no such sensitivity; the twin needs
+# the total order to be deterministic.
 _SQL_SESSIONIZE = """
     WITH e AS (
-      SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events
+      SELECT user_id, value, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events
     ), f AS (
-      SELECT user_id, value, us,
-        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      SELECT user_id, value, event_id, us,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id)
                   >= 1800000000
              THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
       SELECT user_id, value, us,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                           ROWS UNBOUNDED PRECEDING) AS sess
       FROM f
     )

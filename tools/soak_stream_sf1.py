@@ -33,11 +33,21 @@ sys.path.insert(0, REPO)
 
 
 def build_sf1_table(spark, src: str, dst_dir: str, table: str,
-                    key: str) -> None:
+                    key: str, n_files: int) -> None:
     """10x a table with its integer key shifted per replica (the same
     key-shift scheme tools/scale_testdata.py uses); all other columns
     kept, so the watermark/session/dup landscape is the sf0.1 one at
-    10x density."""
+    10x density.
+
+    ``n_files``: events MUST be one file — sf0.1's single file means
+    one availableNow micro-batch, the NO-DROP regime the sessionize
+    twin encodes (sessionize docs: stream==batch parity holds within
+    the watermark horizon only). A multi-file layout replays files in
+    arbitrary order across batches and the watermark legitimately
+    drops stragglers (observed: 8 files -> 4 sessions short at sf1);
+    the DROP regime has its own lane (stream_late_data), with ordered
+    batches and a drop-rule twin. Documents stay multi-file — the
+    dedup lane has no watermark and should exercise multi-file reads."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{src}/{table}.parquet")
@@ -50,7 +60,7 @@ def build_sf1_table(spark, src: str, dst_dir: str, table: str,
         .select(
             (F.col(key) + F.col("_rep") * shift).alias(key), *others
         )
-        .coalesce(8)
+        .coalesce(n_files)
         .write.mode("overwrite")
         .parquet(os.path.join(dst_dir, f"{table}.parquet"))
     )
@@ -100,8 +110,8 @@ def main() -> None:
     )
     sf1_dir = tempfile.mkdtemp(prefix="sf1_stream_")
     t0 = time.time()
-    build_sf1_table(spark, args.src, sf1_dir, "events", "event_id")
-    build_sf1_table(spark, args.src, sf1_dir, "documents", "doc_id")
+    build_sf1_table(spark, args.src, sf1_dir, "events", "event_id", n_files=1)
+    build_sf1_table(spark, args.src, sf1_dir, "documents", "doc_id", n_files=8)
     setup_sec = round(time.time() - t0, 1)
 
     con = duck_con(sf1_dir)
