@@ -426,6 +426,36 @@ def b_sink_solr(spark):
 
 
 _NDJSON_PATH: str | None = None
+_NDJSON_WARMUP_PATH: str | None = None
+
+
+def _ndjson_warmup_path(spark) -> str:
+    """A 20k-record NDJSON dump for the Python-worker warmup ONLY.
+
+    The warmup reads 20k rows; materializing the FULL corpus for it
+    cost 52 GB at sf10 (60M records) and was the first ENOSPC in the
+    r13 soak. Reuses the full dump when the ingest_ndjson lane already
+    built it."""
+    global _NDJSON_WARMUP_PATH
+    if _NDJSON_PATH is not None:
+        return _NDJSON_PATH
+    if _NDJSON_WARMUP_PATH is None:
+        from traject_spark import Pipeline
+        from traject_spark.macros import serialized_marc
+
+        out = Pipeline().to_field("json", serialized_marc("json")).apply(
+            synth_marc(spark).limit(20_000)
+        )
+        line = (
+            F.element_at(F.col("json"), 1)
+            if out.schema["json"].dataType.simpleString().startswith("array")
+            else F.col("json")
+        )
+        _NDJSON_WARMUP_PATH = _tmpdir("bench_ndjw_") + "/ndj"
+        out.select(line.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(_NDJSON_WARMUP_PATH)
+    return _NDJSON_WARMUP_PATH
 
 
 def _ndjson_path(spark) -> str:
@@ -1192,7 +1222,10 @@ def main() -> None:
     if selected_names & marc_benches:
         t0 = time.time()  # the marcxml/marc8 gates may have consumed it
         synth_marc(spark)  # untimed setup: materialize the synth corpus
-        _ndjson_path(spark)  # untimed setup: NDJSON twin for ingest
+        if "ingest_ndjson" in selected_names:
+            # the FULL NDJSON corpus is 52 GB at sf10 — only the lane
+            # that times it gets to build it (r13 ENOSPC)
+            _ndjson_path(spark)
         print(
             f"BENCH setup synth_marc+ndjson: {time.time() - t0:.1f}s",
             file=sys.stderr,
@@ -1212,9 +1245,9 @@ def main() -> None:
         # fork + import)
         from traject_spark.marc.io import read_marc_json
 
-        read_marc_json(spark, _ndjson_path(spark)).limit(20_000).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        read_marc_json(spark, _ndjson_warmup_path(spark)).limit(
+            20_000
+        ).write.mode("overwrite").format("noop").save()
         print(f"BENCH warmup: {time.time() - t0:.1f}s", file=sys.stderr)
     spark.range(100_000).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
         "overwrite"
