@@ -511,32 +511,45 @@ def _marc8_path(spark) -> str:
             )
 
             pid = TaskContext.get().partitionId()
-            path = os.path.join(out_dir, f"part-{pid:05d}.mrc")
-            with open(path, "wb") as fh:
-                for row in rows:
-                    rec = struct_json_to_record(row["j"])
-                    fh.write(
-                        to_iso2709(
-                            rec, allow_oversized=True, encoding="MARC-8"
-                        )
+            # roll a new file every FIXTURE_RECORDS_PER_FILE records
+            # instead of repartition()-ing to the file count: the
+            # repartition shuffled ~35 GB of JSON strings at sf10 and
+            # its spill was half of the phase-3 ENOSPC (r13)
+            seq, n, fh = 0, 0, None
+            for row in rows:
+                if fh is None or n >= FIXTURE_RECORDS_PER_FILE:
+                    if fh is not None:
+                        fh.close()
+                    path = os.path.join(
+                        out_dir, f"part-{pid:05d}-{seq:03d}.mrc"
                     )
+                    fh = open(path, "wb")
+                    seq, n = seq + 1, 0
+                rec = struct_json_to_record(row["j"])
+                fh.write(
+                    to_iso2709(rec, allow_oversized=True, encoding="MARC-8")
+                )
+                n += 1
+            if fh is not None:
+                fh.close()
 
         synth_marc(spark).select(
             F.to_json("marc").alias("j")
-        ).repartition(_ingest_fixture_files()).foreachPartition(write_part)
+        ).foreachPartition(write_part)
         _MARC8_PATH = out_dir
     return _MARC8_PATH
 
 
-def _ingest_fixture_files() -> int:
-    """File count for the serialized ingest fixtures: ~50k records per
-    file. Both whole-file readers hold one file's content per task
-    (binary as byte[], XML as a JVM string at 2 bytes/char), so at soak
-    scale a files-per-core split makes each file ~370 MB and 32
-    concurrent XML tasks OOM the shared 24g local-mode heap — the sf1
-    soak caught exactly that. Many smaller files is also the realistic
-    corpus shape; readers parallelize at file granularity either way."""
-    return max(CPUS, TARGET_RECORDS // 50_000)
+#: records per serialized ingest-fixture file: both whole-file readers
+#: hold one file's content per task (binary as byte[], XML as a JVM
+#: string at 2 bytes/char), so at soak scale big files OOM the shared
+#: 24g local-mode heap — the sf1 soak caught exactly that (~370 MB
+#: files). Writers ROLL files at this count per scan partition instead
+#: of repartition()-ing to a target file count: the repartition
+#: shuffled ~35 GB of JSON at sf10 and its spill drove an ENOSPC (r13).
+#: Many smaller files is also the realistic corpus shape; readers
+#: parallelize at file granularity either way.
+FIXTURE_RECORDS_PER_FILE = 50_000
 
 
 def b_ingest_iso2709_marc8(spark):
@@ -569,22 +582,36 @@ def _marcxml_path(spark) -> str:
             )
 
             pid = TaskContext.get().partitionId()
-            path = os.path.join(out_dir, f"part-{pid:05d}.xml")
-            with open(path, "w", encoding="utf-8") as fh:
-                fh.write('<collection xmlns="http://www.loc.gov/MARC21/slim">')
-                for row in rows:
-                    rec = struct_json_to_record(row["j"])
-                    # strip the per-record ns decl: the collection carries it
-                    fh.write(
-                        to_marcxml(rec).replace(
-                            ' xmlns="http://www.loc.gov/MARC21/slim"', "", 1
-                        )
+            # rolling files, no repartition — see the marc8 twin above
+            seq, n, fh = 0, 0, None
+            for row in rows:
+                if fh is None or n >= FIXTURE_RECORDS_PER_FILE:
+                    if fh is not None:
+                        fh.write("</collection>")
+                        fh.close()
+                    path = os.path.join(
+                        out_dir, f"part-{pid:05d}-{seq:03d}.xml"
                     )
+                    fh = open(path, "w", encoding="utf-8")
+                    fh.write(
+                        '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+                    )
+                    seq, n = seq + 1, 0
+                rec = struct_json_to_record(row["j"])
+                # strip the per-record ns decl: the collection carries it
+                fh.write(
+                    to_marcxml(rec).replace(
+                        ' xmlns="http://www.loc.gov/MARC21/slim"', "", 1
+                    )
+                )
+                n += 1
+            if fh is not None:
                 fh.write("</collection>")
+                fh.close()
 
         synth_marc(spark).select(
             F.to_json("marc").alias("j")
-        ).repartition(_ingest_fixture_files()).foreachPartition(write_part)
+        ).foreachPartition(write_part)
         _MARCXML_PATH = out_dir
     return _MARCXML_PATH
 
