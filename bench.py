@@ -581,8 +581,15 @@ def _marcxml_path(spark) -> str:
                 struct_json_to_record, to_marcxml,
             )
 
+            import gzip
+
             pid = TaskContext.get().partitionId()
-            # rolling files, no repartition — see the marc8 twin above
+            # rolling files, no repartition — see the marc8 twin above.
+            # GZIPPED: the uncompressed corpus is ~70 GB at sf10 (second
+            # ENOSPC, r13); .xml.gz is also the realistic corpus shape
+            # and Spark's wholetext source decompresses by extension, so
+            # the timed lane measures gunzip+DOM-parse end to end.
+            # compresslevel=1: fixture setup is untimed but not free
             seq, n, fh = 0, 0, None
             for row in rows:
                 if fh is None or n >= FIXTURE_RECORDS_PER_FILE:
@@ -590,9 +597,11 @@ def _marcxml_path(spark) -> str:
                         fh.write("</collection>")
                         fh.close()
                     path = os.path.join(
-                        out_dir, f"part-{pid:05d}-{seq:03d}.xml"
+                        out_dir, f"part-{pid:05d}-{seq:03d}.xml.gz"
                     )
-                    fh = open(path, "w", encoding="utf-8")
+                    fh = gzip.open(
+                        path, "wt", encoding="utf-8", compresslevel=1
+                    )
                     fh.write(
                         '<collection xmlns="http://www.loc.gov/MARC21/slim">'
                     )

@@ -100,6 +100,55 @@ def add_only(payload: dict) -> None:
     print(f"added locks for {sorted(added)} -> {LOCKS_PATH}")
 
 
+def update_named(payload: dict, names: list) -> None:
+    """Re-record ONLY the named queries (a lane whose DEFINITION
+    changed — e.g. ingest_marcxml moving to .xml.gz fixtures in r13 —
+    must not keep a lock measured on the old workload). Same window/
+    scale guards as add_only; provenance stamped per query."""
+    window = payload.get("window")
+    if window != "ok":
+        raise SystemExit(
+            f"refusing to update locks from a window={window!r} run"
+        )
+    mins = payload.get("min_queries") or {}
+    with open(LOCKS_PATH, "r", encoding="utf-8") as fh:
+        locks = json.load(fh)
+    pay_records = (payload.get("b1") or {}).get(
+        "records"
+    ) or payload.get("target_records")
+    if pay_records != locks.get("target_records"):
+        raise SystemExit(
+            f"refusing: payload records {pay_records} != locks "
+            f"target_records {locks.get('target_records')}"
+        )
+    if payload.get("sf") != locks.get("sf"):
+        raise SystemExit(
+            f"refusing: payload sf {payload.get('sf')!r} != locks sf "
+            f"{locks.get('sf')!r}"
+        )
+    existing = locks.setdefault("min_queries", {})
+    prov = locks.setdefault("added_locks", {})
+    for n in names:
+        if n not in existing:
+            raise SystemExit(f"{n} has no lock — use --add-only")
+        if n not in mins or mins[n] is None:
+            raise SystemExit(f"payload has no min for {n}")
+        old_v = existing[n]
+        existing[n] = round(mins[n], 3)
+        prov[n] = {
+            "commit": _git_head(),
+            "start_cal_sec": (
+                payload.get("calibration") or {}
+            ).get("start_sec"),
+            "replaced": old_v,
+            "reason": "lane definition changed",
+        }
+        print(f"updated lock {n}: {old_v} -> {existing[n]}")
+    with open(LOCKS_PATH, "w", encoding="utf-8") as fh:
+        json.dump(locks, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+
+
 def record(payload: dict) -> None:
     window = payload.get("window")
     if window != "ok":
@@ -167,11 +216,22 @@ def main() -> None:
         help="merge only queries not yet in LOCKS.json (first lock for "
         "a new/rotated-in lane); existing locks untouched",
     )
+    ap.add_argument(
+        "--update",
+        help="comma-separated query names whose LANE DEFINITION changed: "
+        "re-record only those locks from the payload (explicit decision, "
+        "provenance stamped)",
+    )
     args = ap.parse_args()
     if args.from_payload:
         with open(args.from_payload, "r", encoding="utf-8") as fh:
             payload = json.load(fh)
-        add_only(payload) if args.add_only else record(payload)
+        if args.update:
+            update_named(payload, [s for s in args.update.split(",") if s])
+        elif args.add_only:
+            add_only(payload)
+        else:
+            record(payload)
         return
     rc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                         cwd=REPO).returncode
