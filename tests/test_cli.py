@@ -557,6 +557,86 @@ def test_cli_marcxml_strict_fails_fast(spark, tmp_path):
     assert acc.value == 1
 
 
+def test_marcxml_truncated_file_salvages_complete_records(spark, tmp_path):
+    """Streaming-parse salvage (r13 verdict #1): a file truncated midway
+    keeps the records whose elements closed before the error (like the
+    ISO-2709 reader's per-record recovery) and still counts the file in
+    the skipped_files accumulator."""
+    from traject_spark.marc.io import read_marcxml
+
+    good = (
+        "<record><leader>00000nam a2200000 a 4500</leader>"
+        '<controlfield tag="001">ok1</controlfield></record>'
+    )
+    bad = tmp_path / "trunc.xml"
+    bad.write_text(f"<collection>{good}<record><leader>trunc")
+    acc = spark.sparkContext.accumulator(0)
+    rows = read_marcxml(spark, str(bad), skipped_files=acc).collect()
+    assert [r["record_id"] for r in rows] == ["ok1"]
+    assert acc.value == 1
+    # strict still fails fast on the same file
+    with pytest.raises(Exception, match="malformed XML"):
+        read_marcxml(spark, str(bad), strict=True).collect()
+
+
+def test_marcxml_gzip_magic_byte_streaming(spark, tmp_path):
+    """read_marcxml sniffs gzip by magic bytes (binaryFile does not
+    decompress) — a RENAMED .gz still streams, and a corrupt gzip body
+    is a skip, not a task crash."""
+    import gzip
+
+    from traject_spark.marc.io import read_marcxml
+
+    body = (
+        '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+        "<record><leader>00000nam a2200000 a 4500</leader>"
+        '<controlfield tag="001">gz1</controlfield>'
+        '<datafield tag="245" ind1=" " ind2=" ">'
+        '<subfield code="a">T</subfield></datafield></record>'
+        "</collection>"
+    )
+    renamed = tmp_path / "looks_plain.xml"  # gz content, no .gz suffix
+    renamed.write_bytes(gzip.compress(body.encode()))
+    rows = read_marcxml(spark, str(renamed)).collect()
+    assert [r["record_id"] for r in rows] == ["gz1"]
+
+    corrupt = tmp_path / "corrupt.xml.gz"
+    corrupt.write_bytes(b"\x1f\x8b" + b"\x00" * 40)
+    acc = spark.sparkContext.accumulator(0)
+    assert read_marcxml(spark, str(corrupt), skipped_files=acc).collect() == []
+    assert acc.value == 1
+
+
+def test_iterparse_marcxml_oai_wrapper_and_encoding(tmp_path):
+    """iterparse keeps only innermost records through an OAI wrapper
+    (cleared inner element still suppresses the wrapper) and honors the
+    XML declaration's encoding instead of assuming UTF-8."""
+    import io
+
+    from traject_spark.marc.io import iterparse_marcxml
+
+    oai = (
+        '<OAI-PMH xmlns="urn:oai"><ListRecords><record><header/>'
+        '<metadata><record xmlns="http://www.loc.gov/MARC21/slim">'
+        "<leader>00000nam a2200000 a 4500</leader>"
+        '<controlfield tag="001">m1</controlfield>'
+        "</record></metadata></record></ListRecords></OAI-PMH>"
+    )
+    recs = list(iterparse_marcxml(io.BytesIO(oai.encode())))
+    assert len(recs) == 1
+    assert recs[0]["controlfields"] == [{"tag": "001", "value": "m1"}]
+
+    latin1 = (
+        '<?xml version="1.0" encoding="ISO-8859-1"?>'
+        "<collection><record><leader>00000nam a2200000 a 4500</leader>"
+        '<datafield tag="245" ind1=" " ind2=" ">'
+        '<subfield code="a">caf\xe9</subfield></datafield>'
+        "</record></collection>"
+    ).encode("latin-1")
+    recs = list(iterparse_marcxml(io.BytesIO(latin1)))
+    assert recs[0]["datafields"][0]["subfields"][0]["value"] == "caf\xe9"
+
+
 def test_cli_max_records_per_file_setting(spark, tmp_path):
     """-s output_file.max_records_per_file=N bounds records per output
     file on the CLI's file writers (the 100 TB sink-discipline knob)."""

@@ -10,7 +10,8 @@ this module only binds it to Spark sources.
   per-line rescue (ndj_reader.rb:30-34).
 - ``read_iso2709``: binary MARC (ISO 2709, public spec) via the
   binaryFile source + per-file stream split.
-- ``read_marcxml``: MARCXML via xml.etree over whole-file content;
+- ``read_marcxml``: MARCXML via streaming ``xml.etree`` iterparse over
+  raw file bytes (O(record) memory, transparent in-Python gunzip);
   record elements located namespace-agnostically.
 
 All three distribute at file granularity; for 100 TB ingest, store many
@@ -355,8 +356,42 @@ def read_iso2709(
 # MARCXML
 # ---------------------------------------------------------------------------
 
+def _record_el_to_dict(rec_el) -> dict:
+    """One complete MARCXML <record> element -> struct record dict.
+
+    Shared by the string parser (``parse_marcxml``) and the streaming
+    parser (``iterparse_marcxml``) so the two can never drift."""
+    leader = " " * 24
+    ctrl, data = [], []
+    for el in rec_el:
+        name = el.tag.rsplit("}", 1)[-1]
+        if name == "leader":
+            leader = el.text or " " * 24
+        elif name == "controlfield":
+            ctrl.append({"tag": el.get("tag"), "value": el.text or ""})
+        elif name == "datafield":
+            subfields = [
+                {"code": sf.get("code"), "value": sf.text or ""}
+                for sf in el
+                if sf.tag.rsplit("}", 1)[-1] == "subfield"
+            ]
+            data.append(
+                {
+                    "tag": el.get("tag"),
+                    "ind1": el.get("ind1", " "),
+                    "ind2": el.get("ind2", " "),
+                    "subfields": subfields,
+                }
+            )
+    return {"leader": leader, "controlfields": ctrl, "datafields": data}
+
+
 def parse_marcxml(text: str) -> list[dict]:
-    """Parse MARCXML (any namespace) into struct record dicts."""
+    """Parse a MARCXML *string* (any namespace) into struct record dicts.
+
+    Whole-string DOM parse — fine for the per-record round-trip /
+    golden-test callers this serves. The distributed reader path uses
+    :func:`iterparse_marcxml` (O(record) memory) instead."""
     import xml.etree.ElementTree as ET
 
     def local(el) -> str:
@@ -376,32 +411,40 @@ def parse_marcxml(text: str) -> list[dict]:
         for el in candidates
         if not any(local(d) == "record" for d in el.iter() if d is not el)
     ]
-    out = []
-    for rec_el in records:
-        leader = " " * 24
-        ctrl, data = [], []
-        for el in rec_el:
-            name = local(el)
-            if name == "leader":
-                leader = el.text or " " * 24
-            elif name == "controlfield":
-                ctrl.append({"tag": el.get("tag"), "value": el.text or ""})
-            elif name == "datafield":
-                subfields = [
-                    {"code": sf.get("code"), "value": sf.text or ""}
-                    for sf in el
-                    if local(sf) == "subfield"
-                ]
-                data.append(
-                    {
-                        "tag": el.get("tag"),
-                        "ind1": el.get("ind1", " "),
-                        "ind2": el.get("ind2", " "),
-                        "subfields": subfields,
-                    }
-                )
-        out.append({"leader": leader, "controlfields": ctrl, "datafields": data})
-    return out
+    return [_record_el_to_dict(el) for el in records]
+
+
+def iterparse_marcxml(stream) -> Iterator[dict]:
+    """Stream-parse MARCXML from a binary file-like object, yielding one
+    struct record dict per innermost <record> element.
+
+    O(record) task memory (r13 verdict #1): ``ET.iterparse`` end-events
+    only — each record element is converted as soon as it closes, then
+    ``.clear()``-ed. The innermost-only rule (OAI wrapper <record>
+    containing the MARC <record> must not emit a phantom empty record)
+    ports exactly because a cleared inner record element stays ATTACHED
+    to its wrapper: at the wrapper's own end event the one-pass
+    descendant scan still sees it and suppresses the wrapper. Cleared
+    elements accumulate under the collection root as empty shells
+    (tag + attrib dict, ~100 bytes each) — negligible next to the DOM
+    this replaces.
+
+    Encoding comes from the XML declaration (expat), not an assumed
+    UTF-8 — strictly more correct than the text-source read this
+    replaced. Raises ``ET.ParseError`` on malformed input; records
+    yielded before the error are valid (salvage semantics, like the
+    ISO-2709 reader's per-record recovery)."""
+    import xml.etree.ElementTree as ET
+
+    for _event, elem in ET.iterparse(stream, events=("end",)):
+        if elem.tag.rsplit("}", 1)[-1] == "record":
+            if not any(
+                d.tag.rsplit("}", 1)[-1] == "record"
+                for d in elem.iter()
+                if d is not elem
+            ):
+                yield _record_el_to_dict(elem)
+            elem.clear()
 
 
 def read_marcxml(
@@ -413,28 +456,39 @@ def read_marcxml(
 ) -> DataFrame:
     """MARCXML files -> struct records (marc_reader.rb xml branch :72-74).
 
-    Whole-file DOM parse per file, distributed at file granularity like
-    the reference's one-DOM-per-input NokogiriReader. Scale note: each
-    task holds one file's text as a JVM string (2 bytes/char) plus its
-    DOM — size input files so (concurrent tasks x file size) fits
-    executor memory; many smaller collection files parallelize better
-    anyway (output batches are bounded regardless, via batched_rows). By default a
-    malformed / truncated / empty file is SKIPPED: the other readers
-    degrade per-unit (NDJSON skips bad lines, ISO-2709 recovers per
-    record), and one bad file in a drop directory must not kill a
-    whole-corpus ingest. But a silent executor-side print is not a
-    driver-visible signal (the reference NokogiriReader fails FAST on a
-    bad document), so:
+    Stream-parsed (r13 verdict #1): the binaryFile source hands the task
+    one file's RAW bytes (for .gz inputs that is the ~10x-smaller
+    compressed payload — gunzip happens incrementally Python-side), and
+    :func:`iterparse_marcxml` converts each record as its element
+    closes. Task memory is O(compressed file bytes) + O(one record) —
+    the whole-file-DOM shape this replaced (JVM 2-byte/char string +
+    Python str + full ElementTree, ~5-10x file size) made 32 concurrent
+    multi-hundred-MB parses GC-pressure-sensitive and was the r13 bench
+    variance outlier. Distribution is still at file granularity (XML is
+    not splittable); many moderate files parallelize best, and output
+    batches stay bounded via batched_rows regardless of file size.
+
+    Error posture: by default a malformed / truncated / empty file is
+    skipped — but complete records parsed BEFORE the error are kept
+    (salvage, like the ISO-2709 reader's per-record recovery; the old
+    DOM reader dropped the whole file). One bad file in a drop directory
+    must not kill a whole-corpus ingest, yet a silent executor-side
+    print is not a driver-visible signal (the reference NokogiriReader
+    fails FAST on a bad document), so:
 
     - ``strict=True`` re-raises the parse error and fails the job —
       reference fail-fast parity.
     - ``skipped_files`` accepts a Spark ``Accumulator`` (e.g.
-      ``spark.sparkContext.accumulator(0)``); each skipped file adds 1,
-      so after an action the driver can warn or raise on a nonzero
-      count."""
-    files = spark.read.option("wholetext", True).text(paths)
+      ``spark.sparkContext.accumulator(0)``); each file that hit a parse
+      error adds 1, so after an action the driver can warn or raise on a
+      nonzero count."""
+    files = (
+        spark.read.format("binaryFile").load(paths).select("content")
+    )
 
     def parse(batches: Iterator) -> Iterator:
+        import gzip as _gzip
+        import io as _io
         import sys as _sys
         import xml.etree.ElementTree as _ET
 
@@ -449,26 +503,34 @@ def read_marcxml(
         # defaults 'marc' to float64 — Arrow cast crash).
         def rows():
             for pdf in batches:
-                for text in pdf["value"]:
+                for content in pdf["content"]:
+                    raw = bytes(content)
+                    stream = _io.BytesIO(raw)
+                    if raw[:2] == b"\x1f\x8b":
+                        # magic-byte sniff, not path suffix: binaryFile
+                        # does not decompress, and renamed .gz files
+                        # must still stream
+                        stream = _gzip.GzipFile(fileobj=stream)
                     try:
-                        parsed = list(parse_marcxml(text))
-                    except _ET.ParseError as e:
+                        for rec in iterparse_marcxml(stream):
+                            yield (_id_from(rec, id_tag), rec)
+                    except (_ET.ParseError, OSError, EOFError) as e:
+                        # OSError/EOFError: truncated or corrupt gzip
                         if strict:
                             raise ValueError(
                                 f"read_marcxml: malformed XML input "
-                                f"({e}; {len(text or '')} chars); "
+                                f"({e}; {len(raw)} bytes); "
                                 "pass strict=False to skip bad files"
                             ) from e
                         if skipped_files is not None:
                             skipped_files.add(1)
                         print(
-                            f"read_marcxml: skipping malformed XML input "
-                            f"({e}; {len(text or '')} chars)",
+                            f"read_marcxml: malformed XML input "
+                            f"({e}; {len(raw)} bytes); kept records "
+                            "parsed before the error, skipping the rest",
                             file=_sys.stderr,
                         )
                         continue
-                    for rec in parsed:
-                        yield (_id_from(rec, id_tag), rec)
 
         yield from batched_rows(
             rows(),
