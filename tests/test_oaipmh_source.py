@@ -156,3 +156,33 @@ def test_options_validation():
     with pytest.raises(ValueError, match="verb must be"):
         _OaiPmhStreamReader({"url": "http://x", "verb": "GetRecord"})
     assert OaiPmhDataSource.name() == "oaipmh"
+
+
+def test_stream_reader_selective_window(oai_url):
+    """from/until options (r13 verdict #2) ride the initial request only;
+    the token request stays token-only — asserted against the REAL HTTP
+    endpoint's observed query strings."""
+    _MockOai.queries = []
+    orig_do_get = _MockOai.do_GET
+
+    def do_GET(self):  # record full query dicts for this test
+        q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+        type(self).queries.append(q)
+        orig_do_get(self)
+
+    _MockOai.do_GET = do_GET
+    try:
+        r = _OaiPmhStreamReader(
+            {"url": oai_url, "from": "2024-01-01", "until": "2024-06-30"}
+        )
+        rows1, o1 = r.read(r.initialOffset())
+        assert [x[1] for x in list(rows1)] == ["oai:1", "oai:2"]
+        rows2, _ = r.read(o1)
+        assert [x[1] for x in list(rows2)] == ["oai:3"]
+        q1, q2 = _MockOai.queries[-2], _MockOai.queries[-1]
+        assert q1["from"] == ["2024-01-01"]
+        assert q1["until"] == ["2024-06-30"]
+        assert "from" not in q2 and "until" not in q2
+        assert q2["resumptionToken"] == ["tokA"]
+    finally:
+        _MockOai.do_GET = orig_do_get

@@ -206,6 +206,22 @@ class OaiPmhError(RuntimeError):
     restartable variant would durably commit the bogus done state."""
 
 
+def _effective_verb(base_url: str, verb: str) -> str:
+    """The verb actually in play: a query-bearing ``base_url`` (reference
+    ``oai_pmh.start_url`` parity — taken verbatim for page 1,
+    oai_pmh_nokogiri_reader.rb:12-17,53-60) may carry its own ``verb``,
+    which wins over the keyword default so record_tag and
+    resumptionToken parsing follow the URL, like the reference's
+    ``start_url_verb``."""
+    import urllib.parse
+
+    if "?" in base_url:
+        q = urllib.parse.parse_qs(urllib.parse.urlsplit(base_url).query)
+        if q.get("verb"):
+            return q["verb"][0]
+    return verb
+
+
 def _fetch_oai_page(
     fetch: Callable[[str], str],
     base_url: str,
@@ -214,23 +230,56 @@ def _fetch_oai_page(
     metadata_prefix: str,
     set_spec: Optional[str],
     record_tag: str,
+    from_date: Optional[str] = None,
+    until_date: Optional[str] = None,
+    extra_params: Optional[dict] = None,
 ) -> tuple[list[str], Optional[str]]:
     """Fetch + parse one OAI-PMH page -> (record XML strings, next token).
+
+    Selective-harvest args (r13 verdict #2): ``from_date`` /
+    ``until_date`` are OAI datestamps (``YYYY-MM-DD`` or full UTC
+    timestamp, server-granularity — passed verbatim as the protocol's
+    ``from``/``until``); ``extra_params`` is a raw passthrough dict for
+    anything else the endpoint understands. Per the protocol, ALL of
+    these ride ONLY on the initial request — a resumptionToken request
+    carries exclusively the verb + token (the token encodes the window).
+
+    ``base_url`` may carry its own query string (reference
+    ``oai_pmh.start_url`` parity): page 1 then fetches it VERBATIM and
+    token pages use the bare path + verb + token, exactly the
+    reference's ``resumption_url`` (oai_pmh_nokogiri_reader.rb:94-102).
 
     Raises :class:`OaiPmhError` on a protocol error element, and on a
     server that returns the SAME resumptionToken it was sent (the loop
     would otherwise refetch that page forever)."""
     import urllib.parse
 
-    params = {"verb": verb}
-    if token:
-        # token-only request per the protocol (reference :60-70)
-        params["resumptionToken"] = token
+    verb = _effective_verb(base_url, verb)
+    if "?" in base_url:
+        path = base_url.split("?", 1)[0]
+        if token:
+            url = path + "?" + urllib.parse.urlencode(
+                {"verb": verb, "resumptionToken": token}
+            )
+        else:
+            url = base_url  # start_url taken verbatim (reference parity)
     else:
-        params["metadataPrefix"] = metadata_prefix
-        if set_spec:
-            params["set"] = set_spec
-    page_xml = fetch(base_url + "?" + urllib.parse.urlencode(params))
+        params = {"verb": verb}
+        if token:
+            # token-only request per the protocol (reference :60-70)
+            params["resumptionToken"] = token
+        else:
+            params["metadataPrefix"] = metadata_prefix
+            if set_spec:
+                params["set"] = set_spec
+            if from_date:
+                params["from"] = from_date
+            if until_date:
+                params["until"] = until_date
+            if extra_params:
+                params.update(extra_params)
+        url = base_url + "?" + urllib.parse.urlencode(params)
+    page_xml = fetch(url)
     root = ET.fromstring(page_xml)
     # direct children only: a harvested record's METADATA may legally
     # contain an <error> element of some other vocabulary
@@ -279,6 +328,9 @@ def harvest_oai_pmh(
     verb: str = "ListRecords",
     fetch: Optional[Callable[[str], str]] = None,
     max_pages: Optional[int] = None,
+    from_date: Optional[str] = None,
+    until_date: Optional[str] = None,
+    extra_params: Optional[dict] = None,
 ) -> DataFrame:
     """Harvest an OAI-PMH endpoint into a DataFrame of record XML strings.
 
@@ -290,6 +342,14 @@ def harvest_oai_pmh(
     a protocol ``<error>`` response or a repeated token (see the class
     docstring for why this deviates from the reference's silent stop).
 
+    Selective (incremental) harvest: ``from_date``/``until_date`` are OAI
+    datestamps for the protocol's ``from``/``until`` window — THE nightly
+    production pattern — and ``extra_params`` passes anything else
+    verbatim; all ride only on the initial request (token requests are
+    token-only per the protocol). Alternatively pass a query-bearing
+    ``base_url`` and it is taken verbatim for page 1, reference
+    ``oai_pmh.start_url`` parity (see :func:`_fetch_oai_page`).
+
     MEMORY BOUND: this convenience variant accumulates the whole harvest
     in a driver-side list before ``createDataFrame`` — fine for tests and
     small-to-medium harvests (up to roughly ``max_pages`` x page size
@@ -298,14 +358,17 @@ def harvest_oai_pmh(
     to an append parquet sink and checkpoints the resumption token.
     """
     fetch = fetch or _default_fetch
-    record_tag = "record" if verb == "ListRecords" else "header"
+    record_tag = (
+        "record" if _effective_verb(base_url, verb) == "ListRecords"
+        else "header"
+    )
     records: list[str] = []
     token: Optional[str] = None
     pages = 0
     while True:
         page_records, token = _fetch_oai_page(
             fetch, base_url, verb, token, metadata_prefix, set_spec,
-            record_tag,
+            record_tag, from_date, until_date, extra_params,
         )
         records.extend(page_records)
         pages += 1
@@ -327,9 +390,23 @@ def harvest_oai_pmh_restartable(
     verb: str = "ListRecords",
     fetch: Optional[Callable[[str], str]] = None,
     max_pages: Optional[int] = None,
+    from_date: Optional[str] = None,
+    until_date: Optional[str] = None,
+    extra_params: Optional[dict] = None,
 ) -> DataFrame:
     """Restartable OAI-PMH harvest: resumption-token checkpointing in the
     Structured-Streaming mold (offset log + append sink).
+
+    Selective harvest (r13 verdict #2): ``from_date``/``until_date``/
+    ``extra_params`` scope the initial request exactly as in
+    :func:`harvest_oai_pmh`. The checkpoint additionally records the
+    request SIGNATURE (url/prefix/set/window): a resumptionToken only
+    means something relative to the request that minted it, so resuming
+    a checkpoint under a DIFFERENT window would silently continue the
+    old window while claiming the new one — that mismatch raises
+    loudly instead. One incremental window = one checkpoint_path; the
+    append ``output_path`` may be shared across windows (nightly
+    harvests accumulate into one corpus).
 
     The protocol is inherently sequential driver-side pagination
     (oai_pmh_nokogiri_reader.rb:72-99), but a 10M-record harvest must
@@ -348,23 +425,52 @@ def harvest_oai_pmh_restartable(
     import os
 
     fetch = fetch or _default_fetch
-    record_tag = "record" if verb == "ListRecords" else "header"
+    record_tag = (
+        "record" if _effective_verb(base_url, verb) == "ListRecords"
+        else "header"
+    )
     ckpt_file = os.path.join(checkpoint_path, "oai_offset.json")
     os.makedirs(checkpoint_path, exist_ok=True)
 
+    signature = {
+        "url": base_url, "prefix": metadata_prefix, "set": set_spec,
+        "verb": verb, "from": from_date, "until": until_date,
+        "extra": sorted((extra_params or {}).items()),
+    }
     token: Optional[str] = None
     page = 0
     done = False
     if os.path.exists(ckpt_file):
         with open(ckpt_file, "r", encoding="utf-8") as fh:
             state = _json.load(fh)
+        # older checkpoints (pre-signature) carry no request signature;
+        # treat them as matching rather than breaking an in-flight harvest
+        committed_sig = state.get("signature")
+        if committed_sig is not None and committed_sig != _json.loads(
+            _json.dumps(signature)
+        ):
+            raise OaiPmhError(
+                "checkpoint at "
+                f"{checkpoint_path!r} was committed for a different "
+                f"request (committed {committed_sig!r}, requested "
+                f"{signature!r}); a resumptionToken is only meaningful "
+                "for the request that minted it — use a fresh "
+                "checkpoint_path per harvest window"
+            )
         token, page = state["token"] or None, state["page"]
         done = state["token"] == ""
 
     def commit(tok: Optional[str], pg: int) -> None:
         tmp = ckpt_file + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump({"token": tok if tok is not None else "", "page": pg}, fh)
+            _json.dump(
+                {
+                    "token": tok if tok is not None else "",
+                    "page": pg,
+                    "signature": signature,
+                },
+                fh,
+            )
         os.replace(tmp, ckpt_file)  # atomic on POSIX
 
     pages_this_run = 0
@@ -375,7 +481,7 @@ def harvest_oai_pmh_restartable(
         # committed by a genuinely token-less successful page
         records, token = _fetch_oai_page(
             fetch, base_url, verb, token, metadata_prefix, set_spec,
-            record_tag,
+            record_tag, from_date, until_date, extra_params,
         )
         page += 1
         if records:

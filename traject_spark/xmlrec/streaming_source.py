@@ -46,10 +46,12 @@ Design notes (the scale story):
   for why this deviates from the reference reader,
   oai_pmh_nokogiri_reader.rb:72-99).
 
-Options: ``url`` (required), ``metadataPrefix`` (default ``oai_dc``),
-``set`` (optional setSpec), ``verb`` (``ListRecords`` default, or
-``ListIdentifiers``), ``maxPages`` (optional int cap, mostly for
-tests/smoke harvests).
+Options: ``url`` (required; may carry a verbatim query string —
+reference ``oai_pmh.start_url`` parity), ``metadataPrefix`` (default
+``oai_dc``), ``set`` (optional setSpec), ``verb`` (``ListRecords``
+default, or ``ListIdentifiers``), ``from``/``until`` (OAI datestamps —
+selective/incremental harvest window, initial request only), ``maxPages``
+(optional int cap, mostly for tests/smoke harvests).
 """
 
 from __future__ import annotations
@@ -113,8 +115,18 @@ class _Options:
             )
         mp = options.get("maxpages")
         self.max_pages = int(mp) if mp is not None else None
+        # selective harvest window (r13 verdict #2): OAI `from`/`until`
+        # datestamps, initial request only (token requests stay
+        # token-only); a query-bearing url is honored verbatim for page 1
+        # (reference oai_pmh.start_url parity) via _fetch_oai_page
+        self.from_date = options.get("from")
+        self.until_date = options.get("until")
+        from traject_spark.xmlrec.io import _effective_verb
+
         self.record_tag = (
-            "record" if self.verb == "ListRecords" else "header"
+            "record"
+            if _effective_verb(self.url, self.verb) == "ListRecords"
+            else "header"
         )
 
     def fetch_page(self, token: Optional[str]):
@@ -123,6 +135,7 @@ class _Options:
         return _fetch_oai_page(
             _default_fetch, self.url, self.verb, token,
             self.metadata_prefix, self.set_spec, self.record_tag,
+            self.from_date, self.until_date,
         )
 
 
