@@ -341,26 +341,69 @@ def gopher_quality_expr(
     paper value is 2; DataTrove/Dolma expose it as a knob, kept here
     for corpora whose register is stopword-poor). Each component is
     independently usable; this struct is the oracle-pinned
-    composition."""
-    n = F.size(_nonempty_tokens(tokens_expr(text))).cast("long")
-    mwl = mean_word_length_expr(text)
-    swr = symbol_word_ratio_expr(text)
-    awr = alpha_word_ratio_expr(text)
-    blf = bullet_line_fraction_expr(text)
-    elf = ellipsis_line_fraction_expr(text)
-    sth = gopher_stopword_hits_expr(text)
-    passes = (
-        (n >= min_tokens) & (n <= max_tokens)
-        & (mwl >= 3) & (mwl <= 10)
-        & (swr <= 0.1)
-        & (awr >= 0.8)
-        & (blf <= 0.9)
-        & (elf <= 0.3)
-        & (sth >= min_stopword_hits)
-    )
-    return F.when(
-        text.isNotNull(),
-        F.struct(
+    composition.
+
+    Constant-factor shape (r14): the struct tokenizes ONCE — the
+    non-empty token array and the line array are let-bound and shared
+    across components, where composing the standalone exprs re-split
+    the text five times and the lines twice per row. Values are
+    bit-identical to the standalone components (same expressions over
+    the same arrays), so the ``text_gopher_quality`` oracle hash is
+    unchanged."""
+    from traject_spark.expr import let2
+
+    def build(ws: Column, ls: Column) -> Column:
+        nws = F.greatest(F.size(ws), F.lit(1))
+        n = F.size(ws).cast("long")
+        mwl = F.round(
+            F.aggregate(
+                ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ) / nws,
+            4,
+        )
+        swr = F.round(
+            (
+                (F.length(text) - F.length(F.replace(text, F.lit("#"))))
+                + (F.length(text) - F.length(F.replace(text, F.lit("…"))))
+                + (F.length(text) - F.length(F.replace(text, F.lit("..."))))
+                / 3
+            )
+            / nws,
+            4,
+        )
+        awr = F.round(
+            F.size(F.filter(ws, lambda w: w.rlike(r"\p{L}"))) / nws, 4
+        )
+        nls = F.greatest(F.size(ls), F.lit(1))
+        blf = F.round(
+            F.size(F.filter(ls, lambda l: F.ltrim(l).rlike(r"^[•\-\*]")))
+            / nls,
+            4,
+        )
+        elf = F.round(
+            F.size(
+                F.filter(ls, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+            )
+            / nls,
+            4,
+        )
+        # distinct over ws, not raw tokens: the only member dropped is
+        # '' which is never a stopword, so the count is identical
+        sth = F.size(
+            F.filter(
+                F.array_distinct(ws), lambda t: t.isin(GOPHER_STOPWORDS)
+            )
+        ).cast("long")
+        passes = (
+            (n >= min_tokens) & (n <= max_tokens)
+            & (mwl >= 3) & (mwl <= 10)
+            & (swr <= 0.1)
+            & (awr >= 0.8)
+            & (blf <= 0.9)
+            & (elf <= 0.3)
+            & (sth >= min_stopword_hits)
+        )
+        return F.struct(
             n.alias("n_words"),
             mwl.alias("mean_word_length"),
             swr.alias("symbol_word_ratio"),
@@ -369,7 +412,11 @@ def gopher_quality_expr(
             elf.alias("ellipsis_line_fraction"),
             sth.alias("stopword_hits"),
             passes.alias("passes"),
-        ),
+        )
+
+    return F.when(
+        text.isNotNull(),
+        let2(_nonempty_tokens(tokens_expr(text)), _lines(text), build),
     )
 
 
@@ -411,14 +458,38 @@ def langid_ngram_expr(text: Column, profiles: dict | None = None) -> Column:
     argmax is one array_max over (score, -index, code) structs — ties
     break toward the alphabetically-first code, 'und' when nothing
     scores, NULL for NULL text. The marker-word ``langid_expr`` stays
-    as the 4-language fast heuristic; this is the credible path."""
+    as the 4-language fast heuristic; this is the credible path.
+
+    Constant-factor shape (r13 verdict #3): ONE union-of-all-profiles
+    InSet pass first discards the grams no language scores (for real
+    prose, the large majority), so the 28 per-language passes run over
+    the short survivor array — scores are bit-identical because a gram
+    in profile[lang] is in the union by construction. The single-pass
+    map<gram, lang-index> rewrite sketched in the r13 verdict was
+    built and A/B-measured SLOWER: Spark's element_at/GetMapValue on a
+    literal map is a LINEAR key scan (ArrayBasedMapData has no hash
+    index), so one "O(1) lookup" per gram is really up to ~1.1k string
+    compares, vs the InSet hashset's true O(1). Measured on the sf0.1
+    documents table (5k docs, langid column alone, min-of-3, identical
+    outputs verified): prefilter 2.14s vs 28-pass 3.06s vs map-lookup
+    9.9s, with gram construction alone a 1.83s floor — i.e. the
+    scoring stage is ~4x faster and the map sketch would have been a
+    ~7x scoring regression."""
     if profiles is None:
         from traject_spark.corpus.langid_data import LANGID_PROFILES
 
         profiles = LANGID_PROFILES
     langs = sorted(profiles)
+    union = sorted({g for p in profiles.values() for g in p})
 
-    def scored(grams: Column) -> Column:
+    def scored(all_grams: Column) -> Column:
+        # let-bound: the survivor array is computed ONCE, not re-filtered
+        # per language (28 uses of the raw filter expr would re-run it)
+        return let(
+            F.filter(all_grams, lambda g: g.isin(union)), _scored_langs
+        )
+
+    def _scored_langs(grams: Column) -> Column:
         entries = [
             F.struct(
                 F.size(
