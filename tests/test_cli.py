@@ -637,6 +637,41 @@ def test_iterparse_marcxml_oai_wrapper_and_encoding(tmp_path):
     assert recs[0]["datafields"][0]["subfields"][0]["value"] == "caf\xe9"
 
 
+def test_cli_marcout_preserve_eacc_roundtrip(spark, tmp_path):
+    """r13 verdict #5: a CJK-holding user passes
+    -s marc_source.encoding=MARC-8-preserve and an EACC-bearing binary
+    file survives read -> marcout binary BYTE-IDENTICALLY (the EACC
+    span parks on plane-15 PUA through the struct and re-encodes to
+    the original escape sequence on write; docs/settings.md example)."""
+    from tests.test_marc8 import _eacc_bytes
+    from traject_spark.marc.serialize import to_iso2709
+
+    title_m8 = b"Tokyo " + _eacc_bytes(3)
+    carrier = {
+        # leader/09 = ' ' (MARC-8), consistent with the MARC-8 bytes —
+        # the writer forces leader/09 to match what it writes
+        "leader": "00000cam  22000002 4500",
+        "controlfields": [{"tag": "001", "value": "eacc1"}],
+        "datafields": [
+            {"tag": "245", "ind1": "1", "ind2": "0",
+             "subfields": [
+                 {"code": "a", "value": title_m8.decode("latin-1")}
+             ]},
+        ],
+    }
+    raw = to_iso2709(carrier, encoding="latin-1")
+    src = tmp_path / "eacc.mrc"
+    src.write_bytes(raw)
+    out = str(tmp_path / "out.mrc")
+    rc = run_cli(
+        spark,
+        ["-x", "marcout", "-s", "marc_source.encoding=MARC-8-preserve",
+         "-o", out, str(src)],
+    )
+    assert rc == 0
+    assert open(out, "rb").read() == raw
+
+
 def test_cli_max_records_per_file_setting(spark, tmp_path):
     """-s output_file.max_records_per_file=N bounds records per output
     file on the CLI's file writers (the 100 TB sink-discipline knob)."""

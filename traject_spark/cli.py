@@ -577,9 +577,21 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     # marcout.allow_oversized: zero overflowing length slots instead of
     # raising (command_line.rb:119-123)
     oversized = str(settings.get("marcout.allow_oversized", "")).lower() == "true"
+    # marcout.encoding: binary OUTPUT encoding; defaults to the INPUT's
+    # marc_source.encoding so `read MARC-8 -> marcout binary` is
+    # bytes-in/bytes-out like the reference's MARC::Writer (which never
+    # transcodes), incl. MARC-8-preserve round-tripping EACC spans
+    # byte-identically (r13 verdict #5). Explicit marcout.encoding wins
+    # (e.g. read MARC-8, WRITE utf-8 as a transcode pass).
+    out_enc = str(
+        settings.get(
+            "marcout.encoding", settings.get("marc_source.encoding", "utf-8")
+        )
+    )
     df = read_input(spark, settings, files)
     p = Pipeline().to_field(
-        "serialized", serialized_marc(out_type, allow_oversized=oversized)
+        "serialized",
+        serialized_marc(out_type, allow_oversized=oversized, encoding=out_enc),
     )
     ser = p.apply(df).select(F.element_at("serialized", 1).alias("value"))
     out = settings.get("output_file")

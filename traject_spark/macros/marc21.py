@@ -137,6 +137,7 @@ def serialized_marc(
     format: str = "json",
     binary_escape: bool = True,
     allow_oversized: bool = False,
+    encoding: str = "utf-8",
 ):
     """Re-serialize the whole record (marc21.rb:174-198).
 
@@ -144,9 +145,13 @@ def serialized_marc(
     ISO 2709, base64-encoded by default (binary_escape);
     ``allow_oversized`` writes zeroed length slots for records/fields
     too long for ISO 2709's fixed-width directory instead of raising
-    (marc21.rb:181, MARC::Writer.encode). Row-level serialization runs
-    in an Arrow-batched pandas UDF over the record's JSON projection —
-    a sink-side path, not the hot mapping path.
+    (marc21.rb:181, MARC::Writer.encode). ``encoding`` (binary only)
+    selects the value byte encoding — any codec name or ``MARC-8`` /
+    ``MARC-8-preserve`` through the LoC converter with lossless NCR
+    fallback; leader/09 is forced to match the bytes written (see
+    :func:`traject_spark.marc.serialize.to_iso2709`). Row-level
+    serialization runs in an Arrow-batched pandas UDF over the record's
+    JSON projection — a sink-side path, not the hot mapping path.
     """
     from traject_spark.marc import serialize as ser
 
@@ -164,7 +169,7 @@ def serialized_marc(
                 return ser.to_marc_in_json(rec)
             if fmt == "xml":
                 return ser.to_marcxml(rec)
-            raw = ser.to_iso2709(rec, allow_oversized)
+            raw = ser.to_iso2709(rec, allow_oversized, encoding=encoding)
             if binary_escape:
                 # Ruby Base64.encode64 (marc21.rb:189) emits RFC-2045
                 # line-wrapped output: a newline every 60 chars AND a
