@@ -381,3 +381,57 @@ def test_committed_official_artifact_window_ok():
     # dev-scale run committed by a broad `git add` must not squat the
     # official slot (that is how r13 nearly re-created the r12 drift)
     assert payload.get("sf") == 0.1, payload.get("sf")
+
+
+def test_committed_notes_stamp_matches_committed_artifact():
+    """VERDICT r13 #6: the newest committed R*_NOTES.md must not quote a
+    superseded artifact. tools/refresh_bench_artifact.py maintains a
+    canonical stamp block in the notes; this test re-derives the stamp
+    from the COMMITTED artifact and asserts the committed notes' block
+    quotes exactly it. Notes predating the mechanism (no marker) skip —
+    but once a stamp exists it must match."""
+    import json
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def show(path):
+        proc = subprocess.run(
+            ["git", "show", f"HEAD:{path}"],
+            cwd=repo, capture_output=True, text=True,
+        )
+        return proc.stdout if proc.returncode == 0 else None
+
+    art = show("BENCH_full_last.json")
+    if art is None:
+        pytest.skip("no committed BENCH_full_last.json at HEAD")
+    ls = subprocess.run(
+        ["git", "ls-tree", "--name-only", "HEAD"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.splitlines()
+    notes_files = sorted(
+        (f for f in ls if re.fullmatch(r"R(\d+)_NOTES\.md", f)),
+        key=lambda f: int(re.match(r"R(\d+)", f).group(1)),
+    )
+    if not notes_files:
+        pytest.skip("no committed round notes at HEAD")
+    notes = show(notes_files[-1])
+    sys_path = os.path.join(repo, "tools")
+    import sys as _sys
+
+    _sys.path.insert(0, sys_path)
+    try:
+        from refresh_bench_artifact import NOTES_MARKER, stamp_line
+    finally:
+        _sys.path.remove(sys_path)
+    if NOTES_MARKER not in notes:
+        pytest.skip(
+            f"{notes_files[-1]} predates the notes-stamp mechanism"
+        )
+    expected = stamp_line(json.loads(art))
+    assert expected in notes.split(NOTES_MARKER, 1)[1], (
+        f"{notes_files[-1]} stamp block does not quote the committed "
+        f"artifact; expected line: {expected!r} — re-run "
+        "tools/refresh_bench_artifact.py and recommit"
+    )

@@ -40,6 +40,49 @@ def stamp_line(payload: dict) -> str:
     )
 
 
+NOTES_MARKER = "## Official artifact stamp"
+
+
+def sync_notes_stamp(payload: dict) -> str | None:
+    """Write the canonical stamp block into the newest R*_NOTES.md.
+
+    VERDICT r13 "what's wrong" #2: round notes quoting a SUPERSEDED
+    artifact's numbers recreate the narrative-drift class the stamp
+    test exists to prevent. So the refresh tool itself maintains the
+    one quotable perf section — the stamp block is always the FINAL
+    section of the notes (anything after a previous marker is replaced),
+    and tests/test_bench_helpers.py asserts the committed notes' stamp
+    matches the committed artifact. Returns the notes path updated, or
+    None when no R*_NOTES.md exists yet."""
+    import glob
+    import re
+
+    notes = sorted(
+        glob.glob(os.path.join(REPO, "R*_NOTES.md")),
+        key=lambda p: int(re.search(r"R(\d+)_NOTES", p).group(1)),
+    )
+    if not notes:
+        return None
+    path = notes[-1]
+    with open(path, "r", encoding="utf-8") as fh:
+        text = fh.read()
+    block = (
+        f"{NOTES_MARKER}\n\n"
+        "<!-- maintained by tools/refresh_bench_artifact.py; quote THESE\n"
+        "numbers in perf narrative — they are re-stamped on every\n"
+        "official refresh, so they can never describe a superseded\n"
+        "artifact -->\n"
+        f"{stamp_line(payload)}\n"
+    )
+    if NOTES_MARKER in text:
+        text = text.split(NOTES_MARKER)[0].rstrip() + "\n\n" + block
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    return path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -59,6 +102,9 @@ def main() -> None:
         if os.path.abspath(args.from_payload) != OFFICIAL:
             shutil.copyfile(args.from_payload, OFFICIAL)
         print(stamp_line(payload))
+        notes = sync_notes_stamp(payload)
+        if notes:
+            print(f"notes stamp synced -> {notes}")
         print(f"official artifact refreshed -> {OFFICIAL}")
         return
     backup = None
@@ -86,6 +132,9 @@ def main() -> None:
     if backup:
         os.remove(backup)
     print(stamp_line(payload))
+    notes = sync_notes_stamp(payload)
+    if notes:
+        print(f"notes stamp synced -> {notes}")
     print(f"official artifact refreshed -> {OFFICIAL}")
 
 
