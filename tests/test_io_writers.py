@@ -852,3 +852,90 @@ def test_file_writer_rejects_nonpositive_max_records(spark, tmp_path):
     for bad in (0, -1):
         with _pytest.raises(ValueError, match="max_records_per_file"):
             write_json(df, str(tmp_path / "out"), max_records_per_file=bad)
+
+
+# ---------------------------------------------------------------------------
+# ISO-2709 large-file byte-range splitting (r13 verdict #7)
+# ---------------------------------------------------------------------------
+
+def _mk_mrc(tmp_path, n=60, pad_every=0):
+    """A concatenated .mrc of n distinct records; optionally newline
+    padding between every pad_every-th pair (common vendor format)."""
+    from tests.fixtures import marc_record
+    from traject_spark.marc.serialize import to_iso2709
+
+    chunks = []
+    for i in range(n):
+        rec = marc_record(
+            controlfields=[("001", f"id{i:04d}")],
+            datafields=[("245", "1", "0", [("a", f"Title {i} " + "x" * (i % 37))])],
+        )
+        chunks.append(to_iso2709(rec))
+        if pad_every and i % pad_every == 0:
+            chunks.append(b"\r\n")
+    path = tmp_path / f"split_{n}_{pad_every}.mrc"
+    path.write_bytes(b"".join(chunks))
+    return path
+
+
+@pytest.mark.parametrize("pad_every", [0, 3])
+def test_iso2709_range_split_matches_whole_file(spark, tmp_path, pad_every):
+    """Byte-range splitting is invisible: for a spread of split sizes
+    (boundaries landing mid-record, on terminators, in padding) the
+    record set is IDENTICAL to the whole-file read — no drops, no
+    duplicates at any boundary."""
+    from traject_spark.marc.io import read_iso2709
+
+    path = _mk_mrc(tmp_path, n=60, pad_every=pad_every)
+    size = path.stat().st_size
+    baseline = sorted(
+        r["record_id"]
+        for r in read_iso2709(spark, str(path)).select("record_id").collect()
+    )
+    assert len(baseline) == 60 and len(set(baseline)) == 60
+    for split in [97, 301, 1024, size // 3, size - 1]:
+        got = sorted(
+            r["record_id"]
+            for r in read_iso2709(spark, str(path), split_bytes=split)
+            .select("record_id")
+            .collect()
+        )
+        assert got == baseline, f"split_bytes={split}"
+
+
+def test_iso2709_range_split_full_fields_and_plan(spark, tmp_path):
+    """Ranged read returns complete records (not just ids) and unions
+    with small files read on the untouched whole-file path."""
+    from traject_spark.marc.io import read_iso2709
+
+    big = _mk_mrc(tmp_path, n=40)
+    small = _mk_mrc(tmp_path, n=3)
+    df = read_iso2709(spark, [str(big), str(small)], split_bytes=500)
+    p = Pipeline().to_field("title", extract_marc("245a"))
+    collected = p.apply(df).collect()
+    # 40 + 3 rows total; ids 0-2 exist in BOTH files (small is a prefix
+    # twin), so 43 rows / 40 distinct ids proves both paths contributed
+    assert len(collected) == 43
+    rows = {r.record_id: r.title for r in collected}
+    assert len(rows) == 40
+    assert rows["id0007"][0].startswith("Title 7 ")
+
+
+def test_iso2709_unterminated_final_record_survives_split(spark, tmp_path):
+    """A vendor file missing its final record terminator still yields
+    that record from the file's LAST range (mid-file an unterminated
+    span is corrupt and drops, matching whole-file recovery)."""
+    from traject_spark.marc.io import read_iso2709
+
+    path = _mk_mrc(tmp_path, n=20)
+    raw = path.read_bytes()
+    assert raw.endswith(b"\x1d")
+    trunc = tmp_path / "unterminated.mrc"
+    trunc.write_bytes(raw[:-1])
+    got = sorted(
+        r["record_id"]
+        for r in read_iso2709(spark, str(trunc), split_bytes=400)
+        .select("record_id")
+        .collect()
+    )
+    assert got == [f"id{i:04d}" for i in range(20)]
