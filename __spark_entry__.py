@@ -560,6 +560,30 @@ def q_text_langid_ngram(spark, sf_dir):
     )
 
 
+def q_text_gopher_repetition(spark, sf_dir):
+    """Gopher §A1.2 repetition signals (textstats.gopher_repetition_expr):
+    dup line/paragraph fractions + char fractions + top-2/3/4-gram char
+    mass, struct expanded to columns for the hash compare. The 5-10-gram
+    duplicate-coverage signals are deliberately absent (position-marking
+    with overlap suppression is not twin-able SQL; see the expr
+    docstring)."""
+    from traject_spark.corpus import gopher_repetition_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", gopher_repetition_expr(F.col("text")).alias("r")
+    ).select(
+        "doc_id",
+        F.col("r.dup_line_frac").alias("dup_line_frac"),
+        F.col("r.dup_para_frac").alias("dup_para_frac"),
+        F.col("r.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("r.dup_para_char_frac").alias("dup_para_char_frac"),
+        F.col("r.top_2gram_char_frac").alias("top_2gram_char_frac"),
+        F.col("r.top_3gram_char_frac").alias("top_3gram_char_frac"),
+        F.col("r.top_4gram_char_frac").alias("top_4gram_char_frac"),
+        F.col("r.passes").alias("passes"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1318,7 +1342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # preserved in rotated_out())
         "text_gopher_quality": q_text_gopher_quality,
         "text_langid_ngram": q_text_langid_ngram,
-        "text_langid": q_text_langid,
+        # r14: text_langid (legacy 4-marker heuristic) rotated out for
+        # the Gopher §A1.2 repetition row — its token-membership counts
+        # ride in-window through text_gopher_quality's stopword columns
+        # and the credible langid path is text_langid_ngram; full
+        # DuckDB compare preserved in rotated_out()
+        "text_gopher_repetition": q_text_gopher_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_adjacent": q_dedup_jaccard_adjacent,
         "dedup_witness_clusters": q_dedup_witness_clusters,
@@ -1570,6 +1599,66 @@ def _sql_text_gopher() -> str:
             + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6
                  THEN 0.5 ELSE 0.0 END), 4) AS quality,
           max_token_ratio
+        FROM c"""
+
+
+def _sql_text_gopher_repetition() -> str:
+    """DuckDB twin of textstats.gopher_repetition_expr: same line (\\n,
+    empties kept) / paragraph (2+ newlines) / non-empty-space-token
+    splits, duplicate counting as occurrences-beyond-first, top-n-gram
+    char mass maximized directly (deterministic under count ties on
+    both engines), 4dp rounds, gates on the ROUNDED values."""
+
+    def dup_chars(arr: str) -> str:
+        return (
+            f"coalesce((SELECT sum((cnt - 1) * length(v)) FROM ("
+            f"SELECT v, count(*) AS cnt FROM unnest({arr}) AS u(v) "
+            f"GROUP BY v) WHERE cnt > 1), 0)"
+        )
+
+    def top_mass(n: int) -> str:
+        grams = (
+            f"list_transform(range(1, greatest(len(ws) - {n} + 2, 1)), "
+            f"i -> array_to_string(array_slice(ws, i, i + {n} - 1), ' '))"
+        )
+        return (
+            f"coalesce((SELECT max(cnt * length(g)) FROM ("
+            f"SELECT g, count(*) AS cnt FROM unnest({grams}) AS u(g) "
+            f"GROUP BY g) WHERE cnt >= 2), 0)"
+        )
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+            string_split(text, chr(10)) AS ls,
+            regexp_split_to_array(text, '\\n{{2,}}') AS ps
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+              / greatest(len(ls), 1), 4) AS dup_line_frac,
+            round(CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE)
+              / greatest(len(ps), 1), 4) AS dup_para_frac,
+            round(CAST({dup_chars('ls')} AS DOUBLE)
+              / greatest(length(text), 1), 4) AS dup_line_char_frac,
+            round(CAST({dup_chars('ps')} AS DOUBLE)
+              / greatest(length(text), 1), 4) AS dup_para_char_frac,
+            round(CAST({top_mass(2)} AS DOUBLE)
+              / greatest(length(text), 1), 4) AS top_2gram_char_frac,
+            round(CAST({top_mass(3)} AS DOUBLE)
+              / greatest(length(text), 1), 4) AS top_3gram_char_frac,
+            round(CAST({top_mass(4)} AS DOUBLE)
+              / greatest(length(text), 1), 4) AS top_4gram_char_frac
+          FROM t
+        )
+        SELECT doc_id, dup_line_frac, dup_para_frac, dup_line_char_frac,
+          dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+          top_4gram_char_frac,
+          (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+           AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+           AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           AND top_4gram_char_frac <= 0.16) AS passes
         FROM c"""
 
 
@@ -1889,24 +1978,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_gopher_quality": _sql_text_gopher(),
         "text_langid_ngram": _sql_text_langid_ngram(),
-        "text_langid": """
-            WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), s AS (
-              SELECT doc_id,
-                len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
-                len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
-                len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr,
-                len(list_filter(toks, x -> x IN ('el','los','las','es','una','y'))) AS es
-              FROM t
-            )
-            SELECT doc_id,
-              CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
-                   WHEN en = greatest(en,de,fr,es) THEN 'en'
-                   WHEN de = greatest(en,de,fr,es) THEN 'de'
-                   WHEN fr = greatest(en,de,fr,es) THEN 'fr'
-                   ELSE 'es' END AS lang_guess
-            FROM s""",
+        "text_gopher_repetition": _sql_text_gopher_repetition(),
         "dedup_exact": r"""
             -- null-safe group key mirrors the engine (dedup.py): NULL-text
             -- rows are NOT duplicates of each other; a plain GROUP BY on
@@ -2059,6 +2131,33 @@ def rotated_out() -> dict:
     rid = "CAST(doc_id AS VARCHAR) AS record_id"
     title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
     return {
+        # r14: slot handed to text_gopher_repetition (Gopher §A1.2). The
+        # legacy 4-marker heuristic's token-membership counting
+        # (filter+isin over the space tokenization) is in-window via
+        # text_gopher_quality's stopword_ratio/stopword_hits columns,
+        # and the credible language-ID path is text_langid_ngram; this
+        # row's greatest/when-chain argmax keeps its full compare here
+        "text_langid": (
+            q_text_langid,
+            """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr,
+                len(list_filter(toks, x -> x IN ('el','los','las','es','una','y'))) AS es
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                   WHEN en = greatest(en,de,fr,es) THEN 'en'
+                   WHEN de = greatest(en,de,fr,es) THEN 'de'
+                   WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM s""",
+        ),
         # r11: slot handed to stream_late_data, which exercises the SAME
         # hourly_rollup expression path (tumbling window + count/sum)
         # plus the watermark drop semantics this batch-replay row never

@@ -791,6 +791,23 @@ def b_text_quality_filter(spark):
     )
 
 
+def b_text_repetition_filter(spark):
+    """Gopher §A1.2 repetition struct (r14): dup line/para + char
+    fractions + top-2/3/4-gram char mass, one narrow select per doc —
+    the second half of the credible curation gate (§A1.1 is
+    text_quality_filter). Three n-gram sorts + two line sorts per row
+    is the honest cost; all sorted-run aggregates, zero Exchange."""
+    from traject_spark.corpus import gopher_repetition_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(
+        docs.select(
+            "doc_id",
+            gopher_repetition_expr(F.col("text")).alias("r"),
+        ).select("doc_id", "r.*")
+    )
+
+
 def b_embed_topk(spark):
     from traject_spark.corpus import brute_force_topk
 
@@ -1035,6 +1052,7 @@ BENCHES = {
     "embed_near_dup_witness": b_embed_near_dup_witness,
     "text_stats": b_text_stats,
     "text_quality_filter": b_text_quality_filter,
+    "text_repetition_filter": b_text_repetition_filter,
     "corpus_curate_e2e": b_corpus_curate,
     "corpus_curate_cluster": b_corpus_curate_cluster,
     "embed_topk": b_embed_topk,

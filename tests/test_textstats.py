@@ -218,10 +218,80 @@ def test_profile_generator_is_deterministic_and_committed():
 def test_gopher_and_langid_plans_stay_narrow(spark):
     """Both operators are scan-speed expressions: zero Exchange in the
     executed plan (the 100 TB property)."""
+    from traject_spark.corpus import gopher_repetition_expr
+
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = df.select(
         gopher_quality_expr(F.col("text")).alias("g"),
         langid_ngram_expr(F.col("text")).alias("l"),
+        gopher_repetition_expr(F.col("text")).alias("r"),
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher §A1.2 repetition signals (round 14)
+# ---------------------------------------------------------------------------
+
+def _rep(spark, text):
+    from traject_spark.corpus import gopher_repetition_expr
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        gopher_repetition_expr(F.col("text")).alias("r")
+    ).collect()[0]["r"]
+
+
+def test_repetition_dup_lines_hand_computed(spark):
+    # 4 lines: "aa" twice, "bb", "cc" -> 1 repeat occurrence / 4 lines
+    text = "aa\nbb\naa\ncc"
+    r = _rep(spark, text)
+    assert r["dup_line_frac"] == 0.25
+    # repeat chars = len("aa") = 2; total chars = len(text) = 11
+    assert r["dup_line_char_frac"] == round(2 / 11, 4)
+    # one paragraph (no blank line): no paragraph duplicates
+    assert r["dup_para_frac"] == 0.0
+    # every gate clears: 0.25 <= 0.30 lines, 0.1818 <= 0.20 chars,
+    # one paragraph, and no spaces means no word n-grams at all
+    assert r["passes"] is True
+
+
+def test_repetition_paragraphs_and_gates(spark):
+    # 3 paragraphs, two identical -> dup_para_frac 1/3 > 0.30 fails
+    text = "para one here\n\npara two\n\npara one here"
+    r = _rep(spark, text)
+    assert r["dup_para_frac"] == round(1 / 3, 4)
+    assert r["dup_para_char_frac"] == round(len("para one here") / len(text), 4)
+    assert r["passes"] is False
+
+
+def test_repetition_top_ngram_char_frac(spark):
+    # "the cat sat the cat ran" -> top 2-gram "the cat" x2, 7 chars
+    text = "the cat sat the cat ran"
+    r = _rep(spark, text)
+    assert r["top_2gram_char_frac"] == round(2 * len("the cat") / len(text), 4)
+    # no 3-gram repeats
+    assert r["top_3gram_char_frac"] == 0.0
+    assert r["top_4gram_char_frac"] == 0.0
+
+
+def test_repetition_clean_doc_passes_and_nulls(spark):
+    clean = "a genuinely varied document with no repeated content at all"
+    r = _rep(spark, clean)
+    assert r["passes"] is True
+    assert all(
+        r[k] == 0.0
+        for k in (
+            "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+            "dup_para_char_frac", "top_2gram_char_frac",
+        )
+    )
+    assert _rep(spark, None) is None
+
+
+def test_repetition_short_doc_no_phantom_ngrams(spark):
+    # 1 token: no 2/3/4-grams (the sequence guard), nothing blows up
+    r = _rep(spark, "single")
+    assert r["top_2gram_char_frac"] == 0.0
+    assert r["passes"] is True

@@ -21,6 +21,7 @@ from traject_spark.corpus.textstats import (
     char_ngrams_expr,
     fingerprint_expr,
     gopher_quality_expr,
+    gopher_repetition_expr,
     mean_word_length_expr,
     symbol_word_ratio_expr,
     alpha_word_ratio_expr,
@@ -75,6 +76,7 @@ __all__ = [
     "char_ngrams_expr",
     "fingerprint_expr",
     "gopher_quality_expr",
+    "gopher_repetition_expr",
     "mean_word_length_expr",
     "symbol_word_ratio_expr",
     "alpha_word_ratio_expr",

@@ -510,3 +510,166 @@ def langid_ngram_expr(text: Column, profiles: dict | None = None) -> Column:
     return F.when(
         text.isNotNull(), let(char_ngrams_expr(text), scored)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher §A1.2 repetition signals (round 14)
+# ---------------------------------------------------------------------------
+
+def _dup_fraction(arr: Column) -> Column:
+    """Fraction of elements that are repeat occurrences: each occurrence
+    beyond the first counts (the public DataTrove/Dolma definition)."""
+    return F.round(
+        (F.size(arr) - F.size(F.array_distinct(arr)))
+        / F.greatest(F.size(arr), F.lit(1)),
+        4,
+    )
+
+
+def _dup_char_sum(arr: Column) -> Column:
+    """Total characters in repeat occurrences: for every element equal
+    to its predecessor in the SORTED array, add its length — one
+    O(n log n) sort + one linear pass per row, never a quadratic
+    count-per-element form."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dupchars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.struct(
+            x.alias("prev"),
+            (
+                acc["dupchars"]
+                + F.when(x == acc["prev"], F.length(x)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dupchars"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), init, step, lambda acc: acc["dupchars"]
+    )
+
+
+def word_ngrams_expr(words: Column, n: int) -> Column:
+    """Overlapping word n-grams (space-joined) of a token array; empty
+    below n tokens (guarded — an unguarded sequence(1, len-n+1) is
+    DESCENDING when len < n and yields phantom grams)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_ngram_char_sum(words: Column, n: int) -> Column:
+    """max over n-grams occurring >= 2 times of count * length(gram) —
+    the character mass of the heaviest repeated n-gram. Deterministic
+    where "the most frequent n-gram" is not (count ties): both engines
+    maximize the char mass itself. Sorted-run aggregate; the running
+    contribution is monotone within a run, so the eager greatest()
+    captures each run's final value."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return let(
+            run,
+            lambda r: F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(r >= 2, r * F.length(x)).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+        )
+
+    return F.aggregate(
+        F.array_sort(word_ngrams_expr(words, n)),
+        init,
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def _paragraphs(text: Column) -> Column:
+    # 2+ newlines separate paragraphs (DataTrove's paragraph regex)
+    return F.split(text, r"\n{2,}")
+
+
+def gopher_repetition_expr(text: Column) -> Column:
+    """Gopher §A1.1-adjacent repetition signals (§A1.2 of Rae et al.
+    2021, public paper, Table A1) as one struct of pure Column
+    expressions plus the combined ``passes`` gate:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of lines /
+      paragraphs that are repeat occurrences (gate: <= 0.30 each).
+      Lines split on \\n (empties kept, as the public implementations
+      do); paragraphs on 2+ newlines.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      those repeat occurrences / total characters (gate: <= 0.20).
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` /
+      ``top_4gram_char_frac``: character mass (count x gram length) of
+      the heaviest repeated word n-gram / total characters (gates:
+      <= 0.20 / 0.18 / 0.16). Count ties resolve by maximizing the
+      char mass itself — deterministic on both engines where "most
+      frequent" is not.
+
+    Gates apply to the ROUNDED (4dp) values, like gopher_quality_expr.
+    The paper's duplicate 5-10-gram char fractions are deliberately
+    NOT included: their public implementations mark character POSITIONS
+    with overlap suppression (inherently sequential per document);
+    a faithful twin-able SQL form does not exist, and an unfaithful
+    one would grade clean documents dirty. NULL text -> NULL struct.
+
+    Everything shares ONE tokenization / line split / paragraph split
+    (let-bound), the same single-pass discipline as
+    :func:`gopher_quality_expr`."""
+    from traject_spark.expr import let3
+
+    def build(ws: Column, ls: Column, ps: Column) -> Column:
+        tot = F.greatest(F.length(text), F.lit(1))
+        dlf = _dup_fraction(ls)
+        dpf = _dup_fraction(ps)
+        dlcf = F.round(_dup_char_sum(ls) / tot, 4)
+        dpcf = F.round(_dup_char_sum(ps) / tot, 4)
+        t2 = F.round(_top_ngram_char_sum(ws, 2) / tot, 4)
+        t3 = F.round(_top_ngram_char_sum(ws, 3) / tot, 4)
+        t4 = F.round(_top_ngram_char_sum(ws, 4) / tot, 4)
+        passes = (
+            (dlf <= 0.30) & (dpf <= 0.30)
+            & (dlcf <= 0.20) & (dpcf <= 0.20)
+            & (t2 <= 0.20) & (t3 <= 0.18) & (t4 <= 0.16)
+        )
+        return F.struct(
+            dlf.alias("dup_line_frac"),
+            dpf.alias("dup_para_frac"),
+            dlcf.alias("dup_line_char_frac"),
+            dpcf.alias("dup_para_char_frac"),
+            t2.alias("top_2gram_char_frac"),
+            t3.alias("top_3gram_char_frac"),
+            t4.alias("top_4gram_char_frac"),
+            passes.alias("passes"),
+        )
+
+    return F.when(
+        text.isNotNull(),
+        let3(
+            _nonempty_tokens(tokens_expr(text)),
+            _lines(text),
+            _paragraphs(text),
+            build,
+        ),
+    )
