@@ -584,6 +584,29 @@ def q_text_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_text_c4_quality(spark, sf_dir):
+    """C4 §2.2 cleaning (textstats.c4_quality_expr / c4_clean_expr):
+    page-level struct expanded to columns PLUS the line-cleaned text —
+    the string compare pins the whole line-filter pipeline, not just
+    the counts."""
+    from traject_spark.corpus import c4_clean_expr, c4_quality_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        c4_quality_expr(F.col("text")).alias("q"),
+        c4_clean_expr(F.col("text")).alias("cleaned_text"),
+    ).select(
+        "doc_id",
+        F.col("q.n_lines").alias("n_lines"),
+        F.col("q.kept_line_frac").alias("kept_line_frac"),
+        F.col("q.n_sentences").alias("n_sentences"),
+        F.col("q.has_curly_brace").alias("has_curly_brace"),
+        F.col("q.has_lorem_ipsum").alias("has_lorem_ipsum"),
+        F.col("q.passes").alias("passes"),
+        "cleaned_text",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1354,7 +1377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_nations": q_rel_top_nations,
-        "rel_events_hourly": q_rel_events_hourly,
+        # r14: rel_events_hourly rotated out for the C4 cleaning row
+        # — the identical hourly_rollup expression path (date_trunc
+        # tumble + count/sum, batch==stream by construction) is
+        # in-window through stream_late_data; full compare preserved
+        # in rotated_out()
+        "text_c4_quality": q_text_c4_quality,
         "rel_top_orders": q_rel_top_orders,
         "rel_sessionize": q_rel_sessionize,
         # r11: stream_events_hourly rotated out (same hourly_rollup
@@ -1659,6 +1687,52 @@ def _sql_text_gopher_repetition() -> str:
            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
            AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
            AND top_4gram_char_frac <= 0.16) AS passes
+        FROM c"""
+
+
+def _sql_text_c4_quality() -> str:
+    """DuckDB twin of textstats.c4_quality_expr + c4_clean_expr: same
+    line split (\\n, empties kept), same kept-line predicate (terminal
+    punctuation after rtrim, >= 5 non-empty space words, no
+    case-insensitive 'javascript'), sentence counting by terminal-punct
+    occurrences in the CLEANED text, page drops on braces and
+    'lorem ipsum', 4dp fraction, gate on the rounded value."""
+    kept = (
+        "list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?\"]$') "
+        "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM documents
+        ), k AS (
+          SELECT doc_id, text, ls, {kept} AS kept FROM t
+        ), c AS (
+          SELECT doc_id,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            round(CAST(len(kept) AS DOUBLE) / greatest(len(ls), 1), 4)
+              AS kept_line_frac,
+            -- coalesce: DuckDB array_to_string([]) is NULL where
+            -- Spark array_join([]) is '' — normalize to the Spark value
+            CASE WHEN text IS NULL THEN NULL ELSE
+              CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                - length(regexp_replace(
+                    coalesce(array_to_string(kept, chr(10)), ''),
+                    '[.!?]', '', 'g')) AS BIGINT) END AS n_sentences,
+            (contains(text, '{{') OR contains(text, '}}'))
+              AS has_curly_brace,
+            contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+            CASE WHEN text IS NULL THEN NULL ELSE
+              coalesce(array_to_string(kept, chr(10)), '') END
+              AS cleaned_text
+          FROM k
+        )
+        SELECT doc_id, n_lines, kept_line_frac, n_sentences,
+          has_curly_brace, has_lorem_ipsum,
+          (n_sentences >= 3 AND NOT has_curly_brace
+           AND NOT has_lorem_ipsum) AS passes,
+          cleaned_text
         FROM c"""
 
 
@@ -2042,12 +2116,7 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
-        "rel_events_hourly": """
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-              event_type,
-              count(*) AS n_events,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-            FROM events GROUP BY 1, 2""",
+        "text_c4_quality": _sql_text_c4_quality(),
         "rel_top_orders": """
             WITH r AS (
               SELECT o_custkey, o_orderkey, o_totalprice,
@@ -2157,6 +2226,19 @@ def rotated_out() -> dict:
                    WHEN fr = greatest(en,de,fr,es) THEN 'fr'
                    ELSE 'es' END AS lang_guess
             FROM s""",
+        ),
+        # r14: slot handed to text_c4_quality — the same hourly_rollup
+        # expression path (batch==stream by construction) stays in-window
+        # through stream_late_data; the no-watermark full-table compare
+        # is preserved here
+        "rel_events_hourly": (
+            q_rel_events_hourly,
+            """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2""",
         ),
         # r11: slot handed to stream_late_data, which exercises the SAME
         # hourly_rollup expression path (tumbling window + count/sum)

@@ -295,3 +295,63 @@ def test_repetition_short_doc_no_phantom_ngrams(spark):
     r = _rep(spark, "single")
     assert r["top_2gram_char_frac"] == 0.0
     assert r["passes"] is True
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (round 14)
+# ---------------------------------------------------------------------------
+
+def _c4(spark, text):
+    from traject_spark.corpus import c4_clean_expr, c4_quality_expr
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        c4_quality_expr(F.col("text")).alias("q"),
+        c4_clean_expr(F.col("text")).alias("clean"),
+    ).collect()[0]
+    return row["q"], row["clean"]
+
+
+def test_c4_line_rules_hand_computed(spark):
+    text = (
+        "This line has the required five words.\n"   # kept
+        "Too short to keep.\n"                        # <5 words
+        "this one mentions javascript so it goes.\n"  # javascript
+        "No terminal punctuation on this line here\n"  # no punct
+        'A quoted ending also counts as terminal."'   # kept (quote)
+    )
+    q, clean = _c4(spark, text)
+    assert q["n_lines"] == 5
+    assert q["kept_line_frac"] == round(2 / 5, 4)
+    assert clean == (
+        "This line has the required five words.\n"
+        'A quoted ending also counts as terminal."'
+    )
+    # cleaned text has 2 terminal marks -> below the 3-sentence gate
+    assert q["n_sentences"] == 2
+    assert q["passes"] is False
+
+
+def test_c4_page_drops_and_pass(spark):
+    good = (
+        "The first sentence is here and long enough.\n"
+        "The second sentence also has plenty of words.\n"
+        "The third sentence completes the page nicely."
+    )
+    q, clean = _c4(spark, good)
+    assert q["passes"] is True and q["kept_line_frac"] == 1.0
+    assert clean == good
+
+    q, _ = _c4(spark, good + "\nA stray { brace dooms the page entirely.")
+    assert q["has_curly_brace"] is True and q["passes"] is False
+
+    q, _ = _c4(spark, good + "\nThen Lorem Ipsum filler text appears here.")
+    assert q["has_lorem_ipsum"] is True and q["passes"] is False
+
+
+def test_c4_null_and_empty(spark):
+    q, clean = _c4(spark, None)
+    assert q is None and clean is None
+    q, clean = _c4(spark, "")
+    assert q["n_lines"] == 1 and q["kept_line_frac"] == 0.0
+    assert clean == "" and q["passes"] is False

@@ -22,6 +22,8 @@ from traject_spark.corpus.textstats import (
     fingerprint_expr,
     gopher_quality_expr,
     gopher_repetition_expr,
+    c4_clean_expr,
+    c4_quality_expr,
     mean_word_length_expr,
     symbol_word_ratio_expr,
     alpha_word_ratio_expr,
@@ -77,6 +79,8 @@ __all__ = [
     "fingerprint_expr",
     "gopher_quality_expr",
     "gopher_repetition_expr",
+    "c4_clean_expr",
+    "c4_quality_expr",
     "mean_word_length_expr",
     "symbol_word_ratio_expr",
     "alpha_word_ratio_expr",

@@ -673,3 +673,75 @@ def gopher_repetition_expr(text: Column) -> Column:
             build,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (Raffel et al. 2020, §2.2 — public paper) (round 14)
+# ---------------------------------------------------------------------------
+
+#: a kept C4 line ends in terminal punctuation (period, !, ?, closing
+#: quote) after right-trim
+_C4_TERMINAL = r'[.!?"]$'
+
+
+def _c4_kept_lines(ls: Column) -> Column:
+    """Lines C4 retains: terminal punctuation, >= 5 words, and no
+    'javascript' (case-insensitive) — the paper's line-level rules."""
+    return F.filter(
+        ls,
+        lambda l: F.rtrim(l).rlike(_C4_TERMINAL)
+        & (F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_clean_expr(text: Column) -> Column:
+    """The C4 line-level cleaning transform: the document with only its
+    retained lines (newline re-joined; '' when nothing survives). Pair
+    with the ``passes`` gate of :func:`c4_quality_expr` for the
+    page-level drops. NULL in -> NULL out."""
+    return F.when(
+        text.isNotNull(),
+        let(_lines(text), lambda ls: F.array_join(_c4_kept_lines(ls), "\n")),
+    )
+
+
+def c4_quality_expr(text: Column, min_sentences: int = 3) -> Column:
+    """C4 page-level quality struct: ``n_lines``, ``kept_line_frac``
+    (fraction surviving the line rules), ``n_sentences`` (terminal
+    punctuation marks in the CLEANED text — the paper gates pages on
+    >= 3 sentences; sentence counting by terminal-punct occurrences is
+    the standard public approximation), ``has_curly_brace`` and
+    ``has_lorem_ipsum`` (page drops: code and placeholder text), and
+    ``passes`` = enough sentences AND neither page drop. The paper's
+    bad-words page drop is not bundled (the list is a separately
+    licensed artifact); compose it as an extra filter if licensed.
+    4dp fraction, gates on the rounded value. NULL in -> NULL out."""
+
+    def build(ls: Column, kept: Column) -> Column:
+        nl = F.size(ls)
+        klf = F.round(F.size(kept) / F.greatest(nl, F.lit(1)), 4)
+        cleaned = F.array_join(kept, "\n")
+        nsent = (
+            F.length(cleaned)
+            - F.length(F.regexp_replace(cleaned, r"[.!?]", ""))
+        ).cast("long")
+        curly = text.contains("{") | text.contains("}")
+        lorem = F.lower(text).contains("lorem ipsum")
+        passes = (nsent >= min_sentences) & ~curly & ~lorem
+        return F.struct(
+            nl.cast("long").alias("n_lines"),
+            klf.alias("kept_line_frac"),
+            nsent.alias("n_sentences"),
+            curly.alias("has_curly_brace"),
+            lorem.alias("has_lorem_ipsum"),
+            passes.alias("passes"),
+        )
+
+    return F.when(
+        text.isNotNull(),
+        let(
+            _lines(text),
+            lambda ls: let(_c4_kept_lines(ls), lambda kept: build(ls, kept)),
+        ),
+    )
