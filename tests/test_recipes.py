@@ -153,3 +153,60 @@ def test_curate_default_work_dir_guard():
     for master in ("spark://host:7077", "yarn", "k8s://https://api:6443"):
         with pytest.raises(ValueError, match="executor-visible work_dir"):
             _check_default_work_dir_ok(master)
+
+
+def test_annotate_gate_expr_paper_gates(spark):
+    """gate_expr (r14): the Gopher+C4 paper gates compose into the one
+    narrow annotate projection — a junk doc that clears the thin
+    quality score still drops, the plan stays Exchange-free, and a NULL
+    gate means drop (not a NULL-poisoned keep)."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import (
+        annotate_documents,
+        c4_quality_expr,
+        gopher_quality_expr,
+        gopher_repetition_expr,
+    )
+
+    # genuinely varied prose — a x3-repeated sentence correctly FAILS
+    # the top-4-gram repetition gate (0.1866 > 0.16), which is the
+    # point of the filter
+    prose = (
+        "The committee said that the new policy would be approved with "
+        "broad support from members of the board next week. Analysts "
+        "expect the decision to have a lasting effect on the industry "
+        "and its workers. Several regional groups also welcomed the "
+        "announcement with cautious optimism about future funding. "
+        "Meanwhile smaller firms continue to press for clearer rules."
+    )
+    junk = "buy now " * 60  # repeats: fails the repetition gates
+    df = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, None)], "doc_id long, text string"
+    )
+    gate = (
+        gopher_quality_expr(F.col("text"))["passes"]
+        & gopher_repetition_expr(F.col("text"))["passes"]
+        & c4_quality_expr(F.col("text"))["passes"]
+    )
+    out = annotate_documents(df, min_tokens=5, gate_expr=gate)
+    assert [r["id"] for r in out.collect()] == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curate_documents_gate_expr_threads_through(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import curate_documents, gopher_repetition_expr
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly varied document with enough distinct words here"),
+         (2, "spam spam " * 40)],
+        "doc_id long, text string",
+    )
+    out = curate_documents(
+        docs, near_dup=None, min_tokens=1,
+        gate_expr=gopher_repetition_expr(F.col("text"))["passes"],
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]

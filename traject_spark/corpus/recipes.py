@@ -73,6 +73,7 @@ def annotate_documents(
     num_hashes: int = 64,
     ngram: int = 3,
     with_minhash: bool = True,
+    gate_expr=None,
 ) -> DataFrame:
     """Annotate + filter in ONE narrow projection.
 
@@ -84,6 +85,15 @@ def annotate_documents(
     skips the signature column — ``num_hashes`` xxhash64 passes per doc
     plus a 64-element array per row in the materialized output are pure
     waste when no near-dup stage will consume them.
+
+    ``gate_expr`` (r14): an optional extra BOOLEAN Column over the input
+    row that documents must satisfy — the hook for the credible paper
+    gates, e.g. ``gopher_quality_expr(F.col('text'))['passes']
+    & gopher_repetition_expr(F.col('text'))['passes']
+    & c4_quality_expr(F.col('text'))['passes']``. It rides inside the
+    same explode-in-projection filter, so even a heavy struct gate is
+    evaluated exactly once per row in the one narrow scan (NULL gates
+    drop the row, like any failed gate).
     """
     text = F.col(text_col)
     lang = langid_expr(text)
@@ -107,6 +117,10 @@ def annotate_documents(
         keep = text.isNotNull() & (n >= min_tokens) & (q >= min_quality)
         if langs is not None:
             keep = keep & lg.isin(list(langs))
+        if gate_expr is not None:
+            # coalesce: a NULL gate (NULL text reaching a struct gate)
+            # must DROP the row, not poison keep into NULL
+            keep = keep & F.coalesce(gate_expr, F.lit(False))
         # slice(arr,1,0) is the typed empty array — no hand-written cast
         # to drift out of sync with the payload struct's actual types
         return let(
@@ -154,6 +168,7 @@ def curate_documents(
     contamination_n: int = 13,
     work_dir: Optional[str] = None,
     output_path: Optional[str] = None,
+    gate_expr=None,
 ) -> DataFrame:
     """The end-to-end curation recipe; see module docstring.
 
@@ -188,6 +203,7 @@ def curate_documents(
     annotated = annotate_documents(
         df, text_col, id_col, min_tokens, min_quality, langs,
         num_hashes, ngram, with_minhash=near_dup is not None,
+        gate_expr=gate_expr,
     )
     needs_work_dir = benchmark is not None or near_dup is not None
     created_work_dir = work_dir is None and needs_work_dir
