@@ -32,6 +32,11 @@ from traject_spark.corpus.textstats import (
     max_token_ratio_expr,
     gopher_stopword_hits_expr,
 )
+from traject_spark.corpus.pii import (
+    PII_PATTERNS,
+    pii_redact_expr,
+    pii_stats_expr,
+)
 from traject_spark.corpus.dedup import (
     apply_exact_dedup,
     exact_dedup,
@@ -81,6 +86,9 @@ __all__ = [
     "gopher_repetition_expr",
     "c4_clean_expr",
     "c4_quality_expr",
+    "PII_PATTERNS",
+    "pii_stats_expr",
+    "pii_redact_expr",
     "mean_word_length_expr",
     "symbol_word_ratio_expr",
     "alpha_word_ratio_expr",
