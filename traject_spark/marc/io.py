@@ -373,14 +373,23 @@ def _list_input_sizes(spark: SparkSession, paths) -> list:
     ]
 
 
-def _iso2709_split_ranges(meta: list, split_bytes: int) -> tuple:
+def _iso2709_split_ranges(
+    meta: list, split_bytes: int, range_bytes: Optional[int] = None
+) -> tuple:
     """(ranges, small_or_remote_count): byte ranges for local files above
-    ``split_bytes``; everything else stays on the whole-file path."""
+    ``split_bytes``; everything else stays on the whole-file path.
+
+    Range SIZE is ``min(split_bytes, range_bytes)`` — the trigger and
+    the granularity are different decisions: a 2 GB file measured 62s
+    at 128 MB ranges vs 221s at 512 MB ranges on local[32] (more tasks,
+    better balance), while the trigger stays high so ordinary files
+    never pay the split machinery."""
+    step_target = min(split_bytes, range_bytes or split_bytes)
     ranges = []
     other = 0
     for path, length in meta:
         if length > split_bytes and path.startswith("file:"):
-            n = (length + split_bytes - 1) // split_bytes
+            n = (length + step_target - 1) // step_target
             step = (length + n - 1) // n
             for i in range(n):
                 ranges.append(
@@ -397,6 +406,7 @@ def read_iso2709(
     id_tag: str = "001",
     encoding: str = "utf-8",
     split_bytes: int = 512 << 20,
+    range_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Binary MARC via the binaryFile source + per-file stream split
     (marc_reader.rb binary branch :78-80).
@@ -421,11 +431,18 @@ def read_iso2709(
     1.04x, within window noise. Measured payoff (local[32]): one
     160 MB / 425k-record file reads 3.1x faster at 16 MB ranges than
     whole-file (5.6s vs 17.5s), and under a 1 GiB heap the whole-file
-    read OOMs outright where ranges stream."""
+    read OOMs outright where ranges stream. At 2 GB (5.4M records,
+    zero boundary dupes/drops verified by countDistinct) the
+    whole-file path is not merely slow but PATHOLOGICAL — binaryFile
+    caps content at Int.MaxValue and the single-row Arrow transfer to
+    Python strangles in buffer growth near the 2 GiB batch limit —
+    while ranges read it in 62s at the 128 MB default granularity
+    (``range_bytes``; 221s at 512 MB ranges — the trigger and the
+    granularity are separate decisions)."""
     from pyspark.sql import functions as F
 
     meta = _list_input_sizes(spark, paths)
-    ranges, _ = _iso2709_split_ranges(meta, split_bytes)
+    ranges, _ = _iso2709_split_ranges(meta, split_bytes, range_bytes)
     for path, length in meta:
         if length > split_bytes and not path.startswith("file:"):
             import sys as _sys
@@ -433,21 +450,33 @@ def read_iso2709(
             print(
                 f"read_iso2709: {path} is {length / (1 << 30):.1f} GiB on "
                 "non-local storage — one task must stream it whole "
-                "(byte-range splitting needs a locally-openable path). "
-                "For parallel ingest store many moderate files "
-                "(~50k records each) or copy to a POSIX mount.",
+                "(byte-range splitting needs a locally-openable path), "
+                "and above ~2 GiB the whole-file read FAILS outright "
+                "(binaryFile content caps at Int.MaxValue). For parallel "
+                "ingest store many moderate files (~50k records each) or "
+                "copy to a POSIX mount.",
                 file=_sys.stderr,
             )
 
-    base = spark.read.format("binaryFile").load(paths)
     if ranges:
-        # exclude the range-split files from the whole-file branch
-        base = base.filter(
-            (F.col("length") <= split_bytes)
-            | ~F.col("path").startswith("file:")
+        # the whole-file branch loads ONLY the non-split paths,
+        # explicitly: a filter on (length, path) over the full load is
+        # NOT pushable into the binaryFile scan (the OR with the path
+        # scheme blocks it), so Spark would materialize every
+        # multi-GB split file's content as a row just to discard it —
+        # measured as one core pegged for 20+ minutes on a 2 GB file
+        split_paths = {p for (p, _s, _e, _l) in ranges}
+        whole_paths = [p for (p, _l) in meta if p not in split_paths]
+        files = (
+            spark.read.format("binaryFile").load(whole_paths)
+            if whole_paths
+            else None
         )
-    # no ranges -> EXACTLY the pre-split plan (no filter, no extra jobs)
-    files = base.select("content")
+    else:
+        # no ranges -> EXACTLY the pre-split plan (no extra jobs)
+        files = spark.read.format("binaryFile").load(paths)
+    if files is not None:
+        files = files.select("content")
 
     # bounded output batches (r12): one yield per FILE made the Arrow
     # conversion superlinear — a 110 MB file is ~190k nested record
@@ -474,7 +503,11 @@ def read_iso2709(
             lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
         )
 
-    whole = files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+    whole = (
+        files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+        if files is not None
+        else None
+    )
     if not ranges:
         return whole
 
@@ -551,6 +584,8 @@ def read_iso2709(
         ranges, "path string, start long, end long, file_len long"
     ).repartition(len(ranges))
     split_part = range_df.mapInPandas(parse_ranges, MARC_SOURCE_SCHEMA)
+    if whole is None:
+        return split_part  # every input file range-split
     return whole.unionByName(split_part)
 
 
