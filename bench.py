@@ -808,6 +808,22 @@ def b_text_repetition_filter(spark):
     )
 
 
+def b_text_c4_filter(spark):
+    """C4 §2.2 cleaning (r14): line-filter transform + page-quality
+    struct in one narrow select — the third member of the curation-gate
+    family (quality=Gopher A1.1, repetition=A1.2, cleaning=C4)."""
+    from traject_spark.corpus import c4_clean_expr, c4_quality_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noop(
+        docs.select(
+            "doc_id",
+            c4_quality_expr(F.col("text")).alias("q"),
+            c4_clean_expr(F.col("text")).alias("cleaned"),
+        ).select("doc_id", "q.*", "cleaned")
+    )
+
+
 def b_embed_topk(spark):
     from traject_spark.corpus import brute_force_topk
 
@@ -1053,6 +1069,7 @@ BENCHES = {
     "text_stats": b_text_stats,
     "text_quality_filter": b_text_quality_filter,
     "text_repetition_filter": b_text_repetition_filter,
+    "text_c4_filter": b_text_c4_filter,
     "corpus_curate_e2e": b_corpus_curate,
     "corpus_curate_cluster": b_corpus_curate_cluster,
     "embed_topk": b_embed_topk,
