@@ -589,12 +589,11 @@ def q_text_c4_quality(spark, sf_dir):
     page-level struct expanded to columns PLUS the line-cleaned text —
     the string compare pins the whole line-filter pipeline, not just
     the counts."""
-    from traject_spark.corpus import c4_clean_expr, c4_quality_expr
+    from traject_spark.corpus import c4_quality_expr
 
     return _docs(spark, sf_dir).select(
         "doc_id",
-        c4_quality_expr(F.col("text")).alias("q"),
-        c4_clean_expr(F.col("text")).alias("cleaned_text"),
+        c4_quality_expr(F.col("text"), include_cleaned=True).alias("q"),
     ).select(
         "doc_id",
         F.col("q.n_lines").alias("n_lines"),
@@ -603,7 +602,7 @@ def q_text_c4_quality(spark, sf_dir):
         F.col("q.has_curly_brace").alias("has_curly_brace"),
         F.col("q.has_lorem_ipsum").alias("has_lorem_ipsum"),
         F.col("q.passes").alias("passes"),
-        "cleaned_text",
+        F.col("q.cleaned_text").alias("cleaned_text"),
     )
 
 
@@ -1637,11 +1636,16 @@ def _sql_text_gopher_repetition() -> str:
     char mass maximized directly (deterministic under count ties on
     both engines), 4dp rounds, gates on the ROUNDED values."""
 
+    # the NULL-text CASE guards: DuckDB's coalesce(..., 0) would turn a
+    # NULL-text row's char fractions into 0.0 where the Spark expr
+    # yields an all-NULL struct (review r14 finding; the c4 twin had
+    # the same guard from the start)
     def dup_chars(arr: str) -> str:
         return (
+            f"CASE WHEN text IS NULL THEN NULL ELSE "
             f"coalesce((SELECT sum((cnt - 1) * length(v)) FROM ("
             f"SELECT v, count(*) AS cnt FROM unnest({arr}) AS u(v) "
-            f"GROUP BY v) WHERE cnt > 1), 0)"
+            f"GROUP BY v) WHERE cnt > 1), 0) END"
         )
 
     def top_mass(n: int) -> str:
@@ -1650,9 +1654,10 @@ def _sql_text_gopher_repetition() -> str:
             f"i -> array_to_string(array_slice(ws, i, i + {n} - 1), ' '))"
         )
         return (
+            f"CASE WHEN text IS NULL THEN NULL ELSE "
             f"coalesce((SELECT max(cnt * length(g)) FROM ("
             f"SELECT g, count(*) AS cnt FROM unnest({grams}) AS u(g) "
-            f"GROUP BY g) WHERE cnt >= 2), 0)"
+            f"GROUP BY g) WHERE cnt >= 2), 0) END"
         )
 
     return f"""
@@ -1697,8 +1702,12 @@ def _sql_text_c4_quality() -> str:
     case-insensitive 'javascript'), sentence counting by terminal-punct
     occurrences in the CLEANED text, page drops on braces and
     'lorem ipsum', 4dp fraction, gate on the rounded value."""
+    # \z anchor + explicit trailing-ws class: the Java/RE2-safe
+    # terminal-punct test (see textstats._C4_TERMINAL — Java's $ also
+    # matches before a final \r, RE2's does not)
     kept = (
-        "list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?\"]$') "
+        "list_filter(ls, l -> regexp_matches("
+        "regexp_replace(l, '[ \t\r\n\f]+$', ''), '[.!?\"]\\z') "
         "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
         "AND NOT contains(lower(l), 'javascript'))"
     )

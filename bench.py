@@ -812,15 +812,14 @@ def b_text_c4_filter(spark):
     """C4 §2.2 cleaning (r14): line-filter transform + page-quality
     struct in one narrow select — the third member of the curation-gate
     family (quality=Gopher A1.1, repetition=A1.2, cleaning=C4)."""
-    from traject_spark.corpus import c4_clean_expr, c4_quality_expr
+    from traject_spark.corpus import c4_quality_expr
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     noop(
         docs.select(
             "doc_id",
-            c4_quality_expr(F.col("text")).alias("q"),
-            c4_clean_expr(F.col("text")).alias("cleaned"),
-        ).select("doc_id", "q.*", "cleaned")
+            c4_quality_expr(F.col("text"), include_cleaned=True).alias("q"),
+        ).select("doc_id", "q.*")
     )
 
 

@@ -607,6 +607,30 @@ def test_marcxml_gzip_magic_byte_streaming(spark, tmp_path):
     assert acc.value == 1
 
 
+def test_marcxml_bz2_and_xz_codecs(spark, tmp_path):
+    """Review fix (r14): the old text source decompressed any Hadoop
+    codec by extension; the binaryFile rewrite must keep at least the
+    stdlib-speakable ones (bzip2, xz) — sniffing magic bytes, so
+    renamed files still work."""
+    import bz2
+    import lzma
+
+    from traject_spark.marc.io import read_marcxml
+
+    def body(rid):
+        return (
+            '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+            "<record><leader>00000nam a2200000 a 4500</leader>"
+            f'<controlfield tag="001">{rid}</controlfield>'
+            "</record></collection>"
+        )
+
+    (tmp_path / "a.xml.bz2").write_bytes(bz2.compress(body("bz1").encode()))
+    (tmp_path / "b.xml.xz").write_bytes(lzma.compress(body("xz1").encode()))
+    rows = read_marcxml(spark, str(tmp_path)).collect()
+    assert sorted(r["record_id"] for r in rows) == ["bz1", "xz1"]
+
+
 def test_iterparse_marcxml_oai_wrapper_and_encoding(tmp_path):
     """iterparse keeps only innermost records through an OAI wrapper
     (cleared inner element still suppresses the wrapper) and honors the

@@ -965,3 +965,22 @@ def test_iso2709_range_granularity_decoupled_from_trigger():
         [("file:/x/f.mrc", 1000)], split_bytes=300, range_bytes=128 << 20
     )
     assert len(r2) == 4
+
+
+def test_iso2709_glob_matched_directory_files_are_listed(spark, tmp_path):
+    """Review fix (r14): a glob that matches a DIRECTORY must list its
+    files (Hadoop glob semantics) — on the split path those files were
+    silently never read."""
+    from traject_spark.marc.io import _list_input_sizes
+
+    big = _mk_mrc(tmp_path, n=30)
+    sub = tmp_path / "batch1"
+    sub.mkdir()
+    inner = _mk_mrc(sub, n=4)
+    (sub / "_SUCCESS").write_text("")  # skipped like Spark's index
+    meta = _list_input_sizes(spark, str(tmp_path / "*"))
+    names = sorted(p.rsplit("/", 1)[-1] for p, _ in meta)
+    assert names == sorted([big.name, inner.name])
+    # end-to-end: forcing the split path still reads the nested file
+    got = read_iso2709(spark, str(tmp_path / "*"), split_bytes=500)
+    assert got.count() == 34

@@ -355,3 +355,32 @@ def test_c4_null_and_empty(spark):
     q, clean = _c4(spark, "")
     assert q["n_lines"] == 1 and q["kept_line_frac"] == 0.0
     assert clean == "" and q["passes"] is False
+
+
+def test_c4_crlf_lines_behave_like_lf(spark):
+    """Review fix (r14): Java's $ matches before a trailing \\r while
+    RE2's does not — the \\z anchor + explicit trailing-ws strip makes
+    CRLF documents keep the same lines as their LF twins on BOTH
+    engines (DuckDB cross-checked here with the twin's exact predicate)."""
+    import duckdb
+
+    lf = (
+        "This line has the required five words.\n"
+        "Another complete sentence sits right here.\n"
+        "too short."
+    )
+    crlf = lf.replace("\n", "\r\n")
+    q_lf, clean_lf = _c4(spark, lf)
+    q_crlf, clean_crlf = _c4(spark, crlf)
+    assert q_lf["kept_line_frac"] == q_crlf["kept_line_frac"] > 0
+    assert q_lf["n_sentences"] == q_crlf["n_sentences"]
+    # DuckDB twin predicate agrees on the CRLF lines
+    kept = duckdb.sql(
+        "SELECT len(list_filter(string_split(?, chr(10)), l -> "
+        "regexp_matches(regexp_replace(l, '[ \\t\\r\\n\\f]+$', ''), "
+        "'[.!?\"]\\z') "
+        "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript')))",
+        params=[crlf],
+    ).fetchone()[0]
+    assert kept == round(q_crlf["kept_line_frac"] * q_crlf["n_lines"])

@@ -829,3 +829,19 @@ def test_split_batches_are_bounded(spark, tmp_path):
 
     df = read_xml_records(spark, str(p), each_record_tag="rec")
     assert df.count() == 25_000
+
+
+def test_oai_pmh_start_url_refuses_keyword_window(spark):
+    """Review fix (r14): a verbatim start_url plus keyword window params
+    is an un-mergeable combination — refusing loudly beats silently
+    re-harvesting the whole repository while the checkpoint claims the
+    window was applied."""
+    from traject_spark.xmlrec.io import OaiPmhError
+
+    start = "http://x/oai?verb=ListRecords&metadataPrefix=oai_dc"
+    with pytest.raises(OaiPmhError, match="verbatim"):
+        harvest_oai_pmh(
+            spark, start, fetch=lambda u: "", from_date="2024-01-01"
+        )
+    with pytest.raises(OaiPmhError, match="verbatim"):
+        harvest_oai_pmh(spark, start, fetch=lambda u: "", set_spec="s1")

@@ -680,16 +680,27 @@ def gopher_repetition_expr(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 #: a kept C4 line ends in terminal punctuation (period, !, ?, closing
-#: quote) after right-trim
-_C4_TERMINAL = r'[.!?"]$'
+#: quote) after trailing-whitespace strip. \z (true end-of-input), NOT
+#: $ — Java's $ also matches BEFORE a final line terminator (\r,
+#: NEL, LS, PS) while RE2's does not, so a CRLF document's
+#: "sentence.\r" lines would be KEPT by Spark and DROPPED by the
+#: DuckDB twin; \z means end-of-string in both dialects
+_C4_TERMINAL = r'[.!?"]\z'
+
+#: explicit class, not \s: Java \s includes \x0B where RE2's does not
+_C4_TRAILING_WS = r"[ \t\r\n\f]+$"
 
 
 def _c4_kept_lines(ls: Column) -> Column:
     """Lines C4 retains: terminal punctuation, >= 5 words, and no
-    'javascript' (case-insensitive) — the paper's line-level rules."""
+    'javascript' (case-insensitive) — the paper's line-level rules.
+    The trailing-whitespace strip (spaces, tabs, CR) makes CRLF
+    documents behave like LF documents on both engines."""
     return F.filter(
         ls,
-        lambda l: F.rtrim(l).rlike(_C4_TERMINAL)
+        lambda l: F.regexp_replace(l, _C4_TRAILING_WS, "").rlike(
+            _C4_TERMINAL
+        )
         & (F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= 5)
         & ~F.lower(l).contains("javascript"),
     )
@@ -706,7 +717,9 @@ def c4_clean_expr(text: Column) -> Column:
     )
 
 
-def c4_quality_expr(text: Column, min_sentences: int = 3) -> Column:
+def c4_quality_expr(
+    text: Column, min_sentences: int = 3, include_cleaned: bool = False
+) -> Column:
     """C4 page-level quality struct: ``n_lines``, ``kept_line_frac``
     (fraction surviving the line rules), ``n_sentences`` (terminal
     punctuation marks in the CLEANED text — the paper gates pages on
@@ -716,7 +729,13 @@ def c4_quality_expr(text: Column, min_sentences: int = 3) -> Column:
     ``passes`` = enough sentences AND neither page drop. The paper's
     bad-words page drop is not bundled (the list is a separately
     licensed artifact); compose it as an extra filter if licensed.
-    4dp fraction, gates on the rounded value. NULL in -> NULL out."""
+    4dp fraction, gates on the rounded value. NULL in -> NULL out.
+
+    ``include_cleaned=True`` adds the line-cleaned text as a
+    ``cleaned_text`` field of the SAME struct — selecting the struct
+    plus :func:`c4_clean_expr` separately would run the line split and
+    the kept-line regex filter twice per row (the expensive part of the
+    C4 pass); this shares the one let-bound kept array."""
 
     def build(ls: Column, kept: Column) -> Column:
         nl = F.size(ls)
@@ -729,14 +748,17 @@ def c4_quality_expr(text: Column, min_sentences: int = 3) -> Column:
         curly = text.contains("{") | text.contains("}")
         lorem = F.lower(text).contains("lorem ipsum")
         passes = (nsent >= min_sentences) & ~curly & ~lorem
-        return F.struct(
+        fields = [
             nl.cast("long").alias("n_lines"),
             klf.alias("kept_line_frac"),
             nsent.alias("n_sentences"),
             curly.alias("has_curly_brace"),
             lorem.alias("has_lorem_ipsum"),
             passes.alias("passes"),
-        )
+        ]
+        if include_cleaned:
+            fields.append(cleaned.alias("cleaned_text"))
+        return F.struct(*fields)
 
     return F.when(
         text.isNotNull(),

@@ -333,6 +333,15 @@ def _list_input_sizes(spark: SparkSession, paths) -> list:
     import os as _os
     import urllib.parse as _up
 
+    def _dir_files(d: str) -> list:
+        # Spark's file index: top-level files, skipping hidden and
+        # _-prefixed entries (_SUCCESS and friends)
+        return [
+            e.path
+            for e in _os.scandir(d)
+            if e.is_file() and not e.name.startswith((".", "_"))
+        ]
+
     specs = [paths] if isinstance(paths, str) else list(paths)
     out = []
     for spec in specs:
@@ -345,15 +354,15 @@ def _list_input_sizes(spark: SparkSession, paths) -> list:
             hits = _glob.glob(local)
             if not hits:
                 break
+            # a glob that matches a DIRECTORY lists its files, exactly
+            # like Hadoop's glob expansion — dropping them here would
+            # silently unread whole directories on the split path
             files = [h for h in hits if _os.path.isfile(h)]
+            for h in hits:
+                if _os.path.isdir(h):
+                    files.extend(_dir_files(h))
         elif _os.path.isdir(local):
-            # Spark's file index: top-level files, skipping hidden
-            # and _-prefixed entries (_SUCCESS and friends)
-            files = [
-                e.path
-                for e in _os.scandir(local)
-                if e.is_file() and not e.name.startswith((".", "_"))
-            ]
+            files = _dir_files(local)
         elif _os.path.isfile(local):
             files = [local]
         else:
@@ -439,8 +448,6 @@ def read_iso2709(
     while ranges read it in 62s at the 128 MB default granularity
     (``range_bytes``; 221s at 512 MB ranges — the trigger and the
     granularity are separate decisions)."""
-    from pyspark.sql import functions as F
-
     meta = _list_input_sizes(spark, paths)
     ranges, _ = _iso2709_split_ranges(meta, split_bytes, range_bytes)
     for path, length in meta:
@@ -724,8 +731,10 @@ def read_marcxml(
     )
 
     def parse(batches: Iterator) -> Iterator:
+        import bz2 as _bz2
         import gzip as _gzip
         import io as _io
+        import lzma as _lzma
         import sys as _sys
         import xml.etree.ElementTree as _ET
 
@@ -743,16 +752,26 @@ def read_marcxml(
                 for content in pdf["content"]:
                     raw = bytes(content)
                     stream = _io.BytesIO(raw)
+                    # magic-byte sniff, not path suffix: binaryFile
+                    # does not decompress, and renamed files must still
+                    # stream. Covers the Hadoop codecs the old text
+                    # source decompressed that the stdlib also speaks —
+                    # gzip, bzip2, xz/lzma; deflate/snappy/lz4/zstd have
+                    # no stdlib streamer and skip as malformed (loudly)
                     if raw[:2] == b"\x1f\x8b":
-                        # magic-byte sniff, not path suffix: binaryFile
-                        # does not decompress, and renamed .gz files
-                        # must still stream
                         stream = _gzip.GzipFile(fileobj=stream)
+                    elif raw[:3] == b"BZh":
+                        stream = _bz2.BZ2File(stream)
+                    elif raw[:6] == b"\xfd7zXZ\x00":
+                        stream = _lzma.LZMAFile(stream)
                     try:
                         for rec in iterparse_marcxml(stream):
                             yield (_id_from(rec, id_tag), rec)
-                    except (_ET.ParseError, OSError, EOFError) as e:
-                        # OSError/EOFError: truncated or corrupt gzip
+                    except (
+                        _ET.ParseError, OSError, EOFError, _lzma.LZMAError
+                    ) as e:
+                        # OSError/EOFError/LZMAError: truncated or
+                        # corrupt compressed stream
                         if strict:
                             raise ValueError(
                                 f"read_marcxml: malformed XML input "

@@ -256,6 +256,20 @@ def _fetch_oai_page(
 
     verb = _effective_verb(base_url, verb)
     if "?" in base_url:
+        if from_date or until_date or extra_params or set_spec:
+            # a verbatim start_url and keyword window params cannot be
+            # merged safely (whose metadataPrefix wins? is `from`
+            # duplicated?) — and silently IGNORING the window would
+            # make a nightly incremental job re-harvest the whole
+            # repository while the restartable checkpoint durably
+            # claims the window was applied. Refuse loudly.
+            raise OaiPmhError(
+                "base_url carries its own query string (start_url "
+                "mode, fetched verbatim) — put from/until/set/extra "
+                "params IN the URL, or pass a bare endpoint with the "
+                "keyword arguments; mixing both would silently drop "
+                f"the keywords (url={base_url!r})"
+            )
         path = base_url.split("?", 1)[0]
         if token:
             url = path + "?" + urllib.parse.urlencode(
