@@ -607,6 +607,41 @@ def test_marcxml_gzip_magic_byte_streaming(spark, tmp_path):
     assert acc.value == 1
 
 
+def test_marcxml_corrupt_gzip_deflate_body_is_skipped(spark, tmp_path):
+    """Advice fix (r15): a gzip member with a valid header but corrupt
+    DEFLATE body raises zlib.error — which is NOT an OSError subclass —
+    so it must be in the skip tuple or one bad .gz fails the whole
+    ingest even with strict=False. Records salvaged before the corrupt
+    span are kept, and a good sibling file is unaffected."""
+    import gzip
+
+    from traject_spark.marc.io import read_marcxml
+
+    def rec(rid):
+        return (
+            "<record><leader>00000nam a2200000 a 4500</leader>"
+            f'<controlfield tag="001">{rid}</controlfield></record>'
+        )
+
+    body = ("<collection>" + "".join(rec(f"r{i}") for i in range(60))
+            + "</collection>").encode()
+    gz = bytearray(gzip.compress(body))
+    gz[len(gz) // 2 : len(gz) // 2 + 8] = b"\xff\x00\xaa\x55" * 2
+    (tmp_path / "corrupt_body.xml.gz").write_bytes(bytes(gz))
+    (tmp_path / "good.xml").write_text(f"<collection>{rec('ok')}</collection>")
+
+    acc = spark.sparkContext.accumulator(0)
+    rows = read_marcxml(spark, str(tmp_path), skipped_files=acc).collect()
+    ids = {r["record_id"] for r in rows}
+    assert "ok" in ids  # the good sibling survived the corrupt .gz
+    assert acc.value == 1
+    # strict still fails fast on the zlib error
+    with pytest.raises(Exception, match="malformed XML"):
+        read_marcxml(
+            spark, str(tmp_path / "corrupt_body.xml.gz"), strict=True
+        ).collect()
+
+
 def test_marcxml_bz2_and_xz_codecs(spark, tmp_path):
     """Review fix (r14): the old text source decompressed any Hadoop
     codec by extension; the binaryFile rewrite must keep at least the

@@ -984,3 +984,19 @@ def test_iso2709_glob_matched_directory_files_are_listed(spark, tmp_path):
     # end-to-end: forcing the split path still reads the nested file
     got = read_iso2709(spark, str(tmp_path / "*"), split_bytes=500)
     assert got.count() == 34
+
+
+def test_iso2709_special_filenames_on_whole_file_branch(spark, tmp_path):
+    """Advice fix (r15): Hadoop Path does not percent-decode, so the
+    quoted file: URIs _list_input_sizes builds must be UNquoted before
+    the whole-file Spark load — a space/umlaut filename was
+    file-not-found whenever a sibling triggered range splitting."""
+    from traject_spark.marc.io import read_iso2709
+
+    big = _mk_mrc(tmp_path, n=40)  # forces the split path at 500 bytes
+    spacey = _mk_mrc(tmp_path, n=5)
+    spacey = spacey.rename(tmp_path / "weird näme with spaces.mrc")
+    df = read_iso2709(spark, str(tmp_path), split_bytes=500)
+    # 40 split + 5 whole-file; ids 0-4 overlap (prefix twin corpus)
+    assert df.count() == 45
+    assert df.select("record_id").distinct().count() == 40

@@ -41,9 +41,12 @@ PII_PATTERNS = {
         "[IP]",
     ),
     # 8+ digit runs with separators, optional +country — after emails
-    # and IPs are gone this cannot eat either
+    # and IPs are gone this cannot eat either. Explicit whitespace
+    # class, not \s: Java's \s includes \x0B where RE2's does not, so
+    # \s would break the cross-engine parity this module pins (same
+    # discipline as _C4_TRAILING_WS in textstats.py; r15 advice fix)
     "phone": (
-        r"\+?\d[\d\s().-]{7,}\d",
+        r"\+?\d[\d \t\r\n\f().-]{7,}\d",
         "[PHONE]",
     ),
 }

@@ -448,6 +448,8 @@ def read_iso2709(
     while ranges read it in 62s at the 128 MB default granularity
     (``range_bytes``; 221s at 512 MB ranges — the trigger and the
     granularity are separate decisions)."""
+    import urllib.parse as _up
+
     meta = _list_input_sizes(spark, paths)
     ranges, _ = _iso2709_split_ranges(meta, split_bytes, range_bytes)
     for path, length in meta:
@@ -473,7 +475,19 @@ def read_iso2709(
         # multi-GB split file's content as a row just to discard it —
         # measured as one core pegged for 20+ minutes on a 2 GB file
         split_paths = {p for (p, _s, _e, _l) in ranges}
-        whole_paths = [p for (p, _l) in meta if p not in split_paths]
+        # Hadoop Path does NOT percent-decode, so the percent-quoted
+        # file: URIs _list_input_sizes builds (quoted so the range
+        # rows' unquote round-trips filenames with literal '%') must be
+        # UNquoted before the Spark load — a quoted space/umlaut would
+        # be file-not-found here. Remote-scheme paths came from Spark's
+        # own listing and pass through verbatim.
+        whole_paths = [
+            "file:" + _up.unquote(_up.urlsplit(p).path)
+            if p.startswith("file:")
+            else p
+            for (p, _l) in meta
+            if p not in split_paths
+        ]
         files = (
             spark.read.format("binaryFile").load(whole_paths)
             if whole_paths
@@ -737,6 +751,7 @@ def read_marcxml(
         import lzma as _lzma
         import sys as _sys
         import xml.etree.ElementTree as _ET
+        import zlib as _zlib
 
         import pandas as pd
 
@@ -768,10 +783,19 @@ def read_marcxml(
                         for rec in iterparse_marcxml(stream):
                             yield (_id_from(rec, id_tag), rec)
                     except (
-                        _ET.ParseError, OSError, EOFError, _lzma.LZMAError
+                        _ET.ParseError,
+                        OSError,
+                        EOFError,
+                        _lzma.LZMAError,
+                        _zlib.error,
                     ) as e:
                         # OSError/EOFError/LZMAError: truncated or
-                        # corrupt compressed stream
+                        # corrupt compressed stream. zlib.error is NOT
+                        # an OSError subclass: a gzip member whose
+                        # deflate body is corrupt raises it from
+                        # GzipFile.read (verified empirically) — without
+                        # it one corrupt .gz failed the whole ingest
+                        # even with strict=False (r15 advice fix)
                         if strict:
                             raise ValueError(
                                 f"read_marcxml: malformed XML input "
