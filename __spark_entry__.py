@@ -606,6 +606,29 @@ def q_text_c4_quality(spark, sf_dir):
     )
 
 
+def q_pii(spark, sf_dir):
+    """PII detect + redact (corpus/pii.py): per-category counts struct
+    expanded to columns PLUS the redacted text itself — the string
+    compare pins the whole ordered-replacement pipeline, exactly like
+    text_c4_quality hashes the cleaned text. Patterns are restricted to
+    the Java-regex/RE2 intersection so the DuckDB twin runs the
+    IDENTICAL pattern strings."""
+    from traject_spark.corpus import pii_redact_expr, pii_stats_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        pii_stats_expr(F.col("text")).alias("s"),
+        pii_redact_expr(F.col("text")).alias("redacted"),
+    ).select(
+        "doc_id",
+        F.col("s.n_email").alias("n_email"),
+        F.col("s.n_ipv4").alias("n_ipv4"),
+        F.col("s.n_phone").alias("n_phone"),
+        F.col("s.has_pii").alias("has_pii"),
+        "redacted",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1392,7 +1415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_fingerprint": q_stream_dedup_fingerprint,
         "dedup_minhash_exact_pairs": q_dedup_minhash_exact_pairs,
         "dedup_simhash_planted": q_dedup_simhash_planted,
-        "dedup_exact_apply": q_dedup_exact_apply,
+        # r15: dedup_exact_apply rotated out for the PII row (VERDICT
+        # r14 #1) — its fingerprint_expr + null-safe group key are the
+        # IDENTICAL compiled trees in-window through dedup_exact, and
+        # its min-id survivor claim is the same keep_id = min(id) that
+        # dedup_exact's aggregate hash-verifies; the row_number
+        # application keeps its full DuckDB compare in rotated_out()
+        "pii": q_pii,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_layout_topk": q_ann_ivf_layout_topk,
@@ -1745,6 +1774,33 @@ def _sql_text_c4_quality() -> str:
         FROM c"""
 
 
+def _sql_pii() -> str:
+    """DuckDB twin of pii_stats_expr + pii_redact_expr, rendered from
+    the SAME PII_PATTERNS table (corpus/pii.py) — identical pattern
+    strings on both engines (the patterns are deliberately restricted
+    to the Java-regex/RE2 intersection so this is meaningful), same
+    pinned redaction order (emails, then IPv4, then phones)."""
+    from traject_spark.corpus import PII_PATTERNS
+
+    e_pat, e_tok = PII_PATTERNS["email"]
+    i_pat, i_tok = PII_PATTERNS["ipv4"]
+    p_pat, p_tok = PII_PATTERNS["phone"]
+    return f"""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '{e_pat}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text, '{i_pat}')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(text, '{p_pat}')) AS BIGINT) AS n_phone,
+          (len(regexp_extract_all(text, '{e_pat}')) > 0
+           OR len(regexp_extract_all(text, '{i_pat}')) > 0
+           OR len(regexp_extract_all(text, '{p_pat}')) > 0) AS has_pii,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '{e_pat}', '{e_tok}', 'g'),
+              '{i_pat}', '{i_tok}', 'g'),
+            '{p_pat}', '{p_tok}', 'g') AS redacted
+        FROM documents"""
+
+
 def _sql_text_langid_ngram() -> str:
     """DuckDB twin of textstats.langid_ngram_expr, rendered from the
     SAME generated profile table (corpus/langid_data.py) — score per
@@ -2030,26 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
               CAST(0 AS BIGINT) AS distance
             FROM documents WHERE doc_id % 25 = 0""",
-        "dedup_exact_apply": r"""
-            WITH all_docs AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text
-              FROM documents WHERE doc_id % 25 = 0
-            ), f AS (
-              -- null-safe partition key, like the engine: each NULL-text
-              -- row survives as its own 1-doc cluster
-              SELECT doc_id,
-                COALESCE(
-                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
-                  chr(1) || CAST(doc_id AS VARCHAR)) AS fp
-              FROM all_docs
-            )
-            SELECT doc_id FROM (
-              SELECT doc_id,
-                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-              FROM f
-            ) WHERE rn = 1""",
+        "pii": _sql_pii(),
         "xml_extract": f"""
             SELECT {rid},
               {SQL_TITLE} AS title,
@@ -2193,6 +2230,59 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+#: Structured rotation ledger (VERDICT r14 #7): every query rotated out
+#: of the 50-row driver window names the IN-WINDOW queries that subsume
+#: its expression paths, the round it rotated, and the row its slot was
+#: handed to. tests/test_entry_oracle.py asserts the ledger covers
+#: rotated_out() exactly and that every subsumer (and slot recipient)
+#: is currently in-window — a future rotation cannot silently orphan
+#: coverage. Prose rationale stays with each rotated_out() entry.
+ROTATIONS = {
+    "marc_title_join": {
+        "round": 8, "slot_to": "corpus_decontaminate",
+        "subsumed_by": ("marc_title_first_trim", "pipeline_two_rules"),
+    },
+    "marc_instruments": {
+        "round": 8, "slot_to": "corpus_curate_planted",
+        "subsumed_by": ("marc_instrument_codes",),
+    },
+    "marc_edge_shapes": {
+        "round": 10, "slot_to": "ann_recall",
+        "subsumed_by": (
+            "marc_title_first_trim", "marc_pubdate", "marc_languages",
+        ),
+    },
+    "embed_norm": {
+        "round": 11, "slot_to": "dedup_witness_clusters",
+        "subsumed_by": ("embed_topk", "ann_ivf_topk"),
+    },
+    "stream_events_hourly": {
+        "round": 11, "slot_to": "stream_late_data",
+        "subsumed_by": ("stream_late_data",),
+    },
+    "text_token_fingerprint": {
+        "round": 13, "slot_to": "text_langid_ngram",
+        "subsumed_by": ("text_langid_ngram", "dedup_exact"),
+    },
+    "text_quality": {
+        "round": 13, "slot_to": "text_gopher_quality",
+        "subsumed_by": ("text_gopher_quality",),
+    },
+    "text_langid": {
+        "round": 14, "slot_to": "text_gopher_repetition",
+        "subsumed_by": ("text_gopher_quality", "text_langid_ngram"),
+    },
+    "rel_events_hourly": {
+        "round": 14, "slot_to": "text_c4_quality",
+        "subsumed_by": ("stream_late_data",),
+    },
+    "dedup_exact_apply": {
+        "round": 15, "slot_to": "pii",
+        "subsumed_by": ("dedup_exact",),
+    },
+}
+
+
 def rotated_out() -> dict:
     """Queries rotated OUT of the 50-row driver window, with their
     preserved DuckDB oracle SQL: (callable, sql) per name.
@@ -2209,6 +2299,35 @@ def rotated_out() -> dict:
     rid = "CAST(doc_id AS VARCHAR) AS record_id"
     title_value = f"{SQL_TITLE_A} || ' ' || {SQL_TITLE_B}"
     return {
+        # r15: slot handed to pii (VERDICT r14 #1). Subsumption: the
+        # fingerprint_expr + _null_safe_group_key trees are IDENTICAL
+        # compiled expressions in-window through dedup_exact, whose
+        # aggregate already hash-verifies the min-id survivor claim
+        # (keep_id = min(id) per key); the row_number application over
+        # the planted-copy corpus keeps its full compare here
+        "dedup_exact_apply": (
+            q_dedup_exact_apply,
+            r"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 25 = 0
+            ), f AS (
+              -- null-safe partition key, like the engine: each NULL-text
+              -- row survives as its own 1-doc cluster
+              SELECT doc_id,
+                COALESCE(
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  chr(1) || CAST(doc_id AS VARCHAR)) AS fp
+              FROM all_docs
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM f
+            ) WHERE rn = 1""",
+        ),
         # r14: slot handed to text_gopher_repetition (Gopher §A1.2). The
         # legacy 4-marker heuristic's token-membership counting
         # (filter+isin over the space tokenization) is in-window via

@@ -131,3 +131,26 @@ def test_rotated_out_disjoint_from_window():
     assert not set(ROTATED) & set(QUERIES), set(ROTATED) & set(QUERIES)
     for name, (fn, sql) in ROTATED.items():
         assert callable(fn) and "SELECT" in sql.upper(), name
+
+
+def test_rotation_ledger_complete_and_in_window():
+    """Mechanized rotation ledger (VERDICT r14 #7): ROTATIONS covers
+    rotated_out() exactly, and every named subsumer AND slot recipient
+    is currently inside the 50-row driver window — so a future rotation
+    cannot silently orphan coverage (rotating out a subsumer without
+    updating the ledger fails here)."""
+    ledger = entry_mod.ROTATIONS
+    assert set(ledger) == set(ROTATED), (
+        set(ledger) ^ set(ROTATED)
+    )
+    window = set(QUERIES)
+    for name, row in ledger.items():
+        assert row["subsumed_by"], name
+        for sub in row["subsumed_by"]:
+            assert sub in window, (
+                f"{name}: subsumer {sub!r} is not in the driver window"
+            )
+        assert row["slot_to"] in window, (
+            f"{name}: slot recipient {row['slot_to']!r} left the window"
+        )
+        assert isinstance(row["round"], int) and row["round"] >= 1
