@@ -986,6 +986,154 @@ def test_iso2709_glob_matched_directory_files_are_listed(spark, tmp_path):
     assert got.count() == 34
 
 
+def _mk_xml(tmp_path, n=50, ns="default", name="recs.xml"):
+    """A MARCXML collection file of n distinct records with varying
+    sizes; ns selects the namespace shape the splitter must survive."""
+    if ns == "prefix":
+        root = ('<marc:collection '
+                'xmlns:marc="http://www.loc.gov/MARC21/slim">')
+        root_close, r, pre = "</marc:collection>", "marc:record", "marc:"
+    elif ns == "default":
+        root = '<collection xmlns="http://www.loc.gov/MARC21/slim">'
+        root_close, r, pre = "</collection>", "record", ""
+    else:
+        root, root_close, r, pre = "<collection>", "</collection>", "record", ""
+    recs = []
+    for i in range(n):
+        recs.append(
+            f"<{r}><{pre}leader>00000nam a2200000 a 4500</{pre}leader>"
+            f'<{pre}controlfield tag="001">x{i:04d}</{pre}controlfield>'
+            f'<{pre}datafield tag="245" ind1="1" ind2="0">'
+            f'<{pre}subfield code="a">Title {i} {"pad " * (i % 23)}'
+            f"</{pre}subfield></{pre}datafield></{r}>"
+        )
+    path = tmp_path / name
+    path.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        + root + "\n  ".join(recs) + root_close
+    )
+    return path
+
+
+@pytest.mark.parametrize("ns", ["default", "prefix", "plain"])
+def test_marcxml_range_split_matches_whole_file(spark, tmp_path, ns):
+    """XML byte-range splitting is invisible (r15, VERDICT r14 #2): for
+    a spread of split sizes (boundaries mid-record, mid-tag, in
+    whitespace) the record set is IDENTICAL to the unsplit read, across
+    default-namespace, prefixed, and namespace-free files (the
+    synthetic wrapper must carry the root's xmlns declarations)."""
+    from traject_spark.marc.io import read_marcxml
+
+    path = _mk_xml(tmp_path, n=50, ns=ns)
+    size = path.stat().st_size
+
+    def ids_titles(df):
+        return sorted(
+            (r["record_id"], r["title"][0])
+            for r in Pipeline()
+            .to_field("title", extract_marc("245a"))
+            .apply(df)
+            .collect()
+        )
+
+    baseline = ids_titles(read_marcxml(spark, str(path), split_bytes=None))
+    assert len(baseline) == 50
+    for split in [200, 997, size // 3, size - 1]:
+        got = ids_titles(
+            read_marcxml(spark, str(path), split_bytes=split)
+        )
+        assert got == baseline, f"ns={ns} split_bytes={split}"
+
+
+def test_marcxml_split_nested_oai_records_refuse(spark, tmp_path):
+    """An OAI-PMH wrapper <record> containing the MARC <record> cannot
+    be byte-range split soundly (a range cannot tell an inner start
+    from a top-level one) — the owning range RAISES instead of risking
+    duplicate emission; split_bytes=None reads it fine (innermost
+    rule)."""
+    from traject_spark.marc.io import read_marcxml
+
+    recs = "".join(
+        "<record><header/><metadata>"
+        "<record><leader>00000nam a2200000 a 4500</leader>"
+        f'<controlfield tag="001">oai{i}</controlfield></record>'
+        "</metadata></record>"
+        for i in range(30)
+    )
+    path = tmp_path / "oai_dump.xml"
+    path.write_text(f"<OAI-PMH><ListRecords>{recs}</ListRecords></OAI-PMH>")
+
+    rows = read_marcxml(spark, str(path), split_bytes=None).collect()
+    assert sorted(r["record_id"] for r in rows) == sorted(
+        f"oai{i}" for i in range(30)
+    )
+    with pytest.raises(Exception, match="nested|split_bytes=None"):
+        read_marcxml(spark, str(path), split_bytes=300).collect()
+
+
+def test_marcxml_split_ineligible_warns_and_reads_whole(spark, tmp_path, capfd):
+    """Over-threshold files that cannot split — compressed payloads,
+    non-ASCII-transparent encodings — stay whole-file with a LOUD
+    driver-side warning naming the reason (the owed posture from
+    VERDICT r14 #2); the read still succeeds."""
+    import gzip
+
+    from traject_spark.marc.io import read_marcxml
+
+    plain = _mk_xml(tmp_path, n=40, ns="default", name="big.xml")
+    gz = tmp_path / "big.xml.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    plain.unlink()
+
+    rows = read_marcxml(spark, str(gz), split_bytes=200).collect()
+    assert len(rows) == 40
+    err = capfd.readouterr().err
+    assert "cannot byte-range split" in err and "compressed" in err
+
+    utf16 = tmp_path / "wide.xml"
+    utf16.write_bytes(
+        '<?xml version="1.0" encoding="UTF-16"?><collection>'
+        "<record><leader>00000nam a2200000 a 4500</leader>"
+        '<controlfield tag="001">w1</controlfield></record>'
+        "</collection>".encode("utf-16")
+    )
+    rows = read_marcxml(spark, str(utf16), split_bytes=50).collect()
+    assert [r["record_id"] for r in rows] == ["w1"]
+    assert "byte-order mark" in capfd.readouterr().err
+
+
+def test_marcxml_split_overrun_exceeded_raises(spark, tmp_path):
+    """A record whose close lies beyond range + overrun raises loudly
+    (never silently drops) and names the split_bytes=None escape."""
+    from traject_spark.marc.io import read_marcxml
+
+    path = _mk_xml(tmp_path, n=10, ns="plain")
+    with pytest.raises(Exception, match="no close|split_bytes=None"):
+        read_marcxml(
+            spark, str(path), split_bytes=120, overrun_bytes=16
+        ).collect()
+
+
+def test_marcxml_split_unions_with_small_files(spark, tmp_path):
+    """Mixed corpus: an over-threshold file range-splits while small
+    siblings ride the untouched whole-file path (incl. a compressed
+    one), and the union is complete."""
+    import gzip
+
+    from traject_spark.marc.io import read_marcxml
+
+    _mk_xml(tmp_path, n=40, ns="default", name="big.xml")
+    small = _mk_xml(tmp_path, n=3, ns="plain", name="small_src.xml")
+    gz = tmp_path / "small.xml.gz"
+    gz.write_bytes(gzip.compress(small.read_bytes()))
+    small.unlink()
+
+    df = read_marcxml(spark, str(tmp_path), split_bytes=600)
+    # 40 + 3; ids x0000-x0002 in BOTH files (prefix twin corpus)
+    assert df.count() == 43
+    assert df.select("record_id").distinct().count() == 40
+
+
 def test_iso2709_special_filenames_on_whole_file_branch(spark, tmp_path):
     """Advice fix (r15): Hadoop Path does not percent-decode, so the
     quoted file: URIs _list_input_sizes builds must be UNquoted before

@@ -14,9 +14,12 @@ this module only binds it to Spark sources.
   raw file bytes (O(record) memory, transparent in-Python gunzip);
   record elements located namespace-agnostically.
 
-All three distribute at file granularity; for 100 TB ingest, store many
-moderate files — or convert once to parquet of the nested struct (the
-preferred long-term layout: nested-schema pruning at the scan).
+All three distribute at file granularity for ordinary files; oversized
+LOCAL files byte-range split (``read_iso2709`` on the 0x1D terminator,
+``read_marcxml`` on ``<record`` start-tag resync). For 100 TB ingest,
+store many moderate files — or convert once to parquet of the nested
+struct (the preferred long-term layout: nested-schema pruning at the
+scan; ``traject-spark convert``).
 
 All three parse inside ``mapInPandas`` — Arrow-batched column transfer
 into Python and back, no per-row pickling (the row-at-a-time
@@ -705,12 +708,213 @@ def iterparse_marcxml(stream) -> Iterator[dict]:
             elem.clear()
 
 
+# -- MARCXML byte-range splitting (r15, VERDICT r14 #2) ---------------------
+#
+# XML is not byte-range-splittable in GENERAL, but a plain MARCXML
+# collection file is in PRACTICE: record elements are siblings under one
+# root, their content is escaped (raw ``<record`` cannot legally appear
+# in text), and the per-record parser is already namespace-agnostic. A
+# range task scans for ``<record``/``<prefix:record`` start tags, owns
+# every record whose START byte lies inside its range (the same
+# ownership discipline as the ISO-2709 0x1D resync and Hadoop text
+# splits), depth-balances to the matching end tag, and parses each span
+# standalone under a synthetic wrapper carrying the root element's
+# xmlns declarations. Shapes that cannot be split soundly REFUSE or
+# fall back loudly instead of risking silent dupes/drops:
+#
+# - nested records (an OAI-PMH wrapper <record> containing the MARC
+#   <record>): a range cannot tell an inner start from a top-level one,
+#   so the range that owns the OUTER record detects the nesting and
+#   RAISES — the job fails loudly, never emits duplicates.
+# - compressed / non-UTF-8 / remote files: whole-file path + a loud
+#   driver-side warning naming the threshold and the sizing discipline.
+# - comments/CDATA containing record-tag lookalikes would defeat the
+#   byte scan (the same caveat quoted-newline CSVs have under Hadoop
+#   text splits); such files surface as parse errors, and the split
+#   path always raises on malformed spans (per-file salvage semantics
+#   need file ownership, which ranges don't have) — read with
+#   ``split_bytes=None`` for the skip/salvage posture.
+
+_XML_REC_START = None  # compiled lazily below (keeps import light)
+_XML_REC_END = None
+
+
+def _xml_rec_patterns():
+    global _XML_REC_START, _XML_REC_END
+    if _XML_REC_START is None:
+        import re
+
+        _XML_REC_START = re.compile(rb"<(?:[A-Za-z_][\w.-]*:)?record(?=[\s/>])")
+        _XML_REC_END = re.compile(rb"</(?:[A-Za-z_][\w.-]*:)?record\s*>")
+    return _XML_REC_START, _XML_REC_END
+
+
+def _scan_record_element(buf: bytes, s: int) -> Optional[int]:
+    """End offset (exclusive) of the record element whose start tag
+    begins at ``s``, by depth-balanced scanning of record start/end
+    tags (nested records and self-closing ``<record/>`` handled);
+    None when the close lies beyond the buffer."""
+    start_re, end_re = _xml_rec_patterns()
+    depth = 0
+    cur = s
+    while True:
+        ms = start_re.search(buf, cur)
+        me = end_re.search(buf, cur)
+        if ms is not None and (me is None or ms.start() < me.start()):
+            gt = buf.find(b">", ms.end())
+            if gt == -1:
+                return None
+            if buf[gt - 1] == 0x2F:  # '/>': self-closing
+                if depth == 0:
+                    return gt + 1
+            else:
+                depth += 1
+            cur = gt + 1
+        elif me is not None:
+            depth -= 1
+            cur = me.end()
+            if depth <= 0:
+                return cur
+        else:
+            return None
+
+
+def iter_marcxml_record_spans(buf: bytes, limit: int):
+    """(start, end) byte spans of record elements whose START offset is
+    below ``limit`` (range ownership); scanning resumes from each
+    element's end, so record starts nested inside an owned span are
+    never emitted as their own spans. Raises ValueError when an owned
+    element's close lies beyond the buffer (overrun exceeded or
+    malformed markup)."""
+    start_re, _ = _xml_rec_patterns()
+    pos = 0
+    while True:
+        m = start_re.search(buf, pos)
+        if m is None or m.start() >= limit:
+            return
+        e = _scan_record_element(buf, m.start())
+        if e is None:
+            raise ValueError(
+                f"record element at buffer offset {m.start()} has no "
+                "close within the read window"
+            )
+        yield m.start(), e
+        pos = e
+
+
+def _marcxml_head_info(local_path: str) -> tuple:
+    """(eligible, reason, ns_decls) for byte-range splitting, from the
+    file's first 64 KB: refuses compressed payloads and non-UTF-8
+    encodings (the byte scan and the standalone span parse both assume
+    an ASCII-transparent UTF-8 stream), and captures the ROOT element's
+    xmlns declarations so spans parse standalone under a synthetic
+    wrapper (a ``marc:`` prefix or default namespace declared on
+    <collection> would otherwise be unbound in every span)."""
+    import re
+
+    with open(local_path, "rb") as fh:
+        head = fh.read(64 << 10)
+    if (
+        head[:2] == b"\x1f\x8b"
+        or head[:3] == b"BZh"
+        or head[:6] == b"\xfd7zXZ\x00"
+    ):
+        return (
+            False,
+            "compressed payload (decompression is a sequential stream; "
+            "a .gz can inflate ~10x past the threshold)",
+            "",
+        )
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return (False, "UTF-16 byte-order mark", "")
+    m = re.search(rb"<\?xml[^>]*?encoding=[\"']([^\"']+)", head[:256])
+    if m and m.group(1).lower() not in (b"utf-8", b"utf8", b"us-ascii", b"ascii"):
+        return (
+            False,
+            f"declared encoding {m.group(1).decode('ascii', 'replace')!r} "
+            "is not ASCII-transparent",
+            "",
+        )
+    # skip prolog (BOM, declaration, comments, DOCTYPE) to the root tag
+    i = 3 if head[:3] == b"\xef\xbb\xbf" else 0
+    while True:
+        j = head.find(b"<", i)
+        if j == -1:
+            return (False, "no root element within the first 64 KB", "")
+        if head[j : j + 4] == b"<!--":
+            k = head.find(b"-->", j)
+            if k == -1:
+                return (False, "unterminated comment in prolog", "")
+            i = k + 3
+        elif head[j : j + 2] == b"<?":
+            k = head.find(b"?>", j)
+            if k == -1:
+                return (False, "unterminated processing instruction", "")
+            i = k + 2
+        elif head[j : j + 2] == b"<!":
+            k = head.find(b">", j)
+            if k == -1:
+                return (False, "unterminated DOCTYPE in prolog", "")
+            i = k + 1
+        else:
+            root_start = j
+            break
+    gt = head.find(b">", root_start)
+    if gt == -1:
+        return (False, "root start tag exceeds 64 KB", "")
+    tag = head[root_start : gt + 1]
+    ns = b" ".join(
+        m.group(0)
+        for m in re.finditer(
+            rb"xmlns(?::[\w.-]+)?\s*=\s*(?:\"[^\"]*\"|'[^']*')", tag
+        )
+    )
+    return (True, "", ns.decode("utf-8", "replace"))
+
+
+def _marcxml_split_plan(
+    meta: list, split_bytes: int, range_bytes: Optional[int]
+) -> tuple:
+    """(ranges, warnings): byte ranges for local, uncompressed,
+    ASCII-transparent files above ``split_bytes``; every other
+    over-threshold file stays whole-file and is returned as
+    (path, length, reason) for the driver-side warning."""
+    import urllib.parse as _up
+
+    step_target = min(split_bytes, range_bytes or split_bytes)
+    ranges, warns = [], []
+    for path, length in meta:
+        if length <= split_bytes:
+            continue
+        if not path.startswith("file:"):
+            warns.append(
+                (path, length, "non-local storage (byte-range splitting "
+                 "needs a locally-openable path)")
+            )
+            continue
+        local = _up.unquote(_up.urlsplit(path).path)
+        ok, reason, ns = _marcxml_head_info(local)
+        if not ok:
+            warns.append((path, length, reason))
+            continue
+        n = (length + step_target - 1) // step_target
+        step = (length + n - 1) // n
+        for i in range(n):
+            ranges.append(
+                (path, i * step, min((i + 1) * step, length), ns)
+            )
+    return ranges, warns
+
+
 def read_marcxml(
     spark: SparkSession,
     paths,
     id_tag: str = "001",
     strict: bool = False,
     skipped_files: Optional[object] = None,
+    split_bytes: Optional[int] = 512 << 20,
+    range_bytes: int = 64 << 20,
+    overrun_bytes: int = 8 << 20,
 ) -> DataFrame:
     """MARCXML files -> struct records (marc_reader.rb xml branch :72-74).
 
@@ -722,9 +926,10 @@ def read_marcxml(
     the whole-file-DOM shape this replaced (JVM 2-byte/char string +
     Python str + full ElementTree, ~5-10x file size) made 32 concurrent
     multi-hundred-MB parses GC-pressure-sensitive and was the r13 bench
-    variance outlier. Distribution is still at file granularity (XML is
-    not splittable); many moderate files parallelize best, and output
-    batches stay bounded via batched_rows regardless of file size.
+    variance outlier. Distribution is at file granularity for ordinary
+    files (many moderate files parallelize best), byte-range parallel
+    for oversized local collection files (below), and output batches
+    stay bounded via batched_rows regardless of file size.
 
     Error posture: by default a malformed / truncated / empty file is
     skipped — but complete records parsed BEFORE the error are kept
@@ -739,10 +944,70 @@ def read_marcxml(
     - ``skipped_files`` accepts a Spark ``Accumulator`` (e.g.
       ``spark.sparkContext.accumulator(0)``); each file that hit a parse
       error adds 1, so after an action the driver can warn or raise on a
-      nonzero count."""
-    files = (
-        spark.read.format("binaryFile").load(paths).select("content")
-    )
+      nonzero count.
+
+    Large-file posture (r15, VERDICT r14 #2 — the same discipline as
+    ``read_iso2709``): local, uncompressed, ASCII-transparent files
+    above ``split_bytes`` are read as parallel BYTE RANGES resyncing on
+    ``<record`` start tags (see the splitting block above for the
+    soundness argument and refusals); anything over the threshold that
+    cannot split — compressed, remote, UTF-16 — stays one task with a
+    LOUD stderr warning, because above ~2 GiB raw the binaryFile
+    content cap makes the whole-file read fail outright, exactly like
+    the ISO-2709 case. ``split_bytes=None`` disables the splitting
+    machinery entirely (zero listing work, the exact r14 plan) and is
+    also how to read OAI-PMH-wrapped files that exceed the threshold.
+    Error posture on the split path: malformed spans always RAISE
+    (per-file salvage needs file ownership, which ranges don't have).
+    Measured (local[32]): a single 572 MB / 1.2M-record file reads
+    3.5x faster at the 64 MB default ranges than whole-file (37.0s vs
+    130.4s; 43.6s at 128 MB — XML parse is CPU-heavier per byte than
+    ISO-2709, so the default granularity is finer than the ISO
+    reader's)."""
+    if split_bytes is not None:
+        meta = _list_input_sizes(spark, paths)
+        ranges, warns = _marcxml_split_plan(meta, split_bytes, range_bytes)
+        for wpath, wlen, reason in warns:
+            import sys as _sys
+
+            print(
+                f"read_marcxml: {wpath} is {wlen / (1 << 30):.1f} GiB — "
+                f"cannot byte-range split: {reason}. One task must "
+                "stream it whole, and above ~2 GiB raw the read FAILS "
+                "outright (binaryFile content caps at Int.MaxValue). "
+                "For parallel ingest store many moderate files "
+                "(~50k records each), or decompress/copy to a POSIX "
+                "mount so splitting applies.",
+                file=_sys.stderr,
+            )
+    else:
+        meta, ranges = [], []
+
+    if ranges:
+        # whole-file branch loads ONLY the non-split paths, explicitly
+        # (same plan discipline as read_iso2709: the OR-filter cannot
+        # push into the binaryFile scan). Unquote before the Spark load
+        # — Hadoop Path does not percent-decode.
+        import urllib.parse as _up
+
+        split_paths = {p for (p, _s, _e, _ns) in ranges}
+        whole_paths = [
+            "file:" + _up.unquote(_up.urlsplit(p).path)
+            if p.startswith("file:")
+            else p
+            for (p, _l) in meta
+            if p not in split_paths
+        ]
+        files = (
+            spark.read.format("binaryFile").load(whole_paths)
+            if whole_paths
+            else None
+        )
+    else:
+        # no ranges -> EXACTLY the pre-split plan (no extra jobs)
+        files = spark.read.format("binaryFile").load(paths)
+    if files is not None:
+        files = files.select("content")
 
     def parse(batches: Iterator) -> Iterator:
         import bz2 as _bz2
@@ -817,4 +1082,71 @@ def read_marcxml(
             lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
         )
 
-    return files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+    whole = (
+        files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+        if files is not None
+        else None
+    )
+    if not ranges:
+        return whole
+
+    def parse_ranges(batches: Iterator) -> Iterator:
+        import urllib.parse as _up
+        import xml.etree.ElementTree as _ET
+
+        import pandas as pd
+
+        from traject_spark.arrowutil import batched_rows
+
+        def range_rows(path, start, end, ns_decls):
+            local = _up.unquote(_up.urlsplit(path).path)
+            # overrun past the range end to complete a straddling
+            # record — generous: binary MARC caps records at 99,999
+            # bytes and XML inflates that ~3-5x
+            with open(local, "rb") as fh:
+                fh.seek(start)
+                buf = fh.read((end - start) + overrun_bytes)
+            prefix = (
+                b"<w " + ns_decls.encode() + b">" if ns_decls else b"<w>"
+            )
+            try:
+                for s, e in iter_marcxml_record_spans(buf, end - start):
+                    rec_el = _ET.fromstring(prefix + buf[s:e] + b"</w>")[0]
+                    if any(
+                        d.tag.rsplit("}", 1)[-1] == "record"
+                        for d in rec_el.iter()
+                        if d is not rec_el
+                    ):
+                        raise ValueError(
+                            "nested <record> elements (an OAI-PMH "
+                            "wrapper shape) cannot be byte-range split "
+                            "soundly — read with split_bytes=None"
+                        )
+                    rec = _record_el_to_dict(rec_el)
+                    yield (_id_from(rec, id_tag), rec)
+            except (_ET.ParseError, ValueError) as e:
+                raise ValueError(
+                    f"read_marcxml: {path} bytes [{start}, {end}): {e} "
+                    "— the split path raises on malformed spans; read "
+                    "with split_bytes=None for per-file skip/salvage"
+                ) from e
+
+        def rows():
+            for pdf in batches:
+                for path, start, end, ns in zip(
+                    pdf["path"], pdf["start"], pdf["end"], pdf["ns_decls"]
+                ):
+                    yield from range_rows(path, int(start), int(end), ns)
+
+        yield from batched_rows(
+            rows(),
+            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
+        )
+
+    range_df = spark.createDataFrame(
+        ranges, "path string, start long, end long, ns_decls string"
+    ).repartition(len(ranges))
+    split_part = range_df.mapInPandas(parse_ranges, MARC_SOURCE_SCHEMA)
+    if whole is None:
+        return split_part  # every input file range-split
+    return whole.unionByName(split_part)
