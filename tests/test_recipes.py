@@ -210,3 +210,28 @@ def test_curate_documents_gate_expr_threads_through(spark, tmp_path):
         gate_expr=gopher_repetition_expr(F.col("text"))["passes"],
     )
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_curate_documents_badword_gate_composes(spark):
+    """The documented one-call composition (VERDICT r14 #4): a licensed
+    bad-words list drops pages through curate_documents' gate_expr
+    hook, AND-composable with the paper gates."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import c4_badword_gate_expr, curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean and perfectly acceptable document with words"),
+            (2, "this document contains forbiddenword in its body"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_documents(
+        docs,
+        near_dup=None,
+        min_tokens=1,
+        gate_expr=c4_badword_gate_expr(["forbiddenword"]),
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -384,3 +384,77 @@ def test_c4_crlf_lines_behave_like_lf(spark):
         params=[crlf],
     ).fetchone()[0]
     assert kept == round(q_crlf["kept_line_frac"] * q_crlf["n_lines"])
+
+
+def test_c4_badword_gate_semantics(spark):
+    """User-supplied bad-words page gate (VERDICT r14 #4): word-boundary
+    case-insensitive match per the public C4 implementation — 'ass'
+    must not match 'class', phrases match across spaces, punctuation in
+    listed words is escaped, NULL text stays NULL."""
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import c4_badword_gate_expr
+
+    gate = c4_badword_gate_expr(["badword", "two word phrase", "a.c"])
+    rows = spark.createDataFrame(
+        [
+            (0, "a perfectly clean page of text."),
+            (1, "this contains BadWord right here."),     # case-insensitive
+            (2, "notabadwordat all, just embedded."),     # substring: keep
+            (3, "the two word phrase appears."),          # phrase
+            (4, "punctuated a.c token matches."),         # escaped literal
+            (5, "but abc and axc stay clean here."),       # '.' escaped
+            (6, "badword"),                               # whole-string edge
+            (7, None),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", gate.alias("keep")).collect()
+    got = {r["doc_id"]: r["keep"] for r in rows}
+    assert got == {
+        0: True, 1: False, 2: True, 3: False,
+        4: False, 5: True, 6: False, 7: None,
+    }
+    # empty / whitespace-only lists gate nothing
+    triv = c4_badword_gate_expr(["", "  "])
+    vals = spark.createDataFrame(
+        [(0, "anything."), (1, None)], "doc_id long, text string"
+    ).select(triv.alias("keep")).collect()
+    assert [v["keep"] for v in vals] == [True, None]
+
+
+def test_c4_badword_gate_duckdb_parity(spark):
+    """The gate's one compiled alternation sits in the Java/RE2
+    intersection: DuckDB running the IDENTICAL pattern string agrees
+    on every row (same discipline as the PII patterns)."""
+    import re
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from traject_spark.corpus import c4_badword_gate_expr
+
+    words = ["badword", "two word phrase", "a.c", "don't"]
+    cleaned = sorted({w.strip().lower() for w in words if w.strip()})
+    pat = (
+        "(?:^|\\W)(?:" + "|".join(re.escape(w) for w in cleaned) + ")(?:\\W|$)"
+    )
+    cases = [
+        (0, "a clean page."), (1, "BADWORD!"), (2, "class act."),
+        (3, "the two word phrase."), (4, "a.c"), (5, "abc"),
+        (6, "she said don't stop."), (7, "donut time."),
+    ]
+    got = (
+        spark.createDataFrame(cases, "doc_id long, text string")
+        .select("doc_id", c4_badword_gate_expr(words).alias("keep"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", cases)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, NOT regexp_matches(lower(text), ?) FROM d",
+            [pat],
+        ).fetchall()
+    )
+    assert {r["doc_id"]: r["keep"] for r in got} == want

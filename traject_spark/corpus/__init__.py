@@ -22,6 +22,7 @@ from traject_spark.corpus.textstats import (
     fingerprint_expr,
     gopher_quality_expr,
     gopher_repetition_expr,
+    c4_badword_gate_expr,
     c4_clean_expr,
     c4_quality_expr,
     mean_word_length_expr,
@@ -84,6 +85,7 @@ __all__ = [
     "fingerprint_expr",
     "gopher_quality_expr",
     "gopher_repetition_expr",
+    "c4_badword_gate_expr",
     "c4_clean_expr",
     "c4_quality_expr",
     "PII_PATTERNS",

@@ -10,6 +10,8 @@ stays meaningful.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -728,7 +730,8 @@ def c4_quality_expr(
     ``has_lorem_ipsum`` (page drops: code and placeholder text), and
     ``passes`` = enough sentences AND neither page drop. The paper's
     bad-words page drop is not bundled (the list is a separately
-    licensed artifact); compose it as an extra filter if licensed.
+    licensed artifact); a licensed list composes in one call via
+    :func:`c4_badword_gate_expr`.
     4dp fraction, gates on the rounded value. NULL in -> NULL out.
 
     ``include_cleaned=True`` adds the line-cleaned text as a
@@ -767,3 +770,43 @@ def c4_quality_expr(
             lambda ls: let(_c4_kept_lines(ls), lambda kept: build(ls, kept)),
         ),
     )
+
+
+def c4_badword_gate_expr(words, text: Optional[Column] = None) -> Column:
+    """The C4 bad-words page gate (Raffel et al. 2020 §2.2) for a
+    USER-SUPPLIED list: True = keep, i.e. the page contains no listed
+    word/phrase. The list itself is deliberately not bundled (the
+    paper's "List of Dirty, Naughty, Obscene or Otherwise Bad Words"
+    is a separately licensed artifact) — pass your licensed copy.
+
+    Match semantics per the public C4 implementation: case-insensitive,
+    non-word-character boundaries on both sides (``(?:^|\\W)(w1|w2|
+    ...)(?:\\W|$)`` over the lowercased page), so "ass" does not match
+    "class" but multi-word phrases match across their internal spaces.
+    One compiled regex alternation, JVM-side ``rlike`` — scan-speed,
+    and inside the Java/RE2 intersection (ASCII ``\\W`` both dialects)
+    so a DuckDB twin runs the identical pattern. Words are
+    regex-escaped, lowercased, deduped, and sorted (deterministic
+    pattern for plan caching); empties dropped; an EMPTY list gates
+    nothing (constant True).
+
+    Compose into the curation recipe as (or AND-ed into) ``gate_expr``:
+
+        curate_documents(df, gate_expr=c4_badword_gate_expr(my_list))
+
+    NULL text -> NULL (``annotate_documents`` coalesces a NULL gate to
+    a drop)."""
+    import re as _re
+
+    text = F.col("text") if text is None else text
+    cleaned = sorted(
+        {w.strip().lower() for w in words if w and w.strip()}
+    )
+    if not cleaned:
+        return F.when(text.isNotNull(), F.lit(True))
+    pat = (
+        "(?:^|\\W)(?:"
+        + "|".join(_re.escape(w) for w in cleaned)
+        + ")(?:\\W|$)"
+    )
+    return F.when(text.isNotNull(), ~F.lower(text).rlike(pat))
