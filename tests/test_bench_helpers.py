@@ -435,3 +435,24 @@ def test_committed_notes_stamp_matches_committed_artifact():
         f"artifact; expected line: {expected!r} — re-run "
         "tools/refresh_bench_artifact.py and recommit"
     )
+
+
+def test_bench_artifact_routing_by_run_kind():
+    """r15: only a qualified FULL run may write the official slot —
+    partial lane selections and degraded windows route to their own
+    files, so an end-of-round 'commit the working tree' can never
+    replace the official artifact with a non-official run (the drift
+    class that recurred in the r13 AND r14 wrap commits)."""
+    import bench
+
+    assert bench._artifact_name(False, "ok") == "BENCH_full_last.json"
+    assert bench._artifact_name(True, "ok") == "BENCH_partial_last.json"
+    assert bench._artifact_name(True, "degraded") == "BENCH_partial_last.json"
+    assert (
+        bench._artifact_name(False, "degraded")
+        == "BENCH_full_last.degraded.json"
+    )
+    assert (
+        bench._artifact_name(False, "ok-degrading")
+        == "BENCH_full_last.degraded.json"
+    )

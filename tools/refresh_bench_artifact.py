@@ -107,30 +107,30 @@ def main() -> None:
             print(f"notes stamp synced -> {notes}")
         print(f"official artifact refreshed -> {OFFICIAL}")
         return
-    backup = None
-    if os.path.exists(OFFICIAL):
-        backup = OFFICIAL + ".prev"
-        shutil.copyfile(OFFICIAL, backup)
+    # r15: bench.py itself now routes degraded full runs to
+    # BENCH_full_last.degraded.json and never touches the official slot
+    # for them — so this tool just detects which file the run wrote.
+    before = os.path.getmtime(OFFICIAL) if os.path.exists(OFFICIAL) else None
     rc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO
     ).returncode
     if rc != 0:
         raise SystemExit(f"bench.py exited {rc}; artifact not refreshed")
+    after = os.path.getmtime(OFFICIAL) if os.path.exists(OFFICIAL) else None
+    if after is None or after == before:
+        degraded = OFFICIAL.replace(".json", ".degraded.json")
+        msg = "bench.py wrote no artifact"
+        if os.path.exists(degraded):
+            with open(degraded, "r", encoding="utf-8") as fh:
+                d = json.load(fh)
+            msg = (
+                f"window={d.get('window')!r} (margin "
+                f"{d.get('window_margin')}): degraded run kept as "
+                "BENCH_full_last.degraded.json, official slot untouched"
+            )
+        raise SystemExit(f"{msg} — re-run on a quieter box")
     with open(OFFICIAL, "r", encoding="utf-8") as fh:
         payload = json.load(fh)
-    if payload.get("window") != "ok":
-        # keep the failed run for forensics, restore the official slot
-        shutil.copyfile(OFFICIAL, OFFICIAL.replace(".json", ".degraded.json"))
-        if backup:
-            shutil.copyfile(backup, OFFICIAL)
-        raise SystemExit(
-            f"window={payload.get('window')!r} "
-            f"(margin {payload.get('window_margin')}): degraded run kept "
-            "as BENCH_full_last.degraded.json, previous official artifact "
-            "restored — re-run on a quieter box"
-        )
-    if backup:
-        os.remove(backup)
     print(stamp_line(payload))
     notes = sync_notes_stamp(payload)
     if notes:

@@ -5,9 +5,13 @@
     traject-spark -c config.py -t json -o out/ file.ndj
     traject-spark -x marcout -s marcout.type=xml -o out.xml file.mrc
     traject-spark -x commit -u http://solr:8983/solr/core
+    traject-spark -x convert -t json -o corpus_pq/ drops/*.ndj
+    traject-spark -c config.py -t parquet corpus_pq/
 
 (-t sets the INPUT type, marc_source.type; marcout's OUTPUT type is the
-marcout.type setting, like the reference.)
+marcout.type setting, like the reference. ``convert`` is net-new: any
+reader -> nested-struct parquet, the preferred 100 TB layout — see
+:func:`command_convert`.)
 
 Configuration files are Python scripts executed with the traject DSL in
 scope (``to_field``, ``each_record``, ``after_processing``, ``settings``,
@@ -90,10 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--solr", default=None,
                    help="shortcut for -s solr.url=")
     p.add_argument("-t", "--marc_type", default=None,
-                   choices=["xml", "json", "binary"],
+                   choices=["xml", "json", "binary", "parquet"],
                    help="shortcut for -s marc_source.type=")
     p.add_argument("-x", "--command", default="process",
-                   choices=["process", "marcout", "commit"])
+                   choices=["process", "marcout", "commit", "convert"])
     p.add_argument("-d", "--debug-mode", dest="debug_mode",
                    action="store_true",
                    help="human-readable debug output writer")
@@ -255,6 +259,11 @@ def read_input(
             "supported are MarcReader (with -t binary/json/xml), NDJReader, "
             "NokogiriReader"
         )
+    if src_type == "parquet":
+        # the preferred 100 TB layout: nested-struct parquet written by
+        # `-x convert` (or any df.write.parquet of a reader's output) —
+        # no re-parse, nested-schema pruning at the scan
+        return spark.read.parquet(*files)
     if src_type == "json":
         return read_marc_json(spark, files)
     if src_type == "xml":
@@ -634,6 +643,54 @@ def command_marcout(spark, settings: dict, files: list) -> bool:
     return True
 
 
+def command_convert(spark, settings: dict, files: list) -> bool:
+    """Any reader -> nested-struct parquet: the preferred 100 TB layout
+    every ingest docstring recommends (convert ONCE, then every
+    pipeline run scans parquet — no re-parse, nested-schema pruning,
+    splittable files regardless of source shape).
+
+        traject-spark -x convert -t json -o /corpus/parquet drops/*.ndj
+        traject-spark -c conf.py -t parquet /corpus/parquet ...
+
+    ``convert.max_records_per_file`` (default 50,000 — the same
+    many-moderate-files sizing discipline the readers document) bounds
+    output file size via Spark's maxRecordsPerFile, so one oversized
+    input file cannot become one oversized parquet file.
+    ``convert.overwrite=true`` replaces an existing output directory;
+    the default refuses (a typo'd -o must not destroy a corpus).
+    Distributed end-to-end: executors parse and write in parallel,
+    nothing streams through the driver."""
+    out = settings.get("output_file")
+    if not out:
+        raise SystemExit(
+            "convert requires -o OUTPUT_DIR (the parquet output path)"
+        )
+    try:
+        max_per_file = int(settings.get("convert.max_records_per_file", 50_000))
+    except (TypeError, ValueError):
+        raise SystemExit(
+            "convert.max_records_per_file must be an integer, got "
+            f"{settings.get('convert.max_records_per_file')!r}"
+        )
+    if max_per_file <= 0:
+        raise SystemExit(
+            "convert.max_records_per_file must be positive, got "
+            f"{max_per_file}"
+        )
+    mode = (
+        "overwrite"
+        if str(settings.get("convert.overwrite", "")).lower() == "true"
+        else "errorifexists"
+    )
+    df = read_input(spark, settings, files)
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_per_file)
+        .parquet(out)
+    )
+    return True
+
+
 def command_commit(settings: dict) -> bool:
     from traject_spark.writers import solr_commit
 
@@ -716,6 +773,8 @@ def main(argv: Optional[list] = None, spark: Optional[SparkSession] = None) -> i
     try:
         if args.command == "marcout":
             return 0 if command_marcout(spark, settings, args.files) else 1
+        if args.command == "convert":
+            return 0 if command_convert(spark, settings, args.files) else 1
 
         if not args.conf:
             raise SystemExit("Error: Missing required configuration file (-c)")
