@@ -21,10 +21,17 @@ store many moderate files — or convert once to parquet of the nested
 struct (the preferred long-term layout: nested-schema pruning at the
 scan; ``traject-spark convert``).
 
-All three parse inside ``mapInPandas`` — Arrow-batched column transfer
+All three parse inside ``mapInArrow`` — Arrow-batched column transfer
 into Python and back, no per-row pickling (the row-at-a-time
 ``rdd.mapPartitions`` shape this replaced serializes every record twice
 through the Python pickler and was the first ingest bottleneck at scale).
+The OUTPUT side builds ``pyarrow.RecordBatch`` objects directly
+(``_marc_batches``): the previous ``mapInPandas`` emission paid Spark's
+pandas-Series-to-Arrow conversion on the nested struct column, measured
+at ~2x the whole remaining lane cost on the 600k-record NDJSON bench
+(isolated A/B, tools/ab_ingest_r15.py: mapInPandas 4.55s vs direct
+RecordBatches 2.41s min) — ``pa.array(list_of_dicts, type=struct)`` is
+one C-path conversion, per guide §4.1/§4.2 (r15 optimization round).
 """
 
 from __future__ import annotations
@@ -48,6 +55,45 @@ def _id_from(rec: dict, id_tag: str) -> Optional[str]:
         if cf["tag"] == id_tag:
             return cf["value"]
     return None
+
+
+#: executor-side cache of the Arrow type for MARC_SOURCE_SCHEMA['marc']
+#: (module-level so a reused Python worker converts it once, guide §4.5)
+_MARC_ARROW_TYPE = None
+
+
+def _marc_batches(rows: Iterator) -> Iterator:
+    """(record_id, marc_dict) iterator -> bounded pyarrow RecordBatches.
+
+    The shared OUTPUT path of every MARC reader (r15): builds the
+    (record_id, marc) batches directly with ``pa.array(..., type=...)``
+    instead of routing Python dicts through a pandas object column —
+    Spark's pandas→Arrow conversion of a nested struct Series was ~2x
+    the cost of the entire remaining lane (see module docstring; A/B in
+    tools/ab_ingest_r15.py). Batch bounding (rows per batch) and the
+    yield-nothing-for-empty-input policy are unchanged — both come from
+    ``batched_rows``.
+    """
+    import pyarrow as pa
+
+    from traject_spark.arrowutil import batched_rows
+
+    global _MARC_ARROW_TYPE
+    if _MARC_ARROW_TYPE is None:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        _MARC_ARROW_TYPE = to_arrow_type(MARC_SOURCE_SCHEMA["marc"].dataType)
+
+    def to_batch(buf):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in buf], type=pa.string()),
+                pa.array([r[1] for r in buf], type=_MARC_ARROW_TYPE),
+            ],
+            names=["record_id", "marc"],
+        )
+
+    return batched_rows(rows, to_batch)
 
 
 def read_marc_json(
@@ -104,28 +150,26 @@ def _parse_marc_json_lines(
         return _read_marc_json_jvm(lines, id_tag)
 
     def parse(batches: Iterator) -> Iterator:
-        import pandas as pd
+        def rows():
+            for batch in batches:
+                for line in batch.column(0).to_pylist():
+                    if not line or not line.strip():
+                        continue
+                    try:
+                        rec = from_marc_in_json(line)
+                    except (
+                        json.JSONDecodeError,
+                        AttributeError,
+                        TypeError,
+                        KeyError,
+                        ValueError,
+                    ):
+                        continue  # per-line rescue, ndj_reader.rb:30-34
+                    yield (_id_from(rec, id_tag), rec)
 
-        for pdf in batches:
-            ids, recs = [], []
-            for line in pdf["value"]:
-                if not line or not line.strip():
-                    continue
-                try:
-                    rec = from_marc_in_json(line)
-                except (
-                    json.JSONDecodeError,
-                    AttributeError,
-                    TypeError,
-                    KeyError,
-                    ValueError,
-                ):
-                    continue  # per-line rescue, ndj_reader.rb:30-34
-                ids.append(_id_from(rec, id_tag))
-                recs.append(rec)
-            yield pd.DataFrame({"record_id": ids, "marc": recs})
+        yield from _marc_batches(rows())
 
-    return lines.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+    return lines.mapInArrow(parse, MARC_SOURCE_SCHEMA)
 
 
 def _read_marc_json_jvm(lines: DataFrame, id_tag: str) -> DataFrame:
@@ -510,25 +554,18 @@ def read_iso2709(
     # the property that matters at 100 TB, where file sizes are not
     # under our control.
     def parse(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        from traject_spark.arrowutil import batched_rows
-
         def rows():
-            for pdf in batches:
-                for content in pdf["content"]:
-                    for raw in split_iso2709_stream(bytes(content)):
+            for batch in batches:
+                for content in batch.column(0).to_pylist():
+                    for raw in split_iso2709_stream(content):
                         rec = from_iso2709(raw, encoding)
                         if rec is not None:
                             yield (_id_from(rec, id_tag), rec)
 
-        yield from batched_rows(
-            rows(),
-            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
-        )
+        yield from _marc_batches(rows())
 
     whole = (
-        files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+        files.mapInArrow(parse, MARC_SOURCE_SCHEMA)
         if files is not None
         else None
     )
@@ -537,10 +574,6 @@ def read_iso2709(
 
     def parse_ranges(batches: Iterator) -> Iterator:
         import urllib.parse as _up
-
-        import pandas as pd
-
-        from traject_spark.arrowutil import batched_rows
 
         RT = b"\x1d"
         # overrun past the range end: one max-size record + generous
@@ -591,23 +624,20 @@ def read_iso2709(
                 cur = nxt + 1
 
         def rows():
-            for pdf in batches:
+            for batch in batches:
                 for path, start, end, file_len in zip(
-                    pdf["path"], pdf["start"], pdf["end"], pdf["file_len"]
+                    *(batch.column(i).to_pylist() for i in range(4))
                 ):
                     yield from range_rows(
                         path, int(start), int(end), int(file_len)
                     )
 
-        yield from batched_rows(
-            rows(),
-            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
-        )
+        yield from _marc_batches(rows())
 
     range_df = spark.createDataFrame(
         ranges, "path string, start long, end long, file_len long"
     ).repartition(len(ranges))
-    split_part = range_df.mapInPandas(parse_ranges, MARC_SOURCE_SCHEMA)
+    split_part = range_df.mapInArrow(parse_ranges, MARC_SOURCE_SCHEMA)
     if whole is None:
         return split_part  # every input file range-split
     return whole.unionByName(split_part)
@@ -1018,19 +1048,13 @@ def read_marcxml(
         import xml.etree.ElementTree as _ET
         import zlib as _zlib
 
-        import pandas as pd
-
-        from traject_spark.arrowutil import batched_rows
-
         # bounded output batches (r12, same fix as read_iso2709): one
         # yield per input batch of whole files makes Arrow conversion
-        # memory proportional to FILE size. batched_rows also yields
-        # NOTHING for an all-skipped input (an empty pandas DataFrame
-        # defaults 'marc' to float64 — Arrow cast crash).
+        # memory proportional to FILE size; _marc_batches also yields
+        # NOTHING for an all-skipped input.
         def rows():
-            for pdf in batches:
-                for content in pdf["content"]:
-                    raw = bytes(content)
+            for batch in batches:
+                for raw in batch.column(0).to_pylist():
                     stream = _io.BytesIO(raw)
                     # magic-byte sniff, not path suffix: binaryFile
                     # does not decompress, and renamed files must still
@@ -1077,13 +1101,10 @@ def read_marcxml(
                         )
                         continue
 
-        yield from batched_rows(
-            rows(),
-            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
-        )
+        yield from _marc_batches(rows())
 
     whole = (
-        files.mapInPandas(parse, MARC_SOURCE_SCHEMA)
+        files.mapInArrow(parse, MARC_SOURCE_SCHEMA)
         if files is not None
         else None
     )
@@ -1093,10 +1114,6 @@ def read_marcxml(
     def parse_ranges(batches: Iterator) -> Iterator:
         import urllib.parse as _up
         import xml.etree.ElementTree as _ET
-
-        import pandas as pd
-
-        from traject_spark.arrowutil import batched_rows
 
         def range_rows(path, start, end, ns_decls):
             local = _up.unquote(_up.urlsplit(path).path)
@@ -1132,21 +1149,18 @@ def read_marcxml(
                 ) from e
 
         def rows():
-            for pdf in batches:
+            for batch in batches:
                 for path, start, end, ns in zip(
-                    pdf["path"], pdf["start"], pdf["end"], pdf["ns_decls"]
+                    *(batch.column(i).to_pylist() for i in range(4))
                 ):
                     yield from range_rows(path, int(start), int(end), ns)
 
-        yield from batched_rows(
-            rows(),
-            lambda buf: pd.DataFrame(buf, columns=["record_id", "marc"]),
-        )
+        yield from _marc_batches(rows())
 
     range_df = spark.createDataFrame(
         ranges, "path string, start long, end long, ns_decls string"
     ).repartition(len(ranges))
-    split_part = range_df.mapInPandas(parse_ranges, MARC_SOURCE_SCHEMA)
+    split_part = range_df.mapInArrow(parse_ranges, MARC_SOURCE_SCHEMA)
     if whole is None:
         return split_part  # every input file range-split
     return whole.unionByName(split_part)

@@ -98,6 +98,9 @@ def _expand_ncr(text: str) -> str:
     # naming one of those PUA codepoints must stay literal, or a
     # preserve-mode re-encode would emit it as a raw byte instead of
     # the NCR text the stream actually carried
+    if "&#x" not in text:  # necessary prefix of every _NCR match (r15)
+        return text
+
     def _one(m):
         cp = int(m.group(1), 16)
         if cp > 0x10FFFF or _PRESERVE_BASE <= cp <= _PRESERVE_BASE + 0xFF:
@@ -353,7 +356,14 @@ def marc8_to_unicode(
     # slow path, which replaces C0 bytes (ESC is C0 too, so one probe
     # covers both reasons to take the slow path).
     if raw.isascii() and not _NON_PRINTABLE.search(raw):
-        return _expand_ncr(raw.decode("ascii"))
+        # NCR expansion only when an NCR opener is actually present:
+        # "&#x" is a necessary prefix of every _NCR match, and the
+        # regex-sub machinery (Python callback per match, scan setup per
+        # call) was ~20% of the whole MARC-8 ingest parse cost when run
+        # unconditionally on every plain-ASCII value (r15 profile,
+        # OPTIMIZATION_r15.md §ingest_iso2709_marc8)
+        text = raw.decode("ascii")
+        return _expand_ncr(text) if "&#x" in text else text
     g0, g1 = CODE_BASIC_LATIN, CODE_ANSEL
     out: list = []
     pending: list = []  # combining marks awaiting their base char
