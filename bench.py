@@ -686,7 +686,7 @@ def b_dedup_minhash_witness(spark):
     sig_path = _tmpdir("bench_msig_") + "/sigs"
     docs.select(
         "doc_id",
-        minhash_signature_expr(F.col("text"), num_hashes=32).alias("msig"),
+        minhash_signature_expr("text", num_hashes=32).alias("msig"),
     ).write.mode("overwrite").parquet(sig_path)
     sigs = spark.read.parquet(sig_path)
     noop(
@@ -717,7 +717,7 @@ def b_dedup_simhash(spark):
     from traject_spark.corpus import simhash_expr
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    noop(docs.select("doc_id", simhash_expr(F.col("text")).alias("sig")))
+    noop(docs.select("doc_id", simhash_expr("text").alias("sig")))
 
 
 def b_dedup_simhash_near(spark):
@@ -730,7 +730,7 @@ def b_dedup_simhash_near(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sig_path = _tmpdir("bench_sig_") + "/sigs"
     docs.select(
-        "doc_id", simhash_expr(F.col("text")).alias("sig")
+        "doc_id", simhash_expr("text").alias("sig")
     ).write.mode("overwrite").parquet(sig_path)
     sigs = spark.read.parquet(sig_path)
     noop(simhash_near_dup(sigs, sig_col="sig", max_distance=3, bands=4))
@@ -745,7 +745,7 @@ def b_dedup_simhash_witness(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sig_path = _tmpdir("bench_swsig_") + "/sigs"
     docs.select(
-        "doc_id", simhash_expr(F.col("text")).alias("sig")
+        "doc_id", simhash_expr("text").alias("sig")
     ).write.mode("overwrite").parquet(sig_path)
     sigs = spark.read.parquet(sig_path)
     noop(

@@ -118,6 +118,75 @@ def test_simhash_near_dup_from_text_finds_tweaked_copy(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_packed_formulation_matches_per_bit_path(spark):
+    """r15: simhash_expr's packed-counter fast path must be bit-identical
+    to the original per-bit-pass formulation (still the >32767-token
+    fallback) on every value shape — NULL, empty, unicode, repeated
+    tokens, whitespace runs — and for bits < 64."""
+    from traject_spark.corpus import dedup as _d
+
+    texts = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a a a a a a a"),
+        (5, "Der schnelle braune Fuchs springt über den faulen Hund"),
+        (6, "café naïve Führung 東京 данные"),
+        (7, " ".join(f"tok{i % 17}" for i in range(500))),
+        (8, "x\ty\nz  w"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    for bits in (64, 13):
+        fast = _d.simhash_expr(F.col("text"), bits=bits)
+        sql = _d.simhash_expr("text", bits=bits)  # generated-SQL path
+        saved = _d._SIMHASH_MAX_FAST_TOKENS
+        try:
+            _d._SIMHASH_MAX_FAST_TOKENS = 0  # force the per-bit path
+            slow = _d.simhash_expr(F.col("text"), bits=bits)
+            sql_slow = _d.simhash_expr("text", bits=bits)
+        finally:
+            _d._SIMHASH_MAX_FAST_TOKENS = saved
+        rows = df.select(
+            fast.alias("fast"), slow.alias("slow"),
+            sql.alias("sql"), sql_slow.alias("sql_slow"),
+        ).collect()
+        for r in rows:
+            assert r["fast"] == r["slow"] == r["sql"] == r["sql_slow"], (
+                bits, r,
+            )
+
+
+def test_minhash_sql_fast_path_matches_column_path(spark):
+    """r15: minhash_signature_expr's generated-SQL build fast path
+    (column-name input) must produce identical signatures to the Column
+    reference path on every value shape, for non-default num_hashes and
+    ngram too."""
+    from traject_spark.corpus.dedup import minhash_signature_expr
+
+    texts = [
+        (0, None),
+        (1, ""),
+        (2, "one two"),
+        (3, "a b c d e f g a b c"),
+        (4, "café naïve Führung 東京 данные"),
+        (5, " ".join(f"tok{i % 7}" for i in range(100))),
+        (6, "x\ty z"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    for num_hashes, ngram in ((32, 3), (8, 2)):
+        rows = df.select(
+            minhash_signature_expr(F.col("text"), num_hashes, ngram).alias(
+                "col_path"
+            ),
+            minhash_signature_expr("text", num_hashes, ngram).alias(
+                "sql_path"
+            ),
+        ).collect()
+        for r in rows:
+            assert r["col_path"] == r["sql_path"], (num_hashes, ngram, r)
+
+
 def test_simhash_near_dup_validates_params(spark):
     import pytest as _pytest
     from traject_spark.corpus import simhash_near_dup

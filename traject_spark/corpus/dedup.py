@@ -149,16 +149,65 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature_expr(text: Column, num_hashes: int = 64, ngram: int = 3) -> Column:
+def _shingles_sql(text_sql: str, n: int) -> str:
+    """SQL-text twin of :func:`shingles_expr` (same guards, same empty-
+    text [''] shingle, same distinct)."""
+    from traject_spark.expr import sql_let
+
+    return (
+        f"CASE WHEN {text_sql} IS NOT NULL THEN "
+        + sql_let(
+            f"split({text_sql}, ' ')",
+            "tk",
+            f"array_distinct(CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"i -> array_join(slice(tk, i + 1, {n}), ' ')) "
+            "ELSE array(array_join(tk, ' ')) END)",
+        )
+        + " END"
+    )
+
+
+def _minhash_sql(text_sql: str, num_hashes: int, ngram: int) -> str:
+    """SQL-text twin of the Column path of
+    :func:`minhash_signature_expr` — one parsed string instead of
+    ~num_hashes Py4J transform/array_min constructions per build (r15;
+    same rationale as :func:`_simhash_sql`)."""
+    from traject_spark.expr import sql_let
+
+    mins = ", ".join(
+        f"array_min(transform(sh, s -> xxhash64(s, {seed})))"
+        for seed in range(num_hashes)
+    )
+    return sql_let(
+        _shingles_sql(text_sql, ngram),
+        "sh",
+        f"CASE WHEN sh IS NOT NULL THEN array({mins}) END",
+    )
+
+
+def minhash_signature_expr(
+    text: Column | str, num_hashes: int = 64, ngram: int = 3
+) -> Column:
     """array<bigint> MinHash signature: per seed, min over shingle hashes.
 
     xxhash64(shingle, seed) is a JVM built-in — the whole signature is
     narrow array algebra, no UDF, no shuffle.
 
+    ``text`` may be a column NAME (string) — the build fast path: the
+    whole signature is emitted as one parsed SQL string
+    (:func:`_minhash_sql`) instead of per-seed Py4J Column round trips;
+    the Column path stays as the reference implementation for arbitrary
+    inputs. Values identical (pinned by the formulation parity test).
+
     NULL text -> NULL signature (not an array OF nulls, whose band hashes
     would still collide into one constant bucket); the pair operators
     exclude NULL signatures from candidate generation.
     """
+    if isinstance(text, str):
+        from traject_spark.corpus.similarity import _q
+
+        return F.expr(_minhash_sql(_q(text), num_hashes, ngram))
     return let(
         shingles_expr(text, ngram),
         lambda sh: F.when(
@@ -200,9 +249,19 @@ def _signatures(
 
     ``sig_col`` uses a precomputed ``array<bigint>`` signature column
     instead of recomputing from text — at scale, materialize the narrow
-    (id, sig) projection FIRST and pass it here; an unmaterialized
-    signature expression re-runs tokenize + shingle + num_hashes xxhash64
-    passes on every side of every downstream join."""
+    (id, sig) projection FIRST (parquet/table) and pass it here.
+
+    Text-path materialization (r15): every caller of the text path
+    consumes the signature frame MORE THAN ONCE (banding side + join
+    fetches, or both sides of the band self-join), and an unmaterialized
+    signature expression re-runs tokenize + shingle + num_hashes
+    xxhash64 passes per consumer. The computed narrow (id, sig) frame is
+    therefore ``localCheckpoint``-ed (eager, executor memory+disk,
+    recomputed fresh on every invocation — in-query reuse, not a cache
+    across runs). Isolated bench: dedup_witness_clusters 4.54 → 3.68s,
+    dedup_minhash_lsh 3.59 → 3.32s (OPTIMIZATION_r15.md). The explicit
+    ``sig_col`` path stays the durable-storage posture for clusters
+    where executor-local checkpoint storage is not wanted."""
     # filter on the RAW column, never on the computed signature: a filter
     # over the aliased expression re-evaluates the whole signature tree
     # for the predicate (measured 2x the scan cost). The expression's
@@ -214,10 +273,9 @@ def _signatures(
         )
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        minhash_signature_expr(F.col(text_col), num_hashes, ngram).alias(
-            "sig"
-        ),
-    )
+        # name form -> the generated-SQL build fast path (r15)
+        minhash_signature_expr(text_col, num_hashes, ngram).alias("sig"),
+    ).localCheckpoint()
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -672,13 +730,108 @@ def minhash_near_dup_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_expr(text: Column, bits: int = 64) -> Column:
+#: bit-spread multiply for the packed simhash counters: for a 4-bit
+#: nibble x = b0 + 2*b1 + 4*b2 + 8*b3, (x * _SIMHASH_SPREAD) &
+#: _SIMHASH_LANES lands b_k at bit 16k — all 16 partial products hit
+#: distinct bit positions, so there are no carries and the masked result
+#: is exactly b0 + b1<<16 + b2<<32 + b3<<48.
+_SIMHASH_SPREAD = 0x200040008001   # 1 + 2^15 + 2^30 + 2^45
+_SIMHASH_LANES = 0x0001000100010001  # bits 0, 16, 32, 48
+
+#: fast-path token bound: with n <= 32767 no 16-bit counter lane can
+#: saturate and the top lane's accumulation stays under 2^63 (no signed
+#: overflow under ANSI). Longer docs take the per-bit-pass path.
+_SIMHASH_MAX_FAST_TOKENS = 32767
+
+
+def _simhash_vote(ones: Column, n: Column, i: int) -> Column:
+    """Majority-vote contribution of bit i given its set-count."""
+    bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's-complement top bit
+    return F.when(ones * 2 > n, F.lit(bit_val).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def _simhash_sql(text_sql: str, bits: int) -> str:
+    """SQL-text twin of the Column path of :func:`simhash_expr` — same
+    packed-counter aggregate, same per-bit fallback, same guards, emitted
+    as ONE parsed SQL string. Rationale (r15): driver-side Column
+    construction of the combined packed+fallback tree is ~2.4s of Py4J
+    round trips per build — more than the 600k-row execution itself —
+    and every fresh query pays it; the SQL text parses JVM-side in one
+    round trip (the signs_expr/_signs_sql pattern in similarity.py)."""
+    from traject_spark.expr import sql_let
+
+    n_longs = (bits + 3) // 4
+    long_min = "(-9223372036854775807L - 1L)"  # Long.MIN literal-safe
+
+    def vote(ones: str, i: int) -> str:
+        bit_val = f"{1 << i}L" if i < 63 else long_min
+        return f"(CASE WHEN ({ones}) * 2 > n THEN {bit_val} ELSE 0L END)"
+
+    init = "named_struct(" + ", ".join(
+        f"'c{j}', 0L" for j in range(n_longs)
+    ) + ")"
+    step_fields = ", ".join(
+        f"'c{j}', acc.c{j} + (((shiftrightunsigned(h, {4 * j}) & 15L) * "
+        f"{_SIMHASH_SPREAD}L) & {_SIMHASH_LANES}L)"
+        for j in range(n_longs)
+    )
+    finish_terms = []
+    for i in range(bits):
+        j, k = divmod(i, 4)
+        ones = f"(shiftrightunsigned(acc.c{j}, {16 * k}) & 65535L)"
+        finish_terms.append(vote(ones, i))
+    packed = (
+        f"aggregate(hs, {init}, (acc, h) -> named_struct({step_fields}), "
+        f"acc -> ({' + '.join(finish_terms)}))"
+    )
+    perbit_terms = [
+        vote(
+            f"size(filter(hs, h -> (shiftright(h, {i}) & 1L) = 1L))", i
+        )
+        for i in range(bits)
+    ]
+    body = (
+        f"CASE WHEN n <= {_SIMHASH_MAX_FAST_TOKENS} THEN {packed} "
+        f"ELSE ({' + '.join(perbit_terms)}) END"
+    )
+    return sql_let(
+        f"transform(split({text_sql}, ' '), w -> xxhash64(w))",
+        "hs",
+        "CASE WHEN hs IS NOT NULL THEN "
+        + sql_let("size(hs)", "n", body)
+        + " END",
+    )
+
+
+def simhash_expr(text: Column | str, bits: int = 64) -> Column:
     """64-bit SimHash as bigint: per-bit majority vote over token hashes.
 
     For each bit position i, count tokens whose xxhash64 has bit i set;
     bit i of the signature is 1 when the count exceeds half the tokens.
-    Bit positions are unrolled statically (shiftright needs literal shift
-    amounts); the whole signature is intra-row array algebra, JVM-side.
+    The whole signature is intra-row array algebra, JVM-side.
+
+    ``text`` may be a column NAME (string) — the fast path: the whole
+    signature is emitted as one parsed SQL string (`_simhash_sql`)
+    instead of thousands of Py4J Column round trips per build; the
+    Column path below stays as the reference implementation for
+    arbitrary Column inputs. Values are identical (cross-checked 0-diff
+    in the focused formulation test and tools/ab_simhash_r15.py).
+
+    Formulation (r15 optimization): Spark higher-order functions are
+    CodegenFallback — every lambda invocation is interpreted — so the
+    original shape (one `filter` pass per bit = 64 * n_tokens lambda
+    invocations per row) paid invocation overhead 64x per token. The
+    fast path is ONE `aggregate` pass whose accumulator is 16 packed
+    longs of 4 x 16-bit bit-counters each; per token each long adds the
+    carry-free bit-spread product of one nibble of the hash (see
+    _SIMHASH_SPREAD). Counts are extracted once per row afterwards and
+    the identical majority votes taken, so signatures are BIT-IDENTICAL
+    (cross-checked 0-diff over the bench corpus, tools/ab_simhash_r15.py;
+    isolated lane min 1.287 -> 1.049s). Rows with more than
+    _SIMHASH_MAX_FAST_TOKENS tokens (counter-saturation bound) take the
+    original per-bit-pass path, same values.
 
     NULL text -> NULL signature (every majority vote on NULL token counts
     would otherwise take the otherwise(0) branch, giving all NULL-text
@@ -694,7 +847,12 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
         # every i >= 63 adds the same sign-bit constant
         raise ValueError(f"bits must be in [1, 64], got {bits}")
 
-    def body(hashes: Column, n: Column) -> Column:
+    if isinstance(text, str):
+        from traject_spark.corpus.similarity import _q
+
+        return F.expr(_simhash_sql(_q(text), bits))
+
+    def per_bit_body(hashes: Column, n: Column) -> Column:
         sig = F.lit(0).cast("long")
         for i in range(bits):
             ones = F.size(
@@ -703,17 +861,50 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
                     lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
                 )
             )
-            bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's-complement top bit
-            sig = sig + F.when(
-                ones * 2 > n, F.lit(bit_val).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            sig = sig + _simhash_vote(ones, n, i)
         return sig
+
+    # nibbles that carry at least one voted bit (for bits < 64 the
+    # higher counters would be dead weight in the accumulator struct)
+    n_longs = (bits + 3) // 4
+
+    def packed_body(hashes: Column, n: Column) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            fields = []
+            for j in range(n_longs):
+                x = F.shiftrightunsigned(h, 4 * j).bitwiseAND(F.lit(15))
+                add = (x * F.lit(_SIMHASH_SPREAD)).bitwiseAND(
+                    F.lit(_SIMHASH_LANES)
+                )
+                fields.append((acc[f"c{j}"] + add).alias(f"c{j}"))
+            return F.struct(*fields)
+
+        init = F.struct(
+            *[F.lit(0).cast("long").alias(f"c{j}") for j in range(n_longs)]
+        )
+
+        def finish(acc: Column) -> Column:
+            sig = F.lit(0).cast("long")
+            for i in range(bits):
+                j, k = divmod(i, 4)
+                ones = F.shiftrightunsigned(
+                    acc[f"c{j}"], 16 * k
+                ).bitwiseAND(F.lit(0xFFFF))
+                sig = sig + _simhash_vote(ones, n, i)
+            return sig
+
+        return F.aggregate(hashes, init, step, finish)
 
     return let(
         F.transform(tokens_expr(text), lambda t: F.xxhash64(t)),
         lambda hashes: F.when(
             hashes.isNotNull(),
-            let(F.size(hashes), lambda n: body(hashes, n)),
+            let(
+                F.size(hashes),
+                lambda n: F.when(
+                    n <= _SIMHASH_MAX_FAST_TOKENS, packed_body(hashes, n)
+                ).otherwise(per_bit_body(hashes, n)),
+            ),
         ),
     )
 
@@ -751,11 +942,17 @@ def _simhash_banded(
     sig_src = (
         F.col(sig_col)
         if sig_col
-        else simhash_expr(F.col(text_col))
+        # name form -> the generated-SQL build fast path (r15)
+        else simhash_expr(text_col)
     )
     sig = df.filter(raw.isNotNull()).select(
         F.col(id_col).alias("id"), sig_src.alias("sig")
     )
+    if not sig_col:
+        # text path: the majority-vote tree would otherwise re-run for
+        # the banding explode AND each id-keyed signature fetch — same
+        # in-query materialization rationale as _signatures (r15)
+        sig = sig.localCheckpoint()
     banded = sig.select(
         "id",
         "sig",

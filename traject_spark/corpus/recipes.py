@@ -109,7 +109,10 @@ def annotate_documents(
         ]
         if with_minhash:
             cols.append(
-                minhash_signature_expr(text, num_hashes, ngram).alias("msig")
+                # name form -> the generated-SQL build fast path (r15)
+                minhash_signature_expr(text_col, num_hashes, ngram).alias(
+                    "msig"
+                )
             )
         return F.struct(*cols)
 
