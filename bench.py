@@ -796,7 +796,7 @@ def b_text_quality_filter(spark):
         docs.select(
             "doc_id",
             gopher_quality_expr(F.col("text")).alias("g"),
-            langid_ngram_expr(F.col("text")).alias("lang"),
+            langid_ngram_expr("text").alias("lang"),
         ).select("doc_id", "g.*", "lang")
     )
 

@@ -187,6 +187,35 @@ def test_minhash_sql_fast_path_matches_column_path(spark):
             assert r["col_path"] == r["sql_path"], (num_hashes, ngram, r)
 
 
+def test_langid_sql_fast_path_matches_column_path(spark):
+    """r15: langid_ngram_expr's generated-SQL build fast path must agree
+    with the Column reference path on NULL/empty/short/accented/mixed
+    texts AND over the full bench documents corpus (0 differing rows)."""
+    from traject_spark.corpus.textstats import langid_ngram_expr
+
+    texts = [
+        (0, None), (1, ""), (2, "ab"), (3, "  x  "),
+        (4, "the cat sat on the mat with the other cats"),
+        (5, "der hund und die katze sind nicht hier"),
+        (6, "it's a quoted 'string' with backslash \\ chars"),
+        (7, "数据 mixed script データ text"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    rows = df.select(
+        langid_ngram_expr(F.col("text")).alias("col_path"),
+        langid_ngram_expr("text").alias("sql_path"),
+    ).collect()
+    for r in rows:
+        assert r["col_path"] == r["sql_path"], r
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    diff = docs.select(
+        langid_ngram_expr(F.col("text")).alias("a"),
+        langid_ngram_expr("text").alias("b"),
+    ).filter(~F.col("a").eqNullSafe(F.col("b"))).count()
+    assert diff == 0
+
+
 def test_simhash_near_dup_validates_params(spark):
     import pytest as _pytest
     from traject_spark.corpus import simhash_near_dup

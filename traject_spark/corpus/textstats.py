@@ -450,7 +450,62 @@ def char_ngrams_expr(text: Column, n: int = 3) -> Column:
     )
 
 
-def langid_ngram_expr(text: Column, profiles: dict | None = None) -> Column:
+def _sql_str(s: str) -> str:
+    """SQL string literal: quotes doubled, backslashes doubled (Spark's
+    default escapedStringLiterals=false treats backslash as an escape)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _langid_sql(text_sql: str, profiles: dict) -> str:
+    """SQL-text twin of the Column path of :func:`langid_ngram_expr` —
+    same normalize/gram/prefilter/28-pass/argmax shape, emitted as ONE
+    parsed SQL string. Rationale (r15): the Column path builds 29
+    ``isin`` literal lists (~2,100 element literals) over Py4J — ~2.0s
+    of driver time per fresh query, roughly equal to the 5k-row
+    EXECUTION of the whole lane; the SQL text parses JVM-side in one
+    round trip. Catalyst converts the IN lists to the same InSet
+    hashsets ``isin`` produces, so the runtime plan is unchanged."""
+    from traject_spark.expr import sql_let
+
+    langs = sorted(profiles)
+    union = sorted({g for p in profiles.values() for g in p})
+
+    def in_list(items) -> str:
+        return ", ".join(_sql_str(g) for g in items)
+
+    grams = sql_let(
+        f"trim(regexp_replace(lower({text_sql}), '\\\\s+', ' '))",
+        "t",
+        "CASE WHEN length(t) >= 3 THEN "
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+        "ELSE CAST(array() AS array<string>) END",
+    )
+    entries = ", ".join(
+        "named_struct("
+        f"'score', CAST(size(filter(gs, g -> g IN ({in_list(sorted(profiles[lang]))}))) AS BIGINT), "
+        f"'negrank', {-i}, "
+        f"'code', {_sql_str(lang)})"
+        for i, lang in enumerate(langs)
+    )
+    scored = sql_let(
+        f"filter(ag, g -> g IN ({in_list(union)}))",
+        "gs",
+        sql_let(
+            f"array_max(array({entries}))",
+            "best",
+            "CASE WHEN best.score = 0 THEN 'und' ELSE best.code END",
+        ),
+    )
+    return (
+        f"CASE WHEN {text_sql} IS NOT NULL THEN "
+        + sql_let(grams, "ag", scored)
+        + " END"
+    )
+
+
+def langid_ngram_expr(
+    text: Column | str, profiles: dict | None = None
+) -> Column:
     """Character-trigram language guess over the generated profiles
     (28 languages; ``traject_spark/corpus/langid_data.py``).
 
@@ -481,6 +536,12 @@ def langid_ngram_expr(text: Column, profiles: dict | None = None) -> Column:
         from traject_spark.corpus.langid_data import LANGID_PROFILES
 
         profiles = LANGID_PROFILES
+    if isinstance(text, str):
+        # column NAME -> the generated-SQL build fast path (r15); the
+        # Column path below stays the reference implementation
+        from traject_spark.corpus.similarity import _q
+
+        return F.expr(_langid_sql(_q(text), profiles))
     langs = sorted(profiles)
     union = sorted({g for p in profiles.values() for g in p})
 
