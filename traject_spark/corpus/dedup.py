@@ -60,19 +60,32 @@ def exact_dedup(
     they group under a per-row key instead, each its own 1-doc cluster.
     """
     fp = fingerprint_expr(F.col(text_col), normalize)
+    # fingerprint is RECOVERED from the group key instead of aggregated
+    # (r15): _gk equals the fingerprint for every non-null-text row and
+    # the \x00-prefixed sentinel otherwise, so min(fingerprint) carried
+    # no information — and min over a STRING has no mutable hash-agg
+    # buffer, forcing the whole aggregate to the sort-based fallback
+    # (plan was Sort + SortAggregate on both sides of the exchange;
+    # now a HashAggregate over an all-primitive buffer). Output
+    # identical: non-sentinel groups have fingerprint == _gk, sentinel
+    # groups are single null-text rows whose fingerprint is NULL.
     return (
         df.select(
-            fp.alias("fingerprint"),
             _null_safe_group_key(fp, id_col).alias("_gk"),
             F.col(id_col).alias("_id"),
         )
         .groupBy("_gk")
         .agg(
-            F.min("fingerprint").alias("fingerprint"),
             F.min("_id").alias("keep_id"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .select("fingerprint", "keep_id", "n_docs")
+        .select(
+            F.when(
+                ~F.col("_gk").startswith("\x00null:"), F.col("_gk")
+            ).alias("fingerprint"),
+            "keep_id",
+            "n_docs",
+        )
     )
 
 
@@ -345,6 +358,13 @@ def minhash_lsh_candidates(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # NOTE (r15): scoring BEFORE the multi-band de-dup (to turn the
+    # payload-carrying SortAggregate into a narrow HashAggregate) was
+    # measured and REJECTED: true duplicates collide in every band, so
+    # score-first multiplies the per-pair agreement computation by up to
+    # ``bands`` — the same failure mode tools/ab_cosine_r15.py measured
+    # at 3x for the cosine path. De-dup the candidate rows first, score
+    # each surviving pair once.
     pairs = (
         a.join(
             b,

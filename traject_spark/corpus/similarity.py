@@ -915,6 +915,14 @@ def cosine_near_dup(
                 ["table", "bucket"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
+            # payload-carrying de-dup KEPT deliberately (r15 A/B,
+            # tools/ab_cosine_r15.py): moving it after scoring (narrow
+            # HashAggregate instead of this SortAggregate of vectors)
+            # measured 3x SLOWER — near-identical vectors collide in
+            # ALL `tables` hash tables, so score-first multiplies the
+            # dominant per-pair cost (the HOF dot) by ~tables. An
+            # unrolled codegen dot was also measured and is slower
+            # than the HOF dot (5.0s vs 3.2s min).
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
