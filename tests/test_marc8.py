@@ -274,6 +274,38 @@ def test_ascii_fast_path_parity_with_state_machine():
         marc8_to_unicode(b"a\x01b", replace=False)
 
 
+def test_marc8_decoder_parity_with_marc8_to_unicode():
+    """marc8_decoder (the ingest hot-path callable with the hoisted
+    ASCII fast path) must agree with marc8_to_unicode on every input
+    class: plain ASCII, NCRs, ANSEL diacritics, charset escapes,
+    controls/DEL, and preserve-mode unmapped spans."""
+    from traject_spark.marc.marc8 import marc8_decoder
+
+    values = [
+        b"",
+        b"plain field value 123",
+        b"a\tb\nc\rd",
+        b"a\x01b",
+        b"a\x7fb",
+        b"Caf\xe2e &#x0041; tail",
+        b"&#x1F600; emoji ref",
+        b"\xa5neid",
+        b"K\xb2benhavn",
+        b"\x1b(N\xc1\xc2\xc3\x1b(B latin",  # Cyrillic escape + return
+        b"\x1b$1abcd\x1b(B tail",  # EACC (unmapped set) span
+        b"value \xff\xfe bytes",
+    ]
+    plain = marc8_decoder()
+    preserve = marc8_decoder("preserve")
+    for raw in values:
+        assert plain(raw) == marc8_to_unicode(raw, replace=True), raw
+        assert preserve(raw) == marc8_to_unicode(
+            raw, replace=True, unmapped="preserve"
+        ), raw
+    with pytest.raises(ValueError):
+        marc8_decoder("bogus")
+
+
 # ---------------------------------------------------------------------------
 # goldens against the reference's OWN MARC-8 fixtures
 # ---------------------------------------------------------------------------

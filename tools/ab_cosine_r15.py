@@ -85,6 +85,51 @@ def build(df, dedup_early: bool, unrolled: bool):
     return scored
 
 
+def build_fetch(df):
+    """5th variant (added after the first four were measured): de-dup the
+    NARROW (id_a, id_b) candidate pairs first — banding carries only ids,
+    so the multi-table de-dup is a HashAggregate over two longs instead
+    of a SortAggregate over 1 KB payload rows — then fetch vectors+norms
+    by two id-keyed joins and score ONCE per unique pair (same dot count
+    as early_hof, unlike the rejected narrow_hof which scored every
+    candidate)."""
+    vec = F.col("embedding")
+    valid = _usable_vec(vec) & (F.size(vec) == DIM)
+    vf = df.filter(valid)
+    pairs = (
+        _banded(vf, "vec_id", "id_a", "embedding", None, DIM, BITS, TABLES)
+        .join(
+            _banded(vf, "vec_id", "id_b", "embedding", None, DIM, BITS,
+                    TABLES),
+            ["table", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = vf.select(
+        F.col("vec_id").alias("id_a"), vec.alias("va"),
+        norm_expr(vec).alias("na"),
+    )
+    b = vf.select(
+        F.col("vec_id").alias("id_b"), vec.alias("vb"),
+        norm_expr(vec).alias("nb"),
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "cos",
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                9,
+            ),
+        )
+        .filter(~F.isnan(F.col("cos")) & (F.col("cos") >= THRESHOLD))
+        .select("id_a", "id_b", F.round("cos", 6).alias("score"))
+    )
+
+
 VARIANTS = {
     "early_hof": (True, False),
     "narrow_hof": (False, False),

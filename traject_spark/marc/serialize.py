@@ -283,18 +283,18 @@ def _decoder(encoding: str):
     per subfield in practice."""
     enc = (encoding or "utf-8").strip().lower().replace("_", "-")
     if enc in ("marc-8", "marc8"):
-        from traject_spark.marc.marc8 import marc8_to_unicode
+        from traject_spark.marc.marc8 import marc8_decoder
 
-        return lambda b: marc8_to_unicode(b, replace=True)
+        return marc8_decoder()
     if enc in ("marc-8-preserve", "marc8-preserve"):
         # byte-preserving posture for sets with no bundled table (EACC
         # CJK, Extended Arabic): unmapped spans land on plane-15 PUA
         # codepoints instead of U+FFFD, and to_iso2709(encoding='MARC-8')
         # emits them back verbatim — read->write round-trips
         # byte-identically even through scripts the converter can't map
-        from traject_spark.marc.marc8 import marc8_to_unicode
+        from traject_spark.marc.marc8 import marc8_decoder
 
-        return lambda b: marc8_to_unicode(b, replace=True, unmapped="preserve")
+        return marc8_decoder("preserve")
     # the normalized-empty check above implies None/'' mean utf-8 —
     # decode with a whitespace-stripped name so ' latin-1 ' (which the
     # marc8 check already treats as non-MARC-8) resolves as a codec
