@@ -66,6 +66,21 @@ def _target_records() -> int:
 TARGET_RECORDS = _target_records()
 
 
+#: GC choice for the bench JVM (r16, guide §1.2 step 3 — config AFTER
+#: algorithm + per-task work): the workload is interpreted Catalyst
+#: expression evaluation + Arrow batches — allocation-heavy, short-lived
+#: objects, 32 always-busy worker threads, zero latency requirement —
+#: exactly the profile where the throughput collector beats G1's
+#: pause-goal heuristics. Interleaved same-box A/B (fresh JVM per
+#: variant, 3 runs each, r16): map_full exec 8.64 -> 5.64 min (-35%),
+#: text_repetition 4.24 -> 3.03 (-28%), rel_pricing 1.23 -> 0.71,
+#: dedup_minhash_lsh 2.09 -> 1.87, ingest_ndjson 3.45 -> 2.91,
+#: text_quality 3.19 -> 2.97 — no lane regressed. On a cluster the same
+#: reasoning applies to spark.executor.extraJavaOptions for
+#: throughput-bound batch executors; env override for A/B or reverting.
+GC_FLAGS = os.environ.get("SPARK_GRAFT_GC_FLAGS", "-XX:+UseParallelGC")
+
+
 def session() -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -76,6 +91,7 @@ def session() -> SparkSession:
         # — bigger regions, slower full collections, longer concurrent
         # cycles competing with 32 busy worker threads
         .config("spark.driver.memory", "24g")
+        .config("spark.driver.extraJavaOptions", GC_FLAGS)
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
