@@ -297,6 +297,43 @@ def test_repetition_short_doc_no_phantom_ngrams(spark):
     assert r["passes"] is True
 
 
+def test_repetition_arrow_path_matches_column_path(spark):
+    """The r16 Arrow fast path (default) must be bit-identical to the
+    pure-Column sorted-run formulation: full test corpus + adversarial
+    edge strings (empty, space runs, CRLF, unicode, trailing newlines,
+    heavy repeats straddling the 4dp rounding)."""
+    from traject_spark.corpus import gopher_repetition_expr
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    edges = spark.createDataFrame(
+        [
+            (None,),
+            ("",),
+            (" ",),
+            ("   ",),
+            ("\n",),
+            ("\n\n\n",),
+            ("a\r\nb\r\na\r\n",),
+            ("x y x y x y x y",),
+            ("téxt ünïcode téxt ünïcode",),
+            ("one\ntwo\n\n\ntwo\n\none\n",),
+            ("w " * 2000,),
+            ("a b c " * 700,),
+            ("é́ combining é́ combining",),
+        ],
+        "text string",
+    )
+    df = corpus.union(edges)
+    both = df.select(
+        gopher_repetition_expr(F.col("text"), use_arrow=True).alias("a"),
+        gopher_repetition_expr(F.col("text"), use_arrow=False).alias("j"),
+    )
+    n_diff = both.filter(~F.col("a").eqNullSafe(F.col("j"))).count()
+    assert n_diff == 0
+
+
 # ---------------------------------------------------------------------------
 # C4-style cleaning (round 14)
 # ---------------------------------------------------------------------------

@@ -24,15 +24,16 @@ PASSES = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 def main():
     spark = bench.session()
     from traject_spark.corpus import gopher_repetition_expr
-    from traject_spark.corpus.textstats import _gopher_repetition_arrow
 
     docs = spark.read.parquet(f"{bench.SF_DIR}/documents.parquet")
 
     jvm_out = docs.select(
-        "doc_id", gopher_repetition_expr(F.col("text")).alias("r")
+        "doc_id",
+        gopher_repetition_expr(F.col("text"), use_arrow=False).alias("r"),
     )
     arrow_out = docs.select(
-        "doc_id", _gopher_repetition_arrow(F.col("text")).alias("r")
+        "doc_id",
+        gopher_repetition_expr(F.col("text"), use_arrow=True).alias("r"),
     )
 
     # ---- 0-diff cross-check (exact equality, null-safe) -----------------

@@ -672,7 +672,127 @@ def _paragraphs(text: Column) -> Column:
     return F.split(text, r"\n{2,}")
 
 
-def gopher_repetition_expr(text: Column) -> Column:
+#: struct type shared by both gopher_repetition_expr paths — one
+#: definition so the Arrow twin cannot drift from the Column tree's shape
+_REPETITION_STRUCT = (
+    "dup_line_frac double, dup_para_frac double, "
+    "dup_line_char_frac double, dup_para_char_frac double, "
+    "top_2gram_char_frac double, top_3gram_char_frac double, "
+    "top_4gram_char_frac double, passes boolean"
+)
+
+_REPETITION_FIELDS = [f.split(" ")[0] for f in _REPETITION_STRUCT.split(", ")]
+
+
+_PARA_RX = None  # compiled lazily; module import must stay regex-free
+
+
+def _repetition_signals_py(text):
+    """Single-pass Python twin of the JVM repetition struct — the §4.2
+    Arrow fast path's per-document kernel (runs on executors; also the
+    unit-test surface). Bit-identical to the Column tree by construction:
+
+    - the counting is integer-exact: ``Counter`` over lines/paragraphs/
+      n-grams computes the same dup counts / char sums / top masses as
+      the sorted-run aggregates (a value with count c contributes
+      (c-1)*len dup chars; the heaviest repeated gram maximizes
+      count*len — both engines' definitions);
+    - the divisions are the same exact-integer -> IEEE-double
+      operations (ints < 2^53 convert exactly, and int/int in Python is
+      the correctly-rounded true quotient = double division);
+    - rounding replicates Spark's round(double, 4): Scala
+      ``BigDecimal(double)`` routes through Double.toString (shortest
+      decimal repr) then setScale(4, HALF_UP); ``Decimal(repr(x))`` is
+      the same shortest repr of the same IEEE value;
+    - splits match: Python str.split(" ")/str.split("\\n") and
+      re.split(r"\\n{2,}") keep leading/interior/trailing empties,
+      exactly like Spark's split(..., -1).
+
+    Full-corpus 0-diff parity vs the Column path is pinned by
+    tests/test_textstats.py; the DuckDB oracle row
+    ``text_gopher_repetition`` exercises this path end-to-end."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not isinstance(text, str):
+        # None (and pandas' NaN stand-in for a null string cell) -> the
+        # all-NULL row the when(isNotNull) wrapper discards anyway
+        return (None,) * 8
+    global _PARA_RX
+    if _PARA_RX is None:
+        _PARA_RX = re.compile(r"\n{2,}")
+    q4 = Decimal("0.0001")
+
+    def round4(x):
+        return float(Decimal(repr(x)).quantize(q4, rounding=ROUND_HALF_UP))
+
+    def dup_chars(counts):
+        return sum((c - 1) * len(v) for v, c in counts.items() if c > 1)
+
+    ls = text.split("\n")
+    ps = _PARA_RX.split(text)
+    ws = [t for t in text.split(" ") if t != ""]
+    tot = max(len(text), 1)
+    lc = Counter(ls)
+    pc = Counter(ps)
+    dlf = round4((len(ls) - len(lc)) / max(len(ls), 1))
+    dpf = round4((len(ps) - len(pc)) / max(len(ps), 1))
+    dlcf = round4(dup_chars(lc) / tot)
+    dpcf = round4(dup_chars(pc) / tot)
+
+    def top_mass(n):
+        if len(ws) < n:
+            return 0
+        best = 0
+        gc = Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        for g, c in gc.items():
+            if c >= 2:
+                m = c * len(g)
+                if m > best:
+                    best = m
+        return best
+
+    t2 = round4(top_mass(2) / tot)
+    t3 = round4(top_mass(3) / tot)
+    t4 = round4(top_mass(4) / tot)
+    passes = (
+        dlf <= 0.30 and dpf <= 0.30 and dlcf <= 0.20 and dpcf <= 0.20
+        and t2 <= 0.20 and t3 <= 0.18 and t4 <= 0.16
+    )
+    return (dlf, dpf, dlcf, dpcf, t2, t3, t4, passes)
+
+
+_REPETITION_UDF = None
+
+
+def _repetition_arrow_udf():
+    """The pandas_udf is built lazily ONCE per process (guide §4.5) and
+    reused by every ``gopher_repetition_expr(use_arrow=True)`` call; the
+    kernel itself is the module-level :func:`_repetition_signals_py`
+    (pickled by reference — the package is importable on executors, the
+    same requirement the mapInArrow readers already carry)."""
+    global _REPETITION_UDF
+    if _REPETITION_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _rep(texts):
+            return pd.DataFrame(
+                [_repetition_signals_py(t) for t in texts],
+                columns=_REPETITION_FIELDS,
+            )
+
+        # explicit annotations, not hints-in-source: the module uses
+        # ``from __future__ import annotations`` and pandas is imported
+        # locally, so pyspark's type-hint resolution could not evaluate
+        # string annotations against the module globals
+        _rep.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+        _REPETITION_UDF = pandas_udf(_rep, _REPETITION_STRUCT)
+    return _REPETITION_UDF
+
+
+def gopher_repetition_expr(text: Column, use_arrow: bool = True) -> Column:
     """Gopher §A1.1-adjacent repetition signals (§A1.2 of Rae et al.
     2021, public paper, Table A1) as one struct of pure Column
     expressions plus the combined ``passes`` gate:
@@ -699,8 +819,22 @@ def gopher_repetition_expr(text: Column) -> Column:
 
     Everything shares ONE tokenization / line split / paragraph split
     (let-bound), the same single-pass discipline as
-    :func:`gopher_quality_expr`."""
+    :func:`gopher_quality_expr`.
+
+    ``use_arrow`` (default True, r16): compute the struct in ONE
+    vectorized Arrow pass (:func:`_repetition_signals_py` under a
+    pandas_udf) instead of the JVM sorted-run aggregates — the three
+    per-row n-gram array builds + sorts were the lane's dominant cost
+    (guide §4.2); values are bit-identical (full-corpus 0-diff parity
+    test + the DuckDB oracle row run this path). Pass ``use_arrow=False``
+    for a pure-Column plan — e.g. when only ``['passes']`` is consumed
+    (Catalyst prunes the unused struct fields on the Column path but
+    cannot see inside the UDF), or where a Python boundary is
+    unavailable."""
     from traject_spark.expr import let3
+
+    if use_arrow:
+        return F.when(text.isNotNull(), _repetition_arrow_udf()(text))
 
     def build(ws: Column, ls: Column, ps: Column) -> Column:
         tot = F.greatest(F.length(text), F.lit(1))
