@@ -338,6 +338,38 @@ def test_solr_writer_max_skipped_tolerates_below_threshold(spark, mock_solr):
     } == {"r3"}
 
 
+def test_solr_writer_concurrent_batches_deliver_everything(spark, mock_solr):
+    """r16 in-partition batch pool: many batches per partition, several
+    in flight — every doc delivered exactly once, failed batches still
+    recovered one-by-one with the exact skip count, accumulator intact."""
+    _MockSolr.fail_ids = {"r7", "r33"}
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(60)],
+        "record_id string, title array<string>",
+    ).coalesce(2)
+    skipped = solr_json_writer(
+        df, mock_solr, batch_size=5, max_skipped=5, concurrency=3
+    )
+    assert skipped == 2
+    got = [d["id"] for d in _MockSolr.received]
+    assert len(got) == len(set(got)) == 58
+    assert set(got) == {f"r{i}" for i in range(60)} - {"r7", "r33"}
+
+
+def test_solr_writer_concurrency_one_is_serial(spark, mock_solr):
+    """concurrency=1 (and the forced-serial pacing path) must behave
+    exactly like the pre-pool writer: in-order single-connection posts."""
+    df = spark.createDataFrame(
+        [(f"r{i}", [f"t{i}"]) for i in range(20)],
+        "record_id string, title array<string>",
+    ).coalesce(1)
+    skipped = solr_json_writer(
+        df, mock_solr, batch_size=10, concurrency=1
+    )
+    assert skipped == 0
+    assert len(_MockSolr.received) == 20
+
+
 def test_solr_update_args_on_every_request(spark, mock_solr):
     """solr_writer.solr_update_args ({commitWithin: 1000}) must ride the
     query string of every update POST, batch and retry-single

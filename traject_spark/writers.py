@@ -416,6 +416,7 @@ def solr_json_writer(
     solr_update_args: Optional[dict] = None,
     skipped_accumulator=None,
     max_docs_per_sec: Optional[float] = None,
+    concurrency: int = 1,
 ) -> int:
     """POST documents to Solr's /update/json in batches via
     ``foreachPartition`` (the Spark shape of
@@ -441,6 +442,23 @@ def solr_json_writer(
       overload/rejection. Cluster-wide rate ≈ cap x concurrent
       partitions, so size it as target_total_rate / expected_parallel
       tasks. None (default) = unthrottled.
+    - ``concurrency`` (r16): maximum in-flight batch POSTs per
+      partition — the Spark shape of the reference's writer thread pool
+      (``solr_writer.thread_pool``, solr_json_writer.rb:98-106), for
+      endpoints where the round-trip LATENCY (not the server's CPU) is
+      what a sequential loop waits on: a real multithreaded Solr across
+      a network. Per-BATCH semantics are unchanged: each batch keeps
+      its own keep-alive connection + transport retry, a failed batch
+      is recovered strictly one-by-one on its own worker, and the
+      ``max_skipped`` fail-fast aborts the partition. Batches may land
+      out of order across workers (exactly like the reference's pool);
+      Solr add is upsert-by-id. Forced to 1 when ``max_docs_per_sec``
+      is set (the pacing schedule is serial by definition). Default 1:
+      against a loopback mock the server's request handling is the
+      bottleneck and extra in-flight batches only add contention
+      (measured r16, AB_FINDINGS_r16.md: 600k docs / batch 100 / 32
+      partitions — concurrency 1: 2.66s min, 2: 2.92, 4: 3.49; a
+      per-partition pool only pays when the endpoint parallelizes).
 
     Returns the number of skipped (failed) documents. At-least-once on
     task retry — idempotent because Solr add is upsert-by-id.
@@ -490,8 +508,13 @@ def solr_json_writer(
             df = df.withColumnRenamed(id_col, "id")
     docs_json = df.toJSON()
 
+    # the pacing schedule is a serial leaky bucket — concurrent posts
+    # would make "never faster than the cap" unenforceable
+    n_workers = 1 if max_docs_per_sec else max(1, int(concurrency))
+
     def handle_partition(rows) -> None:
         import http.client
+        import threading as _threading
         import time as _time
         import urllib.parse
 
@@ -514,7 +537,7 @@ def solr_json_writer(
         # never hammered faster than the cap
         next_allowed: list = [None]
 
-        def post(docs: list) -> None:
+        def post(box: list, docs: list) -> None:
             if max_docs_per_sec:
                 now = _time.monotonic()
                 if next_allowed[0] is not None:
@@ -526,43 +549,85 @@ def solr_json_writer(
                     len(docs) / max_docs_per_sec
                 )
             _post_retrying(
-                conn_box, conn_cls, parsed.hostname, parsed.port, timeout,
+                box, conn_cls, parsed.hostname, parsed.port, timeout,
                 path, headers, ("[" + ",".join(docs) + "]").encode("utf-8"),
                 max_retries, retry_backoff,
             )
 
-        buf: list = []
         local_skipped = [0]
+        count_lock = _threading.Lock()
 
-        def flush() -> None:
-            if not buf:
-                return
-            docs = list(buf)
-            buf.clear()
+        def send_batch(box: list, docs: list) -> None:
+            """POST one batch on ``box``'s connection; recover a failed
+            batch strictly one-by-one (same connection), counting skips;
+            fail fast past max_skipped. One definition for the serial
+            AND pooled paths — the per-batch semantics ARE the contract."""
             try:
-                post(docs)
+                post(box, docs)
             except Exception:
                 # batch failed: retry each doc individually, count failures
                 for doc in docs:
                     try:
-                        post([doc])
+                        post(box, [doc])
                     except Exception:
-                        skipped_acc.add(1)
-                        local_skipped[0] += 1
+                        with count_lock:
+                            skipped_acc.add(1)
+                            local_skipped[0] += 1
+                            n_bad = local_skipped[0]
                         # executor-side fail-fast: one partition alone
                         # exceeding the global threshold proves the job
                         # will abort — stop grinding every remaining doc
                         # through per-doc retries against a dead/rejecting
                         # Solr (the driver still enforces the exact
                         # global count afterwards)
-                        if (
-                            max_skipped is not None
-                            and local_skipped[0] > max_skipped
-                        ):
+                        if max_skipped is not None and n_bad > max_skipped:
                             raise MaxSkippedExceeded(
-                                f"{local_skipped[0]} skipped in one "
+                                f"{n_bad} skipped in one "
                                 f"partition exceeds max_skipped={max_skipped}"
                             )
+
+        buf: list = []
+        workers: list = []
+        boxes: list = [conn_box]
+        q = err_box = None
+        if n_workers > 1:
+            import queue as _queue
+
+            # bounded: the submitter must not buffer the whole partition
+            # ahead of slow workers
+            q = _queue.Queue(maxsize=n_workers)
+            err_box = []
+
+            def work(box: list) -> None:
+                while True:
+                    docs = q.get()
+                    if docs is None:
+                        return
+                    if err_box:
+                        continue  # drain after a fatal error
+                    try:
+                        send_batch(box, docs)
+                    except Exception as e:
+                        err_box.append(e)
+
+            for _ in range(n_workers):
+                box: list = [None]
+                boxes.append(box)
+                t = _threading.Thread(target=work, args=(box,), daemon=True)
+                t.start()
+                workers.append(t)
+
+        def flush() -> None:
+            if not buf:
+                return
+            docs = list(buf)
+            buf.clear()
+            if q is None:
+                send_batch(conn_box, docs)
+                return
+            if err_box:
+                raise err_box[0]
+            q.put(docs)
 
         try:
             for doc in rows:
@@ -571,11 +636,18 @@ def solr_json_writer(
                     flush()
             flush()
         finally:
-            if conn_box[0] is not None:
-                try:
-                    conn_box[0].close()
-                except Exception:
-                    pass
+            for t in workers:
+                q.put(None)
+            for t in workers:
+                t.join()
+            for box in boxes:
+                if box[0] is not None:
+                    try:
+                        box[0].close()
+                    except Exception:
+                        pass
+        if err_box:
+            raise err_box[0]
 
     try:
         docs_json.foreachPartition(handle_partition)
