@@ -795,3 +795,158 @@ def test_compiled_sql_texts_are_lexer_independent(spark):
     assert "Conference" in " ".join(r0["formats"] or [""]) or True
     assert r0["langs"] == ["English", "French"]
     assert any("(" in g for g in (r0["geo"] or [])), r0["geo"]
+
+
+def test_pubdate_sql_fastpath_parity(spark):
+    """The r16 generated-SQL publication-date twin must match the Column
+    decision procedure on every branch: q-ranges (in/out of tolerance,
+    'u' sub-first), r/p date2 preference, u-digit estimation with 10^k
+    tolerance, type n suppression, short/missing 008, 264c-then-260c
+    fallback, and the min/max clamps."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_publication_date
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    def f8(dtype, d1, d2=None):
+        base = "880520" + dtype + d1 + (d2 if d2 is not None else "")
+        return base
+
+    recs = [
+        ("q_in_tol", marc_record(controlfields=[("008", f8("q", "196u", "1970"))])),
+        ("q_out_tol", marc_record(controlfields=[("008", f8("q", "1900", "1990"))])),
+        ("q_equal", marc_record(controlfields=[("008", f8("q", "1960", "1960"))])),
+        ("r_d2", marc_record(controlfields=[("008", f8("r", "1955", "1960"))])),
+        ("p_zero_d2", marc_record(controlfields=[("008", f8("p", "1955", "0000"))])),
+        ("s_u_est", marc_record(controlfields=[("008", f8("s", "19uu", "    "))])),
+        ("s_u_toolong", marc_record(controlfields=[("008", f8("s", "1uuu", "    "))])),
+        ("type_n", marc_record(controlfields=[("008", f8("n", "1980", "1985"))])),
+        ("short_008", marc_record(controlfields=[("008", "88052")])),
+        ("no_008_264", marc_record(datafields=[
+            ("264", " ", "1", [("c", "published in 1999.")]),
+        ])),
+        ("no_008_260", marc_record(datafields=[
+            ("260", " ", " ", [("c", "c1944.")]),
+        ])),
+        ("both_fallbacks", marc_record(datafields=[
+            ("264", " ", "1", [("c", "no digits here")]),
+            ("260", " ", " ", [("c", "MCMLIV [1954]")]),
+        ])),
+        ("clamp_low", marc_record(controlfields=[("008", f8("s", "0300", "    "))])),
+        ("clamp_high", marc_record(controlfields=[("008", f8("s", "9999", "    "))])),
+        ("short_date1", marc_record(controlfields=[("008", f8("s", "19", ""))])),
+        ("empty", marc_record()),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    for kwargs in ({}, {"estimate_tolerance": 120, "min_year": 1000,
+                    "max_year": 2030}, {"as_string": False}):
+        a = Pipeline().to_field(
+            "d", marc_publication_date(_sql_fastpath=True, **kwargs)
+        ).apply(df)
+        b = Pipeline().to_field(
+            "d", marc_publication_date(_sql_fastpath=False, **kwargs)
+        ).apply(df)
+        rows_a = {r["record_id"]: r["d"] for r in a.collect()}
+        rows_b = {r["record_id"]: r["d"] for r in b.collect()}
+        assert rows_a == rows_b, {
+            k: (rows_a[k], rows_b[k])
+            for k in rows_a if rows_a[k] != rows_b[k]
+        }
+
+
+def test_sortable_sql_fastpath_parity(spark):
+    """r16 generated-SQL twins of marc_sortable_title / _author must
+    match the Column path on the tricky shapes: ind2 non-filing slices
+    (0 / 4 / blank / beyond length), $k fallback, 880-linked 240/245,
+    missing fields, NULL subfield values, per-subfield trim chains."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_sortable_author, marc_sortable_title
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    recs = [
+        ("plain", marc_record(datafields=[
+            ("100", "1", " ", [("a", "  Author, A.  ")]),
+            ("245", "1", "0", [("a", "Title :"), ("b", "sub /")]),
+        ])),
+        ("nonfiling", marc_record(datafields=[
+            ("245", "1", "4", [("a", "The Title"), ("b", "x.")]),
+        ])),
+        ("nonfiling_blank", marc_record(datafields=[
+            ("245", "1", " ", [("a", "A")]),
+        ])),
+        ("nonfiling_beyond", marc_record(datafields=[
+            ("245", "1", "9", [("a", "shrt")]),
+        ])),
+        ("k_fallback", marc_record(datafields=[
+            ("245", "1", "0", [("k", "kit title."), ("c", "by X")]),
+        ])),
+        ("via_240", marc_record(datafields=[
+            ("240", "1", "2", [("a", "L'uniform title.")]),
+            ("245", "1", "0", [("a", "ignored - 240 comes first")]),
+        ])),
+        ("linked_880", marc_record(datafields=[
+            ("880", "1", "0", [("6", "245-01"), ("a", "Alt [title] /")]),
+        ])),
+        ("null_vals", marc_record(datafields=[
+            ("245", "1", "0", [("a", None), ("b", "b only.")]),
+            ("100", " ", " ", [("a", None)]),
+        ])),
+        ("missing", marc_record(datafields=[
+            ("650", " ", "0", [("a", "No title here")]),
+        ])),
+        ("empty", marc_record()),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    for name, mk in (
+        ("tsort", marc_sortable_title),
+        ("asort", marc_sortable_author),
+    ):
+        a = Pipeline().to_field(name, mk(_sql_fastpath=True)).apply(df)
+        b = Pipeline().to_field(name, mk(_sql_fastpath=False)).apply(df)
+        ra = {r["record_id"]: r[name] for r in a.collect()}
+        rb = {r["record_id"]: r[name] for r in b.collect()}
+        assert ra == rb, (name, {k: (ra[k], rb[k]) for k in ra if ra[k] != rb[k]})
+
+
+def test_lcsh_sql_fastpath_parity(spark):
+    """r16 generated-SQL lcsh twin: subdivision separators, first-
+    subfield prefix rule with the ORIGINAL index (a leading $6 shifts
+    it), non-alpha code skip, NULL subfield value skip, trailing period
+    strip, empty -> nothing, 880-linked subjects, multi-field order."""
+    from traject_spark import Pipeline
+    from traject_spark.macros import marc_lcsh_formatted
+    from traject_spark.marc.schema import MARC_SOURCE_SCHEMA, marc_record
+
+    recs = [
+        ("full", marc_record(datafields=[
+            ("650", " ", "0", [("a", "Topic"), ("x", "Hist."), ("z", "Geo"),
+                               ("v", "Maps.")]),
+            ("600", "1", "0", [("a", "Person, A."), ("d", "1900-1980"),
+                               ("t", "Works.")]),
+        ])),
+        ("leading_ctrl", marc_record(datafields=[
+            ("650", " ", "0", [("6", "880-01"), ("a", "Shifted"),
+                               ("x", "Sub.")]),
+        ])),
+        ("null_vals", marc_record(datafields=[
+            ("650", " ", "0", [("a", None), ("x", "OnlyX.")]),
+        ])),
+        ("all_numeric", marc_record(datafields=[
+            ("650", " ", "0", [("0", "id"), ("6", "link")]),
+        ])),
+        ("linked_880", marc_record(datafields=[
+            ("880", " ", "0", [("6", "650-02"), ("a", "Alt subject.")]),
+        ])),
+        ("empty", marc_record()),
+    ]
+    df = spark.createDataFrame(recs, MARC_SOURCE_SCHEMA)
+    for kwargs in ({}, {"subdivision_separator": "--",
+                        "other_separator": "~"}):
+        a = Pipeline().to_field(
+            "s", marc_lcsh_formatted(_sql_fastpath=True, **kwargs)
+        ).apply(df)
+        b = Pipeline().to_field(
+            "s", marc_lcsh_formatted(_sql_fastpath=False, **kwargs)
+        ).apply(df)
+        ra = {r["record_id"]: r["s"] for r in a.collect()}
+        rb = {r["record_id"]: r["s"] for r in b.collect()}
+        assert ra == rb, {k: (ra[k], rb[k]) for k in ra if ra[k] != rb[k]}

@@ -72,12 +72,29 @@ def oclcnum(spec: str = "035a"):
     parsed = parse_marc_spec(spec)
 
     def macro(acc: Column, ctx=None) -> Column:
-        vals = marc_extract(ctx.marc, parsed, separator=None)
+        vals = _vals_fastpath(ctx, parsed, separator=None)
         nums = F.transform(vals, lambda v: F.regexp_extract(v, OCLCPAT, 1))
         kept = F.filter(nums, lambda x: x.isNotNull() & (x != ""))
         return F.concat(acc, F.array_distinct(kept))
 
     return macro
+
+
+def _vals_fastpath(ctx, parsed, separator) -> Column:
+    """marc_extract with the r16 generated-SQL build fast path: one
+    F.expr when the spec shape qualifies (see extractor._extract_sql),
+    the generic Column tree otherwise — value-identical either way."""
+    src = getattr(ctx, "_pipeline", None) if ctx is not None else None
+    src_col = getattr(src, "source_col", None) if src is not None else "marc"
+    if src_col and _ident_safe(src_col):
+        sql = _extract_sql(f"`{src_col}`", parsed, separator)
+        if sql is not None:
+            return F.expr(sql)
+    return marc_extract(
+        ctx.marc if ctx is not None else F.col("marc"),
+        parsed,
+        separator=separator,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +112,68 @@ def _nonfiling_slice(s: Column, ind2: Column) -> Column:
     )
 
 
-def marc_sortable_author():
+# --- SQL twins of the shared string transforms (r16 build fast path) ------
+
+#: same pattern strings the Column builders in transforms.py compose
+_STRIP_PAT = _rx_lit(r"\A[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r\x00]+\Z")
+
+
+def _sql_strip(v_sql: str) -> str:
+    """SQL twin of transforms.ruby_string_strip_expr."""
+    return f"regexp_replace({v_sql}, {_STRIP_PAT}, '')"
+
+
+_TRIM1 = _rx_lit(r" *[ ,/;:] *\Z")
+_TRIM2 = _rx_lit(r"(?U)( *\w{3,})\. *\Z")
+_TRIM3 = _rx_lit(r"\A\[?([^\[\]]+)\]?\Z")
+
+
+def _sql_trim_punct(v_sql: str) -> str:
+    """SQL twin of transforms.trim_punctuation_expr (same four regexes
+    in the same order)."""
+    v1 = f"regexp_replace({v_sql}, {_TRIM1}, '')"
+    v2 = f"regexp_replace({v1}, {_TRIM2}, {_rx_lit('$1')})"
+    v3 = f"regexp_replace({v2}, {_TRIM3}, {_rx_lit('$1')})"
+    return _sql_strip(v3)
+
+
+def _sql_nonfiling(s_sql: str, ind2_sql: str) -> str:
+    """SQL twin of _nonfiling_slice (same let2 shape)."""
+    return sql_let(
+        s_sql,
+        "nfs",
+        sql_let(
+            _sql_to_i(ind2_sql),
+            "nfn",
+            "CASE WHEN length(nfs) >= nfn THEN "
+            "substring(nfs, CAST((nfn + 1) AS int), 2000000) END",
+        ),
+    )
+
+
+from traject_spark.marc.extractor import _SQL_FIRST6  # noqa: E402
+
+_SQL_EFFTAG = (
+    "CASE WHEN f.tag = '880' THEN "
+    f"coalesce(substring({_SQL_FIRST6}, 1, 3), '880') ELSE f.tag END"
+)
+
+
+def _simple_data_spec(s) -> bool:
+    """Gate shared by the sortable/lcsh SQL twins: plain datafield spec,
+    no indicator filters, not 880, not a control tag."""
+    from traject_spark.marc.serialize import CONTROL_TAGS
+
+    return (
+        not s.is_byte_spec
+        and s.ind1 is None
+        and s.ind2 is None
+        and s.tag != "880"
+        and s.tag not in CONTROL_TAGS
+    )
+
+
+def marc_sortable_author(_sql_fastpath: bool = True):
     """Concat of first 100/110/111 (first+strip) and first 240-else-245
     title with ind2 non-filing chars stripped; ALWAYS appends one string,
     '' when nothing found (marc21_semantics.rb:66-88).
@@ -108,8 +186,34 @@ def marc_sortable_author():
     half is explicit in the reference (marc21_semantics.rb:80) and kept.
     """
 
+    _onexx_spec = parse_marc_spec("100:110:111")
+
+    def _sql(marc_sql: str) -> str:
+        onexx = _sql_strip(
+            f"get({_extract_sql(marc_sql, _onexx_spec, ' ')}, 0)"
+        )
+        joined = (
+            "array_join(transform(fld.subfields, sf -> "
+            + _sql_strip(_sql_trim_punct(_sql_strip("sf.value")))
+            + "), ' ')"
+        )
+        with_field = _sql_strip(_sql_nonfiling(joined, "fld.ind2"))
+        title = sql_let(
+            f"get(filter({marc_sql}.datafields, "
+            f"f -> ({_SQL_EFFTAG}) IN ('240', '245')), 0)",
+            "fld",
+            with_field,
+        )
+        return f"array(concat_ws('   ', {onexx}, {title}))"
+
     def macro(acc: Column, ctx=None) -> Column:
-        onexx_raw = F.get(marc_extract(ctx.marc, "100:110:111"), 0)
+        src = getattr(ctx, "_pipeline", None) if ctx is not None else None
+        src_col = (
+            getattr(src, "source_col", None) if src is not None else "marc"
+        )
+        if _sql_fastpath and src_col and _ident_safe(src_col):
+            return F.concat(acc, F.expr(_sql(f"`{src_col}`")))
+        onexx_raw = F.get(_vals_fastpath(ctx, _onexx_spec, " "), 0)
         onexx = ruby_string_strip_expr(onexx_raw)
 
         def with_field(fld: Column) -> Column:
@@ -140,13 +244,46 @@ def marc_sortable_author():
     return macro
 
 
-def marc_sortable_title(spec: str = "245ab"):
+def marc_sortable_title(spec: str = "245ab", _sql_fastpath: bool = True):
     """First 245ab (fallback first $k), ind2 non-filing chars stripped,
     trim_punctuation; nothing appended when no field
     (marc21_semantics.rb:92-118)."""
     (parsed,) = parse_marc_spec(spec)
 
+    def _sql(marc_sql: str) -> str:
+        # mirror of the Column body below, rendered once (r16 build fast
+        # path); only reached for indicator-free datafield specs
+        from traject_spark.marc.extractor import _sql_collect_subfields
+
+        joined = (
+            "get(" + _sql_collect_subfields(parsed, " ", fvar="fld") + ", 0)"
+        )
+        k = (
+            "get(filter(fld.subfields, sf -> sf.code = 'k'), 0).value"
+        )
+        with_field = _sql_trim_punct(
+            _sql_nonfiling(f"coalesce({joined}, {k})", "fld.ind2")
+        )
+        st = sql_let(
+            f"get(filter({marc_sql}.datafields, "
+            f"f -> ({_SQL_EFFTAG}) = '{parsed.tag}'), 0)",
+            "fld",
+            with_field,
+        )
+        return f"filter(array({st}), x -> x IS NOT NULL)"
+
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None) if ctx is not None else None
+        src_col = (
+            getattr(src, "source_col", None) if src is not None else "marc"
+        )
+        if (
+            _sql_fastpath
+            and _simple_data_spec(parsed)
+            and src_col
+            and _ident_safe(src_col)
+        ):
+            return F.concat(acc, F.expr(_sql(f"`{src_col}`")))
         def with_field(fld: Column) -> Column:
             joined = F.get(collect_subfields_expr(fld, parsed, " "), 0)
             k = F.get(
@@ -225,13 +362,9 @@ def extract_marc_filing_version(spec: str = "245abdefghknp", include_original: b
 _LANGUAGES_DEFAULT_SPEC = "008[35-37]:041a:041d"
 
 
-def _ident_safe(name: str) -> bool:
-    """Gate for the generated-SQL fast paths: only plain identifiers.
-    The generic path's ``F.col('a.b')`` resolves a NESTED field while
-    the backtick-quoted SQL text would read one dotted top-level column
-    — the two paths must never read different columns, so anything
-    beyond ``[A-Za-z_][A-Za-z0-9_]*`` takes the generic path."""
-    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+# one definition shared with the extractor's generated-SQL fast path
+# (moved there in r16; re-exported here for existing importers)
+from traject_spark.marc.extractor import _extract_sql, _ident_safe  # noqa: E402,F401
 
 
 def _languages_sql(marc_sql: str, probe_sql: str) -> str:
@@ -559,18 +692,168 @@ def publication_date_expr(
     )
 
 
+def _sql_to_i(v_sql: str) -> str:
+    """SQL twin of transforms.ruby_to_i_expr (duplicated subtree like the
+    Column form — the regexp_extract appears twice there too)."""
+    pat = _rx_lit(r"\A\s*([+-]?\d+)")
+    d = f"regexp_extract({v_sql}, {pat}, 1)"
+    return (
+        f"coalesce(CAST(CASE WHEN {d} != '' THEN {d} END AS bigint), "
+        "CAST(0 AS bigint))"
+    )
+
+
+def _sql_sub_first(v_sql: str, pattern_no_groups: str, replacement: str) -> str:
+    """SQL twin of _ruby_sub_first (same wrapped pattern + $1<repl>$2
+    replacement string)."""
+    pat = _rx_lit(r"(?s)\A(.*?)" + f"(?:{pattern_no_groups})" + r"(.*)\Z")
+    rep = _rx_lit("$1" + replacement + "$2")
+    return f"regexp_replace({v_sql}, {pat}, {rep})"
+
+
+def _pubdate_sql(
+    marc_sql: str, estimate_tolerance: int, min_year: int, max_year: int
+) -> str:
+    """Generated-SQL twin of :func:`publication_date_expr` — the biggest
+    single build cost of the flagship pipeline (~0.56s of Py4J round
+    trips per fresh compile, r16 probe) rendered as ONE parseable
+    string. Mirrors the Column tree piece for piece (the let bindings
+    become sql_let aggregates with named variables); value parity pinned
+    by tests/test_semantics.py::test_pubdate_sql_fastpath_parity and the
+    marc_pubdate oracle row."""
+    tol = int(estimate_tolerance)
+
+    # --- 008 branch -------------------------------------------------------
+    q_inner = (
+        f"CASE WHEN (q2 > q1) AND ((q2 - q1) <= {tol}) "
+        "THEN CAST(floor((q1 + q2) / 2) AS bigint) END"
+    )
+    q_val = (
+        "CASE WHEN (dtype = 'q') AND (d1 != d2) THEN "
+        + sql_let(
+            _sql_to_i(_sql_sub_first("d1", "u", "0")),
+            "q1",
+            sql_let(_sql_to_i(_sql_sub_first("d2", "u", "9")), "q2", q_inner),
+        )
+        + " END"
+    )
+    date_str = (
+        f"CASE WHEN (dtype IN ('r', 'p')) AND ({_sql_to_i('d2')} != 0) "
+        "THEN d2 ELSE d1 END"
+    )
+    delta_body = (
+        f"CASE WHEN (ucount > 0) AND (date_num != 0) THEN "
+        f"(CASE WHEN delta <= {tol} "
+        "THEN CAST((date_num + floor(delta / 2)) AS bigint) END) "
+        "ELSE (CASE WHEN date_num != 0 THEN date_num END) END"
+    )
+    single_inner = sql_let(
+        "CAST(power(CAST(10.0 AS double), CAST(ucount AS double)) AS bigint)",
+        "delta",
+        delta_body,
+    )
+    single_val = (
+        "CASE WHEN NOT (dtype IN ('n', 'q')) THEN "
+        + sql_let(
+            date_str,
+            "ds",
+            sql_let(
+                "CAST((length(ds) - length(translate(ds, 'u', ''))) AS bigint)",
+                "ucount",
+                sql_let(
+                    _sql_to_i("translate(ds, 'u', '0')"),
+                    "date_num",
+                    single_inner,
+                ),
+            ),
+        )
+        + " END"
+    )
+    body = (
+        "CASE WHEN (f8 IS NOT NULL) AND (length(f8) >= 11) THEN "
+        f"coalesce({q_val}, {single_val}) END"
+    )
+    f8_raw = (
+        f"get(filter({marc_sql}.controlfields, f -> f.tag = '008'), 0).value"
+    )
+    from_008 = sql_let(
+        f8_raw,
+        "f8",
+        sql_let(
+            "substring(f8, 7, 1)",
+            "dtype",
+            sql_let(
+                "substring(f8, 8, 4)",
+                "d1",
+                sql_let(
+                    "CASE WHEN length(f8) > 15 THEN substring(f8, 12, 4) "
+                    "ELSE substring(f8, 8, 4) END",
+                    "d2",
+                    body,
+                ),
+            ),
+        ),
+    )
+
+    # --- 264c / 260c fallback --------------------------------------------
+    def four_digits(v_sql: str) -> str:
+        pat = _rx_lit(r"(\d{4})")
+        return sql_let(
+            f"regexp_extract({v_sql}, {pat}, 1)",
+            "g4",
+            "CASE WHEN (g4 IS NOT NULL) AND (g4 != '') "
+            "THEN CAST(g4 AS bigint) END",
+        )
+
+    from traject_spark.marc.extractor import _extract_sql as _ex
+
+    f264 = f"get({_ex(marc_sql, parse_marc_spec('264c'), None)}, 0)"
+    f260 = f"get({_ex(marc_sql, parse_marc_spec('260c'), None)}, 0)"
+    fallback = f"coalesce({four_digits(f264)}, {four_digits(f260)})"
+
+    return sql_let(
+        f"coalesce({from_008}, {fallback})",
+        "found",
+        "CASE WHEN (found IS NOT NULL) AND "
+        f"(found >= {int(min_year)}) AND (found <= {int(max_year)}) "
+        "THEN found END",
+    )
+
+
 def marc_publication_date(
     estimate_tolerance: int = 15,
     min_year: int = 500,
     max_year: Optional[int] = None,
     as_string: bool = True,
+    _sql_fastpath: bool = True,
 ):
     """Macro form: appends the single date when found
     (marc21_semantics.rb:316-332).  ``as_string`` keeps the accumulator
     uniformly array<string> (writers serialize the digits); set False when
-    composing a typed column directly via publication_date_expr."""
+    composing a typed column directly via publication_date_expr.
+
+    Build fast path (r16): the whole decision procedure renders as ONE
+    generated-SQL string (``_pubdate_sql``); ``_sql_fastpath=False``
+    forces the Column builder (parity-test hook)."""
+    if max_year is None:
+        import datetime
+
+        max_year = datetime.date.today().year + 6
 
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None) if ctx is not None else None
+        src_col = (
+            getattr(src, "source_col", None) if src is not None else "marc"
+        )
+        if _sql_fastpath and src_col and _ident_safe(src_col):
+            d_sql = _pubdate_sql(
+                f"`{src_col}`", estimate_tolerance, min_year, max_year
+            )
+            v_sql = f"CAST({d_sql} AS string)" if as_string else d_sql
+            return F.concat(
+                acc,
+                F.expr(f"filter(array({v_sql}), x -> x IS NOT NULL)"),
+            )
         d = publication_date_expr(
             ctx.marc, estimate_tolerance, min_year, max_year
         )
@@ -603,7 +886,7 @@ def marc_lcc_to_broad_category(
     )
 
     def macro(acc: Column, ctx=None) -> Column:
-        cands = marc_extract(ctx.marc, parsed, separator=None)
+        cands = _vals_fastpath(ctx, parsed, separator=None)
         kept = F.filter(cands, lambda v: v.rlike(LCC_REGEX))
         letters = F.transform(kept, lambda v: F.substring(F.ltrim(v), 1, 1))
         mapped = F.array_distinct(tmap.translate_array_expr(letters))
@@ -827,10 +1110,57 @@ def marc_era_facet(
 # pre-coordinated LCSH (marc21_semantics.rb:540-596)
 # ---------------------------------------------------------------------------
 
+def _lcsh_sql(
+    marc_sql: str,
+    tags: list,
+    subdivision_separator: str,
+    other_separator: str,
+) -> str:
+    """Generated-SQL twin of the lcsh per-field assembly (r16 build fast
+    path) for the merged single-group shape (all-subfield specs, no
+    indicator filters). Mirrors per_field + collect_matching_lines'
+    single-group path; parity pinned by
+    tests/test_semantics.py::test_lcsh_sql_fastpath_parity and the
+    marc_lcsh oracle row."""
+    from traject_spark.marc.extractor import _SQL_EMPTY, _sql_tag_match
+
+    subd = _rx_lit(subdivision_separator)
+    other = _rx_lit(other_separator)
+    code_pat = _rx_lit(r"\A[a-z]\Z")
+    prefix = (
+        f"CASE WHEN sfi.code IN ('v', 'x', 'y', 'z') THEN {subd} "
+        f"WHEN sfi.i = 0 THEN '' ELSE {other} END"
+    )
+    step = (
+        f"CASE WHEN rlike(sfi.code, {code_pat}) "
+        "AND (sfi.value IS NOT NULL) "
+        f"THEN concat(acc_s, {prefix}, sfi.value) ELSE acc_s END"
+    )
+    indexed = (
+        "transform(f.subfields, (sf, i) -> "
+        "named_struct('code', sf.code, 'value', sf.value, 'i', i))"
+    )
+    dot_pat = _rx_lit(r"\.\Z")
+    assembled = (
+        f"regexp_replace(aggregate({indexed}, '', "
+        f"(acc_s, sfi) -> {step}), {dot_pat}, '')"
+    )
+    per_field = sql_let(
+        assembled, "asb", "array(CASE WHEN asb != '' THEN asb END)"
+    )
+    match = _sql_tag_match(tags)
+    data = (
+        f"flatten(transform(filter({marc_sql}.datafields, f -> {match}), "
+        f"f -> coalesce({per_field}, {_SQL_EMPTY})))"
+    )
+    return f"coalesce({data}, {_SQL_EMPTY})"
+
+
 def marc_lcsh_formatted(
     spec: str = "600:610:611:630:648:650:651:654:662",
     subdivision_separator: str = " — ",
     other_separator: str = " ",
+    _sql_fastpath: bool = True,
 ):
     """Assemble each subject field into one pre-coordinated string:
     alphabetic subfields joined; $v/$x/$y/$z prefixed by the subdivision
@@ -869,7 +1199,28 @@ def marc_lcsh_formatted(
             lambda assembled: F.array(F.when(assembled != "", assembled)),
         )
 
+    eligible = (
+        all(_simple_data_spec(s) and s.subfields is None for s in parsed)
+        and len({s.tag for s in parsed}) == len(parsed)
+    )
+
     def macro(acc: Column, ctx=None) -> Column:
+        src = getattr(ctx, "_pipeline", None) if ctx is not None else None
+        src_col = (
+            getattr(src, "source_col", None) if src is not None else "marc"
+        )
+        if _sql_fastpath and eligible and src_col and _ident_safe(src_col):
+            return F.concat(
+                acc,
+                F.expr(
+                    _lcsh_sql(
+                        f"`{src_col}`",
+                        [s.tag for s in parsed],
+                        subdivision_separator,
+                        other_separator,
+                    )
+                ),
+            )
         return F.concat(
             acc, collect_matching_lines(ctx.marc, parsed, per_field)
         )

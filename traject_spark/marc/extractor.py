@@ -327,6 +327,127 @@ def collect_matching_lines(
     )
 
 
+def _ident_safe(name: str) -> bool:
+    """Gate for the generated-SQL fast paths: only plain identifiers.
+    The generic path's ``F.col('a.b')`` resolves a NESTED field while
+    the backtick-quoted SQL text would read one dotted top-level column
+    — the two paths must never read different columns, so anything
+    beyond ``[A-Za-z_][A-Za-z0-9_]*`` takes the generic path."""
+    import re as _re
+
+    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+
+
+_SQL_EMPTY = "CAST(array() AS array<string>)"
+_SQL_FIRST6 = "get(filter(f.subfields, sf -> sf.code = '6'), 0).value"
+
+
+def _sql_tag_match(tags: list) -> str:
+    """SQL twin of ``match_cond`` for indicator-free non-880 specs under
+    alternate_script='include' (the only shape :func:`_extract_sql`
+    accepts): tag in tags OR an 880 whose first $6 links one of them."""
+    tl = ", ".join(f"'{t}'" for t in tags)
+    return (
+        f"(f.tag IN ({tl}) OR ((f.tag = '880') AND "
+        f"(substring({_SQL_FIRST6}, 1, 3) IN ({tl}))))"
+    )
+
+
+def _sql_collect_subfields(spec, separator: Optional[str], fvar: str = "f") -> str:
+    """SQL twin of :func:`collect_subfields_expr` (same null-drop,
+    coalesce, and join rules; literals via sql_str_lit so the text is
+    lexer-independent). ``fvar`` names the field lambda/let variable in
+    scope at the call site."""
+    from traject_spark.sqlutil import sql_str_lit
+
+    if spec.subfields is None:
+        pred = "sf.value IS NOT NULL"
+    else:
+        codes = ", ".join(f"'{c}'" for c in spec.subfields)
+        pred = f"(sf.code IN ({codes})) AND (sf.value IS NOT NULL)"
+    vals = (
+        f"coalesce(transform(filter({fvar}.subfields, sf -> {pred}), "
+        f"sf -> sf.value), {_SQL_EMPTY})"
+    )
+    if separator is not None and spec.joinable:
+        from traject_spark.expr import sql_let
+
+        body = (
+            "CASE WHEN size(jv) > 0 THEN "
+            f"array(array_join(jv, {sql_str_lit(separator)})) "
+            f"ELSE {_SQL_EMPTY} END"
+        )
+        vals = sql_let(vals, "jv", body)
+    return vals
+
+
+def _extract_sql(
+    marc_sql: str,
+    spec,
+    separator: Optional[str] = " ",
+    alternate_script: Union[str, bool] = "include",
+) -> Optional[str]:
+    """Generated-SQL twin of :func:`marc_extract` for the common shape —
+    datafield-only specs, no indicator filters, no literal-880 specs,
+    alternate_script='include' (the default) — rendered as ONE parseable
+    string so the flagship rules build in ~1 Py4J round trip instead of
+    hundreds (the r15 minhash/simhash/langid build-fast-path pattern).
+    Returns None when the spec is outside that shape (callers fall back
+    to the Column builder). Value parity is pinned by
+    tests/test_extractor.py::test_extract_sql_fastpath_parity plus the
+    marc_* oracle rows that route through it."""
+    if alternate_script not in ("include", True):
+        return None
+    specs = _resolve_specs(spec)
+    if not specs:
+        return None
+    for s in specs:
+        if (
+            s.tag in CONTROL_TAGS
+            or s.tag == ALTERNATE_SCRIPT_TAG
+            or s.is_byte_spec
+            or s.ind1 is not None
+            or s.ind2 is not None
+        ):
+            return None
+
+    # same grouping as collect_matching_lines: merge specs differing only
+    # by tag when no tag repeats (group key reduces to the subfield set
+    # here — indicators/880 are excluded above)
+    tag_counts = Counter(s.tag for s in specs)
+    mergeable = all(c == 1 for c in tag_counts.values())
+    groups: list[tuple[list, object]] = []
+    if mergeable:
+        by_key: dict = {}
+        for s in specs:
+            if s.subfields in by_key:
+                by_key[s.subfields][0].append(s.tag)
+            else:
+                g = ([s.tag], s)
+                by_key[s.subfields] = g
+                groups.append(g)
+    else:
+        groups = [([s.tag], s) for s in specs]
+
+    matches = [_sql_tag_match(tags) for tags, _ in groups]
+    if len(groups) == 1:
+        per_field = f"coalesce({_sql_collect_subfields(groups[0][1], separator)}, {_SQL_EMPTY})"
+    else:
+        parts = [
+            f"CASE WHEN {m} THEN "
+            f"coalesce({_sql_collect_subfields(s, separator)}, {_SQL_EMPTY}) "
+            f"ELSE {_SQL_EMPTY} END"
+            for m, (tags, s) in zip(matches, groups)
+        ]
+        per_field = "concat(" + ", ".join(parts) + ")"
+    any_match = " OR ".join(f"({m})" for m in matches)
+    data = (
+        f"flatten(transform(filter({marc_sql}.datafields, "
+        f"f -> {any_match}), f -> {per_field}))"
+    )
+    return f"coalesce({data}, {_SQL_EMPTY})"
+
+
 def marc_extract(
     marc: Column,
     spec: Union[str, Sequence[str], list],
