@@ -566,11 +566,15 @@ def q_text_gopher_repetition(spark, sf_dir):
     mass, struct expanded to columns for the hash compare. The 5-10-gram
     duplicate-coverage signals are deliberately absent (position-marking
     with overlap suppression is not twin-able SQL; see the expr
-    docstring)."""
+    docstring). r16: runs the documented recommended Arrow single-pass
+    path for full-struct scans (use_arrow=True) — bit-identical to the
+    Column tree (parity test + this row's own DuckDB compare), and the
+    oracle thereby pins the path the bench lane times."""
     from traject_spark.corpus import gopher_repetition_expr
 
     return _docs(spark, sf_dir).select(
-        "doc_id", gopher_repetition_expr(F.col("text")).alias("r")
+        "doc_id",
+        gopher_repetition_expr(F.col("text"), use_arrow=True).alias("r"),
     ).select(
         "doc_id",
         F.col("r.dup_line_frac").alias("dup_line_frac"),

@@ -821,15 +821,18 @@ def b_text_repetition_filter(spark):
     """Gopher §A1.2 repetition struct (r14): dup line/para + char
     fractions + top-2/3/4-gram char mass, one narrow select per doc —
     the second half of the credible curation gate (§A1.1 is
-    text_quality_filter). Three n-gram sorts + two line sorts per row
-    is the honest cost; all sorted-run aggregates, zero Exchange."""
+    text_quality_filter). r16: the full-struct scan uses the documented
+    recommended Arrow single-pass path (use_arrow=True — one
+    tokenization for all eight signals, bit-identical values, parity
+    pinned by tests + the text_gopher_repetition oracle row which runs
+    the same path)."""
     from traject_spark.corpus import gopher_repetition_expr
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     noop(
         docs.select(
             "doc_id",
-            gopher_repetition_expr(F.col("text")).alias("r"),
+            gopher_repetition_expr(F.col("text"), use_arrow=True).alias("r"),
         ).select("doc_id", "r.*")
     )
 

@@ -118,7 +118,7 @@ def test_simhash_near_dup_from_text_finds_tweaked_copy(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
-def test_simhash_packed_formulation_matches_per_bit_path(spark):
+def test_simhash_packed_formulation_matches_per_bit_path(spark, monkeypatch):
     """r15: simhash_expr's packed-counter fast path must be bit-identical
     to the original per-bit-pass formulation (still the >32767-token
     fallback) on every value shape — NULL, empty, unicode, repeated
@@ -140,13 +140,12 @@ def test_simhash_packed_formulation_matches_per_bit_path(spark):
     for bits in (64, 13):
         fast = _d.simhash_expr(F.col("text"), bits=bits)
         sql = _d.simhash_expr("text", bits=bits)  # generated-SQL path
-        saved = _d._SIMHASH_MAX_FAST_TOKENS
-        try:
-            _d._SIMHASH_MAX_FAST_TOKENS = 0  # force the per-bit path
+        # monkeypatch (exception-safe AND restored even if an assert
+        # below fires) — ADVICE r15: never hand-mutate module globals
+        with monkeypatch.context() as m:
+            m.setattr(_d, "_SIMHASH_MAX_FAST_TOKENS", 0)  # per-bit path
             slow = _d.simhash_expr(F.col("text"), bits=bits)
             sql_slow = _d.simhash_expr("text", bits=bits)
-        finally:
-            _d._SIMHASH_MAX_FAST_TOKENS = saved
         rows = df.select(
             fast.alias("fast"), slow.alias("slow"),
             sql.alias("sql"), sql_slow.alias("sql_slow"),
@@ -208,7 +207,9 @@ def test_langid_sql_fast_path_matches_column_path(spark):
     for r in rows:
         assert r["col_path"] == r["sql_path"], r
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # sf0.001 like the rest of the suite (ADVICE r15: the lone sf0.01
+    # read made this test environment-coupled relative to its siblings)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     diff = docs.select(
         langid_ngram_expr(F.col("text")).alias("a"),
         langid_ngram_expr("text").alias("b"),
@@ -775,3 +776,63 @@ def test_ann_recall_locked_values(spark):
     ).collect()[0]
     assert round(ivf["mean_recall"], 4) == 0.9375, ivf
     assert round(lsh["mean_recall"], 4) == 1.0, lsh
+
+
+def test_string_name_fast_paths_accept_nested_refs(spark):
+    """ADVICE r15: the string-name overloads previously backtick-quoted
+    the WHOLE name, so 'payload.text' became one dotted identifier and
+    failed to resolve while F.col('payload.text') worked. Non-identifier
+    names must now fall back to the Column path and resolve the nested
+    field identically."""
+    from traject_spark.corpus.dedup import minhash_signature_expr, simhash_expr
+    from traject_spark.corpus.textstats import langid_ngram_expr
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat",)],
+        "doc_id: long, text: string",
+    ).select("doc_id", F.struct(F.col("text").alias("text")).alias("payload"))
+    row = df.select(
+        minhash_signature_expr("payload.text", 8, 3).alias("m_name"),
+        minhash_signature_expr(F.col("payload.text"), 8, 3).alias("m_col"),
+        simhash_expr("payload.text").alias("s_name"),
+        simhash_expr(F.col("payload.text")).alias("s_col"),
+        langid_ngram_expr("payload.text").alias("l_name"),
+        langid_ngram_expr(F.col("payload.text")).alias("l_col"),
+    ).collect()[0]
+    assert row["m_name"] == row["m_col"]
+    assert row["s_name"] == row["s_col"]
+    assert row["l_name"] == row["l_col"]
+
+
+def test_signature_checkpoint_is_lazy_and_size_warned(spark, monkeypatch):
+    """ADVICE r15 (medium): building a text-path dedup query must not
+    trigger a Spark job (localCheckpoint is now lazy), and the (id, sig)
+    checkpoint warns when the optimizer's input estimate exceeds the
+    threshold, pointing at the durable sig_col posture."""
+    import warnings
+
+    from traject_spark.corpus import dedup as _d
+    from traject_spark.corpus.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words {' '.join(str(j) for j in range(10))}")
+         for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    spark.sparkContext.setJobGroup("lazy-check", "builder laziness probe")
+    try:
+        out = minhash_lsh_candidates(df, num_hashes=16, bands=4)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "lazy-check"
+        )
+        assert jobs == [], "builder construction ran a Spark job"
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert out.count() >= 0  # still executes fine
+
+    with monkeypatch.context() as m:
+        m.setattr(_d, "_SIG_CHECKPOINT_WARN_BYTES", 0)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            minhash_lsh_candidates(df, num_hashes=16, bands=4)
+        assert any("sig_col" in str(w.message) for w in caught)

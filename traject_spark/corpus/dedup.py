@@ -219,8 +219,15 @@ def minhash_signature_expr(
     """
     if isinstance(text, str):
         from traject_spark.corpus.similarity import _q
+        from traject_spark.sqlutil import ident_safe
 
-        return F.expr(_minhash_sql(_q(text), num_hashes, ngram))
+        if ident_safe(text):
+            return F.expr(_minhash_sql(_q(text), num_hashes, ngram))
+        # dotted / exotic names: F.col resolves nested fields where the
+        # backtick-quoted SQL text would read one top-level column —
+        # fall back to the Column path so both input forms agree
+        # (ADVICE r15)
+        text = F.col(text)
     return let(
         shingles_expr(text, ngram),
         lambda sh: F.when(
@@ -269,9 +276,11 @@ def _signatures(
     fetches, or both sides of the band self-join), and an unmaterialized
     signature expression re-runs tokenize + shingle + num_hashes
     xxhash64 passes per consumer. The computed narrow (id, sig) frame is
-    therefore ``localCheckpoint``-ed (eager, executor memory+disk,
-    recomputed fresh on every invocation — in-query reuse, not a cache
-    across runs). Isolated bench: dedup_witness_clusters 4.54 → 3.68s,
+    therefore ``localCheckpoint``-ed (LAZY as of r16 — no job at
+    builder time; executor memory+disk at first action; recomputed fresh
+    on every invocation — in-query reuse, not a cache across runs; see
+    :func:`_checkpoint_sigs` for the executor-loss failure mode and the
+    size warning). Isolated bench: dedup_witness_clusters 4.54 → 3.68s,
     dedup_minhash_lsh 3.59 → 3.32s (OPTIMIZATION_r15.md). The explicit
     ``sig_col`` path stays the durable-storage posture for clusters
     where executor-local checkpoint storage is not wanted."""
@@ -284,11 +293,55 @@ def _signatures(
         return df.filter(F.col(sig_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
         )
-    return df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        # name form -> the generated-SQL build fast path (r15)
-        minhash_signature_expr(text_col, num_hashes, ngram).alias("sig"),
-    ).localCheckpoint()
+    return _checkpoint_sigs(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            # name form -> the generated-SQL build fast path (r15)
+            minhash_signature_expr(text_col, num_hashes, ngram).alias("sig"),
+        )
+    )
+
+
+#: estimated-input threshold for the signature-checkpoint warning below;
+#: past this, executor memory+disk storage of the (id, sig) frame is a
+#: real §5 pressure and the precomputed sig_col posture is the answer
+_SIG_CHECKPOINT_WARN_BYTES = 32 << 30
+
+
+def _checkpoint_sigs(sig: DataFrame) -> DataFrame:
+    """In-query materialization of a computed (id, sig) frame — shared
+    by the MinHash and SimHash text paths.
+
+    ``localCheckpoint(eager=False)``: the builder stays LAZY (no Spark
+    job at DataFrame-construction time — constructing a query must not
+    run one; ADVICE r15), the blocks materialize at the first action and
+    every consumer in that query reads them. Failure mode, documented:
+    local checkpoint blocks live only in executor storage — an executor
+    loss (decommission, spot kill) after materialization and before the
+    consumers finish fails the query unrecoverably; clusters that cannot
+    tolerate that should precompute the signature column (``sig_col``),
+    the durable posture. A size-aware warning (the ISO-2709 splitter
+    pattern) fires when the OPTIMIZER'S input estimate exceeds
+    ``_SIG_CHECKPOINT_WARN_BYTES`` — driver-side metadata only, no job."""
+    try:
+        est = int(
+            sig._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = None
+    if est is not None and est > _SIG_CHECKPOINT_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"in-query signature checkpoint over an estimated {est >> 30} GiB "
+            "input: localCheckpoint stores the (id, sig) frame in executor "
+            "memory+disk and is lost on executor failure. At this scale, "
+            "materialize the signature column once (parquet/table) and pass "
+            "sig_col= instead.",
+            ResourceWarning,
+            stacklevel=3,
+        )
+    return sig.localCheckpoint(eager=False)
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -407,7 +460,23 @@ def _witness_candidates(
     100k-row bucket of ~16-byte rows sorts in milliseconds); callers
     fetch them afterwards by id-keyed joins. At most two candidates per
     (row, bucket), so candidate volume is linear in rows x buckets
-    regardless of duplicate-clique size."""
+    regardless of duplicate-clique size.
+
+    Skew posture (ADVICE r15, explicit): the r15 fusion traded the old
+    hash-aggregate bucket minima (map-side partial aggregation — immune
+    to a single giant bucket) for this one window sort, so a
+    pathological bucket — a giant duplicate clique, or a degenerate
+    banding constant — now sorts entirely in ONE task. The rows are
+    ~16 bytes, so even a 100M-row bucket is ~1.6 GB in one task's sort
+    (spillable) — slow but not fatal; the measured win on healthy
+    distributions was 7 -> 5 Exchange / 3 -> 1 banded-side scans per
+    witness operator. Escape hatch for adversarial distributions: cap
+    or split hot buckets upstream by salting the banding input (e.g.
+    extend bucket_cols with ``pmod(xxhash64(id), k)`` for the known-hot
+    band values — each salt shard still yields a valid minimum +
+    predecessor, at the cost of up to 2*k candidates per row in that
+    bucket; recall is unaffected because every shard still offers a
+    clique candidate)."""
     w = Window.partitionBy(*bucket_cols).orderBy("id")
     return (
         banded_ids.select(
@@ -464,11 +533,12 @@ def minhash_near_dup_witness(
     so shadowing needs multiple rare collisions at once. Exhaustive
     enumeration is ``minhash_lsh_candidates`` (quadratic in clique size).
 
-    Plan shape, skew-aware: candidates are computed on the NARROW
-    (id, band, band_hash) projection — bucket minima via hash-aggregate
-    (map-side partial, skew-immune), predecessors via a per-bucket window
-    over ~16-byte rows (a 100k-row bucket sorts in milliseconds; the full
+    Plan shape: candidates are computed on the NARROW
+    (id, band, band_hash) projection — both bucket minima AND
+    predecessors from ONE per-bucket window over ~16-byte rows (r15
+    fusion; a 100k-row bucket sorts in milliseconds; the full
     64-element signatures never ride through a per-bucket shuffle).
+    Skew posture: see the note on :func:`_witness_candidates`.
     Signatures are fetched by two id-keyed joins afterwards. Every stage
     is linear in rows x bands. Witness semantics are one-hop: A's witness
     B may itself have witness C; iterate or run connected components for
@@ -876,8 +946,12 @@ def simhash_expr(text: Column | str, bits: int = 64) -> Column:
 
     if isinstance(text, str):
         from traject_spark.corpus.similarity import _q
+        from traject_spark.sqlutil import ident_safe
 
-        return F.expr(_simhash_sql(_q(text), bits))
+        if ident_safe(text):
+            return F.expr(_simhash_sql(_q(text), bits))
+        # nested-field names fall back to the Column path (ADVICE r15)
+        text = F.col(text)
 
     def per_bit_body(hashes: Column, n: Column) -> Column:
         sig = F.lit(0).cast("long")
@@ -978,8 +1052,9 @@ def _simhash_banded(
     if not sig_col:
         # text path: the majority-vote tree would otherwise re-run for
         # the banding explode AND each id-keyed signature fetch — same
-        # in-query materialization rationale as _signatures (r15)
-        sig = sig.localCheckpoint()
+        # in-query materialization rationale as _signatures (r15);
+        # lazy + size-warned via the shared helper (r16)
+        sig = _checkpoint_sigs(sig)
     banded = sig.select(
         "id",
         "sig",

@@ -538,10 +538,15 @@ def langid_ngram_expr(
         profiles = LANGID_PROFILES
     if isinstance(text, str):
         # column NAME -> the generated-SQL build fast path (r15); the
-        # Column path below stays the reference implementation
+        # Column path below stays the reference implementation. Dotted/
+        # exotic names fall back to F.col so both input forms resolve
+        # identically (ADVICE r15)
         from traject_spark.corpus.similarity import _q
+        from traject_spark.sqlutil import ident_safe
 
-        return F.expr(_langid_sql(_q(text), profiles))
+        if ident_safe(text):
+            return F.expr(_langid_sql(_q(text), profiles))
+        text = F.col(text)
     langs = sorted(profiles)
     union = sorted({g for p in profiles.values() for g in p})
 
@@ -792,7 +797,7 @@ def _repetition_arrow_udf():
     return _REPETITION_UDF
 
 
-def gopher_repetition_expr(text: Column, use_arrow: bool = True) -> Column:
+def gopher_repetition_expr(text: Column, use_arrow: bool = False) -> Column:
     """Gopher §A1.1-adjacent repetition signals (§A1.2 of Rae et al.
     2021, public paper, Table A1) as one struct of pure Column
     expressions plus the combined ``passes`` gate:
@@ -821,16 +826,19 @@ def gopher_repetition_expr(text: Column, use_arrow: bool = True) -> Column:
     (let-bound), the same single-pass discipline as
     :func:`gopher_quality_expr`.
 
-    ``use_arrow`` (default True, r16): compute the struct in ONE
-    vectorized Arrow pass (:func:`_repetition_signals_py` under a
-    pandas_udf) instead of the JVM sorted-run aggregates — the three
-    per-row n-gram array builds + sorts were the lane's dominant cost
-    (guide §4.2); values are bit-identical (full-corpus 0-diff parity
-    test + the DuckDB oracle row run this path). Pass ``use_arrow=False``
-    for a pure-Column plan — e.g. when only ``['passes']`` is consumed
+    ``use_arrow`` (r16): compute the struct in ONE vectorized Arrow pass
+    (:func:`_repetition_signals_py` under a pandas_udf) instead of the
+    JVM sorted-run aggregates — the three per-row n-gram array builds +
+    sorts are the dominant cost of a full-struct scan, and the Arrow
+    pass measured 3.6x faster on the bench corpus (AB_FINDINGS_r16.md);
+    values are bit-identical (full-corpus 0-diff parity test + the
+    DuckDB oracle row runs this path). RECOMMENDED for full-struct
+    scans. Default False because the Column form composes everywhere a
+    pandas UDF cannot: inside higher-order functions / ``let`` bindings
+    (e.g. ``curate_documents``' ``gate_expr`` — Spark rejects a Python
+    UDF under a lambda), and when only ``['passes']`` is consumed
     (Catalyst prunes the unused struct fields on the Column path but
-    cannot see inside the UDF), or where a Python boundary is
-    unavailable."""
+    cannot see inside a UDF)."""
     from traject_spark.expr import let3
 
     if use_arrow:

@@ -327,15 +327,8 @@ def collect_matching_lines(
     )
 
 
-def _ident_safe(name: str) -> bool:
-    """Gate for the generated-SQL fast paths: only plain identifiers.
-    The generic path's ``F.col('a.b')`` resolves a NESTED field while
-    the backtick-quoted SQL text would read one dotted top-level column
-    — the two paths must never read different columns, so anything
-    beyond ``[A-Za-z_][A-Za-z0-9_]*`` takes the generic path."""
-    import re as _re
-
-    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+# one shared definition (traject_spark.sqlutil), re-exported for callers
+from traject_spark.sqlutil import ident_safe as _ident_safe  # noqa: E402
 
 
 _SQL_EMPTY = "CAST(array() AS array<string>)"

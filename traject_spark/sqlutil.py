@@ -31,7 +31,19 @@ behaves identically under both lexer modes.
 
 from __future__ import annotations
 
-__all__ = ["sql_str_lit"]
+import re as _re
+
+__all__ = ["sql_str_lit", "ident_safe"]
+
+
+def ident_safe(name: str) -> bool:
+    """Gate for the generated-SQL fast paths: only plain identifiers.
+    The generic Column path's ``F.col('a.b')`` resolves a NESTED field
+    while backtick-quoted SQL text would read one dotted top-level
+    column — the two paths must never read different columns, so
+    anything beyond ``[A-Za-z_][A-Za-z0-9_]*`` must take the generic
+    path (callers fall back to ``F.col(name)``)."""
+    return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
 
 
 def sql_str_lit(s: str) -> str:
