@@ -10,7 +10,6 @@ un-anchored period stripping) — those are part of the contract.
 
 from __future__ import annotations
 
-import re
 from typing import Optional
 
 from pyspark.sql import Column
